@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same column aliases).
+
+Float-determinism policy: every query is designed so Spark and DuckDB
+compute bit-identical (or rounding-stable) values — integer measures
+where possible, rounding applied at group level before any cumulative
+pass, identical left-to-right arithmetic otherwise.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+import kolang_spark as ks
+from kolang_spark.sources.io import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue share by return flag with running cumulative
+    percent over ship date (SURVEY §7.2 step 1 spine query)."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = _t(spark, sf_dir, "lineitem")
+    daily = (
+        li.groupBy("l_returnflag", "l_shipdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return (
+        daily.withColumn("flag_pct", ks.percent("n_items", r=None))
+        .withColumn(
+            "cum_revenue",
+            ks.cumulative_sum("revenue", "l_shipdate", partition_by="l_returnflag"),
+        )
+        .withColumn(
+            "cum_pct",
+            ks.cumulative_percent(
+                "revenue", "l_shipdate", partition_by="l_returnflag", r=None
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_percent_by_returnflag(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pct", ks.percent("cnt", r=None))
+    )
+
+
+def _q_percent_partitioned(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("pct", ks.percent("cnt", partition_by="l_returnflag", r=None))
+    )
+
+
+def _q_median_acctbal_by_segment(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    return cu.groupBy("c_mktsegment").agg(
+        ks.median("c_acctbal").alias("med_bal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def _q_cumulative_orders_by_day(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    daily = od.groupBy("o_orderdate").agg(F.count(F.lit(1)).alias("n_orders"))
+    return daily.withColumn(
+        "cum_orders", ks.cumulative_sum("n_orders", "o_orderdate")
+    ).withColumn("cum_pct", ks.cumulative_percent("n_orders", "o_orderdate", r=None))
+
+
+def _q_cumulative_revenue_by_shipdate(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_shipdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return daily.withColumn("cum_revenue", ks.cumulative_sum("revenue", "l_shipdate"))
+
+
+def _q_cond_count_orders(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderpriority").agg(
+        ks.cond_count(F.col("o_totalprice") > 150000).alias("n_big"),
+        ks.cond_count("o_orderstatus = 'F'").alias("n_finished"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def _q_weighted_avg_discount(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        ks.weighted_average("l_discount", "l_quantity", r=6).alias("wavg_discount")
+    )
+
+
+def _q_count_distinct_with_nulls(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        ks.count_distinct_with_nulls("o_orderpriority").alias("n_distinct")
+    )
+
+
+def _q_bin_part_sizes(spark, sf_dir):
+    pt = _t(spark, sf_dir, "part")
+    return (
+        pt.withColumn("size_bin", ks.bin("p_size", 10))
+        .groupBy("size_bin")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+def _q_sum_columns_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ks.sum_columns(["l_quantity", "l_extendedprice", "l_tax"]).alias("hsum"),
+    )
+
+
+def _q_moving_average_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_shipdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return daily.select(
+        "l_shipdate",
+        "revenue",
+        ks.moving_average("revenue", "l_shipdate", 7, mode="center").alias("mavg7"),
+    )
+
+
+def _q_jalali_orders_by_month(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy(ks.jalali_date("o_orderdate", "%Y-%m").alias("j_month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _q_jalali_date_full(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        ks.jalali_date("o_orderdate").alias("j_date"),
+        ks.jalali_date("o_orderdate", "%fY-%fm-%fd").alias("j_date_fa"),
+    )
+
+
+def _q_unpivot_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return ks.unpivot(
+        li,
+        on_columns=["l_quantity", "l_extendedprice", "l_discount"],
+        in_column="measure",
+        value_column="val",
+        ignore_null=True,
+    )
+
+
+def _q_union_customers_suppliers(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return ks.union_all(cu, su)
+
+
+def _q_number_normalize_documents(spark, sf_dir):
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id", ks.number_normalizer("text").alias("norm_text")
+    )
+
+
+def _q_text_clean_documents(spark, sf_dir):
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select("doc_id", ks.text_cleaner("text").alias("clean_text"))
+
+
+def _q_str_array_roundtrip(spark, sf_dir):
+    dc = _t(spark, sf_dir, "documents")
+    packed = F.concat(F.lit("["), F.col("lang"), F.lit(", "), F.col("source"), F.lit("]"))
+    return dc.select(
+        "doc_id", ks.str_array_to_array(packed).alias("tags")
+    )
+
+
+def _q_array_contains(spark, sf_dir):
+    dc = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    return dc.select(
+        "doc_id",
+        ks.array_contains_column("lang", words).alias("lang_in_text"),
+    )
+
+
+def _q_is_null_or_in(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    return od.groupBy("o_orderstatus").agg(
+        ks.cond_count(
+            ks.is_null_or_in("o_orderpriority", "1-URGENT", "2-HIGH")
+        ).alias("n_urgent_or_null")
+    )
+
+
+def _q_session_count_by_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    with_sid = ev.withColumn("sid", ks.session_id("user_id", "ts_ms", 30))
+    return with_sid.groupBy("user_id").agg(
+        F.count_distinct("sid").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_cube_percent_parts(spark, sf_dir):
+    pt = _t(spark, sf_dir, "part")
+    cubed = pt.cube("p_brand", "p_size").agg(F.sum("p_size").alias("size_sum"))
+    return cubed.withColumn(
+        "pct", ks.cube_percent("size_sum", ["p_brand", "p_size"], r=None)
+    )
+
+
+def _q_persian_number(spark, sf_dir):
+    pt = _t(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey", ks.persian_number("p_size", "%03d").alias("fa_size")
+    )
+
+
+def _q_add_trend_line(spark, sf_dir):
+    od = _t(spark, sf_dir, "orders")
+    daily = (
+        od.withColumn("d", F.col("o_orderdate").cast("date"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    )
+    out = ks.add_trend_line(daily, "n_orders", date_col="d", prediction_day=7)
+    return out.select(
+        "d", F.round("n_orders_trendline", 6).alias("trend"), "n_orders"
+    )
+
+
+def _q_sessionize_stream_semantics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from kolang_spark.streaming import sessionize
+
+    return sessionize(ev, key="user_id", ts="ts", gap="30 minutes").select(
+        "key", "session_start", "session_end", "n_events"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "percent_by_returnflag": _q_percent_by_returnflag,
+        "percent_partitioned": _q_percent_partitioned,
+        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
+        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
+        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
+        "cond_count_orders": _q_cond_count_orders,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "count_distinct_with_nulls": _q_count_distinct_with_nulls,
+        "bin_part_sizes": _q_bin_part_sizes,
+        "sum_columns_lineitem": _q_sum_columns_lineitem,
+        "moving_average_revenue": _q_moving_average_revenue,
+        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "jalali_date_full": _q_jalali_date_full,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "union_customers_suppliers": _q_union_customers_suppliers,
+        "number_normalize_documents": _q_number_normalize_documents,
+        "text_clean_documents": _q_text_clean_documents,
+        "str_array_roundtrip": _q_str_array_roundtrip,
+        "array_contains": _q_array_contains,
+        "is_null_or_in": _q_is_null_or_in,
+        "session_count_by_user": _q_session_count_by_user,
+        "cube_percent_parts": _q_cube_percent_parts,
+        "persian_number": _q_persian_number,
+        "add_trend_line": _q_add_trend_line,
+        "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------- oracles
+
+# Jalali conversion as a DuckDB CTE chain (same classic day-number
+# algorithm as kolang_spark.functions.jalali — pure arithmetic, so the
+# oracle is exact).
+def _jalali_cte(src_table: str, date_col: str, keep: str) -> str:
+    return f"""
+    WITH g0 AS (
+      SELECT {keep},
+             (year({date_col}) - 1600) AS gy2,
+             (dayofyear({date_col}) - 1) AS doy0
+      FROM {src_table}
+    ), g1 AS (
+      SELECT *, (365*gy2 + (gy2+3)//4 - (gy2+99)//100 + (gy2+399)//400
+                 + doy0 - 79) AS jdn
+      FROM g0
+    ), g2 AS (
+      SELECT *, 979 + 33*(jdn//12053) + 4*((jdn % 12053)//1461) AS ybase,
+             (jdn % 12053) % 1461 AS r2
+      FROM g1
+    ), g3 AS (
+      SELECT *,
+             CASE WHEN r2 >= 366 THEN ybase + (r2-1)//365 ELSE ybase END AS jy,
+             CASE WHEN r2 >= 366 THEN (r2-1) % 365 ELSE r2 END AS r3
+      FROM g2
+    ), jparts AS (
+      SELECT *, jy,
+             CASE WHEN r3 < 186 THEN r3//31 + 1 ELSE (r3-186)//30 + 7 END AS jm,
+             CASE WHEN r3 < 186 THEN r3%31 + 1 ELSE (r3-186)%30 + 1 END AS jd
+      FROM g3
+    )
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "percent_by_returnflag": """
+            SELECT l_returnflag, COUNT(*) AS cnt,
+                   100*COUNT(*)/SUM(COUNT(*)) OVER () AS pct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "percent_partitioned": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+                   100*COUNT(*)/SUM(COUNT(*)) OVER (PARTITION BY l_returnflag) AS pct
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "median_acctbal_by_segment": """
+            SELECT c_mktsegment,
+                   median(c_acctbal) AS med_bal,
+                   COUNT(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "cumulative_orders_by_day": """
+            WITH daily AS (
+              SELECT o_orderdate, COUNT(*) AS n_orders
+              FROM orders GROUP BY o_orderdate
+            )
+            SELECT o_orderdate, n_orders,
+                   SUM(n_orders) OVER (ORDER BY o_orderdate
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_orders,
+                   100*SUM(n_orders) OVER (ORDER BY o_orderdate
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / SUM(n_orders) OVER () AS cum_pct
+            FROM daily
+        """,
+        "cumulative_revenue_by_shipdate": """
+            WITH daily AS (
+              SELECT l_shipdate,
+                     ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_shipdate
+            )
+            SELECT l_shipdate, revenue,
+                   SUM(revenue) OVER (ORDER BY l_shipdate
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+            FROM daily
+        """,
+        "cond_count_orders": """
+            SELECT o_orderpriority,
+                   COUNT(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
+                   COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+                   COUNT(*) AS n_total
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "weighted_avg_discount": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_discount*l_quantity)/SUM(l_quantity), 6) AS wavg_discount
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "count_distinct_with_nulls": """
+            SELECT o_orderstatus,
+                   COUNT(DISTINCT o_orderpriority)
+                   + MAX(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS n_distinct
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "bin_part_sizes": """
+            SELECT FLOOR(p_size/10)*10 AS size_bin, COUNT(*) AS n_parts
+            FROM part GROUP BY 1
+        """,
+        "sum_columns_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   0 + l_quantity + l_extendedprice + l_tax AS hsum
+            FROM lineitem
+        """,
+        "moving_average_revenue": """
+            WITH daily AS (
+              SELECT l_shipdate,
+                     ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_shipdate
+            )
+            SELECT l_shipdate, revenue,
+                   AVG(revenue) OVER (ORDER BY l_shipdate
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mavg7
+            FROM daily
+        """,
+        "jalali_orders_by_month": _jalali_cte("orders", "o_orderdate", "o_orderkey")
+        + """
+            SELECT printf('%d-%02d', jy, jm) AS j_month, COUNT(*) AS n_orders
+            FROM jparts GROUP BY 1
+        """,
+        "jalali_date_full": _jalali_cte("orders", "o_orderdate", "o_orderkey")
+        + """
+            SELECT o_orderkey,
+                   printf('%d-%02d-%02d', jy, jm, jd) AS j_date,
+                   translate(printf('%d-%02d-%02d', jy, jm, jd),
+                             '0123456789', '۰۱۲۳۴۵۶۷۸۹') AS j_date_fa
+            FROM jparts
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                   l_quantity AS val FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
+        """,
+        "union_customers_suppliers": """
+            SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+                   c_mktsegment AS segment
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, s_acctbal, NULL FROM supplier
+        """,
+        "number_normalize_documents": """
+            SELECT doc_id,
+                   translate(translate(text, '٠١٢٣٤٥٦٧٨٩', '0123456789'),
+                             '۰۱۲۳۴۵۶۷۸۹', '0123456789') AS norm_text
+            FROM documents
+        """,
+        "text_clean_documents": """
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       translate(
+                         translate(
+                           translate(text, '٠١٢٣٤٥٦٧٨٩', '0123456789'),
+                           '۰۱۲۳۴۵۶۷۸۹', '0123456789'),
+                         'كيأإؤةۀ', 'کیااوهه'),
+                       '[^a-zآ-یA-Z0-9 ]', ' ', 'g'),
+                     ' {2,}', ' ', 'g') AS clean_text
+            FROM documents
+        """,
+        "str_array_roundtrip": """
+            SELECT doc_id,
+                   string_split(
+                     CASE WHEN translate('[' || lang || ', ' || source || ']',
+                                         '[]', '') <> ''
+                          THEN translate('[' || lang || ', ' || source || ']',
+                                         '[]', '')
+                     END, ', ') AS tags
+            FROM documents
+        """,
+        "array_contains": """
+            SELECT doc_id,
+                   len(list_intersect(string_split(text, ' '), [lang])) >= 1
+                     AS lang_in_text
+            FROM documents
+        """,
+        "is_null_or_in": """
+            SELECT o_orderstatus,
+                   COUNT(CASE WHEN o_orderpriority IS NULL
+                              OR o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 END) AS n_urgent_or_null
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "session_count_by_user": """
+            WITH ev AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms,
+                     LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_ms(ts)) AS prev_ms
+              FROM events
+            )
+            SELECT user_id,
+                   SUM(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                       THEN 1 ELSE 0 END) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM ev GROUP BY user_id
+        """,
+        "cube_percent_parts": """
+            WITH cubed AS (
+              SELECT p_brand, p_size, SUM(p_size) AS size_sum
+              FROM part GROUP BY CUBE(p_brand, p_size)
+            )
+            SELECT p_brand, p_size, size_sum,
+                   100*size_sum / SUM(CASE WHEN p_brand IS NOT NULL
+                                           AND p_size IS NOT NULL
+                                      THEN size_sum END) OVER () AS pct
+            FROM cubed
+        """,
+        "persian_number": """
+            SELECT p_partkey,
+                   translate(printf('%03d', p_size),
+                             '0123456789', '۰۱۲۳۴۵۶۷۸۹') AS fa_size
+            FROM part
+        """,
+        # add_trend_line / sessionize_stream_semantics: omitted on purpose
+        # (closed-form regression and session-window assignment are not
+        # reasonably SQL-expressible) → driver records rows-only checks.
+    }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full computation of every
+output column, no driver-collect cost, no pruning of the measured work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_spark() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kolang-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock, all queries, noop sink",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""kolang_spark — a PySpark-native analytics engine.
+
+A from-scratch re-expression of the operator semantics of the reference
+library MahdiHGZ/kolang (a PySpark utility package, see
+``/root/reference/kolang``) as idiomatic, Spark-Connect-compatible,
+100-TB-scale-minded PySpark, plus the LLM-data-pipeline extensions
+(dedup, similarity search, multimodal columns, text analysis).
+
+Design rules (SURVEY.md §1.4 / §4):
+
+* plain functions returning vanilla :class:`pyspark.sql.Column` — never
+  subclass or ``__class__``-reassign ``Column`` (the reference's
+  ``KolangColumn`` mechanism is broken on PySpark 4.x);
+* no row-at-a-time Python UDFs in the core — every core operator is pure
+  Catalyst expression algebra so pushdown/pruning/codegen see through it;
+* every operator accepts ``str | Column``;
+* deterministic column ordering and deterministic session ids;
+* driver materialization always guarded.
+"""
+
+from kolang_spark.functions import (  # noqa: F401
+    array_contains_column,
+    bin,
+    col,
+    cond_count,
+    condition_count,
+    count_distinct_with_nulls,
+    cube_percent,
+    cumulative_percent,
+    cumulative_sum,
+    is_null_or_in,
+    jalali_date,
+    median,
+    moving_average,
+    moving_avg,
+    number_normalizer,
+    percent,
+    persian_number,
+    str_array_to_array,
+    str_to_column,
+    sum_columns,
+    text_cleaner,
+    weighted_average,
+    weighted_avg,
+)
+from kolang_spark.operators import (  # noqa: F401
+    add_trend_line,
+    safe_union,
+    session_id,
+    transpose,
+    union_all,
+    unpivot,
+)
+from kolang_spark.sources import (  # noqa: F401
+    load_or_calculate_parquet,
+    pandas_to_spark,
+    read_table,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,6 @@
+"""DataFrame → DataFrame operators (reference parity: SURVEY.md §2.2)."""
+
+from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
+from kolang_spark.operators.sessions import session_id, with_session_id  # noqa: F401
+from kolang_spark.operators.trend import add_trend_line  # noqa: F401
+from kolang_spark.operators.unions import safe_union, union_all  # noqa: F401

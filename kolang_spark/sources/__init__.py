@@ -1,0 +1,7 @@
+"""Sources & sinks: testdata readers, parquet memoization, pandas bridge."""
+
+from kolang_spark.sources.io import (  # noqa: F401
+    load_or_calculate_parquet,
+    pandas_to_spark,
+    read_table,
+)

@@ -1,0 +1,179 @@
+"""IO surface: thin helpers over ``spark.read``/``write`` plus the
+parquet-memoization operator.
+
+Parity: ``/root/reference/kolang/dataframe_functions.py`` D2
+(``pandas_to_spark``, :96-134) and D6 (``load_or_calculate_parquet``,
+:257-373). The reference's own IO surface is parquet-only (inside D6) —
+everything else delegates to Spark's readers, and so do we.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Any, Callable, Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["read_table", "pandas_to_spark", "load_or_calculate_parquet"]
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (``{sf_dir}/{name}.parquet``).
+
+    The ``events`` table is written with parquet ``TIMESTAMP(NANOS)``,
+    which Spark 4 rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is true (FIXTURES.md §B). With that conf the ``ts`` column arrives as
+    a nanosecond **long**; it is normalized here to
+
+    * ``ts``         — timestamp (microsecond precision), and
+    * ``ts_ms``      — epoch milliseconds (long), the contract
+      :func:`kolang_spark.operators.sessions.session_id` expects.
+
+    If the conf is off, a pyarrow fallback (driver-side, local-test only)
+    casts nanos→micros before handing Spark the data.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name != "events":
+        return df
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanosAsLong in effect
+        return (
+            df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long"))
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        )
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(
+            "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+        )
+    # conf off and Spark refused / odd type: pyarrow fallback (small data only)
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    pdf = tbl.to_pandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    out = spark.createDataFrame(pdf)
+    return out.withColumn(
+        "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+    )
+
+
+def read_tables(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    """All testdata tables as a dict (TESTDATA.md surface)."""
+    return {n: read_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+_PANDAS_TYPE_MAP = {
+    "datetime64[ns]": T.TimestampType(),
+    "int64": T.LongType(),
+    "int32": T.IntegerType(),
+    # reference maps float64 → FloatType (lossy bug, dataframe_functions.
+    # py:117-118); fixed to DoubleType here.
+    "float64": T.DoubleType(),
+    "float32": T.FloatType(),
+    "bool": T.BooleanType(),
+}
+
+
+def pandas_to_spark(
+    df: pd.DataFrame, spark: Optional[SparkSession] = None
+) -> DataFrame:
+    """pandas → Spark with a deterministic dtype fallback.
+
+    Parity: reference D2, minus its bare ``except:`` and the
+    ``float64→FloatType`` precision loss. Spark's own (Arrow-backed)
+    inference is tried first; on failure the explicit dtype map applies,
+    defaulting to string.
+    """
+    spark = spark or SparkSession.builder.getOrCreate()
+    try:
+        return spark.createDataFrame(df)
+    except Exception:
+        fields = [
+            T.StructField(str(col), _PANDAS_TYPE_MAP.get(str(dtype), T.StringType()))
+            for col, dtype in zip(df.columns, df.dtypes)
+        ]
+        return spark.createDataFrame(df, T.StructType(fields))
+
+
+def load_or_calculate_parquet(
+    func: Callable[..., DataFrame],
+    path: str,
+    range_params: Optional[Dict[str, List[Any]]] = None,
+    constant_params: Optional[Dict[str, Any]] = None,
+    overwrite: bool = False,
+    partition_size: int = 1,
+    log: bool = True,
+    error: str = "ignore",
+) -> DataFrame:
+    """Memoized parameter-sweep materialization over a hive-partitioned
+    parquet tree.
+
+    For the cartesian product of ``range_params``, each combination maps
+    to ``path/k1=v1/k2=v2/...``; existing combinations are skipped (or
+    recomputed with ``overwrite=True``), missing ones are computed by
+    calling ``func(**combo, **constant_params)`` and written. The final
+    read of ``path`` restores every param as a partition column via
+    partition discovery, so filters on them prune directories — this is
+    the operator's 100-TB story (parity: reference D6, verified layout
+    SURVEY §1.1).
+
+    Hardening vs the reference: completeness is checked via the
+    ``_SUCCESS`` marker (the reference probe-reads the directory and
+    mistakes half-written output for complete), and the check is a cheap
+    filesystem stat instead of a Spark job per combination.
+    """
+    spark = SparkSession.builder.getOrCreate()
+    range_params = range_params or {}
+    constant_params = constant_params or {}
+
+    def logger(*args):
+        if log:
+            print(*args)
+
+    keys = list(range_params)
+    combos = [
+        dict(zip(keys, vals))
+        for vals in itertools.product(*(list(range_params[k]) for k in keys))
+    ]
+
+    def combo_path(combo: Dict[str, Any]) -> str:
+        return os.path.join(path, *(f"{k}={v}" for k, v in combo.items()))
+
+    def is_complete(p: str) -> bool:
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    for combo in combos:
+        p = combo_path(combo)
+        if not overwrite and is_complete(p):
+            logger("load", combo)
+            continue
+        try:
+            out = func(**combo, **constant_params)
+            out.repartition(partition_size).write.parquet(p, mode="overwrite")
+            logger("calculate", combo)
+        except Exception as e:  # noqa: BLE001 — parity: error policy knob
+            logger("error on calculate", combo)
+            if error == "stop":
+                raise
+            logger(e)
+
+    return spark.read.option("basePath", path).parquet(path)

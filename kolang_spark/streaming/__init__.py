@@ -1,0 +1,4 @@
+"""Structured Streaming surface (extension — the reference is batch-only,
+SURVEY §2.3 'Streaming')."""
+
+from kolang_spark.streaming.sessions import sessionize  # noqa: F401

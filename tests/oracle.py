@@ -1,0 +1,83 @@
+"""Local mirror of the driver's DuckDB-oracle check.
+
+Runs a Spark query and the matching oracle SQL side-by-side on the same
+parquet tables, then compares row count, schema (column names), and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+floats rounded to 6 significant decimals before comparison — mirroring a
+tolerant value-hash).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import duckdb
+
+from kolang_spark.sources.io import TABLE_NAMES
+
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+def duckdb_conn(sf_dir: str = SF_ORACLE) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return 0.0
+        # 6 significant digits, tolerant of engine-level float noise
+        return float(f"{v:.6g}")
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def normalize(columns: List[str], rows: List[tuple]) -> Tuple[List[str], List[tuple]]:
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    data = sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), str(v)) for v in t),
+    )
+    return cols, data
+
+
+def compare(spark_df, sql: str, sf_dir: str = SF_ORACLE):
+    """Return (ok, message) comparing a Spark DataFrame with oracle SQL."""
+    con = duckdb_conn(sf_dir)
+    try:
+        oracle = con.execute(sql)
+        o_cols = [d[0] for d in oracle.description]
+        o_rows = oracle.fetchall()
+    finally:
+        con.close()
+
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    if sorted(s_cols) != sorted(o_cols):
+        return False, f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    if len(s_rows) != len(o_rows):
+        return False, f"rowcount mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+
+    sc, sd = normalize(s_cols, s_rows)
+    oc, od = normalize(o_cols, o_rows)
+    if sd != od:
+        diffs = [
+            (a, b) for a, b in zip(sd, od) if a != b
+        ][:5]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, "ok"
