@@ -288,6 +288,157 @@ def _q_sessionize_stream_semantics(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- LLM pipeline extensions
+
+
+def _q_token_stats_documents(spark, sf_dir):
+    from kolang_spark.llm import token_count
+
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+    )
+
+
+def _q_quality_documents(spark, sf_dir):
+    from kolang_spark.llm import quality_metrics
+
+    dc = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return dc.select(
+        "doc_id",
+        m["punct_ratio"].alias("punct_ratio"),
+        m["digit_ratio"].alias("digit_ratio"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+def _q_lang_id_documents(spark, sf_dir):
+    from kolang_spark.llm import lang_id
+
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select("doc_id", "lang", lang_id("text").alias("lang_pred"))
+
+
+def _q_fingerprint_documents(spark, sf_dir):
+    from kolang_spark.llm import doc_fingerprint
+
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def _q_exact_dedup_documents(spark, sf_dir):
+    from kolang_spark.llm import exact_dedup
+
+    dc = _t(spark, sf_dir, "documents")
+    return exact_dedup(dc)
+
+
+def _q_jaccard_pairs_documents(spark, sf_dir):
+    from kolang_spark.llm import jaccard_near_dup_pairs
+
+    dc = _t(spark, sf_dir, "documents")
+    out = jaccard_near_dup_pairs(dc, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_pairs_documents(spark, sf_dir):
+    from kolang_spark.llm import minhash_candidate_pairs
+
+    dc = _t(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+
+
+def _q_simhash_documents(spark, sf_dir):
+    from kolang_spark.llm import simhash
+
+    dc = _t(spark, sf_dir, "documents")
+    return dc.select("doc_id", simhash("text", bits=16).alias("sim_sig"))
+
+
+def _q_embedding_neardup_pairs(spark, sf_dir):
+    from kolang_spark.llm import embedding_near_dup_pairs
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(em, threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from kolang_spark.llm import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(em, anchors, k=5)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    from kolang_spark.llm import lsh_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    out = lsh_topk(em, anchors, k=5, n_planes=3)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def _q_multimodal_blob_metadata(spark, sf_dir):
+    from kolang_spark.llm.multimodal import blob_metadata, pack_blob
+
+    dc = _t(spark, sf_dir, "documents")
+    packed = pack_blob(dc.select("doc_id", "text"), "text", format="txt")
+    return blob_metadata(packed.select("doc_id", "content"))
+
+
+def _q_multimodal_decode_fake(spark, sf_dir):
+    from kolang_spark.llm.multimodal import decode_image, pack_blob
+
+    dc = _t(spark, sf_dir, "documents")
+    packed = pack_blob(dc.select("doc_id", "text"), "text")
+    return decode_image(packed, fake=True)
+
+
+def _q_multimodal_sample_frames(spark, sf_dir):
+    from kolang_spark.llm.multimodal import pack_blob, sample_frames
+
+    dc = _t(spark, sf_dir, "documents")
+    packed = pack_blob(dc.select("doc_id", "text"), "text")
+    return sample_frames(packed, fps=1)
+
+
+# ------------------------------------------------------ scale-path rewrites
+
+
+def _q_scale_percent_by_nation(spark, sf_dir):
+    from kolang_spark.operators.scale import with_percent
+
+    cu = _t(spark, sf_dir, "customer")
+    counts = cu.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return with_percent(counts, "cnt", out="pct", r=None)
+
+
+def _q_scale_cumulative_revenue(spark, sf_dir):
+    from kolang_spark.operators.scale import with_cumulative_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy("l_shipdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    out = with_cumulative_sum(
+        daily,
+        "revenue",
+        "l_shipdate",
+        bucket=F.date_trunc("month", F.col("l_shipdate")),
+        out="cum_revenue",
+    )
+    return out.select("l_shipdate", "revenue", "cum_revenue")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -315,6 +466,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persian_number": _q_persian_number,
         "add_trend_line": _q_add_trend_line,
         "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+        # LLM pipeline extensions
+        "token_stats_documents": _q_token_stats_documents,
+        "quality_documents": _q_quality_documents,
+        "lang_id_documents": _q_lang_id_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "simhash_documents": _q_simhash_documents,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_blob_metadata": _q_multimodal_blob_metadata,
+        "multimodal_decode_fake": _q_multimodal_decode_fake,
+        "multimodal_sample_frames": _q_multimodal_sample_frames,
+        # scale-path rewrites (same values, distributed plans)
+        "scale_percent_by_nation": _q_scale_percent_by_nation,
+        "scale_cumulative_revenue": _q_scale_cumulative_revenue,
     }
 
 
@@ -350,6 +519,80 @@ def _jalali_cte(src_table: str, date_col: str, keep: str) -> str:
       FROM g3
     )
     """
+
+
+_SHINGLE_CTE = r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+4], ' ')
+                            for i in range(1, len(w)-3)]) AS s
+      FROM words
+    )
+"""
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    """SimHash oracle: same md5-derived 60-bit token hashes, same
+    strict-majority bit votes as kolang_spark.llm.textstats.simhash."""
+    sums = ",\n             ".join(
+        f"SUM(CASE WHEN (hv & {1 << b}) <> 0 THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 18, 15))::BIGINT AS hv FROM toks
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({sig} AS BIGINT) AS sim_sig FROM agg
+    """
+
+
+def _minhash_sql(num_hashes: int = 6, bands: int = 3) -> str:
+    rows = num_hashes // bands
+    mh = ",\n             ".join(
+        f"list_min([md5('{i}:' || x) for x in s]) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sig AS (
+      SELECT doc_id,
+             {mh}
+      FROM sh WHERE len(s) > 0
+    ), banded AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """
+    )
+
+
+_COS_EXPR = (
+    "list_dot_product(a.v, b.v)"
+    "/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -534,7 +777,152 @@ def oracle_sql() -> dict[str, str]:
                              '0123456789', '۰۱۲۳۴۵۶۷۸۹') AS fa_size
             FROM part
         """,
-        # add_trend_line / sessionize_stream_semantics: omitted on purpose
-        # (closed-form regression and session-window assignment are not
-        # reasonably SQL-expressible) → driver records rows-only checks.
+        "token_stats_documents": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS len_chars
+            FROM documents
+        """,
+        "quality_documents": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                       '\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b'))
+                       AS n_stop,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     len(regexp_extract_all(text, '[0-9]')) AS n_digit
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN n_chars > 0 THEN n_punct*1.0/n_chars ELSE 0 END
+                     AS punct_ratio,
+                   CASE WHEN n_chars > 0 THEN n_digit*1.0/n_chars ELSE 0 END
+                     AS digit_ratio,
+                   CASE WHEN n_tokens > 0 THEN n_stop*1.0/n_tokens ELSE 0 END
+                     AS stop_ratio,
+                   CAST(
+                     (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 40 ELSE 0 END)
+                     + (CASE WHEN (n_chars - (n_tokens-1))*1.0/n_tokens
+                             BETWEEN 2 AND 12 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_punct*1.0/n_chars <= 0.2 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_stop*1.0/n_tokens >= 0.05 THEN 20 ELSE 0 END)
+                   AS BIGINT) AS quality_score
+            FROM m
+        """,
+        "lang_id_documents": r"""
+            WITH c AS (
+              SELECT doc_id, lang, lower(text) AS t FROM documents
+            ), m AS (
+              SELECT doc_id, lang, t,
+                len(regexp_extract_all(t, '\b(the|and|of|to|is|was|for|with|that|this)\b')) AS c_en,
+                len(regexp_extract_all(t, '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS c_de,
+                len(regexp_extract_all(t, '\b(le|la|les|et|est|pas|pour|dans|une|que)\b')) AS c_fr,
+                len(regexp_extract_all(t, '\b(el|la|los|las|es|y|no|por|una|que)\b')) AS c_es
+              FROM c
+            )
+            SELECT doc_id, lang,
+              CASE WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+                   WHEN regexp_matches(t, '[؀-ۿ]') THEN 'fa'
+                   WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                   WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                   WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                   WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM m
+        """,
+        "fingerprint_documents": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS fingerprint
+            FROM documents
+        """,
+        "exact_dedup_documents": r"""
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS fingerprint,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "jaccard_pairs_documents": _SHINGLE_CTE
+        + r"""
+            , sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(c*1.0/(sa.n_sh + sb.n_sh - c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c*1.0/(sa.n_sh + sb.n_sh - c) >= 0.5
+        """,
+        "minhash_pairs_documents": _minhash_sql(6, 3),
+        "simhash_documents": _simhash_sql(16),
+        "embedding_neardup_pairs": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({_COS_EXPR}, 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_EXPR} >= 0.45
+        """,
+        "cosine_topk": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v FROM e WHERE vec_id % 100 = 0
+            ), scored AS (
+              SELECT q.query_id, b.vec_id,
+                     list_dot_product(q.v, b.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+              FROM e b CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_blob_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   substr(hex(encode(text)), 1, 8) AS header_hex
+            FROM documents
+        """,
+        "multimodal_sample_frames": """
+            SELECT doc_id,
+                   unnest(range(0, (octet_length(encode(text)) % 10 + 1)))
+                     AS frame_idx
+            FROM documents
+        """,
+        "scale_percent_by_nation": """
+            SELECT c_nationkey, COUNT(*) AS cnt,
+                   100*COUNT(*)/SUM(COUNT(*)) OVER () AS pct
+            FROM customer GROUP BY c_nationkey
+        """,
+        "scale_cumulative_revenue": """
+            WITH daily AS (
+              SELECT l_shipdate,
+                     ROUND(SUM(l_extendedprice*(1-l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY l_shipdate
+            )
+            SELECT l_shipdate, revenue,
+                   SUM(revenue) OVER (ORDER BY l_shipdate
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+            FROM daily
+        """,
+        # Omitted on purpose → driver records rows-only checks:
+        #   add_trend_line (closed-form regression), sessionize_stream_semantics
+        #   (session-window assignment), ann_lsh_topk (approximate by design),
+        #   multimodal_decode_fake (mapInPandas stub).
     }

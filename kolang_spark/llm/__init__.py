@@ -1,0 +1,34 @@
+"""LLM-data-pipeline operators (north-star extensions, BASELINE.json).
+
+Everything a large-scale training-data pipeline needs on top of the
+reference surface: deduplication (exact / MinHash-LSH / SimHash /
+n-gram-Jaccard / embedding-cosine), similarity search (brute-force
+cosine top-k + LSH-bucketed ANN), text analysis (language-ID, quality
+scoring, token counting, fingerprinting), and multimodal column
+conventions.
+
+Design rule carried over from the core: **hash-native, UDF-free column
+algebra wherever possible** — shingling, MinHash, SimHash, Jaccard and
+cosine are all pure Catalyst expressions here, so they run JVM-side with
+whole-stage codegen at 100 TB. Python (Arrow-batched ``mapInPandas``)
+appears only where semantics require it (multimodal decode stubs).
+"""
+
+from kolang_spark.llm.dedup import (  # noqa: F401
+    exact_dedup,
+    embedding_near_dup_pairs,
+    jaccard_near_dup_pairs,
+    minhash_candidate_pairs,
+    simhash_near_dup_pairs,
+    with_shingles,
+)
+from kolang_spark.llm.similarity import brute_force_topk, cosine, lsh_topk  # noqa: F401
+from kolang_spark.llm.textstats import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_metrics,
+    simhash,
+    token_count,
+    tokenize,
+    word_ngrams,
+)

@@ -1,0 +1,191 @@
+"""Text analysis: tokenization, quality scoring, language ID,
+fingerprinting, SimHash — all pure Column algebra (no UDFs).
+
+Scale posture: every function here is a per-row scalar expression —
+embarrassingly parallel, codegen-compiled, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kolang_spark.utils import ColumnOrName, to_col
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "word_ngrams",
+    "quality_metrics",
+    "lang_id",
+    "doc_fingerprint",
+    "simhash",
+]
+
+
+def tokenize(col: ColumnOrName, pattern: str = r"\s+") -> Column:
+    """Split text into tokens (array<string>); empty text → empty array."""
+    c = F.trim(to_col(col))
+    return F.when(c == "", F.array().cast("array<string>")).otherwise(
+        F.split(c, pattern)
+    )
+
+
+def token_count(col: ColumnOrName, pattern: str = r"\s+") -> Column:
+    """Whitespace token count. For a BPE-ish subword estimate use
+    ``bpe_token_estimate``."""
+    return F.size(tokenize(col, pattern))
+
+
+def bpe_token_estimate(col: ColumnOrName) -> Column:
+    """Crude BPE-style token estimate: count of word-piece matches
+    (``\\w+`` runs split ~4 chars apiece) plus standalone punctuation.
+    Deterministic, JVM-side; a real tokenizer belongs in an Arrow UDF."""
+    c = to_col(col)
+    word_chars = F.length(F.regexp_replace(c, r"[^\w]", ""))
+    punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))
+    return (F.ceil(word_chars / 4) + punct).cast("long")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Contiguous word n-grams (space-joined) from a token array.
+
+    Pure expression: ``transform(sequence(...))`` over the array — no
+    explode, no shuffle. Shorter-than-n docs yield an empty array.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    count = F.size(words) - (n - 1)
+    idx = F.sequence(F.lit(0), count - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+    )
+    return F.when(count > 0, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def quality_metrics(col: ColumnOrName) -> Dict[str, Column]:
+    """Length / punctuation / digit / stopword ratios + composite score.
+
+    Returns a dict of named Columns so callers select what they need.
+    All ratios are over character length (punct, digit) or token count
+    (stopword); the composite ``quality_score`` rewards normal-length,
+    low-punctuation, stopword-bearing prose — the standard cheap
+    pretraining-quality heuristic family.
+    """
+    c = to_col(col)
+    n_chars = F.length(c)
+    n_tokens = F.size(tokenize(c))
+    stop_re = r"\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(c), F.lit(stop_re), 0))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), 0))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    digit_ratio = F.when(n_chars > 0, n_digit / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    mean_word_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+    ).otherwise(0.0)
+
+    # integer point scale (0-100): exact in every engine, no float
+    # accumulation drift in downstream aggregations
+    length_ok = (n_chars >= 50) & (n_chars <= 100_000)
+    word_len_ok = (mean_word_len >= 2) & (mean_word_len <= 12)
+    score = (
+        F.when(length_ok, 40).otherwise(0)
+        + F.when(word_len_ok, 20).otherwise(0)
+        + F.when(punct_ratio <= 0.2, 20).otherwise(0)
+        + F.when(stop_ratio >= 0.05, 20).otherwise(0)
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "stop_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": score.cast("long"),
+    }
+
+
+# language marker word sets — tiny, deterministic n-gram/stopword heuristic
+_LANG_MARKERS: Dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|was|for|with|that|this)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b",
+    "fr": r"\b(le|la|les|et|est|pas|pour|dans|une|que)\b",
+    "es": r"\b(el|la|los|las|es|y|no|por|una|que)\b",
+}
+
+
+def lang_id(col: ColumnOrName, default: str = "und") -> Column:
+    """Cheap deterministic language ID.
+
+    Priority: CJK codepoint presence → ``zh``; Arabic-block presence →
+    ``fa``; else argmax of per-language stopword-marker hit counts
+    (ties broken by fixed language order); no hits → ``default``.
+
+    This is a *heuristic* (the classic fasttext-free fallback); at 100 TB
+    it costs a handful of regex scans per row, all codegen-compiled.
+    """
+    c = F.lower(to_col(col))
+    counts = {
+        lang: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    pick = F.lit(default)
+    # reversed so earlier languages win ties via later .when precedence
+    for lang in reversed(list(_LANG_MARKERS)):
+        pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(pick)
+    pick = F.when(best == 0, F.lit(default)).otherwise(pick)
+
+    has_cjk = c.rlike(r"[一-鿿]")
+    has_arabic = c.rlike(r"[؀-ۿ]")
+    return F.when(has_cjk, "zh").when(has_arabic, "fa").otherwise(pick)
+
+
+def doc_fingerprint(col: ColumnOrName) -> Column:
+    """Deterministic document fingerprint: md5 of the canonical text
+    (lowercased, whitespace-collapsed, trimmed). md5 keeps the value
+    engine-portable (identical in DuckDB/Spark) — at pure-Spark scale,
+    ``xxhash64`` on the same canonical form is ~10× cheaper.
+    """
+    canon = F.trim(F.regexp_replace(F.lower(to_col(col)), r"\s+", " "))
+    return F.md5(F.encode(canon, "UTF-8"))
+
+
+def _token_hash60(token: Column) -> Column:
+    """60-bit integer hash of a token via md5 hex (conv of 15 hex chars).
+
+    Engine-portable: DuckDB computes the same value with
+    ``('0x' || substr(md5(t), 18, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(F.encode(token, "UTF-8")), 18, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def simhash(col: ColumnOrName, bits: int = 16) -> Column:
+    """SimHash of the whitespace-token set (default 16 bits).
+
+    Per bit *b*: set iff a strict majority of token hashes have bit *b*
+    set. Near-duplicate texts yield equal/近-equal signatures (low
+    Hamming distance). Pure array-expression implementation — token
+    hashes computed once into an array, then ``bits`` filter-counts; no
+    explode, no shuffle, no UDF.
+    """
+    if not 1 <= bits <= 60:
+        raise ValueError("bits must be in [1, 60]")
+    toks = tokenize(col)
+    hashes = F.transform(toks, _token_hash60)
+    n = F.size(hashes)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = 1 << b
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        sig = sig + F.when(cnt * 2 > n, F.lit(mask)).otherwise(0)
+    return sig

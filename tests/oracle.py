@@ -33,6 +33,10 @@ def _norm_cell(v):
         return None
     if isinstance(v, bool):
         return v
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"

@@ -1,0 +1,197 @@
+"""LLM-pipeline extension operators over the documents/embeddings tables."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kolang_spark.llm import (
+    brute_force_topk,
+    doc_fingerprint,
+    exact_dedup,
+    embedding_near_dup_pairs,
+    jaccard_near_dup_pairs,
+    lang_id,
+    lsh_topk,
+    minhash_candidate_pairs,
+    quality_metrics,
+    simhash,
+    simhash_near_dup_pairs,
+    token_count,
+    word_ngrams,
+    tokenize,
+)
+from kolang_spark.llm.multimodal import blob_metadata, decode_image, pack_blob, sample_frames
+from kolang_spark.sources.io import read_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return read_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_token_count_matches_n_chars_structure(spark, docs):
+    out = docs.select("doc_id", token_count("text").alias("n_tok")).collect()
+    assert all(r.n_tok > 0 for r in out)
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["t"])
+    out = df.select(word_ngrams(tokenize(F.col("t")), 3).alias("g")).collect()
+    assert out[0].g == ["a b c", "b c d"]
+    assert out[1].g == []
+    assert out[2].g == []
+
+
+def test_quality_metrics(spark):
+    df = spark.createDataFrame(
+        [("The cat sat on the mat and it was good for all of us here today.",),
+         ("!!!! ???? ....",)],
+        ["t"],
+    )
+    m = quality_metrics(F.col("t"))
+    out = df.select(
+        m["quality_score"].alias("q"), m["punct_ratio"].alias("p"),
+        m["stop_ratio"].alias("s"),
+    ).collect()
+    assert out[0].q > out[1].q
+    assert out[1].p > 0.5
+    assert out[0].s > 0.2
+
+
+def test_lang_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog was in the house for a while",),
+            ("der hund ist nicht mit der katze und das haus",),
+            ("le chat est dans la maison et les chiens pour une nuit",),
+            ("这 是 中文 文本",),
+            ("متن فارسی است",),
+            ("zzz qqq xxx",),
+        ],
+        ["t"],
+    )
+    got = [r.l for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got == ["en", "de", "fr", "zh", "fa", "und"]
+
+
+def test_fingerprint_canonicalizes(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world ",)], ["t"])
+    out = [r.f for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert out[0] == out[1]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "different")], ["doc_id", "text"]
+    )
+    out = exact_dedup(df).collect()
+    by_keep = {r.keep_id: r.n_dups for r in out}
+    assert by_keep == {1: 2, 3: 1}
+
+
+def test_simhash_near_dups_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words entirely unrelated content here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: r.s for r in df.select("doc_id", simhash("text").alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dup_pairs(df).collect()}
+    assert (1, 2) in pairs
+
+
+def test_jaccard_near_dup_pairs_on_documents(spark, docs):
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.5).collect()
+    # sf0.001 documents: generator plants near-duplicates
+    assert len(pairs) > 0
+    assert all(r.id_a < r.id_b and r.jaccard >= 0.5 for r in pairs)
+
+
+def test_minhash_recovers_jaccard_pairs(spark, docs):
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in jaccard_near_dup_pairs(docs, threshold=0.8).collect()
+    }
+    cand = {(r.id_a, r.id_b) for r in minhash_candidate_pairs(docs).collect()}
+    # banding with r=2,b=3 catches essentially all j>=0.8 pairs
+    assert true_pairs, "fixture should contain planted near-dups"
+    recall = len(true_pairs & cand) / len(true_pairs)
+    assert recall >= 0.9, f"minhash recall too low: {recall}"
+
+
+def test_max_df_stop_shingles(spark, docs):
+    full = jaccard_near_dup_pairs(docs, threshold=0.9).count()
+    capped = jaccard_near_dup_pairs(docs, threshold=0.9, max_df=50).count()
+    assert capped >= 0 and full >= capped  # hot-shingle cut only removes counts
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    n_queries = queries.count()
+    assert len(rows) == 5 * n_queries
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        # rank 1 is the query itself (cos=1)
+        assert rs[0].vec_id == q
+        assert rs[0].cos == pytest.approx(1.0, abs=1e-9)
+        assert all(rs[i].cos >= rs[i + 1].cos - 1e-12 for i in range(4))
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = brute_force_topk(emb, queries, k=1).collect()
+    approx = lsh_topk(emb, queries, k=1, n_planes=3).collect()
+    exact_top = {r.query_id: r.vec_id for r in exact}
+    approx_top = {r.query_id: r.vec_id for r in approx}
+    # self-match (cos=1) always lands in the query's own bucket
+    assert approx_top == exact_top
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    out = embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    assert all(r.id_a < r.id_b and r.cos >= 0.45 for r in out)
+
+
+def test_multimodal_pack_and_metadata(spark, docs):
+    packed = pack_blob(docs.select("doc_id", "text"), "text", format="txt")
+    assert dict(packed.dtypes)["content"] == "binary"
+    meta = blob_metadata(packed.select("doc_id", "content"))
+    r = meta.first()
+    assert r.n_bytes > 0 and len(r.header_hex) == 8
+
+
+def test_decode_image_fake_pipeline(spark, docs):
+    packed = pack_blob(docs.select("doc_id", "text").limit(20), "text")
+    out = decode_image(packed, fake=True).collect()
+    assert len(out) == 20
+    assert all(r.width >= 16 and r.height >= 16 and r.n_channels == 3 for r in out)
+    # deterministic: same input → same fake dims
+    out2 = decode_image(packed, fake=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_decode_image_real_raises(spark, docs):
+    packed = pack_blob(docs.select("doc_id", "text").limit(1), "text")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_image(packed, fake=False).collect()
+
+
+def test_sample_frames(spark, docs):
+    packed = pack_blob(docs.select("doc_id", "text").limit(5), "text")
+    out = sample_frames(packed, fps=2)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.frame_idx >= 0 for r in rows)
