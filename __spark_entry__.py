@@ -19,10 +19,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 import kolang_spark as ks
 from kolang_spark.sources.io import read_table
+from kolang_spark.utils import ensure_min_parallelism
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_table(spark, sf_dir, name)
+    df = read_table(spark, sf_dir, name)
+    if name in ("documents", "embeddings"):
+        # per-row compute-heavy tables (hashing, shingling, similarity):
+        # testdata ships them as one file → one input split; spread to
+        # the cluster width. No-op when the source already has splits.
+        df = ensure_min_parallelism(df)
+    return df
 
 
 # ---------------------------------------------------------------- flagship
@@ -363,7 +370,7 @@ def _q_embedding_neardup_pairs(spark, sf_dir):
     from kolang_spark.llm import embedding_near_dup_pairs
 
     em = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup_pairs(em, threshold=0.45)
+    out = embedding_near_dup_pairs(em, threshold=0.45, dims=64)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -372,7 +379,7 @@ def _q_cosine_topk(spark, sf_dir):
 
     em = _t(spark, sf_dir, "embeddings")
     anchors = em.where(F.col("vec_id") % 100 == 0)
-    out = brute_force_topk(em, anchors, k=5)
+    out = brute_force_topk(em, anchors, k=5, dims=64)
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
@@ -381,7 +388,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
     em = _t(spark, sf_dir, "embeddings")
     anchors = em.where(F.col("vec_id") % 100 == 0)
-    out = lsh_topk(em, anchors, k=5, n_planes=3)
+    out = lsh_topk(em, anchors, k=5, n_planes=3, dims=64)
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 

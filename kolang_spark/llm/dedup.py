@@ -20,7 +20,7 @@ from kolang_spark.llm.textstats import (
     tokenize,
     word_ngrams,
 )
-from kolang_spark.utils import ColumnOrName, to_col
+from kolang_spark.utils import ColumnOrName, ensure_min_parallelism, to_col
 
 __all__ = [
     "exact_dedup",
@@ -48,7 +48,8 @@ def exact_dedup(
     """
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     return (
-        df.withColumn("fingerprint", doc_fingerprint(text_col))
+        ensure_min_parallelism(df)
+        .withColumn("fingerprint", doc_fingerprint(text_col))
         .groupBy("fingerprint")
         .agg(agg.alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -60,9 +61,19 @@ def with_shingles(
     n: int = 5,
     out: str = "shingles",
 ) -> DataFrame:
-    """Distinct word n-gram shingle set per document (array column)."""
-    return df.withColumn(
-        out, F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+    """Distinct word n-gram shingle set per document (array column).
+
+    Tokens are materialized into their own projection first so the
+    tokenizer runs once per row; compute-heavy per-row work is also
+    spread to at least ``defaultParallelism`` partitions (single-file
+    inputs otherwise serialize shingling onto one core).
+    """
+    tok = "__ks_tokens"
+    return (
+        ensure_min_parallelism(df)
+        .withColumn(tok, tokenize(F.col(text_col)))
+        .withColumn(out, F.array_distinct(word_ngrams(F.col(tok), n)))
+        .drop(tok)
     )
 
 
@@ -88,8 +99,15 @@ def jaccard_near_dup_pairs(
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
-    sizes = sh.select(F.col(id_col).alias("id"), F.size("shingles").alias("n_sh"))
-    ex = sh.select(F.col(id_col).alias("id"), F.explode("shingles").alias("shingle"))
+    # carry the set size through the explode: the per-pair aggregate then
+    # has |A| and |B| inline and no join-back against a sizes table is
+    # needed (two fewer shuffled joins; the extra long per posting-list
+    # row is noise next to the shingle payload)
+    ex = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
     if max_df is not None:
         hot = (
             ex.groupBy("shingle")
@@ -103,16 +121,15 @@ def jaccard_near_dup_pairs(
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -169,17 +186,20 @@ def minhash_candidate_pairs(
     sig = sh.where(F.size("shingles") > 0).select(
         F.col(id_col).alias("id"), *_minhash_signature(F.col("shingles"), num_hashes)
     )
-    band_rows = []
-    for b in range(bands):
-        key = F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+    # one pass: explode an inline array of (band_id, band_key) structs —
+    # a 3-way union here would re-run shingling + signatures per band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
         )
-        band_rows.append(
-            sig.select("id", F.lit(b).alias("band_id"), key.alias("band_key"))
-        )
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_id", "band.band_key")
 
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
@@ -210,7 +230,9 @@ def simhash_near_dup_pairs(
 
     Returns ``(id_a, id_b, sim_sig)`` with ``id_a < id_b``.
     """
-    sig = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+    sig = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
         b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id"))
@@ -226,30 +248,39 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold.
 
-    Exact formulation (self-join). At the sf scales the driver tests
-    this is fine; at 100 TB wrap it behind
-    :func:`kolang_spark.llm.similarity.lsh_topk`-style bucketing (join
-    only within sign-signature buckets) — same expression core.
+    Exact formulation (self-join). Norms are precomputed once per vector
+    and carried through the join (the naive per-pair cosine recomputes
+    both norms for every one of the O(n²) pairs); with ``dims`` the dot
+    product is unrolled static arithmetic, codegen-compiled. At 100 TB
+    wrap it behind :func:`kolang_spark.llm.similarity.lsh_topk`-style
+    bucketing (join only within sign-signature buckets) — same
+    expression core.
 
     Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``.
     """
-    from kolang_spark.llm.similarity import cosine
+    from kolang_spark.llm.similarity import _dot, _norm
+    from kolang_spark.utils import pushdown_fence
 
-    v = df.select(
+    v = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
+    ).withColumn("nrm", _norm("v", dims))
     a, b = v.alias("a"), v.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = _dot("a.v", "b.v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
+    # fence: without it the threshold predicate (and thus the whole dot
+    # product) is pushed into the nested-loop join condition — evaluated
+    # interpreted for every ordered pair, then re-evaluated in the output
+    # projection
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cos.alias("cos"),
+            pushdown_fence(cos).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

@@ -12,7 +12,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from kolang_spark.utils import ColumnOrName, to_col
+from kolang_spark.utils import ColumnOrName, bind_once, to_col
 
 __all__ = [
     "tokenize",
@@ -54,17 +54,26 @@ def word_ngrams(words: Column, n: int) -> Column:
 
     Pure expression: ``transform(sequence(...))`` over the array — no
     explode, no shuffle. Shorter-than-n docs yield an empty array.
+
+    The token array is let-bound (:func:`bind_once`) so callers may pass
+    a full tokenizer expression without it being re-evaluated once per
+    ``element_at`` per gram (HOF lambdas get no subexpression
+    elimination).
     """
     if n < 1:
         raise ValueError("n must be >= 1")
-    count = F.size(words) - (n - 1)
-    idx = F.sequence(F.lit(0), count - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
-    )
-    return F.when(count > 0, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def build(w: Column) -> Column:
+        count = F.size(w) - (n - 1)
+        idx = F.sequence(F.lit(0), count - 1)
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]
+        )
+        return F.when(count > 0, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_once(words, build)
 
 
 def quality_metrics(col: ColumnOrName) -> Dict[str, Column]:
@@ -180,12 +189,17 @@ def simhash(col: ColumnOrName, bits: int = 16) -> Column:
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
-    toks = tokenize(col)
-    hashes = F.transform(toks, _token_hash60)
-    n = F.size(hashes)
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = 1 << b
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
-        sig = sig + F.when(cnt * 2 > n, F.lit(mask)).otherwise(0)
-    return sig
+
+    def build(hashes: Column) -> Column:
+        n = F.size(hashes)
+        sig = F.lit(0).cast("long")
+        for b in range(bits):
+            mask = 1 << b
+            cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+            sig = sig + F.when(cnt * 2 > n, F.lit(mask)).otherwise(0)
+        return sig
+
+    # let-bind the hash array: without bind_once the tokenize+md5
+    # transform would be re-evaluated once per bit (16×) — HOF lambdas
+    # get no subexpression elimination
+    return bind_once(F.transform(tokenize(col), _token_hash60), build)

@@ -45,3 +45,53 @@ def to_col_list(
 def name_of(c: ColumnOrName, fallback: str = "value") -> str:
     """Best-effort name for aliasing: the string itself, else a fallback."""
     return c if isinstance(c, str) else fallback
+
+
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` exactly once per row, then feed it to ``build``.
+
+    Higher-order-function lambdas (``transform``/``filter``/``aggregate``)
+    are CodegenFallback expressions: they get **no** common-subexpression
+    elimination, so an expensive array expression referenced N times
+    inside lambda bodies is re-evaluated N times per row. Routing it
+    through a single-element ``transform`` binds it to a lambda variable
+    (a cheap slot reference) — the classic let-binding, expressed in
+    Column algebra:
+
+        ``element_at(transform(array(expr), lambda x: build(x)), 1)``
+
+    Semantics are unchanged; only evaluation count drops.
+    """
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
+def pushdown_fence(c: Column) -> Column:
+    """Optimizer fence: mark an expensive expression non-deterministic so
+    Catalyst will not duplicate it into a join condition or a pushed-down
+    filter.
+
+    ``c + 0.0 * rand()`` is value-identical for any finite/NaN ``c`` (the
+    added term is exactly ``0.0``), but the ``rand`` taints the projection
+    as non-deterministic, which blocks ``PushPredicateThroughJoin`` /
+    ``CollapseProject``. Use on numeric scoring columns that a subsequent
+    ``where`` filters — otherwise the score is evaluated once per
+    *candidate* pair inside the (interpreted, non-codegen) join condition
+    and a second time in the output projection.
+    """
+    return c + F.lit(0.0) * F.rand(seed=0)
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition iff the plan has too few input partitions.
+
+    Small single-file inputs arrive as one split, serializing per-row
+    compute-heavy stages (shingling, hashing, similarity scoring) onto a
+    single core. At production scale (thousands of input splits) the
+    check short-circuits and this is a no-op — the shuffle is only paid
+    exactly when the input cannot otherwise use the cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
