@@ -295,6 +295,69 @@ def _q_sessionize_stream_semantics(spark, sf_dir):
     )
 
 
+def _q_tumbling_events_hourly(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (streaming-capable operator,
+    exercised in batch mode; integer-cents sum keeps values engine-exact)."""
+    from kolang_spark.streaming import tumbling
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling(
+        ev,
+        ts="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+def _q_sliding_events(spark, sf_dir):
+    """Sliding 1-hour/30-minute windows: every event contributes to two
+    overlapping windows."""
+    from kolang_spark.streaming import sliding
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding(
+        ev,
+        ts="ts",
+        duration="1 hour",
+        slide="30 minutes",
+        keys=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_cents": F.sum(F.round(F.col("value") * 100).cast("long")),
+        },
+    )
+    return out.select(
+        F.col("window_start").cast("long").alias("window_start_s"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+def _q_events_json_extract(spark, sf_dir):
+    """JSON-path extraction from the events props column (Map/JSON
+    category — absent from the reference, SURVEY §2.3)."""
+    # JSON parse is per-row compute: spread the single-file input
+    ev = ensure_min_parallelism(_t(spark, sf_dir, "events"))
+    k = ks.json_get("props", "$.k", cast="long")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
 # ------------------------------------------------- LLM pipeline extensions
 
 
@@ -473,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persian_number": _q_persian_number,
         "add_trend_line": _q_add_trend_line,
         "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+        "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "sliding_events": _q_sliding_events,
+        "events_json_extract": _q_events_json_extract,
         # LLM pipeline extensions
         "token_stats_documents": _q_token_stats_documents,
         "quality_documents": _q_quality_documents,
@@ -766,6 +832,45 @@ def oracle_sql() -> dict[str, str]:
                        THEN 1 ELSE 0 END) AS n_sessions,
                    COUNT(*) AS n_events
             FROM ev GROUP BY user_id
+        """,
+        "tumbling_events_hourly": """
+            SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_s,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sliding_events": """
+            -- 1h windows sliding by 30min: each event is in exactly two
+            -- epoch-aligned windows (its 30-min bucket and the previous one)
+            WITH b AS (
+              SELECT CAST(floor(epoch(ts)/1800)*1800 AS BIGINT) AS b0,
+                     event_type, value
+              FROM events
+            ), expanded AS (
+              SELECT b0 AS window_start_s, event_type, value FROM b
+              UNION ALL
+              SELECT b0 - 1800 AS window_start_s, event_type, value FROM b
+            )
+            SELECT window_start_s, event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+            FROM expanded
+            GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            WITH e AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   COUNT(k) AS n_with_k,
+                   SUM(k) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k
+            FROM e GROUP BY event_type
         """,
         "cube_percent_parts": """
             WITH cubed AS (

@@ -30,6 +30,8 @@ from kolang_spark.functions import (  # noqa: F401
     cumulative_sum,
     is_null_or_in,
     jalali_date,
+    json_get,
+    json_map,
     median,
     moving_average,
     moving_avg,

@@ -26,6 +26,7 @@ from kolang_spark.functions.core import (  # noqa: F401
     weighted_avg,
 )
 from kolang_spark.functions.jalali import jalali_date  # noqa: F401
+from kolang_spark.functions.json import json_get, json_map  # noqa: F401
 from kolang_spark.functions.text import (  # noqa: F401
     number_normalizer,
     persian_number,

@@ -2,3 +2,4 @@
 SURVEY §2.3 'Streaming')."""
 
 from kolang_spark.streaming.sessions import sessionize  # noqa: F401
+from kolang_spark.streaming.windows import sliding, tumbling  # noqa: F401

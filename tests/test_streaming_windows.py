@@ -1,0 +1,101 @@
+"""Tumbling/sliding event-time windows — batch semantics plus a real
+Structured Streaming run (file source → stateful windowed agg → memory
+sink) proving the same operator works as a stream."""
+
+import datetime as dt
+import uuid
+
+import pyspark.sql.functions as F
+
+from kolang_spark.sources.io import read_table
+from kolang_spark.streaming import sliding, tumbling
+
+
+def _mk_events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", base + dt.timedelta(minutes=m), 1.0)
+        for m in (0, 10, 50, 70, 125)
+    ] + [("b", base + dt.timedelta(minutes=65), 2.0)]
+    return spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+
+def test_tumbling_batch_golden(spark):
+    out = tumbling(
+        _mk_events(spark),
+        ts="ts",
+        duration="1 hour",
+        keys=["k"],
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+    )
+    got = {
+        (r["k"], r["window_start"].minute + 60 * r["window_start"].hour): (
+            r["n"],
+            r["s"],
+        )
+        for r in out.collect()
+    }
+    # hour 0: a has 3 events; hour 1: a has 1, b has 1; hour 2: a has 1
+    assert got == {
+        ("a", 0): (3, 3.0),
+        ("a", 60): (1, 1.0),
+        ("b", 60): (1, 2.0),
+        ("a", 120): (1, 1.0),
+    }
+    # window_end − window_start = duration
+    r0 = out.collect()[0]
+    assert (r0["window_end"] - r0["window_start"]) == dt.timedelta(hours=1)
+
+
+def test_sliding_each_event_in_duration_over_slide_windows(spark):
+    ev = _mk_events(spark)
+    out = sliding(ev, ts="ts", duration="1 hour", slide="30 minutes", keys=["k"])
+    # every event lands in exactly 2 windows → total count doubles
+    assert out.agg(F.sum("n_events")).first()[0] == 2 * ev.count()
+
+
+def test_tumbling_matches_oracle_shape_on_events(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    out = tumbling(ev, ts="ts", duration="1 hour", keys=["event_type"])
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+
+
+def test_tumbling_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Drive the SAME operator through Structured Streaming: file source,
+    stateful window aggregation, availableNow trigger, memory sink —
+    results must equal the batch run."""
+    ev = read_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "stream_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = tumbling(
+        stream,
+        ts="ts",
+        duration="1 hour",
+        keys=["event_type"],
+        aggs={"n_events": F.count(F.lit(1))},
+        watermark="2 hours",
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in tumbling(
+            ev, ts="ts", duration="1 hour", keys=["event_type"]
+        ).collect()
+    }
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.table(sink).collect()
+    }
+    assert streamed == batch
