@@ -344,6 +344,34 @@ def _q_sliding_events(spark, sf_dir):
     )
 
 
+def _q_skew_safe_distinct_users(spark, sf_dir):
+    """Two-phase distinct count (skew-safe: hot keys spread by the
+    (key,value) pre-aggregation instead of funneling one reducer)."""
+    from kolang_spark.operators.skew import skew_safe_distinct_count
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_safe_distinct_count(ev, ["event_type"], "user_id", out="n_users")
+
+
+def _q_salted_join_revenue(spark, sf_dir):
+    """Salted equi-join (hot-key spreading) — values identical to the
+    plain join; integer ten-thousandths keep sums engine-exact."""
+    from kolang_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("long")
+        .alias("rev_e4"),
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, od, on=["o_orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("rev_e4").alias("revenue_e4"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def _q_events_json_extract(spark, sf_dir):
     """JSON-path extraction from the events props column (Map/JSON
     category — absent from the reference, SURVEY §2.3)."""
@@ -539,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "sliding_events": _q_sliding_events,
         "events_json_extract": _q_events_json_extract,
+        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
+        "salted_join_revenue": _q_salted_join_revenue,
         # LLM pipeline extensions
         "token_stats_documents": _q_token_stats_documents,
         "quality_documents": _q_quality_documents,
@@ -858,6 +888,23 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
             FROM expanded
             GROUP BY 1, 2
+        """,
+        "skew_safe_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "salted_join_revenue": """
+            WITH li AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+                       AS rev_e4
+              FROM lineitem
+            )
+            SELECT o.o_orderpriority,
+                   SUM(li.rev_e4) AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM li JOIN orders o USING (o_orderkey)
+            GROUP BY o.o_orderpriority
         """,
         "events_json_extract": """
             WITH e AS (

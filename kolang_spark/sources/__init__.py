@@ -1,5 +1,9 @@
 """Sources & sinks: testdata readers, parquet memoization, pandas bridge."""
 
+from kolang_spark.sources.bucketing import (  # noqa: F401
+    assert_no_shuffle_join,
+    write_bucketed,
+)
 from kolang_spark.sources.io import (  # noqa: F401
     load_or_calculate_parquet,
     pandas_to_spark,

@@ -1,0 +1,135 @@
+"""Property-based tests (Hypothesis) for the invariants SURVEY §5 flags
+as the subtle ones: RANGE-frame tie semantics, the string-array parser's
+edge grammar, and union-by-name schema reconciliation."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+import kolang_spark as ks
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)),  # (order_key, value)
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_cumulative_sum_range_tie_invariant(spark, rows):
+    """Every row tied on the order key receives the FULL tied sum
+    (RANGE frame) — the verified reference semantics (SURVEY C6)."""
+    df = spark.createDataFrame(rows, "k int, v long")
+    got = (
+        df.withColumn("c", ks.cumulative_sum("v", "k"))
+        .select("k", "v", "c")
+        .collect()
+    )
+    # expected: cumulative by distinct key, all ties share the value
+    totals: dict[int, int] = {}
+    for k, v in rows:
+        totals[k] = totals.get(k, 0) + v
+    running, expect = 0, {}
+    for k in sorted(totals):
+        running += totals[k]
+        expect[k] = running
+    assert all(r["c"] == expect[r["k"]] for r in got)
+
+
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_str_array_parser_roundtrip(spark, tokens):
+    """'[a, b]' parses to its tokens; '[]' (empty) parses to NULL —
+    verified reference grammar (SURVEY C4)."""
+    s = "[" + ", ".join(tokens) + "]"
+    df = spark.createDataFrame([(s,)], "s string")
+    out = df.select(ks.str_array_to_array("s").alias("a")).first()["a"]
+    if not tokens:
+        assert out is None
+    else:
+        assert out == tokens
+
+
+@given(
+    cols_a=st.sets(st.sampled_from(["x", "y", "z", "w"]), min_size=1),
+    cols_b=st.sets(st.sampled_from(["x", "y", "z", "w"]), min_size=1),
+    n_a=st.integers(1, 5),
+    n_b=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_union_all_schema_lattice(spark, cols_a, cols_b, n_a, n_b):
+    """union_all over arbitrary column subsets: row count adds, the
+    output schema is the first-seen ordered union, and columns missing
+    on one side are NULL exactly for that side's rows."""
+    a = spark.range(n_a).select(
+        "id", *[F.lit(1).alias(c) for c in sorted(cols_a)]
+    )
+    b = spark.range(n_b).select(
+        "id", *[F.lit(2).alias(c) for c in sorted(cols_b)]
+    )
+    out = ks.union_all(a, b)
+    assert out.count() == n_a + n_b
+    assert set(out.columns) == {"id"} | cols_a | cols_b
+    # first-seen deterministic order: a's columns then b's extras
+    assert out.columns == list(a.columns) + [
+        c for c in b.columns if c not in a.columns
+    ]
+    only_b = cols_b - cols_a
+    if only_b:
+        c = sorted(only_b)[0]
+        vals = [r[c] for r in out.collect()]
+        assert vals.count(None) == n_a
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=20),
+    mode=st.sampled_from(["previous", "center", "next"]),
+)
+@settings(**_SETTINGS)
+def test_moving_average_frame_semantics(spark, vals, mode):
+    """ROWS-frame rolling mean with partial frames at the edges —
+    verified reference behavior (SURVEY C19, p=3)."""
+    import math
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, v long")
+    got = [
+        r["m"]
+        for r in df.select(
+            "i", ks.moving_average("v", "i", 3, mode=mode).alias("m")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    p = 3
+    if mode == "previous":
+        lo, hi = -(p - 1), 0
+    elif mode == "next":
+        lo, hi = 0, p - 1
+    else:
+        lo, hi = -math.ceil((p - 1) / 2), (p - 1) // 2
+    n = len(vals)
+    expect = [
+        sum(vals[max(0, i + lo) : min(n, i + hi + 1)])
+        / len(vals[max(0, i + lo) : min(n, i + hi + 1)])
+        for i in range(n)
+    ]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, expect))

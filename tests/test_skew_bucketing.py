@@ -1,0 +1,90 @@
+"""Skew mitigation (salted join, skew-safe distinct) and bucketed
+co-located joins — scale-path operators, value-checked against the
+naive formulations."""
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from kolang_spark.operators.skew import salted_join, skew_safe_distinct_count
+from kolang_spark.sources.bucketing import assert_no_shuffle_join, write_bucketed
+from kolang_spark.sources.io import read_table
+
+
+def _sorted_rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = (
+        li.join(od, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, od, on=["o_orderkey"], salt=8)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _sorted_rows(plain, "o_orderpriority", "n") == _sorted_rows(
+        salted, "o_orderpriority", "n"
+    )
+
+
+def test_salted_join_left_keeps_unmatched_big_rows(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], "k int, x string")
+    small = spark.createDataFrame([(1, "v1"), (2, "v2")], "k int, v string")
+    out = salted_join(big, small, on=["k"], how="left", salt=4)
+    assert out.count() == 3
+    assert out.where(F.col("k") == 99).first()["v"] is None
+
+
+def test_salted_join_deterministic_salt_by(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber"
+    )
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    out = salted_join(li, od, on=["o_orderkey"], salt=8, salt_by=F.col("l_linenumber"))
+    assert out.count() == li.join(od, "o_orderkey").count()
+
+
+def test_skew_safe_distinct_count_matches_count_distinct(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    naive = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_distinct")
+    )
+    safe = skew_safe_distinct_count(ev, ["event_type"], "user_id")
+    assert _sorted_rows(naive, "event_type", "n_distinct") == _sorted_rows(
+        safe, "event_type", "n_distinct"
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Write orders + a lineitem aggregate bucketed by orderkey, join
+    them, and assert the physical plan contains no Exchange."""
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    t1, t2 = f"b1_{uuid.uuid4().hex[:8]}", f"b2_{uuid.uuid4().hex[:8]}"
+    write_bucketed(od, t1, ["o_orderkey"], num_buckets=4, path=str(tmp_path / t1))
+    write_bucketed(li, t2, ["o_orderkey"], num_buckets=4, path=str(tmp_path / t2))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(t1).join(spark.table(t2), "o_orderkey")
+        assert_no_shuffle_join(joined)
+        # and it computes the right thing
+        n = joined.count()
+        assert n == od.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
