@@ -90,8 +90,15 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     check short-circuits and this is a no-op — the shuffle is only paid
     exactly when the input cannot otherwise use the cluster.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # Spark Connect: no sparkContext/rdd access. We cannot probe the
+        # input split count, and an unconditional repartition would tax
+        # well-partitioned production inputs — leave the plan unchanged.
+        return df
+    if current >= target:
         return df
     return df.repartition(target)
