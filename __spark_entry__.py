@@ -450,6 +450,18 @@ def _q_minhash_pairs_documents(spark, sf_dir):
     return minhash_candidate_pairs(dc, num_hashes=6, bands=3)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Full dedup resolution: MinHash candidate pairs → connected
+    components (iterative min-label propagation) → keep-list. The one
+    queries() entry that runs Spark jobs during construction (the CC
+    loop is inherently iterative); result is still a lazy DataFrame."""
+    from kolang_spark.llm import dedup_keep_list, minhash_candidate_pairs
+
+    dc = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+    return dedup_keep_list(dc, pairs)
+
+
 def _q_simhash_documents(spark, sf_dir):
     from kolang_spark.llm import simhash
 
@@ -577,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "dedup_components": _q_dedup_components,
         "simhash_documents": _q_simhash_documents,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "cosine_topk": _q_cosine_topk,
@@ -1022,6 +1035,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE c*1.0/(sa.n_sh + sb.n_sh - c) >= 0.5
         """,
         "minhash_pairs_documents": _minhash_sql(6, 3),
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_sql(6, 3)}
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a AS v, a AS lbl FROM edges
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+            ), comp AS (
+              SELECT v, MIN(lbl) AS component FROM reach GROUP BY v
+            )
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS component,
+                   d.doc_id = COALESCE(c.component, d.doc_id) AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+        """,
         "simhash_documents": _simhash_sql(16),
         "embedding_neardup_pairs": f"""
             WITH e AS (

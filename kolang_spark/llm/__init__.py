@@ -15,6 +15,8 @@ appears only where semantics require it (multimodal decode stubs).
 """
 
 from kolang_spark.llm.dedup import (  # noqa: F401
+    connected_components,
+    dedup_keep_list,
     exact_dedup,
     embedding_near_dup_pairs,
     jaccard_near_dup_pairs,

@@ -29,6 +29,8 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "connected_components",
+    "dedup_keep_list",
 ]
 
 
@@ -211,6 +213,80 @@ def minhash_candidate_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph: the step that
+    turns near-duplicate *pairs* into duplicate *clusters* (A~B and B~C
+    must collapse into one group even when A~C was never emitted).
+
+    Iterative minimum-label propagation: every vertex starts labeled
+    with its own id; each round takes the min of its own and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are shallow, so a handful. Each round is one
+    equi-join + one groupBy (hash-partitioned, fully parallel — the
+    standard large-graph CC formulation); lineage is truncated per
+    round with ``localCheckpoint`` so plans don't snowball.
+
+    Returns ``(id, component)`` for every vertex appearing in ``edges``,
+    where ``component`` is the minimum vertex id of the cluster.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
+            F.col("a").alias("id"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full dedup resolution: candidate ``pairs`` → connected components
+    → one kept representative (minimum id) per cluster.
+
+    Returns every row id of ``df`` with its ``component`` (singletons
+    keep their own id) and a ``keep`` flag — ``filter(keep)`` is the
+    deduplicated corpus. The join back is on the id only; document
+    payloads never enter the iterative stage.
+    """
+    comp = connected_components(pairs, src, dst)
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(comp, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("component", F.col("id")).alias("component"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("component"))
     )
 
 

@@ -195,3 +195,36 @@ def test_sample_frames(spark, docs):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r.frame_idx >= 0 for r in rows)
+
+
+def test_connected_components_merges_chains(spark):
+    from kolang_spark.llm import connected_components
+
+    # two chains (1-2-3, via transitive pairs) and an isolated pair
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_cycle(spark):
+    from kolang_spark.llm import connected_components
+
+    edges = spark.createDataFrame([(5, 6), (6, 7), (7, 5)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {5: 5, 6: 5, 7: 5}
+
+
+def test_dedup_keep_list_singletons_and_clusters(spark):
+    from kolang_spark.llm import dedup_keep_list
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["component"], r["keep"]) for r in
+           dedup_keep_list(docs, pairs).collect()}
+    assert out == {
+        0: (0, True), 1: (1, True), 2: (2, True),
+        3: (0, False), 4: (4, True), 5: (0, False),
+    }
