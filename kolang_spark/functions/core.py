@@ -191,17 +191,25 @@ def weighted_average(
 weighted_avg = weighted_average
 
 
-def count_distinct_with_nulls(col: ColumnOrName) -> Column:
+def count_distinct_with_nulls(
+    col: ColumnOrName, exact: bool = True, rsd: float = 0.05
+) -> Column:
     """Aggregate: distinct count where NULL counts as one extra value.
 
     Parity (intent): ``kolang/column_functions.py:649-664`` — the
     reference implementation is broken on every PySpark version
     (``F.col(<Column>)``, SURVEY §2.1 C17); this is the intended
     semantics: ``count_distinct(c) + (1 if any NULL else 0)``.
+
+    ``exact=False`` switches to HyperLogLog++ (``approx_count_distinct``
+    with relative error ``rsd``) — at 100 TB an exact distinct on a
+    high-cardinality column shuffles every distinct value; the sketch
+    shuffles a few KB per partition.
     """
     c = to_col(col)
     has_null = F.max(F.when(c.isNull(), 1).otherwise(0))
-    return F.count_distinct(c) + F.coalesce(has_null, F.lit(0))
+    base = F.count_distinct(c) if exact else F.approx_count_distinct(c, rsd)
+    return base + F.coalesce(has_null, F.lit(0))
 
 
 def cube_percent(

@@ -1,0 +1,47 @@
+"""Fluent accessor layer — chaining equivalence with the plain functions."""
+
+import pyspark.sql.functions as F
+
+import kolang_spark as ks
+from kolang_spark.accessors import kl
+
+
+def test_kl_chain_matches_plain_functions(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 5)], "k int, v long")
+    chained = (
+        kl(df)
+        .percent("v", r=None, out="pct")
+        .cumulative_sum("v", "k", out="cum")
+        .df
+    )
+    plain = df.withColumn("pct", ks.percent("v", r=None)).withColumn(
+        "cum", ks.cumulative_sum("v", "k")
+    )
+    assert sorted(map(tuple, chained.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_kl_delegates_to_dataframe(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k int, v long")
+    out = kl(df).percent("v", r=None).where(F.col("k") == 2)
+    # .where fell through to the plain DataFrame
+    assert out.count() == 1
+
+
+def test_kl_union_all_mixes_wrappers(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([("s",)], "y string")
+    out = kl(a).union_all(kl(b)).df
+    assert out.count() == 2
+    assert out.columns == ["x", "y"]
+
+
+def test_count_distinct_with_nulls_approx_close(spark):
+    df = spark.createDataFrame([(i % 50,) for i in range(500)] + [(None,)], "v int")
+    exact = df.agg(ks.count_distinct_with_nulls("v").alias("n")).first()["n"]
+    approx = df.agg(
+        ks.count_distinct_with_nulls("v", exact=False).alias("n")
+    ).first()["n"]
+    assert exact == 51
+    assert abs(approx - exact) <= 5
