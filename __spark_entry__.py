@@ -477,6 +477,18 @@ def _q_embedding_neardup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    """Scale-path near-dup: same scoring, but the self-join runs only
+    within deterministic sign-LSH buckets (equi-join, no cross product).
+    The DuckDB oracle mirrors the bucketing bit-for-bit (same md5-derived
+    plane coefficients, inlined as literals)."""
+    from kolang_spark.llm import embedding_near_dup_pairs_lsh
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs_lsh(em, threshold=0.45, dims=64, n_planes=4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def _q_cosine_topk(spark, sf_dir):
     from kolang_spark.llm import brute_force_topk
 
@@ -592,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "simhash_documents": _q_simhash_documents,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
@@ -709,6 +722,23 @@ _COS_EXPR = (
     "list_dot_product(a.v, b.v)"
     "/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v)))"
 )
+
+
+def _lsh_sig_sql(vec: str = "v", n_planes: int = 4, dims: int = 64) -> str:
+    """DuckDB mirror of kolang_spark.llm.similarity.lsh_signature: the
+    SAME Python-computed md5-derived plane coefficients are inlined as
+    double literals, so both engines bucket identically (DuckDB lists
+    are 1-indexed; Spark arrays 0-indexed — same element order)."""
+    from kolang_spark.llm.similarity import _plane_component
+
+    cases = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"{vec}[{d + 1}]*{_plane_component(p, d)!r}::DOUBLE"
+            for d in range(dims)
+        )
+        cases.append(f"(CASE WHEN (0.0 + {terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(cases)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1062,6 +1092,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND({_COS_EXPR}, 6) AS cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_EXPR} >= 0.45
+        """,
+        "embedding_neardup_lsh": f"""
+            WITH e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), e AS (
+              SELECT vec_id, v, {_lsh_sig_sql("v", 4, 64)} AS bucket FROM e0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({_COS_EXPR}, 6) AS cos
+            FROM e a JOIN e b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE {_COS_EXPR} >= 0.45
         """,
         "cosine_topk": f"""

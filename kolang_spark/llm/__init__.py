@@ -19,6 +19,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     dedup_keep_list,
     exact_dedup,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_lsh,
     jaccard_near_dup_pairs,
     minhash_candidate_pairs,
     simhash_near_dup_pairs,

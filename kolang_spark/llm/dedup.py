@@ -29,6 +29,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_lsh",
     "connected_components",
     "dedup_keep_list",
 ]
@@ -213,6 +214,55 @@ def minhash_candidate_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicates, LSH-bucketed: the 100 TB formulation.
+
+    Vectors are bucketed by a deterministic random-hyperplane sign
+    signature; the exact-cosine self-join runs *within* buckets only —
+    an equi-join on the bucket id (hash-partitioned, AQE-splittable)
+    instead of an O(n²) cross product. Recall < 1 by construction:
+    pairs whose vectors fall in different buckets are never scored
+    (high-cosine pairs rarely split — sign-LSH collision probability is
+    ``1 − θ/π`` per plane). Same scoring core as
+    :func:`embedding_near_dup_pairs`.
+
+    Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``.
+    """
+    from kolang_spark.llm.similarity import _dot, _norm, lsh_signature
+    from kolang_spark.utils import pushdown_fence
+
+    v = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", _norm("v", dims))
+        .withColumn("bucket", lsh_signature("v", n_planes, dims))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = _dot("a.v", "b.v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            pushdown_fence(cos).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
     )
 
 

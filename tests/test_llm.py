@@ -228,3 +228,33 @@ def test_dedup_keep_list_singletons_and_clusters(spark):
         0: (0, True), 1: (1, True), 2: (2, True),
         3: (0, False), 4: (4, True), 5: (0, False),
     }
+
+
+def test_embedding_lsh_subset_of_exact_with_recall(spark, emb):
+    from kolang_spark.llm import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.45, dims=64).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.45, dims=64, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact  # bucketing can only drop pairs, never invent
+    # at cos~0.45 (theta~63deg) per-plane collision is ~0.65 -> expected
+    # recall 0.65^4 ~ 0.18; fewer planes must monotonically raise recall
+    lsh2 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.45, dims=64, n_planes=2
+        ).collect()
+    }
+    assert lsh <= lsh2 <= exact
+    if exact:
+        assert len(lsh2) >= len(lsh)
