@@ -390,12 +390,13 @@ def _q_events_json_extract(spark, sf_dir):
 
 
 def _q_token_stats_documents(spark, sf_dir):
-    from kolang_spark.llm import token_count
+    from kolang_spark.llm import bpe_token_estimate, token_count
 
     dc = _t(spark, sf_dir, "documents")
     return dc.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
+        bpe_token_estimate("text").alias("bpe_tokens"),
         F.length("text").cast("long").alias("len_chars"),
     )
 
@@ -982,6 +983,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_documents": r"""
             SELECT doc_id,
                    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   CAST(ceil(length(regexp_replace(text, '[^\w]', '', 'g')) / 4)
+                        + length(regexp_replace(text, '[\w\s]', '', 'g'))
+                        AS BIGINT) AS bpe_tokens,
                    length(text) AS len_chars
             FROM documents
         """,

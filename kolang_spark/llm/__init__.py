@@ -27,6 +27,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
 )
 from kolang_spark.llm.similarity import brute_force_topk, cosine, lsh_topk  # noqa: F401
 from kolang_spark.llm.textstats import (  # noqa: F401
+    bpe_token_estimate,
     doc_fingerprint,
     lang_id,
     quality_metrics,

@@ -71,3 +71,32 @@ def test_sessionize_has_bounds_and_counts(spark):
     assert len(by_key[2]) == 1
     first = min(by_key[1], key=lambda r: r.session_start)
     assert first.n_events == 2
+
+
+def test_sessionize_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """Drive sessionize through Structured Streaming (file source →
+    stateful session-window agg → memory sink): results must equal the
+    batch run of the same operator."""
+    import uuid
+
+    from kolang_spark.sources.io import read_table
+    from kolang_spark.streaming import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("ts", "user_id")
+    src = str(tmp_path / "sess_src")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = sessionize(stream, key="user_id", ts="ts", gap="30 minutes",
+                     watermark="2 hours")
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    batch = sorted(
+        tuple(r) for r in
+        sessionize(ev, key="user_id", ts="ts", gap="30 minutes").collect()
+    )
+    streamed = sorted(tuple(r) for r in spark.table(sink).collect())
+    assert streamed == batch
