@@ -174,6 +174,19 @@ def _q_jalali_orders_by_month(spark, sf_dir):
     )
 
 
+def _q_jalali_roundtrip(spark, sf_dir):
+    """Gregorian → Jalali → Gregorian over every distinct order date —
+    exercises the inverse conversion (extension: the reference converts
+    forward only). Both legs are mirrored arithmetically in the oracle."""
+    od = _t(spark, sf_dir, "orders").select("o_orderdate").distinct()
+    j = ks.jalali_date("o_orderdate")
+    return od.select(
+        "o_orderdate",
+        j.alias("j_date"),
+        ks.parse_jalali(j).alias("roundtrip"),
+    )
+
+
 def _q_jalali_date_full(spark, sf_dir):
     od = _t(spark, sf_dir, "orders")
     return od.select(
@@ -577,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_average_revenue": _q_moving_average_revenue,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "jalali_date_full": _q_jalali_date_full,
+        "jalali_roundtrip": _q_jalali_roundtrip,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "union_customers_suppliers": _q_union_customers_suppliers,
         "number_normalize_documents": _q_number_normalize_documents,
@@ -833,6 +847,22 @@ def oracle_sql() -> dict[str, str]:
                    printf('%d-%02d-%02d', jy, jm, jd) AS j_date,
                    translate(printf('%d-%02d-%02d', jy, jm, jd),
                              '0123456789', '۰۱۲۳۴۵۶۷۸۹') AS j_date_fa
+            FROM jparts
+        """,
+        "jalali_roundtrip": _jalali_cte(
+            "(SELECT DISTINCT o_orderdate FROM orders)",
+            "o_orderdate",
+            "o_orderdate",
+        )
+        + """
+            SELECT o_orderdate,
+                   printf('%d-%02d-%02d', jy, jm, jd) AS j_date,
+                   (DATE '1600-01-01'
+                    + CAST(365*(jy-979) + ((jy-979)//33)*8
+                           + (((jy-979)%33 + 3)//4)
+                           + CASE WHEN jm <= 6 THEN (jm-1)*31
+                                  ELSE 186 + (jm-7)*30 END
+                           + jd - 1 + 79 AS INT)) AS roundtrip
             FROM jparts
         """,
         "unpivot_lineitem": """

@@ -28,6 +28,7 @@ from kolang_spark.functions import (  # noqa: F401
     cube_percent,
     cumulative_percent,
     cumulative_sum,
+    gregorian_date,
     is_null_or_in,
     jalali_date,
     json_get,
@@ -36,6 +37,7 @@ from kolang_spark.functions import (  # noqa: F401
     moving_average,
     moving_avg,
     number_normalizer,
+    parse_jalali,
     percent,
     persian_number,
     str_array_to_array,

@@ -25,7 +25,11 @@ from kolang_spark.functions.core import (  # noqa: F401
     weighted_average,
     weighted_avg,
 )
-from kolang_spark.functions.jalali import jalali_date  # noqa: F401
+from kolang_spark.functions.jalali import (  # noqa: F401
+    gregorian_date,
+    jalali_date,
+    parse_jalali,
+)
 from kolang_spark.functions.json import json_get, json_map  # noqa: F401
 from kolang_spark.functions.text import (  # noqa: F401
     number_normalizer,

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from kolang_spark.functions.text import persian_number
 from kolang_spark.utils import ColumnOrName, to_col
 
-__all__ = ["jalali_date", "jalali_parts"]
+__all__ = ["jalali_date", "jalali_parts", "gregorian_date", "parse_jalali"]
 
 JALALI_MONTHS = [
     "فروردین",
@@ -99,6 +99,45 @@ def jalali_parts(col: ColumnOrName) -> Tuple[Column, Column, Column]:
     )
     jd = F.when(rem < 186, rem % 31 + 1).otherwise((rem - 186) % 30 + 1)
     return jy.cast("int"), jm.cast("int"), jd.cast("int")
+
+
+def gregorian_date(jy: ColumnOrName, jm: ColumnOrName, jd: ColumnOrName) -> Column:
+    """Inverse of :func:`jalali_parts`: Jalali (year, month, day) integer
+    columns → Gregorian ``date``.
+
+    The extension the reference lacks (it only converts forward). The
+    trick that keeps it tiny: reconstruct the Jalali day-number
+    (365·y + 8 per 33-year cycle + the 4-year leap term + month offset),
+    shift by the same 79-day epoch offset the forward pass uses, and let
+    ``date_add`` from the Gregorian anchor 1600-01-01 do the entire
+    Gregorian-side cycle decomposition. Pure arithmetic, zero UDFs.
+    """
+    y = to_col(jy).cast("long") - 979
+    m = to_col(jm).cast("long")
+    d = to_col(jd).cast("long")
+    month_offset = F.when(m <= 6, (m - 1) * 31).otherwise(186 + (m - 7) * 30)
+    j_day_no = (
+        365 * y
+        + F.floor(y / 33) * 8
+        + F.floor((y % 33 + 3) / 4)
+        + month_offset
+        + d
+        - 1
+    )
+    g_day_no = j_day_no + 79  # days since 1600-01-01
+    return F.date_add(F.make_date(F.lit(1600), F.lit(1), F.lit(1)), g_day_no.cast("int"))
+
+
+def parse_jalali(col: ColumnOrName) -> Column:
+    """Parse a canonical ``%Y-%m-%d`` Jalali string (e.g. the default
+    output of :func:`jalali_date`) back into a Gregorian ``date``."""
+    c = to_col(col)
+    parts = F.split(c, "-")
+    return gregorian_date(
+        F.element_at(parts, 1).cast("int"),
+        F.element_at(parts, 2).cast("int"),
+        F.element_at(parts, 3).cast("int"),
+    )
 
 
 # token → builder(jy, jm, jd, source_col) -> Column

@@ -86,3 +86,33 @@ def test_jalali_names_and_persian_digits(spark):
     assert r.c == "تابستان"
     assert r.f == "۱۴۰۰-۰۵-۲۱"
     assert r.y2 == "00"
+
+
+def test_gregorian_date_roundtrip_200_years(spark):
+    """Every date 1900-01-01..2100-12-31 survives Gregorian → Jalali →
+    Gregorian — pins both directions of the cycle arithmetic, including
+    the 33-year leap edges (e.g. Jalali 1403/1408)."""
+    import pyspark.sql.functions as F
+
+    from kolang_spark.functions.jalali import gregorian_date, jalali_parts
+
+    dates = spark.sql(
+        "SELECT explode(sequence(DATE'1900-01-01', DATE'2100-12-31')) AS d"
+    )
+    jy, jm, jd = jalali_parts(F.col("d"))
+    bad = (
+        dates.select("d", gregorian_date(jy, jm, jd).alias("rt"))
+        .where(F.col("d") != F.col("rt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_parse_jalali_golden(spark):
+    import datetime
+
+    from kolang_spark.functions.jalali import parse_jalali
+
+    df = spark.createDataFrame([("1400-05-21",), ("1403-01-01",)], "s string")
+    got = [r["d"] for r in df.select(parse_jalali("s").alias("d")).collect()]
+    assert got == [datetime.date(2021, 8, 12), datetime.date(2024, 3, 20)]
