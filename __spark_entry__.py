@@ -357,6 +357,34 @@ def _q_sliding_events(spark, sf_dir):
     )
 
 
+def _q_asof_last_purchase(spark, sf_dir):
+    """For every view event, the user's most recent at-or-before
+    purchase (backward as-of join, union+running-last formulation).
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from kolang_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = as_of_join(views, purchases, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 1000).cast("long").alias("ts_ms"),
+        "purchase_value",
+        (F.unix_micros(F.col("purchase_ts")) / 1000).cast("long").alias(
+            "purchase_ts_ms"
+        ),
+    )
+
+
 def _q_skew_safe_distinct_users(spark, sf_dir):
     """Two-phase distinct count (skew-safe: hot keys spread by the
     (key,value) pre-aggregation instead of funneling one reducer)."""
@@ -447,6 +475,15 @@ def _q_exact_dedup_documents(spark, sf_dir):
 
     dc = _t(spark, sf_dir, "documents")
     return exact_dedup(dc)
+
+
+def _q_curation_pipeline(spark, sf_dir):
+    """The full pretraining-data funnel in one pass: quality gate →
+    language gate → exact dedup, with per-stage audit verdicts."""
+    from kolang_spark.llm import curate_flags
+
+    dc = _t(spark, sf_dir, "documents")
+    return curate_flags(dc, min_quality=60, langs=("en",))
 
 
 def _q_jaccard_pairs_documents(spark, sf_dir):
@@ -606,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "sliding_events": _q_sliding_events,
         "events_json_extract": _q_events_json_extract,
+        "asof_last_purchase": _q_asof_last_purchase,
         "skew_safe_distinct_users": _q_skew_safe_distinct_users,
         "salted_join_revenue": _q_salted_join_revenue,
         # LLM pipeline extensions
@@ -614,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": _q_lang_id_documents,
         "fingerprint_documents": _q_fingerprint_documents,
         "exact_dedup_documents": _q_exact_dedup_documents,
+        "curation_pipeline": _q_curation_pipeline,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "dedup_components": _q_dedup_components,
@@ -963,6 +1002,21 @@ def oracle_sql() -> dict[str, str]:
             FROM expanded
             GROUP BY 1, 2
         """,
+        "asof_last_purchase": """
+            WITH views AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'view'
+            ), purchases AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT v.event_id, v.user_id,
+                   epoch_ms(v.ts) AS ts_ms,
+                   p.value AS purchase_value,
+                   epoch_ms(p.ts) AS purchase_ts_ms
+            FROM views v ASOF LEFT JOIN purchases p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
         "skew_safe_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
@@ -1080,6 +1134,57 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "curation_pipeline": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                       '\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b'))
+                       AS n_stop,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     lower(text) AS t,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, fingerprint,
+                   CAST(
+                     (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 40 ELSE 0 END)
+                     + (CASE WHEN (n_chars - (n_tokens-1))*1.0/n_tokens
+                             BETWEEN 2 AND 12 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_punct*1.0/n_chars <= 0.2 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_stop*1.0/n_tokens >= 0.05 THEN 20 ELSE 0 END)
+                   AS BIGINT) AS quality_score,
+                   len(regexp_extract_all(t, '\b(the|and|of|to|is|was|for|with|that|this)\b')) AS c_en,
+                   len(regexp_extract_all(t, '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS c_de,
+                   len(regexp_extract_all(t, '\b(le|la|les|et|est|pas|pour|dans|une|que)\b')) AS c_fr,
+                   len(regexp_extract_all(t, '\b(el|la|los|las|es|y|no|por|una|que)\b')) AS c_es,
+                   t
+              FROM m
+            ), lang AS (
+              SELECT doc_id, fingerprint, quality_score,
+                CASE WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+                     WHEN regexp_matches(t, '[؀-ۿ]') THEN 'fa'
+                     WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+              FROM scored
+            ), flags AS (
+              SELECT doc_id, quality_score, lang_pred, fingerprint,
+                     quality_score >= 60 AS quality_ok,
+                     lang_pred = 'en' AS lang_ok
+              FROM lang
+            )
+            SELECT doc_id, quality_score, lang_pred, quality_ok, lang_ok,
+                   (quality_ok AND lang_ok)
+                   AND doc_id = MIN(CASE WHEN quality_ok AND lang_ok
+                                    THEN doc_id END)
+                                OVER (PARTITION BY fingerprint) AS kept
+            FROM flags
         """,
         "jaccard_pairs_documents": _SHINGLE_CTE
         + r"""

@@ -25,6 +25,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     with_shingles,
 )
+from kolang_spark.llm.curate import curate, curate_flags  # noqa: F401
 from kolang_spark.llm.similarity import brute_force_topk, cosine, lsh_topk  # noqa: F401
 from kolang_spark.llm.textstats import (  # noqa: F401
     bpe_token_estimate,

@@ -1,0 +1,42 @@
+"""Streaming exact dedup: drop duplicate documents as they arrive.
+
+Batch dedup answers "which of these N docs are duplicates"; a
+continuous ingestion pipeline needs "have I seen this doc before".
+Spark's stateful ``dropDuplicates`` over the canonical fingerprint is
+exactly that; the watermark bounds how long fingerprints are retained
+(state eviction), trading late-duplicate detection for bounded state —
+at 100 TB/day the fingerprint store is the only state, 16 bytes a doc.
+Works identically on a batch frame (plain dropDuplicates, no state).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+
+from kolang_spark.llm.textstats import doc_fingerprint
+
+__all__ = ["dedup_stream"]
+
+
+def dedup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Keep the first-seen row per canonical-text fingerprint.
+
+    Streaming: pass ``ts_col`` + ``watermark`` (e.g. ``"1 hour"``) so
+    fingerprint state older than the watermark is evicted; duplicates
+    arriving later than that are no longer detected — the documented,
+    bounded-state trade. Batch: both may stay None.
+    """
+    out = df.withColumn("__ks_fp__", doc_fingerprint(text_col))
+    if watermark is not None:
+        if ts_col is None:
+            raise ValueError("watermark requires ts_col")
+        out = out.withWatermark(ts_col, watermark)
+        return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")
+    return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")
