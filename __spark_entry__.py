@@ -357,6 +357,35 @@ def _q_sliding_events(spark, sf_dir):
     )
 
 
+def _q_topk_orders_per_priority(spark, sf_dir):
+    """Top-3 most expensive orders per priority (WindowGroupLimit plan:
+    each shuffle partition pre-prunes to its local top-k)."""
+    from kolang_spark.operators.sampling import top_k_per_group
+
+    od = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        od.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        partition_by="o_orderpriority",
+        order_by=["o_totalprice", "o_orderkey"],
+        k=3,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
+def _q_deterministic_sample_orders(spark, sf_dir):
+    """Stable 10% hash-sample of orders: same keys selected on every
+    run, every partitioning, and in the DuckDB oracle (md5 bucket)."""
+    from kolang_spark.operators.sampling import deterministic_sample
+
+    od = _t(spark, sf_dir, "orders")
+    out = deterministic_sample(od, "o_orderkey", 0.1)
+    return out.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 def _q_asof_last_purchase(spark, sf_dir):
     """For every view event, the user's most recent at-or-before
     purchase (backward as-of join, union+running-last formulation).
@@ -643,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "sliding_events": _q_sliding_events,
         "events_json_extract": _q_events_json_extract,
+        "topk_orders_per_priority": _q_topk_orders_per_priority,
+        "deterministic_sample_orders": _q_deterministic_sample_orders,
         "asof_last_purchase": _q_asof_last_purchase,
         "skew_safe_distinct_users": _q_skew_safe_distinct_users,
         "salted_join_revenue": _q_salted_join_revenue,
@@ -1001,6 +1032,31 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
             FROM expanded
             GROUP BY 1, 2
+        """,
+        "topk_orders_per_priority": """
+            WITH ranked AS (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC,
+                                                 o_orderkey DESC) AS rank
+              FROM orders
+            )
+            SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "deterministic_sample_orders": f"""
+            WITH h AS (
+              SELECT *,
+                     ('0x' || substr(md5(o_orderkey::VARCHAR), 18, 15))::BIGINT
+                       AS bucket
+              FROM orders
+            )
+            SELECT o_orderstatus,
+                   COUNT(*) AS n_sampled,
+                   MIN(o_orderkey) AS min_key,
+                   MAX(o_orderkey) AS max_key
+            FROM h WHERE bucket < {int(0.1 * (1 << 60))}
+            GROUP BY o_orderstatus
         """,
         "asof_last_purchase": """
             WITH views AS (

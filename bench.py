@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# min-of-N per query: first execution pays plan analysis + codegen
+# compile and absorbs machine noise; the min is the steady-state number
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
 
 def build_spark() -> SparkSession:
@@ -62,19 +65,22 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
-    t_all = time.perf_counter()
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_all, 3)
+        best = None
+        for _ in range(max(1, REPEATS)):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    total = round(sum(timings.values()), 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
             {
-                "metric": "total wall-clock, all queries, noop sink",
+                "metric": f"sum of per-query best-of-{max(1, REPEATS)}, noop sink",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

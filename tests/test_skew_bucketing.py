@@ -88,3 +88,35 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_top_k_per_group_plan_uses_window_group_limit(spark, sf_dir):
+    from kolang_spark.operators.sampling import top_k_per_group
+    from kolang_spark.plans.audit import explain_str
+
+    od = read_table(spark, sf_dir, "orders")
+    out = top_k_per_group(od, "o_orderpriority", ["o_totalprice", "o_orderkey"], 3)
+    # per-group sizes and global shape
+    counts = [r["n"] for r in out.groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert all(c == 3 for c in counts)
+    # Spark >= 3.5 prunes each partition to its local top-k pre-shuffle
+    assert "WindowGroupLimit" in explain_str(out, mode="simple")
+
+
+def test_deterministic_sample_stable_and_composable(spark, sf_dir):
+    from kolang_spark.operators.sampling import deterministic_sample
+
+    od = read_table(spark, sf_dir, "orders")
+    a = {r["o_orderkey"] for r in
+         deterministic_sample(od, "o_orderkey", 0.1).select("o_orderkey").collect()}
+    b = {r["o_orderkey"] for r in
+         deterministic_sample(od.repartition(7), "o_orderkey", 0.1)
+         .select("o_orderkey").collect()}
+    assert a == b                      # partitioning-independent
+    assert 0.05 < len(a) / od.count() < 0.15
+    # independent draw under a different salt
+    c = {r["o_orderkey"] for r in
+         deterministic_sample(od, "o_orderkey", 0.1, salt="x")
+         .select("o_orderkey").collect()}
+    assert c != a
