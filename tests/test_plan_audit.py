@@ -31,3 +31,24 @@ def test_no_python_row_eval_and_no_cartesian(spark, name):
             r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", plan
         ), f"{name}: unexpected Python boundary"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+def test_filters_push_through_operators_to_scan(spark):
+    """A filter applied above kolang columns must still reach the
+    parquet scan (operators are plain Catalyst expressions — pushdown
+    sees through them)."""
+    import kolang_spark as ks
+    from kolang_spark.plans.audit import pushed_filters, read_schema_columns
+    from kolang_spark.sources.io import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    df = (
+        li.withColumn("b", ks.bin("l_quantity", 10))
+        .withColumn("j", ks.jalali_date("l_shipdate"))
+        .where("l_returnflag = 'R'")
+        .select("l_orderkey", "b", "j")
+    )
+    assert any("l_returnflag" in f for f in pushed_filters(df))
+    # column pruning: scan must not read every lineitem column
+    cols = read_schema_columns(df)
+    assert "l_comment" not in cols and "l_extendedprice" not in cols
