@@ -603,6 +603,31 @@ def _q_multimodal_decode_fake(spark, sf_dir):
     return decode_image(packed, fake=True)
 
 
+def _q_multimodal_blob_embed_ann(spark, sf_dir):
+    """The full multimodal chain: pack blobs → Arrow-batched fake
+    feature extraction → LSH ANN top-k over the resulting vectors.
+    Rows-only check (sanctioned mapInPandas stage)."""
+    from kolang_spark.llm import lsh_topk
+    from kolang_spark.llm.multimodal import extract_features, pack_blob
+
+    dc = _t(spark, sf_dir, "documents")
+    packed = pack_blob(dc.select("doc_id", "text"), "text")
+    feats = extract_features(packed, dims=16, fake=True)
+    anchors = feats.where(F.col("doc_id") % 200 == 0)
+    out = lsh_topk(
+        feats,
+        anchors,
+        k=3,
+        n_planes=3,
+        dims=16,
+        id_col="doc_id",
+        vec_col="features",
+        query_id_col="doc_id",
+        query_vec_col="features",
+    )
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_multimodal_sample_frames(spark, sf_dir):
     from kolang_spark.llm.multimodal import pack_blob, sample_frames
 
@@ -695,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         # scale-path rewrites (same values, distributed plans)
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "scale_cumulative_revenue": _q_scale_cumulative_revenue,

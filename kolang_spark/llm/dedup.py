@@ -396,13 +396,19 @@ def embedding_near_dup_pairs(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm("v", dims))
     a, b = v.alias("a"), v.alias("b")
-    cos = _dot("a.v", "b.v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
-    # fence: without it the threshold predicate (and thus the whole dot
-    # product) is pushed into the nested-loop join condition — evaluated
-    # interpreted for every ordered pair, then re-evaluated in the output
-    # projection
+    dot = _dot("a.v", "b.v", dims)
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # two-stage filter: the multiplied form `dot ≥ t·|a||b|` prunes the
+    # O(n²) candidate stream with one compare and no division; the exact
+    # `cos ≥ t` re-check on the few survivors preserves boundary/NULL
+    # semantics precisely. Both predicates are fenced (pushdown_fence) —
+    # without it Catalyst folds them (and thus the whole dot product)
+    # into the nested-loop join condition, where evaluation is
+    # interpreted per ordered pair and then repeated in the projection.
+    pre = pushdown_fence(dot - threshold * F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
+        .where(pre >= 0)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["pack_blob", "blob_metadata", "decode_image", "sample_frames"]
+__all__ = [
+    "pack_blob",
+    "blob_metadata",
+    "decode_image",
+    "extract_features",
+    "sample_frames",
+]
 
 BLOB_META_SCHEMA = T.StructType(
     [
@@ -109,6 +115,48 @@ def decode_image(
             yield out
 
     return src.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    dims: int = 64,
+    fake: bool = False,
+) -> DataFrame:
+    """Blob → feature vector (``array<double>``), Arrow-batched.
+
+    The bridge from the multimodal convention into the similarity stack:
+    its output feeds :func:`kolang_spark.llm.similarity.lsh_topk` /
+    ``brute_force_topk`` unchanged. ``fake=True`` emits a deterministic
+    md5-seeded vector per blob (same content → same vector, any run, any
+    partitioning) so the full blob→embed→ANN pipeline is exercised
+    without a real encoder; ``fake=False`` marks the plug-in point.
+    """
+    import hashlib
+
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+    schema = f"doc_id long, features array<double>"
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real feature extraction requires an encoder (not in "
+                    "container); pass fake=True to exercise the pipeline"
+                )
+
+            def vec(b: bytes):
+                seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big")
+                return np.random.default_rng(seed).random(dims).tolist()
+
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": pdf["blob"].map(vec)}
+            )
+
+    return src.mapInPandas(embed_batches, schema=schema)
 
 
 def sample_frames(

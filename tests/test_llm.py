@@ -258,3 +258,27 @@ def test_embedding_lsh_subset_of_exact_with_recall(spark, emb):
     assert lsh <= lsh2 <= exact
     if exact:
         assert len(lsh2) >= len(lsh)
+
+
+def test_extract_features_deterministic_and_chains_to_ann(spark, docs):
+    from kolang_spark.llm import brute_force_topk
+    from kolang_spark.llm.multimodal import extract_features, pack_blob
+
+    packed = pack_blob(docs.select("doc_id", "text").limit(50), "text")
+    f1 = {r["doc_id"]: r["features"] for r in
+          extract_features(packed, dims=8, fake=True).collect()}
+    f2 = {r["doc_id"]: r["features"] for r in
+          extract_features(packed.repartition(5), dims=8, fake=True).collect()}
+    assert f1 == f2  # same content → same vector, any partitioning
+    assert all(len(v) == 8 for v in f1.values())
+
+    feats = extract_features(packed, dims=8, fake=True)
+    out = brute_force_topk(
+        feats, feats.limit(2), k=2,
+        id_col="doc_id", vec_col="features",
+        query_id_col="doc_id", query_vec_col="features", dims=8,
+    )
+    rows = out.collect()
+    assert len(rows) == 4  # 2 queries × top-2
+    top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert all(q == v for q, v in top.items())  # self is its own top-1

