@@ -414,6 +414,58 @@ def _q_asof_last_purchase(spark, sf_dir):
     )
 
 
+def _q_hypertable_rollup_events(spark, sf_dir):
+    """Hour/day/month rollup of the events hypertable in ONE pass: a
+    single scan + single shuffle via GROUPING SETS (Expand feeds a
+    partially-aggregated exchange), versus one groupBy per granularity."""
+    from kolang_spark.operators.rollup import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev,
+        "ts",
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.round(F.sum("value"), 2),
+        },
+        granularities=("hour", "day", "month"),
+        keys=("event_type",),
+    )
+
+
+def _q_range_join_error_clicks(spark, sf_dir):
+    """Keyed range join: for every error event, the same user's clicks
+    in the following 10 minutes (count + summed value). The raw range
+    predicate would plan as a nested-loop join; the operator's bucketed
+    rewrite makes it a plain equi-join on (user, time-bucket) with the
+    exact range check as a residual — the scan-scale O(n·m) trap gone."""
+    from kolang_spark.operators.rangejoin import point_in_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("win_end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), "user_id", "value"
+    )
+    joined = point_in_interval_join(
+        clicks,
+        errors,
+        point_ts="click_ts",
+        start_ts="win_start",
+        end_ts="win_end",
+        on=[("user_id", "err_user")],
+        bucket="10 minutes",
+    )
+    return joined.groupBy("err_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
 def _q_skew_safe_distinct_users(spark, sf_dir):
     """Two-phase distinct count (skew-safe: hot keys spread by the
     (key,value) pre-aggregation instead of funneling one reducer)."""
@@ -587,6 +639,20 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF cell-probe ANN. Unlike LSH (`ann_lsh_topk`, rows-only), the
+    IVF index is fully deterministic from the data — stride-selected
+    centroids, cosine argmax assignment — so the DuckDB oracle rebuilds
+    the identical index and the result is hash-matched, recall < 1 and
+    all."""
+    from kolang_spark.llm import ivf_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(em, anchors, k=5, nprobe=2, centroid_stride=25, dims=64)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_multimodal_blob_metadata(spark, sf_dir):
     from kolang_spark.llm.multimodal import blob_metadata, pack_blob
 
@@ -700,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "deterministic_sample_orders": _q_deterministic_sample_orders,
         "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_error_clicks": _q_range_join_error_clicks,
+        "hypertable_rollup_events": _q_hypertable_rollup_events,
         "skew_safe_distinct_users": _q_skew_safe_distinct_users,
         "salted_join_revenue": _q_salted_join_revenue,
         # LLM pipeline extensions
@@ -717,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "cosine_topk": _q_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
@@ -1099,6 +1168,42 @@ def oracle_sql() -> dict[str, str]:
             FROM views v ASOF LEFT JOIN purchases p
               ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
+        "hypertable_rollup_events": """
+            WITH src AS (
+              SELECT event_type, value,
+                     date_trunc('hour', ts) AS g_hour,
+                     date_trunc('day', ts) AS g_day,
+                     date_trunc('month', ts) AS g_month
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT CASE WHEN GROUPING(g_hour) = 0 THEN 'hour'
+                        WHEN GROUPING(g_day) = 0 THEN 'day'
+                        ELSE 'month' END AS granularity,
+                   COALESCE(g_hour, g_day, g_month) AS bucket_ts,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM src
+            GROUP BY GROUPING SETS ((event_type, g_hour),
+                                    (event_type, g_day),
+                                    (event_type, g_month))
+        """,
+        "range_join_error_clicks": """
+            WITH errors AS (
+              SELECT event_id AS err_id, user_id AS err_user,
+                     ts AS win_start, ts + INTERVAL 10 MINUTE AS win_end
+              FROM events WHERE event_type = 'error'
+            ), clicks AS (
+              SELECT ts AS click_ts, user_id, value FROM events
+              WHERE event_type = 'click'
+            )
+            SELECT err_id, COUNT(*) AS n_clicks,
+                   ROUND(SUM(value), 2) AS click_value
+            FROM clicks c JOIN errors e
+              ON c.user_id = e.err_user
+             AND c.click_ts >= e.win_start AND c.click_ts <= e.win_end
+            GROUP BY err_id
+        """,
         "skew_safe_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
@@ -1338,6 +1443,48 @@ def oracle_sql() -> dict[str, str]:
                        /(sqrt(list_dot_product(q.v, q.v))
                          *sqrt(list_dot_product(b.v, b.v))) AS cos_raw
               FROM e b CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS cent_id, v AS g FROM e WHERE vec_id % 25 = 0
+            ), assign AS (
+              SELECT e.vec_id, e.v, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_dot_product(e.v, g)
+                         /(sqrt(list_dot_product(e.v, e.v))
+                           *sqrt(list_dot_product(g, g))) DESC,
+                       cent_id) AS rn
+              FROM e CROSS JOIN cents
+            ), indexed AS (
+              SELECT vec_id, v, cent_id AS cell FROM assign WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v FROM e WHERE vec_id % 100 = 0
+            ), qassign AS (
+              SELECT query_id, q.v, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                       list_dot_product(q.v, g)
+                         /(sqrt(list_dot_product(q.v, q.v))
+                           *sqrt(list_dot_product(g, g))) DESC,
+                       cent_id) AS rn
+              FROM q CROSS JOIN cents
+            ), probes AS (
+              SELECT query_id, v, cent_id AS cell FROM qassign WHERE rn <= 2
+            ), scored AS (
+              SELECT p.query_id, i.vec_id,
+                     list_dot_product(p.v, i.v)
+                       /(sqrt(list_dot_product(p.v, p.v))
+                         *sqrt(list_dot_product(i.v, i.v))) AS cos_raw
+              FROM indexed i JOIN probes p ON i.cell = p.cell
             ), ranked AS (
               SELECT query_id, vec_id, cos_raw,
                      ROW_NUMBER() OVER (PARTITION BY query_id

@@ -26,7 +26,12 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     with_shingles,
 )
 from kolang_spark.llm.curate import curate, curate_flags  # noqa: F401
-from kolang_spark.llm.similarity import brute_force_topk, cosine, lsh_topk  # noqa: F401
+from kolang_spark.llm.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine,
+    ivf_topk,
+    lsh_topk,
+)
 from kolang_spark.llm.textstats import (  # noqa: F401
     bpe_token_estimate,
     doc_fingerprint,

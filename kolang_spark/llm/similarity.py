@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.utils import ensure_min_parallelism
 
-__all__ = ["cosine", "brute_force_topk", "lsh_topk"]
+__all__ = ["cosine", "brute_force_topk", "lsh_topk", "ivf_topk"]
 
 # SQL fragment (a column reference like "v" or "a.v") or a Column
 _Ref = Union[Column, str]
@@ -171,6 +171,92 @@ def lsh_topk(
     )
 
     scored = corpus.join(F.broadcast(qs), "bucket").select(
+        "query_id",
+        F.col("c_id").alias("vec_id"),
+        (_dot("q_v", "c_v", dims) / (F.col("q_n") * F.col("c_n"))).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    centroid_stride: int = 25,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index: cell-probe search.
+
+    Classic two-phase ANN (the structure behind FAISS ``IndexIVFFlat``):
+
+    * **build** — every corpus vector is assigned to its nearest
+      *centroid* by cosine (one pass over the corpus against a
+      broadcast centroid table → a ``cell`` id per vector);
+    * **search** — each query scores only the vectors in its ``nprobe``
+      nearest cells (equi-join on ``cell``), then exact cosine top-k.
+
+    Centroids here are the deterministic stride subset
+    ``id % centroid_stride == 0`` — the same "pick ~sqrt(N) data points
+    as coarse quantizer" used to seed k-means, kept stride-deterministic
+    so any engine (and the DuckDB oracle) rebuilds the identical index;
+    at production scale swap in sampled k-means centroids — every phase
+    downstream of the centroid table is unchanged.
+
+    Scale: with C ≈ sqrt(N) centroids, build is N·C broadcast-side dot
+    products (no shuffle of the corpus), search is Q·C + Q·nprobe·N/C —
+    versus Q·N brute force. The probe join is a plain equi-join on
+    ``cell``: hash-partitioned, AQE-skew-splittable, no cross product.
+    Recall < 1 by design (a true neighbor can live in an unprobed
+    cell); raise ``nprobe`` to trade cost for recall.
+    """
+    cents = (
+        df.where(F.col(id_col) % centroid_stride == 0)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            _as_double(F.col(vec_col)).alias("g_v"),
+        )
+        .withColumn("g_n", _norm("g_v", dims))
+    )
+
+    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
+        """Rank centroids by cosine against ``vec``; keep the top ``n``
+        as ``cell``. Tie-break on centroid id for cross-engine parity."""
+        scored = side.join(F.broadcast(cents), how="cross").withColumn(
+            "cent_cos", _dot(vec, "g_v", dims) / (F.col(nrm) * F.col("g_n"))
+        )
+        w = Window.partitionBy(side.columns[0]).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("cent_rank", F.row_number().over(w))
+            .where(F.col("cent_rank") <= n)
+            .drop("g_v", "g_n", "cent_cos", "cent_rank")
+            .withColumnRenamed("cent_id", "cell")
+        )
+
+    corpus = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v"))
+        .withColumn("c_n", _norm("c_v", dims))
+    )
+    indexed = _nearest_cells(corpus, "c_v", "c_n", 1)
+
+    qs = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(query_vec_col)).alias("q_v"),
+        )
+        .withColumn("q_n", _norm("q_v", dims))
+    )
+    probes = _nearest_cells(qs, "q_v", "q_n", nprobe)
+
+    scored = indexed.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col("c_id").alias("vec_id"),
         (_dot("q_v", "c_v", dims) / (F.col("q_n") * F.col("c_n"))).alias("cos"),

@@ -1,11 +1,16 @@
 """DataFrame → DataFrame operators (reference parity: SURVEY.md §2.2)."""
 
 from kolang_spark.operators.asof import as_of_join  # noqa: F401
+from kolang_spark.operators.rangejoin import (  # noqa: F401
+    interval_overlap_join,
+    point_in_interval_join,
+)
 from kolang_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
     top_k_per_group,
 )
 from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
+from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
 from kolang_spark.operators.sessions import session_id, with_session_id  # noqa: F401
 from kolang_spark.operators.skew import (  # noqa: F401
     salted_join,

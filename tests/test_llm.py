@@ -282,3 +282,27 @@ def test_extract_features_deterministic_and_chains_to_ann(spark, docs):
     assert len(rows) == 4  # 2 queries × top-2
     top = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
     assert all(q == v for q, v in top.items())  # self is its own top-1
+
+
+def test_ivf_topk_self_hit_and_recall_monotone_in_nprobe(spark, emb):
+    from kolang_spark.llm import ivf_topk
+
+    anchors = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, anchors, k=5, dims=64).collect()
+    }
+
+    def hits(nprobe):
+        out = ivf_topk(
+            emb, anchors, k=5, nprobe=nprobe, centroid_stride=25, dims=64
+        ).collect()
+        # a query in the corpus lands in a probed cell: self is rank 1
+        top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+        assert all(q == v for q, v in top1.items())
+        return {(r["query_id"], r["vec_id"]) for r in out}
+
+    h1, h4 = hits(1), hits(4)
+    # more probed cells → recall against the exact answer can only grow
+    assert len(h1 & exact) <= len(h4 & exact)
+    assert len(h4 & exact) > 0
