@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["read_table", "pandas_to_spark", "load_or_calculate_parquet"]
+__all__ = [
+    "read_table",
+    "pandas_to_spark",
+    "load_or_calculate_parquet",
+    "read_csv",
+    "read_json",
+    "write_table",
+]
 
 TABLE_NAMES = [
     "region",
@@ -112,6 +119,83 @@ def pandas_to_spark(
             for col, dtype in zip(df.columns, df.dtypes)
         ]
         return spark.createDataFrame(df, T.StructType(fields))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[T.StructType | str] = None,
+    header: bool = True,
+    infer: bool = False,
+    **options: Any,
+) -> DataFrame:
+    """CSV reader with the 100-TB-safe default: an explicit schema.
+
+    Schema inference on CSV is a *second full scan* of the input before
+    the query even starts; at warehouse scale that doubles the most
+    expensive stage. So ``schema`` is required unless ``infer=True`` is
+    passed deliberately. Extra ``options`` pass straight through to
+    Spark's reader (``sep``, ``nullValue``, ``timestampFormat``…).
+    """
+    if schema is None and not infer:
+        raise ValueError(
+            "pass an explicit schema, or infer=True to accept a full "
+            "inference pre-scan of the input"
+        )
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[T.StructType | str] = None,
+    infer: bool = False,
+    **options: Any,
+) -> DataFrame:
+    """JSON-lines reader; same explicit-schema contract as ``read_csv``
+    (JSON inference is likewise a full pre-scan). With a schema, fields
+    absent from a record are NULL and extra fields are ignored —
+    schema-on-read, no job failure on drift."""
+    if schema is None and not infer:
+        raise ValueError(
+            "pass an explicit schema, or infer=True to accept a full "
+            "inference pre-scan of the input"
+        )
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    format: str = "parquet",
+    mode: str = "error",
+    partition_by: Optional[List[str]] = None,
+    compression: Optional[str] = None,
+    **options: Any,
+) -> None:
+    """One writer for parquet/csv/json sinks.
+
+    ``partition_by`` produces the hive layout partition discovery prunes
+    (same story as :func:`load_or_calculate_parquet`). Parquet defaults
+    to snappy; csv/json default to gzip only if asked — plain text plus
+    ``partition_by`` is the interchange-friendly shape.
+    """
+    writer = df.write.format(format).mode(mode).options(**options)
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    if format == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
 
 
 def load_or_calculate_parquet(

@@ -1,0 +1,130 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+Spark's built-in stateful operators (windowed aggs, ``dropDuplicates``,
+session windows) cover commutative aggregations. Anything whose update
+is a *sequential fold over event time* — where reordering inputs changes
+the answer — needs user-managed state. This module holds those: the
+state schema, timeout handling, and Arrow-batched group processing are
+the Spark-side plumbing; the per-key fold is plain pandas/python over
+one key's micro-batch slice (never row-at-a-time over the whole
+stream).
+
+At scale, state lives in the state store, hash-partitioned by key —
+size is O(active keys) × a few scalars here, and ``timeout`` evicts
+idle keys so the store cannot grow without bound.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["stateful_ewma", "ewma_batch_reference"]
+
+
+def _lam(half_life_s: float) -> float:
+    return math.log(2.0) / half_life_s
+
+
+def stateful_ewma(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    half_life_s: float = 600.0,
+    timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Per-key time-decayed EWMA, maintained across micro-batches.
+
+    ``s ← v + s·exp(−λ·Δt)`` with λ = ln2/``half_life_s`` — each new
+    event adds its value to the key's score, and the score halves every
+    ``half_life_s`` seconds of event-time gap. The irregular-gap decay
+    makes the fold **order-sensitive**: no built-in streaming aggregate
+    (all commutative/associative) can express it, which is exactly the
+    ``applyInPandasWithState`` use case.
+
+    Emits one row per key per micro-batch it appears in (update-mode
+    shape): ``(key, ewma, n_events, last_ts)`` — the state after folding
+    that batch. Rows *within* a batch are folded in event-time order;
+    correctness across batches assumes per-key event-time-ordered
+    arrival (replay in order, or accept the documented approximation —
+    the standard contract for sequential stateful ops).
+
+    ``timeout_ms`` > 0 evicts a key's state after that much processing
+    time without new events (the eviction row is not emitted — the
+    score simply restarts at 0 contribution).
+    """
+
+    def fold(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        lam = _lam(half_life_s)
+        if state.exists:
+            s, last_us, n = state.get
+        else:
+            s, last_us, n = 0.0, None, 0
+
+        batch = pd.concat(list(pdfs))
+        batch = batch.sort_values(ts, kind="mergesort")  # stable within ties
+        for t, v in zip(batch[ts], batch[value]):
+            t_us = int(t.value // 1000)  # pandas ns → µs
+            if last_us is not None:
+                dt_s = max((t_us - last_us) / 1e6, 0.0)
+                s = float(v) + s * math.exp(-lam * dt_s)
+            else:
+                s = float(v)
+            last_us = t_us
+            n += 1
+
+        state.update((s, last_us, n))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "ewma": [s],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    key_type = dict(df.dtypes)[key]
+    out_schema = f"{key} {key_type}, ewma double, n_events long, last_ts timestamp"
+    state_schema = "ewma double, last_us long, n long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.select(key, ts, value)
+        .groupBy(key)
+        .applyInPandasWithState(fold, out_schema, state_schema, "update", timeout)
+    )
+
+
+def ewma_batch_reference(
+    rows: list[tuple],
+    half_life_s: float = 600.0,
+) -> float:
+    """Driver-side reference fold for tests: ``rows`` = [(ts, value)]
+    sorted by ts; returns the final EWMA. Same arithmetic as the
+    streaming fold, no Spark."""
+    lam = _lam(half_life_s)
+    s, last = 0.0, None
+    for t, v in rows:
+        if last is not None:
+            s = float(v) + s * math.exp(-lam * (t - last).total_seconds())
+        else:
+            s = float(v)
+        last = t
+    return s

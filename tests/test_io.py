@@ -1,5 +1,7 @@
 """Testdata readers: all tables load; events nanos shim works."""
 
+import pytest
+
 from kolang_spark.sources.io import TABLE_NAMES, read_table, read_tables
 
 
@@ -24,3 +26,55 @@ def test_events_ts_normalized(spark, sf_dir):
 def test_embeddings_schema(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     assert dict(emb.dtypes)["embedding"] == "array<float>"
+
+
+def test_csv_json_round_trip_preserves_values(spark, sf_dir, tmp_path):
+    from kolang_spark.sources.io import read_csv, read_json, write_table
+
+    src = read_table(spark, sf_dir, "nation")
+    schema = src.schema
+
+    csv_path = str(tmp_path / "nation_csv")
+    write_table(src, csv_path, format="csv")
+    back_csv = read_csv(spark, csv_path, schema=schema)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+    json_path = str(tmp_path / "nation_json")
+    write_table(src, json_path, format="json")
+    back_json = read_json(spark, json_path, schema=schema)
+    assert sorted(map(tuple, back_json.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_readers_require_schema_unless_opted_in(spark, tmp_path):
+    from kolang_spark.sources.io import read_csv, read_json
+
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_csv(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_json(spark, str(tmp_path))
+
+
+def test_json_schema_on_read_tolerates_drift(spark, tmp_path):
+    from kolang_spark.sources.io import read_json
+
+    p = tmp_path / "drift.jsonl"
+    p.write_text('{"a": 1, "extra": true}\n{"a": 2, "b": "x"}\n')
+    out = read_json(spark, str(p), schema="a long, b string, missing double")
+    rows = {r["a"]: (r["b"], r["missing"]) for r in out.collect()}
+    assert rows == {1: (None, None), 2: ("x", None)}
+
+
+def test_write_table_partition_by_prunes(spark, sf_dir, tmp_path):
+    from kolang_spark.plans.audit import explain_str
+    from kolang_spark.sources.io import write_table
+
+    src = read_table(spark, sf_dir, "customer")
+    path = str(tmp_path / "cust_part")
+    write_table(src, path, partition_by=["c_mktsegment"])
+    df = spark.read.parquet(path).where("c_mktsegment = 'AUTOMOBILE'")
+    plan = explain_str(df, mode="formatted")
+    assert "PartitionFilters" in plan and "AUTOMOBILE" in plan
