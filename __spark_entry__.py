@@ -414,6 +414,41 @@ def _q_asof_last_purchase(spark, sf_dir):
     )
 
 
+def _q_join_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped six-table join: revenue by supplier nation within
+    one region, customer and supplier co-national. The join-planning
+    showcase: dims (supplier/nation/region) explicitly broadcast — the
+    fact tables shuffle once on their join keys and never move for the
+    dims; region filter prunes before the big join. Revenue summed in
+    fixed-point (e4 bigint) so the total is order-independent and
+    bit-equal across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.withColumn("rev_e4", rev_e4)
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum("rev_e4").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def _q_hypertable_rollup_events(spark, sf_dir):
     """Hour/day/month rollup of the events hypertable in ONE pass: a
     single scan + single shuffle via GROUPING SETS (Expand feeds a
@@ -430,6 +465,23 @@ def _q_hypertable_rollup_events(spark, sf_dir):
         },
         granularities=("hour", "day", "month"),
         keys=("event_type",),
+    )
+
+
+def _q_hll_users_monthly(spark, sf_dir):
+    """Mergeable-sketch rollup: daily HLL sketches of active users,
+    merged to a monthly estimate without re-scanning raw events. The
+    merge is loss-free (tested equal to a direct monthly sketch);
+    rows-only vs DuckDB — its HLL implementation estimates
+    differently by design."""
+    from kolang_spark.operators.sketches import sketch_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("day", F.to_date("ts")).withColumn(
+        "month", F.trunc(F.to_date("ts"), "month")
+    )
+    return sketch_rollup(
+        ev, "user_id", fine_keys=["month", "day"], coarse_keys=["month"]
     )
 
 
@@ -768,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": _q_asof_last_purchase,
         "range_join_error_clicks": _q_range_join_error_clicks,
         "hypertable_rollup_events": _q_hypertable_rollup_events,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "hll_users_monthly": _q_hll_users_monthly,
         "skew_safe_distinct_users": _q_skew_safe_distinct_users,
         "salted_join_revenue": _q_salted_join_revenue,
         # LLM pipeline extensions
@@ -1167,6 +1221,21 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(p.ts) AS purchase_ts_ms
             FROM views v ASOF LEFT JOIN purchases p
               ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "join_revenue_by_nation": """
+            SELECT n_name, SUM(rev_e4) AS revenue_e4, COUNT(*) AS n_items
+            FROM (SELECT l_orderkey, l_suppkey,
+                         CAST(round(l_extendedprice*(1-l_discount)*10000)
+                              AS BIGINT) AS rev_e4
+                  FROM lineitem) li
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "hypertable_rollup_events": """
             WITH src AS (

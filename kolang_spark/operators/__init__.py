@@ -11,6 +11,13 @@ from kolang_spark.operators.sampling import (  # noqa: F401
 )
 from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
 from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
+from kolang_spark.operators.sketches import (  # noqa: F401
+    approx_quantiles,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+    sketch_rollup,
+)
 from kolang_spark.operators.sessions import session_id, with_session_id  # noqa: F401
 from kolang_spark.operators.skew import (  # noqa: F401
     salted_join,

@@ -73,3 +73,15 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     plan = explain_str(df, mode="formatted")
     assert "PartitionFilters" in plan and "2024-01-03" in plan
     assert df.count() > 0
+
+
+def test_q5_join_broadcasts_dims_and_pushes_region_filter(spark):
+    """The six-table join must broadcast every dim side (no shuffle of
+    supplier/nation/region) and push the region filter into its scan."""
+    from kolang_spark.plans.audit import explain_str, pushed_filters
+
+    df = entry_mod.queries()["join_revenue_by_nation"](spark, SF_ORACLE)
+    plan = explain_str(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert any("r_name" in f for f in pushed_filters(df))
