@@ -57,11 +57,20 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     casts nanos→micros before handing Spark the data.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
     if name != "events":
-        return df
+        return spark.read.parquet(path)
 
-    ts_type = dict(df.dtypes).get("ts")
+    # The nanos conf is runtime-settable; apply it here so any session —
+    # the driver's correctness harness included — can read `events`
+    # without pre-configuration. (Round-1 failure mode: the conf was set
+    # only in bench.py, so 10 queries errored in the harness session.)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    except Exception:
+        df = None
+
+    ts_type = dict(df.dtypes).get("ts") if df is not None else None
     if ts_type == "bigint":  # nanosAsLong in effect
         return (
             df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long"))
