@@ -681,6 +681,17 @@ def _q_simhash_documents(spark, sf_dir):
     return dc.select("doc_id", simhash("text", bits=16).alias("sim_sig"))
 
 
+def _q_simhash_hamming_pairs(spark, sf_dir):
+    """Banded SimHash near-dup pairs (Hamming ≤ 2): pigeonhole band
+    equi-join for candidates, exact bit_count(xor) verification. The
+    oracle rebuilds the identical bands over the same md5-hashed
+    signatures."""
+    from kolang_spark.llm import simhash_hamming_pairs
+
+    dc = _t(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(dc, bits=16, max_distance=2)
+
+
 def _q_embedding_neardup_pairs(spark, sf_dir):
     from kolang_spark.llm import embedding_near_dup_pairs
 
@@ -730,6 +741,21 @@ def _q_ann_ivf_topk(spark, sf_dir):
     em = _t(spark, sf_dir, "embeddings")
     anchors = em.where(F.col("vec_id") % 100 == 0)
     out = ivf_topk(em, anchors, k=5, nprobe=2, centroid_stride=25, dims=64)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
+def _q_ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with sampled-k-means centroids (the production coarse
+    quantizer) instead of the stride subset. Deterministic (stride
+    seeds, fixed iterations, id tie-breaks) but the Lloyd iterations are
+    not practically SQL-expressible — rows-only check; recall quality is
+    covered by tests/test_llm.py."""
+    from kolang_spark.llm import ivf_topk, kmeans_centroids
+
+    em = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(em, k=16, dims=64, iters=3)
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(em, anchors, k=5, nprobe=2, dims=64, centroids=cents)
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
@@ -877,11 +903,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_decode_fake": _q_multimodal_decode_fake,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         # --- tail: oracle-backed but redundant with an earlier green
-        #     entry (past the harness's 50-query window) ---
+        #     entry, or stretch variants of an already-verified stack
+        #     (past the harness's 50-query window; still oracle-checked
+        #     by tests/test_oracle_parity.py) ---
         "percent_by_returnflag": _q_percent_by_returnflag,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
     }
 
 
@@ -953,6 +983,35 @@ def _simhash_sql(bits: int = 16) -> str:
       FROM h GROUP BY doc_id
     )
     SELECT doc_id, CAST({sig} AS BIGINT) AS sim_sig FROM agg
+    """
+
+
+def _simhash_hamming_sql(bits: int = 16, max_distance: int = 2) -> str:
+    """Banded-SimHash oracle: identical signatures (same md5 token
+    hashes via ``_simhash_sql``), identical band slicing
+    (``kolang_spark.llm.dedup._simhash_bands``), exact bit_count(xor)
+    verify."""
+    from kolang_spark.llm.dedup import _simhash_bands
+
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, sim_sig, {i} AS band_id, "
+        f"(sim_sig >> {shift}) & {(1 << width) - 1} AS band_bits FROM sigs"
+        for i, (shift, width) in enumerate(
+            _simhash_bands(bits, max_distance + 1)
+        )
+    )
+    return f"""
+    WITH sigs AS (
+      {_simhash_sql(bits)}
+    ), banded AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim_sig, b.sim_sig)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+         AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_sig, b.sim_sig)) <= {max_distance}
     """
 
 
@@ -1519,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
         """,
         "simhash_documents": _simhash_sql(16),
+        "simhash_hamming_pairs": _simhash_hamming_sql(16, 2),
         "embedding_neardup_pairs": f"""
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings

@@ -22,6 +22,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     embedding_near_dup_pairs_lsh,
     jaccard_near_dup_pairs,
     minhash_candidate_pairs,
+    simhash_hamming_pairs,
     simhash_near_dup_pairs,
     with_shingles,
 )
@@ -30,6 +31,7 @@ from kolang_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     cosine,
     ivf_topk,
+    kmeans_centroids,
     lsh_topk,
 )
 from kolang_spark.llm.textstats import (  # noqa: F401

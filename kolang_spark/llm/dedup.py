@@ -28,6 +28,7 @@ __all__ = [
     "jaccard_near_dup_pairs",
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
+    "simhash_hamming_pairs",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
     "connected_components",
@@ -349,10 +350,7 @@ def simhash_near_dup_pairs(
     """SimHash-collision candidate pairs (equal full signature).
 
     Join on the signature value — one hash-partitioned equi-join. For
-    Hamming-distance ≤ d matching at scale, split the signature into
-    d+1 bands and join per band (pigeonhole); exposed via ``bits``
-    granularity here, full banding variant in ``minhash_candidate_pairs``
-    style is symmetric.
+    Hamming-distance ≤ d matching, see :func:`simhash_hamming_pairs`.
 
     Returns ``(id_a, id_b, sim_sig)`` with ``id_a < id_b``.
     """
@@ -369,27 +367,129 @@ def simhash_near_dup_pairs(
     )
 
 
+def _simhash_bands(bits: int, n_bands: int) -> List[tuple]:
+    """Split ``bits`` into ``n_bands`` contiguous (shift, width) slices;
+    the first ``bits % n_bands`` bands take the extra bit."""
+    base, extra = divmod(bits, n_bands)
+    out, shift = [], 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        out.append((shift, width))
+        shift += width
+    return out
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    max_distance: int = 2,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within Hamming distance ≤
+    ``max_distance`` — banded (pigeonhole) candidate generation, exact
+    ``bit_count(xor)`` verification.
+
+    Split the ``bits``-bit signature into ``max_distance + 1`` disjoint
+    bands: two signatures within distance d must agree on at least one
+    whole band (d flipped bits can dirty at most d bands). So candidates
+    come from an **equi-join on (band_id, band_bits)** — hash-partitioned,
+    AQE-skew-splittable, never a cross product — then the exact Hamming
+    distance filters survivors and ``DISTINCT`` collapses pairs that
+    collide in several bands. This is the standard Manku/Jain/Sarma
+    (WWW'07) web-dedup decomposition.
+
+    Scale: each side explodes ×(d+1) (cheap — band keys are ints), the
+    join touches only same-band-value groups (~N/2^(bits/(d+1)) each),
+    and the verify step is two longs per candidate. 100 TB-shaped for
+    small d; for large d prefer more bits + LSH.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    n_bands = max_distance + 1
+    if n_bands > bits:
+        raise ValueError("max_distance + 1 must be <= bits")
+
+    sig = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftrightunsigned(F.col("sig"), shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+            for i, (shift, width) in enumerate(_simhash_bands(bits, n_bands))
+        ]
+    )
+    banded = sig.select(
+        "id", "sig", F.explode(bands).alias("band")
+    ).select("id", "sig", "band.band_id", "band.band_bits")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_distance)
+    )
+    return cand.distinct()
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dims: Optional[int] = None,
+    max_rows: Optional[int] = 100_000,
 ) -> DataFrame:
-    """Embedding near-duplicates: pairs with cosine ≥ threshold.
+    """Embedding near-duplicates: pairs with cosine ≥ threshold —
+    **exact-baseline form; not the scale path**.
 
-    Exact formulation (self-join). Norms are precomputed once per vector
-    and carried through the join (the naive per-pair cosine recomputes
-    both norms for every one of the O(n²) pairs); with ``dims`` the dot
-    product is unrolled static arithmetic, codegen-compiled. At 100 TB
-    wrap it behind :func:`kolang_spark.llm.similarity.lsh_topk`-style
-    bucketing (join only within sign-signature buckets) — same
-    expression core.
+    This is an O(n²) nested-loop self-join: correct and useful as an
+    oracle/ground-truth at validation scale, quadratic-cost at corpus
+    scale. The production operator is
+    :func:`embedding_near_dup_pairs_lsh` (identical scoring, sign-LSH
+    bucket equi-join). To keep the quadratic plan from being launched by
+    accident, the input is counted first and anything over ``max_rows``
+    raises with a pointer to the LSH variant; pass ``max_rows=None`` to
+    opt in deliberately (the count — one column-pruned scan — is the
+    price of the guard).
+
+    Inside the quadratic loop the engineering is still tight: norms are
+    precomputed once per vector and carried through the join, and with
+    ``dims`` the dot product is unrolled static arithmetic,
+    codegen-compiled.
 
     Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``.
     """
     from kolang_spark.llm.similarity import _dot, _norm
     from kolang_spark.utils import pushdown_fence
+
+    if max_rows is not None:
+        n = df.select(id_col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is the exact O(n²) baseline; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"embedding_near_dup_pairs_lsh (same scoring, bucketed "
+                f"equi-join) or pass max_rows=None to opt in."
+            )
 
     v = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),

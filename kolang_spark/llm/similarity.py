@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 
 from kolang_spark.utils import ensure_min_parallelism
 
-__all__ = ["cosine", "brute_force_topk", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "kmeans_centroids",
+]
 
 # SQL fragment (a column reference like "v" or "a.v") or a Column
 _Ref = Union[Column, str]
@@ -179,6 +185,87 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    dims: int,
+    iters: int = 5,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled Lloyd's k-means → a ``(cent_id, g_v)`` centroid table for
+    :func:`ivf_topk`'s ``centroids`` knob (the production-quality coarse
+    quantizer the stride subset approximates).
+
+    Deterministic end to end: seeds are the stride subset
+    ``id % (N/k-ish stride) == 0``-style pick (here: the ``k`` smallest
+    ids of the ``id % sample_mod == 0`` sample), assignment ties break
+    on centroid id, and empty cells keep their previous centroid — same
+    inputs, same centroids, any cluster, any partitioning.
+
+    Scale shape: centroids are driver-known between iterations (k·dims
+    doubles), so assignment is an **inlined argmin expression** — the
+    k×dims squared-distance arithmetic is generated with the centroid
+    components as literals, evaluated map-side in one scan, no join, no
+    window, no shuffle of the points. Each iteration is exactly one
+    map-side-combinable groupBy (shuffling k·dims partial sums). Set
+    ``sample_mod`` so the sample stays a few million rows; ``iters`` is
+    fixed (no convergence probe) so the job count is known up front —
+    3–5 iterations is standard for a coarse quantizer.
+    """
+    sample = df
+    if sample_mod > 1:
+        sample = sample.where(F.col(id_col) % sample_mod == 0)
+    pts = sample.select(
+        F.col(id_col).alias("p_id"), _as_double(F.col(vec_col)).alias("p_v")
+    ).cache()
+
+    # deterministic seeds: the k smallest sampled ids
+    cent_rows = [
+        (i, [float(x) for x in r.p_v])
+        for i, r in enumerate(pts.orderBy("p_id").limit(k).collect())
+    ]
+
+    spark = df.sparkSession
+    for _ in range(max(0, iters)):
+        # argmin over an inline array<struct<d2,cent_id>> — struct
+        # ordering gives min d2 with cent_id tie-break, deterministically
+        cand = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "0.0D + "
+                        + " + ".join(
+                            # parenthesized literal: a bare negative
+                            # would form `--`, a SQL line comment
+                            f"(p_v[{i}]-({c[i]!r}D))*(p_v[{i}]-({c[i]!r}D))"
+                            for i in range(dims)
+                        )
+                    ).alias("d2"),
+                    F.lit(cid).alias("cent_id"),
+                )
+                for cid, c in cent_rows
+            ]
+        )
+        assigned = pts.select(
+            F.array_min(cand)["cent_id"].alias("cent_id"), "p_v"
+        )
+        means = assigned.groupBy("cent_id").agg(
+            *[F.avg(F.col("p_v")[i]).alias(f"m{i}") for i in range(dims)]
+        )
+        got = {
+            int(r.cent_id): [float(r[f"m{i}"]) for i in range(dims)]
+            for r in means.collect()
+        }
+        # empty cells keep their previous centroid (deterministic)
+        cent_rows = [(cid, got.get(cid, v)) for cid, v in cent_rows]
+    pts.unpersist()
+    return spark.createDataFrame(
+        cent_rows, "cent_id int, g_v array<double>"
+    ).withColumn("g_n", _norm("g_v", dims))
+
+
 def ivf_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -190,6 +277,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: cell-probe search.
 
@@ -201,12 +289,13 @@ def ivf_topk(
     * **search** — each query scores only the vectors in its ``nprobe``
       nearest cells (equi-join on ``cell``), then exact cosine top-k.
 
-    Centroids here are the deterministic stride subset
+    Default centroids are the deterministic stride subset
     ``id % centroid_stride == 0`` — the same "pick ~sqrt(N) data points
     as coarse quantizer" used to seed k-means, kept stride-deterministic
-    so any engine (and the DuckDB oracle) rebuilds the identical index;
-    at production scale swap in sampled k-means centroids — every phase
-    downstream of the centroid table is unchanged.
+    so any engine (and the DuckDB oracle) rebuilds the identical index.
+    For production quality pass ``centroids=`` a
+    :func:`kmeans_centroids` table (``cent_id, g_v[, g_n]``) — every
+    phase downstream of the centroid table is unchanged.
 
     Scale: with C ≈ sqrt(N) centroids, build is N·C broadcast-side dot
     products (no shuffle of the corpus), search is Q·C + Q·nprobe·N/C —
@@ -215,14 +304,19 @@ def ivf_topk(
     Recall < 1 by design (a true neighbor can live in an unprobed
     cell); raise ``nprobe`` to trade cost for recall.
     """
-    cents = (
-        df.where(F.col(id_col) % centroid_stride == 0)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            _as_double(F.col(vec_col)).alias("g_v"),
+    if centroids is not None:
+        cents = centroids
+        if "g_n" not in cents.columns:
+            cents = cents.withColumn("g_n", _norm("g_v", dims))
+    else:
+        cents = (
+            df.where(F.col(id_col) % centroid_stride == 0)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                _as_double(F.col(vec_col)).alias("g_v"),
+            )
+            .withColumn("g_n", _norm("g_v", dims))
         )
-        .withColumn("g_n", _norm("g_v", dims))
-    )
 
     def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
         """Rank centroids by cosine against ``vec``; keep the top ``n``
