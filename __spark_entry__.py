@@ -1250,8 +1250,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id,
-                   SUM(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
-                       THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(SUM(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM ev GROUP BY user_id
         """,
@@ -1259,7 +1259,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start_s,
                    event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events
             GROUP BY 1, 2
         """,
@@ -1277,7 +1277,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT window_start_s, event_type,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM expanded
             GROUP BY 1, 2
         """,
@@ -1396,7 +1396,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type,
                    COUNT(k) AS n_with_k,
-                   SUM(k) AS sum_k,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
                    MIN(k) AS min_k,
                    MAX(k) AS max_k
             FROM e GROUP BY event_type
