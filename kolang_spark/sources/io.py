@@ -64,17 +64,50 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's correctness harness included — can read `events`
     # without pre-configuration. (Round-1 failure mode: the conf was set
     # only in bench.py, so 10 queries errored in the harness session.)
+    # The schema is resolved eagerly at spark.read time, so the conf can
+    # be restored immediately afterwards — reading one table must not
+    # permanently mutate the caller's session config.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        prev_conf = spark.conf.get(conf_key, None)
     except Exception:
-        df = None
+        prev_conf = None
+    df = None
+    try:
+        spark.conf.set(conf_key, "true")
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution while the conf is in effect
+    except Exception as exc:
+        # Only the nanos-type rejection should fall through to the
+        # pyarrow fallback; surface real errors (missing path, corrupt
+        # file, permissions) to the caller.
+        msg = str(exc)
+        if not ("nano" in msg.lower() or "TIMESTAMP(NANOS" in msg):
+            raise
+    finally:
+        try:
+            if prev_conf is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev_conf)
+        except Exception:
+            pass
 
     ts_type = dict(df.dtypes).get("ts") if df is not None else None
     if ts_type == "bigint":  # nanosAsLong in effect
-        return (
-            df.withColumn("ts_ms", (F.col("ts") / F.lit(1_000_000)).cast("long"))
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # Integer division (`div`) is exact for all int64 nanos; the
+        # previous double-division round trip lost precision above 2^53
+        # (~1 µs errors on ~0.2% of rows). One fused projection so the
+        # scan carries a single Project node; Catalyst prunes whichever
+        # of ts/ts_ms a downstream query doesn't use.
+        return df.select(
+            *[
+                F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+                if c == "ts"
+                else F.col(c)
+                for c in df.columns
+            ],
+            F.expr("ts div 1000000").alias("ts_ms"),
         )
     if ts_type in ("timestamp", "timestamp_ntz"):
         return df.withColumn(
