@@ -204,15 +204,24 @@ def kmeans_centroids(
     on centroid id, and empty cells keep their previous centroid — same
     inputs, same centroids, any cluster, any partitioning.
 
-    Scale shape: centroids are driver-known between iterations (k·dims
-    doubles), so assignment is an **inlined argmin expression** — the
-    k×dims squared-distance arithmetic is generated with the centroid
-    components as literals, evaluated map-side in one scan, no join, no
-    window, no shuffle of the points. Each iteration is exactly one
-    map-side-combinable groupBy (shuffling k·dims partial sums). Set
-    ``sample_mod`` so the sample stays a few million rows; ``iters`` is
-    fixed (no convergence probe) so the job count is known up front —
-    3–5 iterations is standard for a coarse quantizer.
+    Scale shape: each iteration assigns points via
+    ``crossJoin(broadcast(centroid_table))`` with an unrolled O(dims)
+    squared-distance expression over the joined ``g_v`` column — **plan
+    size is independent of k** (an earlier revision inlined the k×dims
+    centroid components as literals, which recompiled an O(k·dims)-term
+    expression every iteration and stopped planning at production
+    centroid counts). The per-point argmin is ``min(struct(d2,
+    cent_id))``: the k candidate rows of a point are produced
+    consecutively by the broadcast nested-loop join, so the hash
+    aggregate completes the min map-side and the shuffle carries one
+    reduced row per point. Centroids come back to the driver between
+    iterations (k·dims doubles — tiny; the same sync MLlib's KMeans
+    does): a fully lazy chain was tried and rejected because the
+    empty-cell fallback references the previous centroid table twice,
+    doubling the plan tree per iteration. Set ``sample_mod`` so the
+    sample stays a few million rows; ``iters`` is fixed (no convergence
+    probe) so the job count is known up front — 3–5 iterations is
+    standard for a coarse quantizer.
     """
     sample = df
     if sample_mod > 1:
@@ -228,28 +237,30 @@ def kmeans_centroids(
     ]
 
     spark = df.sparkSession
+    # unrolled left-to-right squared distance — identical fold order to
+    # the literal-inlined form, so centroids are bit-identical with it;
+    # O(dims) terms regardless of k
+    d2 = F.expr(
+        "0.0D + "
+        + " + ".join(f"(p_v[{i}]-g_v[{i}])*(p_v[{i}]-g_v[{i}])" for i in range(dims))
+    )
     for _ in range(max(0, iters)):
-        # argmin over an inline array<struct<d2,cent_id>> — struct
-        # ordering gives min d2 with cent_id tie-break, deterministically
-        cand = F.array(
-            *[
-                F.struct(
-                    F.expr(
-                        "0.0D + "
-                        + " + ".join(
-                            # parenthesized literal: a bare negative
-                            # would form `--`, a SQL line comment
-                            f"(p_v[{i}]-({c[i]!r}D))*(p_v[{i}]-({c[i]!r}D))"
-                            for i in range(dims)
-                        )
-                    ).alias("d2"),
-                    F.lit(cid).alias("cent_id"),
-                )
-                for cid, c in cent_rows
-            ]
-        )
-        assigned = pts.select(
-            F.array_min(cand)["cent_id"].alias("cent_id"), "p_v"
+        cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
+        # struct ordering gives min d2 with cent_id tie-break,
+        # deterministically; map-side partial agg reduces the k
+        # candidates of each point before any shuffle
+        assigned = (
+            pts.crossJoin(F.broadcast(cent_df))
+            .select(
+                "p_id",
+                "p_v",
+                F.struct(d2.alias("d2"), F.col("cent_id").alias("cent_id")).alias("cand"),
+            )
+            .groupBy("p_id")
+            .agg(
+                F.min("cand").getField("cent_id").alias("cent_id"),
+                F.first("p_v").alias("p_v"),
+            )
         )
         means = assigned.groupBy("cent_id").agg(
             *[F.avg(F.col("p_v")[i]).alias(f"m{i}") for i in range(dims)]

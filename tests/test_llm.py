@@ -306,3 +306,49 @@ def test_ivf_topk_self_hit_and_recall_monotone_in_nprobe(spark, emb):
     # more probed cells → recall against the exact answer can only grow
     assert len(h1 & exact) <= len(h4 & exact)
     assert len(h4 & exact) > 0
+
+
+def test_kmeans_centroids_deterministic_and_plan_size_independent_of_k(spark, emb):
+    from kolang_spark.llm import kmeans_centroids
+
+    a = kmeans_centroids(emb, k=4, dims=64, iters=2).orderBy("cent_id").collect()
+    b = kmeans_centroids(emb, k=4, dims=64, iters=2).orderBy("cent_id").collect()
+    # deterministic end to end: same input → bit-identical centroids
+    assert [(r.cent_id, r.g_v) for r in a] == [(r.cent_id, r.g_v) for r in b]
+    assert [r.cent_id for r in a] == [0, 1, 2, 3]
+    assert all(len(r.g_v) == 64 for r in a)
+    # centroids moved off their seeds (the k smallest vec_ids)
+    seeds = emb.orderBy("vec_id").limit(4).collect()
+    assert [list(map(float, s.embedding)) for s in seeds] != [r.g_v for r in a]
+
+    # the assignment expression must not inline centroids as literals:
+    # plan text size stays flat as k grows (O(dims), not O(k*dims))
+    import io as _io
+    from contextlib import redirect_stdout
+
+    def plan_len(k):
+        sample = emb.select(
+            F.col("vec_id").alias("p_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("p_v"),
+        )
+        from kolang_spark.llm.similarity import _as_double  # noqa: F401
+        cents = kmeans_centroids(emb, k=k, dims=64, iters=1)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            cents.explain("formatted")
+        return len(buf.getvalue())
+
+    small, large = plan_len(2), plan_len(8)
+    assert large < small * 2  # 4x the centroids, ~same plan
+
+
+def test_kmeans_centroids_empty_cell_keeps_seed(spark):
+    from kolang_spark.llm import kmeans_centroids
+
+    # two far clusters, k=3: one seed never wins a cell and must
+    # survive unchanged (deterministic empty-cell fallback)
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(10 + i, [9.0, 9.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r.cent_id: r.g_v for r in kmeans_centroids(df, k=3, dims=2, iters=2).collect()}
+    assert out[2] == [0.0, 0.0]  # empty cell kept its seed vector
+    assert out[0] == [0.0, 0.0] and out[1] == [9.0, 9.0] or out[1] == [0.0, 0.0]
