@@ -332,6 +332,37 @@ def _q_add_trend_line(spark, sf_dir):
     )
 
 
+def _q_ewma_users(spark, sf_dir):
+    """Final per-user EWMA state of the stateful streaming fold
+    (`kolang_spark/streaming/stateful.py`), via its batch closed form
+    s_final = Σᵢ vᵢ·exp(−λ·(t_last − tᵢ)) — order-insensitive, hence
+    SQL-expressible and oracle-checked. tests/test_stateful.py proves
+    the closed form equals replaying the stream micro-batch by
+    micro-batch."""
+    from kolang_spark.streaming import ewma_batch
+
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_batch(ev, key="user_id", ts="ts", value="value", half_life_s=600.0)
+    return out.select(
+        "user_id",
+        F.round("ewma", 6).alias("ewma"),
+        "n_events",
+        "last_us",
+    )
+
+
+def _q_dedup_stream_batch(spark, sf_dir):
+    """Deterministic batch replay of the streaming first-seen dedup
+    (`kolang_spark/streaming/dedup.py`): keep the min-doc_id row per
+    canonical-text fingerprint."""
+    from kolang_spark.llm.textstats import doc_fingerprint
+    from kolang_spark.streaming import dedup_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_stream(docs, text_col="text", order_col="doc_id")
+    return out.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
 def _q_sessionize_stream_semantics(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     from kolang_spark.streaming import sessionize
@@ -859,7 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_part_sizes": _q_bin_part_sizes,
         "sum_columns_lineitem": _q_sum_columns_lineitem,
         "moving_average_revenue": _q_moving_average_revenue,
-        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "ewma_users": _q_ewma_users,
         "jalali_roundtrip": _q_jalali_roundtrip,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "union_customers_suppliers": _q_union_customers_suppliers,
@@ -914,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
         "scale_cumulative_revenue": _q_scale_cumulative_revenue,
+        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "dedup_stream_batch": _q_dedup_stream_batch,
     }
 
 
@@ -1477,6 +1510,35 @@ def oracle_sql() -> dict[str, str]:
                    WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
                    ELSE 'es' END AS lang_pred
             FROM m
+        """,
+        "ewma_users": f"""
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+            ), m AS (
+              SELECT user_id, MAX(t_us) AS last_us FROM e GROUP BY user_id
+            )
+            SELECT e.user_id,
+                   round(SUM(e.value *
+                             exp(-{__import__("math").log(2) / 600.0!r} *
+                                 (m.last_us - e.t_us) / 1e6)), 6) AS ewma,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(m.last_us AS BIGINT) AS last_us
+            FROM e JOIN m USING (user_id)
+            GROUP BY e.user_id, m.last_us
+        """,
+        "dedup_stream_batch": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM documents
+            ), r AS (
+              SELECT doc_id, fingerprint,
+                     ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                        ORDER BY doc_id) AS rn
+              FROM f
+            )
+            SELECT doc_id, fingerprint FROM r WHERE rn = 1
         """,
         "fingerprint_documents": r"""
             SELECT doc_id,

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import doc_fingerprint
 
@@ -25,6 +26,7 @@ def dedup_stream(
     text_col: str = "text",
     ts_col: Optional[str] = None,
     watermark: Optional[str] = None,
+    order_col: Optional[str] = None,
 ) -> DataFrame:
     """Keep the first-seen row per canonical-text fingerprint.
 
@@ -32,6 +34,12 @@ def dedup_stream(
     fingerprint state older than the watermark is evicted; duplicates
     arriving later than that are no longer detected — the documented,
     bounded-state trade. Batch: both may stay None.
+
+    Batch ``dropDuplicates`` keeps an *arbitrary* row per key; pass
+    ``order_col`` (batch only) to keep the minimum-``order_col`` row
+    instead — the deterministic replay of "first seen" that an
+    oracle can check. One shuffle either way; the window variant's
+    ``rank <= 1`` filter is pushed map-side by WindowGroupLimit.
     """
     out = df.withColumn("__ks_fp__", doc_fingerprint(text_col))
     if watermark is not None:
@@ -39,4 +47,11 @@ def dedup_stream(
             raise ValueError("watermark requires ts_col")
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")
+    if order_col is not None:
+        w = Window.partitionBy("__ks_fp__").orderBy(order_col)
+        return (
+            out.withColumn("__ks_rn__", F.row_number().over(w))
+            .where(F.col("__ks_rn__") == 1)
+            .drop("__ks_fp__", "__ks_rn__")
+        )
     return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")

@@ -20,10 +20,11 @@ import math
 from typing import Iterator, Optional, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_ewma", "ewma_batch_reference"]
+__all__ = ["stateful_ewma", "ewma_batch", "ewma_batch_reference"]
 
 
 def _lam(half_life_s: float) -> float:
@@ -109,6 +110,45 @@ def stateful_ewma(
         df.select(key, ts, value)
         .groupBy(key)
         .applyInPandasWithState(fold, out_schema, state_schema, "update", timeout)
+    )
+
+
+def ewma_batch(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    half_life_s: float = 600.0,
+) -> DataFrame:
+    """Batch closed form of :func:`stateful_ewma`'s final per-key state.
+
+    The sequential fold ``s ← v + s·exp(−λ·Δt)`` telescopes to
+    ``s_final = Σᵢ vᵢ·exp(−λ·(t_last − tᵢ))`` — every event's value
+    decayed by its age at the last event. The closed form is
+    order-insensitive (ties contribute ``exp(0)=1`` regardless of fold
+    order), so it is expressible as native aggregation — no state
+    store, no Python: one window to attach ``t_last`` per key, then a
+    map-side-combinable groupBy that reuses the window's hash
+    partitioning (single shuffle total). Mathematically identical to
+    replaying the stream in event-time order; floating-point summation
+    order may differ in low bits (tests bound it at 1e-9 relative).
+
+    Returns ``(key, ewma, n_events, last_us)`` — the same state
+    ``stateful_ewma`` would emit after its final micro-batch, with
+    ``last_ts`` as epoch microseconds for engine-portable comparison.
+    """
+    lam = _lam(half_life_s)
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    w = Window.partitionBy(key)
+    staged = df.select(F.col(key), t_us.alias("_t_us"), F.col(value).alias("_v"))
+    staged = staged.withColumn("_last_us", F.max("_t_us").over(w))
+    decayed = F.col("_v") * F.exp(
+        F.lit(-lam) * (F.col("_last_us") - F.col("_t_us")) / F.lit(1e6)
+    )
+    return staged.groupBy(key).agg(
+        F.sum(decayed).alias("ewma"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("_t_us").alias("last_us"),
     )
 
 

@@ -91,3 +91,47 @@ def test_decay_halves_at_half_life(spark):
     rows = [(base, 8.0), (base + dt.timedelta(seconds=600), 0.0)]
     # one half-life later, a zero-value event leaves exactly half
     assert ewma_batch_reference(rows, half_life_s=600.0) == pytest.approx(4.0)
+
+
+def test_closed_form_matches_streaming_fold(spark, tmp_path):
+    """ewma_batch (native SQL closed form) == stateful_ewma's final
+    state after replaying the same events as a real multi-batch
+    stream — the batch surface the driver's oracle checks."""
+    from kolang_spark.streaming import ewma_batch
+
+    ev = sorted(_events(), key=lambda r: r[1])
+    table = _run_stream(spark, tmp_path, [ev[:4], ev[4:7], ev[7:]])
+    stream_final = {
+        r["user_id"]: (r["ewma"], r["n_events"])
+        for r in table.orderBy("n_events").collect()
+    }
+
+    df = spark.createDataFrame(ev, "user_id long, ts timestamp, value double")
+    batch = {
+        r["user_id"]: (r["ewma"], r["n_events"])
+        for r in ewma_batch(df, half_life_s=600.0).collect()
+    }
+    assert set(batch) == set(stream_final)
+    for k in batch:
+        assert batch[k][1] == stream_final[k][1]
+        assert batch[k][0] == pytest.approx(stream_final[k][0], rel=1e-9), f"key {k}"
+
+
+def test_ewma_batch_single_shuffle(spark):
+    """The window's hash partitioning must be reused by the groupBy —
+    exactly one Exchange in the plan."""
+    from kolang_spark.streaming import ewma_batch
+
+    df = spark.createDataFrame(_events(), "user_id long, ts timestamp, value double")
+    plan = ewma_batch(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dedup_stream_order_col_keeps_min(spark):
+    from kolang_spark.streaming import dedup_stream
+
+    rows = [(3, "Same  Text"), (1, "same text"), (2, "other"), (9, "SAME TEXT ")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = sorted(r.doc_id for r in dedup_stream(df, order_col="doc_id").collect())
+    # ids 1/3/9 canonicalize identically -> min id 1 survives; 2 unique
+    assert out == [1, 2]
