@@ -466,10 +466,14 @@ def embedding_near_dup_pairs(
     scale. The production operator is
     :func:`embedding_near_dup_pairs_lsh` (identical scoring, sign-LSH
     bucket equi-join). To keep the quadratic plan from being launched by
-    accident, the input is counted first and anything over ``max_rows``
-    raises with a pointer to the LSH variant; pass ``max_rows=None`` to
-    opt in deliberately (the count — one column-pruned scan — is the
-    price of the guard).
+    accident, the input is size-probed first and anything over
+    ``max_rows`` raises with a pointer to the LSH variant; pass
+    ``max_rows=None`` to opt in deliberately. The probe is a
+    ``limit(max_rows+1).count()`` — bounded work regardless of input
+    size (early-stops after ``max_rows+1`` rows), so the guard's cost
+    does not grow with the corpus. Guarding by default is a deliberate
+    behavior change over the unguarded original: an accidental O(n²)
+    launch at corpus scale is strictly worse than an up-front error.
 
     Inside the quadratic loop the engineering is still tight: norms are
     precomputed once per vector and carried through the join, and with
@@ -482,11 +486,11 @@ def embedding_near_dup_pairs(
     from kolang_spark.utils import pushdown_fence
 
     if max_rows is not None:
-        n = df.select(id_col).count()
+        n = df.select(id_col).limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"embedding_near_dup_pairs is the exact O(n²) baseline; "
-                f"input has {n} rows > max_rows={max_rows}. Use "
+                f"input exceeds max_rows={max_rows}. Use "
                 f"embedding_near_dup_pairs_lsh (same scoring, bucketed "
                 f"equi-join) or pass max_rows=None to opt in."
             )
