@@ -277,30 +277,57 @@ def connected_components(
     turns near-duplicate *pairs* into duplicate *clusters* (A~B and B~C
     must collapse into one group even when A~C was never emitted).
 
-    Iterative minimum-label propagation: every vertex starts labeled
-    with its own id; each round takes the min of its own and its
-    neighbors' labels; converges in O(component diameter) rounds —
-    near-dup clusters are shallow, so a handful. Each round is one
-    equi-join + one groupBy (hash-partitioned, fully parallel — the
-    standard large-graph CC formulation); lineage is truncated per
-    round with ``localCheckpoint`` so plans don't snowball.
+    Iterative minimum-label propagation with **pointer jumping**: every
+    vertex starts labeled with its own id; each round takes the min of
+    its own and its neighbors' labels, then jumps each label to its
+    label's label (path halving — the Hash-to-Min/star-contraction
+    family, Kiveris et al., "Connected Components in MapReduce and
+    Beyond"). Label distance to the component minimum roughly doubles
+    per round, so convergence is O(log diameter) rounds instead of
+    O(diameter) — a 1000-deep chain resolves in ~10 rounds, not 1000.
+    Each round is two equi-joins + one groupBy (hash-partitioned, fully
+    parallel); lineage is truncated per round with ``localCheckpoint``
+    so plans don't snowball.
 
     Returns ``(id, component)`` for every vertex appearing in ``edges``,
     where ``component`` is the minimum vertex id of the cluster.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
-
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # self-loops fold "min of self and neighbors" into one equi-join, so
+    # each round references the label table exactly once (a dual
+    # union+join reference trips attribute dedup on checkpointed plans)
+    verts = sym.select("a").distinct()
+    sym = (
+        sym.union(verts.select("a", F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+
+    labels = verts.select(F.col("a").alias("id"), F.col("a").alias("lbl"))
     for _ in range(max_iter):
-        nbr = sym.join(labels, sym["b"] == labels["id"]).select(
-            F.col("a").alias("id"), "lbl"
-        )
+        propagated = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(F.col("a").alias("id"), "lbl")
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        # pointer jump: lbl ← lbl(lbl). Labels only ever decrease, so
+        # the jump is safe and deterministic; checkpointing `propagated`
+        # first keeps the self-join from recomputing the aggregation.
         new_labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            propagated.alias("x")
+            .join(
+                propagated.select(
+                    F.col("id").alias("pid"), F.col("lbl").alias("plbl")
+                ),
+                F.col("x.lbl") == F.col("pid"),
+                "left",
+            )
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce("plbl", F.col("x.lbl")).alias("lbl"),
+            )
         ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")

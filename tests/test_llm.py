@@ -352,3 +352,16 @@ def test_kmeans_centroids_empty_cell_keeps_seed(spark):
     out = {r.cent_id: r.g_v for r in kmeans_centroids(df, k=3, dims=2, iters=2).collect()}
     assert out[2] == [0.0, 0.0]  # empty cell kept its seed vector
     assert out[0] == [0.0, 0.0] and out[1] == [9.0, 9.0] or out[1] == [0.0, 0.0]
+
+
+def test_connected_components_deep_chain_logarithmic_rounds(spark):
+    """A 64-deep path resolves within max_iter=8 — only possible with
+    pointer jumping (plain min-propagation needs ~64 rounds)."""
+    from kolang_spark.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges, max_iter=8).collect()}
+    assert len(comp) == 65
+    assert set(comp.values()) == {0}
