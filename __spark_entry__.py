@@ -332,6 +332,25 @@ def _q_add_trend_line(spark, sf_dir):
     )
 
 
+def _q_add_trend_line_deg2(spark, sf_dir):
+    """Degree-2 polynomial trend (D7 stretch): same closed-form OLS
+    path as `add_trend_line`, one aggregate pass for the 5 x-moments +
+    3 xy-moments, numpy solve of the 3x3 normal equations. The oracle
+    solves the identical system in SQL via Cramer's rule; measured
+    numpy-vs-Cramer fitted-value divergence is ~5e-14, so round(4) pins
+    the fit with 10 orders of margin."""
+    od = _t(spark, sf_dir, "orders")
+    daily = (
+        od.withColumn("d", F.col("o_orderdate").cast("date"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    )
+    out = ks.add_trend_line(daily, "n_orders", date_col="d", prediction_day=7, degree=2)
+    return out.select(
+        "d", F.round("n_orders_trendline", 4).alias("trend"), "n_orders"
+    )
+
+
 def _q_ewma_users(spark, sf_dir):
     """Final per-user EWMA state of the stateful streaming fold
     (`kolang_spark/streaming/stateful.py`), via its batch closed form
@@ -947,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_cumulative_revenue": _q_scale_cumulative_revenue,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "dedup_stream_batch": _q_dedup_stream_batch,
+        "add_trend_line_deg2": _q_add_trend_line_deg2,
     }
 
 
@@ -1742,6 +1762,49 @@ def oracle_sql() -> dict[str, str]:
         # kolang_spark.operators.trend computes distributively, solved via
         # the 2×2 normal-equation formula instead of numpy's pivoted LU —
         # agreement far inside the round(4) presentation.
+        "add_trend_line_deg2": """
+            WITH daily AS (
+              SELECT o_orderdate AS d, CAST(COUNT(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY 1
+            ), b AS (
+              SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily
+            ), m AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS s0,
+                     SUM(pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 1)) AS s1,
+                     SUM(pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 2)) AS s2,
+                     SUM(pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 3)) AS s3,
+                     SUM(pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 4)) AS s4,
+                     SUM(n_orders) AS t0,
+                     SUM(n_orders * pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 1)) AS t1,
+                     SUM(n_orders * pow(CAST(date_diff('day', b.d0, d) AS DOUBLE), 2)) AS t2
+              FROM daily, b GROUP BY ALL
+            ), fit AS (
+              -- Cramer's rule on the 3x3 normal equations (X'X)b = X'y
+              SELECT
+                (t0*(s2*s4-s3*s3) - s1*(t1*s4-s3*t2) + s2*(t1*s3-s2*t2))
+                / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS b0,
+                (s0*(t1*s4-s3*t2) - t0*(s1*s4-s3*s2) + s2*(s1*t2-t1*s2))
+                / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS b1,
+                (s0*(s2*t2-t1*s3) - s1*(s1*t2-t1*s2) + t0*(s1*s3-s2*s2))
+                / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS b2
+              FROM m
+            ), spine AS (
+              SELECT CAST(unnest(generate_series(
+                       b.d0::TIMESTAMP, (b.d1 + INTERVAL 7 DAY)::TIMESTAMP,
+                       INTERVAL 1 DAY)) AS DATE) AS d
+              FROM b
+            )
+            SELECT s.d,
+                   ROUND(fit.b0
+                         + fit.b1*CAST(date_diff('day', b.d0, s.d) AS DOUBLE)
+                         + fit.b2*pow(CAST(date_diff('day', b.d0, s.d) AS DOUBLE), 2),
+                         4) AS trend,
+                   daily.n_orders
+            FROM spine s
+            CROSS JOIN fit
+            CROSS JOIN b
+            LEFT JOIN daily ON daily.d = s.d
+        """,
         "add_trend_line": """
             WITH daily AS (
               SELECT o_orderdate AS d, CAST(COUNT(*) AS DOUBLE) AS n_orders
