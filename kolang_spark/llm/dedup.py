@@ -458,23 +458,36 @@ def simhash_hamming_pairs(
     ).select("id", "sig", "band.band_id", "band.band_bits")
 
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    # a pair that agrees on several bands would surface once per band;
+    # keep it only at its FIRST agreeing band (a bitwise filter on the
+    # already-joined sigs) — exactly one row per pair, so no DISTINCT
+    # re-shuffle of the candidate stream is needed
+    first_agree = None
+    for i, (shift, width) in enumerate(_simhash_bands(bits, n_bands)):
+        band_zero = (
+            F.shiftrightunsigned(xor, shift).bitwiseAND(F.lit((1 << width) - 1)) == 0
+        )
+        first_agree = (
+            F.when(band_zero, F.lit(i))
+            if first_agree is None
+            else first_agree.when(band_zero, F.lit(i))
+        )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_bits") == F.col("b.band_bits"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .where(F.col("a.band_id") == first_agree)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
-            .cast("long")
-            .alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= max_distance)
     )
-    return cand.distinct()
 
 
 def embedding_near_dup_pairs(

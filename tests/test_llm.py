@@ -365,3 +365,29 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
     comp = {r["id"]: r["component"] for r in connected_components(edges, max_iter=8).collect()}
     assert len(comp) == 65
     assert set(comp.values()) == {0}
+
+
+def test_simhash_hamming_pairs_matches_brute_force(spark, docs):
+    """Banded candidate generation + first-agreeing-band dedup must
+    equal the O(n^2) definition: every unordered pair with
+    bit_count(xor(sig)) <= d, exactly once."""
+    from kolang_spark.llm import simhash_hamming_pairs
+
+    sub = docs.limit(200)
+    sigs = {
+        r.doc_id: r.s
+        for r in sub.select("doc_id", simhash("text", 16).alias("s")).collect()
+    }
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 2
+    }
+    got = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(sub, bits=16, max_distance=2).collect()
+    ]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    assert set(got) == expect
