@@ -312,10 +312,22 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
         ).localCheckpoint(eager=True)
+        # convergence test on the propagation itself: stable-under-
+        # propagation means labels are equal across every edge, i.e.
+        # constant per component — fully converged, and the jump below
+        # would be a no-op, so the last round skips its join entirely
+        changed = (
+            propagated.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        if changed == 0:
+            break
         # pointer jump: lbl ← lbl(lbl). Labels only ever decrease, so
         # the jump is safe and deterministic; checkpointing `propagated`
         # first keeps the self-join from recomputing the aggregation.
-        new_labels = (
+        labels = (
             propagated.alias("x")
             .join(
                 propagated.select(
@@ -329,15 +341,6 @@ def connected_components(
                 F.coalesce("plbl", F.col("x.lbl")).alias("lbl"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.select("id", F.col("lbl").alias("component"))
 
 
