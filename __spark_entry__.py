@@ -332,6 +332,26 @@ def _q_add_trend_line(spark, sf_dir):
     )
 
 
+def _q_repetition_documents(spark, sf_dir):
+    """Gopher/C4-style within-document repetition signals
+    (`kolang_spark/llm/textstats.py::repetition_metrics`): duplicate
+    word/2-gram fractions and top-word frequency, per-row Column
+    algebra (sorted-run fold for the mode count — no explode, no
+    shuffle). The oracle recomputes via unnest+groupBy, a different
+    algorithm arriving at the same exact integers."""
+    from kolang_spark.llm import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics("text", ngram=2)
+    return docs.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        F.round(m["dup_word_ratio"], 6).alias("dup_word_ratio"),
+        F.round(m["top_word_ratio"], 6).alias("top_word_ratio"),
+        F.round(m["dup_ngram_ratio"], 6).alias("dup_2gram_ratio"),
+    )
+
+
 def _q_add_trend_line_deg2(spark, sf_dir):
     """Degree-2 polynomial trend (D7 stretch): same closed-form OLS
     path as `add_trend_line`, one aggregate pass for the 5 x-moments +
@@ -967,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "dedup_stream_batch": _q_dedup_stream_batch,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
+        "repetition_documents": _q_repetition_documents,
     }
 
 
@@ -1559,6 +1580,44 @@ def oracle_sql() -> dict[str, str]:
               FROM f
             )
             SELECT doc_id, fingerprint FROM r WHERE rn = 1
+        """,
+        "repetition_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+              FROM documents
+            ), words AS (
+              SELECT doc_id, u.x AS tok FROM t, unnest(w) AS u(x)
+              WHERE trim(array_to_string(w, '')) <> ''
+            ), wc AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM words GROUP BY doc_id, tok
+            ), wagg AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                     CAST(MAX(c) AS BIGINT) AS top_c
+              FROM wc GROUP BY doc_id
+            ), grams AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i + 1]) AS g
+              FROM t
+            ), gagg AS (
+              SELECT doc_id, len(g) AS ng, len(list_distinct(g)) AS ngd
+              FROM grams
+            )
+            SELECT t.doc_id,
+                   COALESCE(wagg.n_words, 0) AS n_words,
+                   round(COALESCE((wagg.n_words - wagg.n_distinct)
+                                  / CAST(wagg.n_words AS DOUBLE), 0), 6)
+                     AS dup_word_ratio,
+                   round(COALESCE(wagg.top_c / CAST(wagg.n_words AS DOUBLE), 0), 6)
+                     AS top_word_ratio,
+                   round(CASE WHEN gagg.ng > 0
+                              THEN (gagg.ng - gagg.ngd) / CAST(gagg.ng AS DOUBLE)
+                              ELSE 0 END, 6) AS dup_2gram_ratio
+            FROM t
+            LEFT JOIN wagg USING (doc_id)
+            LEFT JOIN gagg USING (doc_id)
         """,
         "fingerprint_documents": r"""
             SELECT doc_id,

@@ -39,6 +39,7 @@ from kolang_spark.llm.textstats import (  # noqa: F401
     doc_fingerprint,
     lang_id,
     quality_metrics,
+    repetition_metrics,
     simhash,
     token_count,
     tokenize,

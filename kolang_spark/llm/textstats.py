@@ -167,6 +167,64 @@ def doc_fingerprint(col: ColumnOrName) -> Column:
     return F.md5(F.encode(canon, "UTF-8"))
 
 
+def repetition_metrics(col: ColumnOrName, ngram: int = 2) -> Dict[str, Column]:
+    """Within-document repetition signals (the Gopher/C4 rule family):
+    excessive repetition is a strong low-quality marker for pretraining
+    corpora.
+
+    * ``dup_word_ratio`` — fraction of word occurrences that repeat an
+      earlier word: ``1 − distinct/total``.
+    * ``top_word_ratio`` — occurrences of the most frequent word over
+      total words. Computed as the longest run in the *sorted* token
+      array via one O(n) ``aggregate`` fold (no explode, no shuffle) —
+      the mode count without a groupBy.
+    * ``dup_ngram_ratio`` — same dup fraction over contiguous word
+      ``ngram``-grams (default 2).
+
+    Pure per-row Column algebra: one ``tokenize`` (let-bound so the HOF
+    lambdas don't re-evaluate it), ``array_sort`` + fold, ``size`` /
+    ``array_distinct``. Zero shuffles; scales with cores, not data
+    layout.
+    """
+    c = to_col(col)
+
+    def build(w: Column) -> Dict[str, Column]:
+        n = F.size(w)
+        nd = F.size(F.array_distinct(w))
+        grams = word_ngrams(w, ngram)
+        ng = F.size(grams)
+        ngd = F.size(F.array_distinct(grams))
+        # longest equal run in the sorted array == max word frequency
+        run_best = F.aggregate(
+            F.array_sort(w),
+            F.struct(
+                F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(1).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(1),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return {
+            "n_words": n.cast("long"),
+            "dup_word_ratio": F.when(n > 0, (n - nd) / n).otherwise(0.0),
+            "top_word_ratio": F.when(n > 0, run_best / n).otherwise(0.0),
+            "dup_ngram_ratio": F.when(ng > 0, (ng - ngd) / ng).otherwise(0.0),
+        }
+
+    bound = bind_once(
+        tokenize(c),
+        lambda w: F.struct(*[v.alias(k) for k, v in build(w).items()]),
+    )
+    keys = ["n_words", "dup_word_ratio", "top_word_ratio", "dup_ngram_ratio"]
+    return {k: bound[k] for k in keys}
+
+
 def _token_hash60(token: Column) -> Column:
     """60-bit integer hash of a token via md5 hex (conv of 15 hex chars).
 

@@ -391,3 +391,24 @@ def test_simhash_hamming_pairs_matches_brute_force(spark, docs):
     ]
     assert len(got) == len(set(got)), "pair emitted more than once"
     assert set(got) == expect
+
+
+def test_repetition_metrics_hand_checked(spark):
+    from kolang_spark.llm import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y z w"), (3, "p q p q p q"), (4, "")],
+        "doc_id int, text string",
+    )
+    m = repetition_metrics("text")
+    out = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()
+    }
+    assert (out[1].n_words, out[1].dup_word_ratio, out[1].top_word_ratio) == (5, 0.4, 0.6)
+    assert out[1].dup_ngram_ratio == 0.25  # grams: aa,aa,ab,bc -> 1 dup of 4
+    assert out[2].dup_word_ratio == 0.0 and out[2].top_word_ratio == 0.25
+    assert out[3].dup_word_ratio == pytest.approx(4 / 6)
+    assert out[3].top_word_ratio == 0.5
+    assert out[3].dup_ngram_ratio == pytest.approx(3 / 5)  # pq,qp,pq,qp,pq
+    assert (out[4].n_words, out[4].dup_word_ratio) == (0, 0.0)
