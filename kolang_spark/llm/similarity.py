@@ -185,6 +185,40 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _kmeans_assign(pts: DataFrame, cent_df: DataFrame, dims: int) -> DataFrame:
+    """One Lloyd's assignment step: each ``(p_id, p_v)`` point gets the
+    ``cent_id`` of its nearest centroid in ``cent_df``.
+
+    The squared distance is an unrolled left-to-right O(dims)
+    expression over the *joined* ``g_v`` column — plan size is
+    independent of k (the regression this guards against inlined the
+    k×dims centroid components as literals and stopped planning at
+    production centroid counts; tests explain() this frame and assert
+    flatness in k). ``min(struct(d2, cent_id))`` is the per-point
+    argmin with a deterministic cent_id tie-break; the k candidate
+    rows of a point are produced consecutively by the broadcast
+    nested-loop join, so the hash aggregate completes the min map-side
+    and the shuffle carries one reduced row per point.
+    """
+    d2 = F.expr(
+        "0.0D + "
+        + " + ".join(f"(p_v[{i}]-g_v[{i}])*(p_v[{i}]-g_v[{i}])" for i in range(dims))
+    )
+    return (
+        pts.crossJoin(F.broadcast(cent_df))
+        .select(
+            "p_id",
+            "p_v",
+            F.struct(d2.alias("d2"), F.col("cent_id").alias("cent_id")).alias("cand"),
+        )
+        .groupBy("p_id")
+        .agg(
+            F.min("cand").getField("cent_id").alias("cent_id"),
+            F.first("p_v").alias("p_v"),
+        )
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,
@@ -237,31 +271,9 @@ def kmeans_centroids(
     ]
 
     spark = df.sparkSession
-    # unrolled left-to-right squared distance — identical fold order to
-    # the literal-inlined form, so centroids are bit-identical with it;
-    # O(dims) terms regardless of k
-    d2 = F.expr(
-        "0.0D + "
-        + " + ".join(f"(p_v[{i}]-g_v[{i}])*(p_v[{i}]-g_v[{i}])" for i in range(dims))
-    )
     for _ in range(max(0, iters)):
         cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
-        # struct ordering gives min d2 with cent_id tie-break,
-        # deterministically; map-side partial agg reduces the k
-        # candidates of each point before any shuffle
-        assigned = (
-            pts.crossJoin(F.broadcast(cent_df))
-            .select(
-                "p_id",
-                "p_v",
-                F.struct(d2.alias("d2"), F.col("cent_id").alias("cent_id")).alias("cand"),
-            )
-            .groupBy("p_id")
-            .agg(
-                F.min("cand").getField("cent_id").alias("cent_id"),
-                F.first("p_v").alias("p_v"),
-            )
-        )
+        assigned = _kmeans_assign(pts, cent_df, dims)
         means = assigned.groupBy("cent_id").agg(
             *[F.avg(F.col("p_v")[i]).alias(f"m{i}") for i in range(dims)]
         )

@@ -210,11 +210,14 @@ def repetition_metrics(col: ColumnOrName, ngram: int = 2) -> Dict[str, Column]:
             ),
             lambda acc: acc["best"],
         )
+        # NULL text: size(split(NULL)) is NULL — coalesce so NULL and ""
+        # both report n_words=0 (matches the DuckDB oracle's COALESCE).
+        n0 = F.coalesce(n, F.lit(0))
         return {
-            "n_words": n.cast("long"),
-            "dup_word_ratio": F.when(n > 0, (n - nd) / n).otherwise(0.0),
-            "top_word_ratio": F.when(n > 0, run_best / n).otherwise(0.0),
-            "dup_ngram_ratio": F.when(ng > 0, (ng - ngd) / ng).otherwise(0.0),
+            "n_words": n0.cast("long"),
+            "dup_word_ratio": F.when(n0 > 0, (n - nd) / n).otherwise(0.0),
+            "top_word_ratio": F.when(n0 > 0, run_best / n).otherwise(0.0),
+            "dup_ngram_ratio": F.when(F.coalesce(ng, F.lit(0)) > 0, (ng - ngd) / ng).otherwise(0.0),
         }
 
     bound = bind_once(

@@ -45,6 +45,12 @@ def dedup_stream(
     if watermark is not None:
         if ts_col is None:
             raise ValueError("watermark requires ts_col")
+        if order_col is not None:
+            raise ValueError(
+                "order_col is batch-only; streaming state keeps the "
+                "first-arrived row per fingerprint, so a deterministic "
+                "min-order_col pick is not available under a watermark"
+            )
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")
     if order_col is not None:

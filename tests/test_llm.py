@@ -322,24 +322,31 @@ def test_kmeans_centroids_deterministic_and_plan_size_independent_of_k(spark, em
     assert [list(map(float, s.embedding)) for s in seeds] != [r.g_v for r in a]
 
     # the assignment expression must not inline centroids as literals:
-    # plan text size stays flat as k grows (O(dims), not O(k*dims))
+    # plan text size stays flat as k grows (O(dims), not O(k*dims)).
+    # Explain the per-iteration *assignment* frame itself — the final
+    # centroid table is a trivial LocalTableScan and would pass for any
+    # implementation.
     import io as _io
     from contextlib import redirect_stdout
 
+    from kolang_spark.llm.similarity import _as_double, _kmeans_assign
+
     def plan_len(k):
-        sample = emb.select(
-            F.col("vec_id").alias("p_id"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("p_v"),
+        pts = emb.select(
+            F.col("vec_id").alias("p_id"), _as_double(F.col("embedding")).alias("p_v")
         )
-        from kolang_spark.llm.similarity import _as_double  # noqa: F401
-        cents = kmeans_centroids(emb, k=k, dims=64, iters=1)
+        cent_rows = [(i, [float(i)] * 64) for i in range(k)]
+        cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
         buf = _io.StringIO()
         with redirect_stdout(buf):
-            cents.explain("formatted")
+            _kmeans_assign(pts, cent_df, dims=64).explain("formatted")
         return len(buf.getvalue())
 
-    small, large = plan_len(2), plan_len(8)
-    assert large < small * 2  # 4x the centroids, ~same plan
+    small, large = plan_len(2), plan_len(32)
+    # 16x the centroids, ~same plan text (allow slack for row-count
+    # annotations); an O(k*dims) literal-inlined distance would blow
+    # this up ~16x
+    assert large < small * 1.5
 
 
 def test_kmeans_centroids_empty_cell_keeps_seed(spark):
@@ -351,7 +358,12 @@ def test_kmeans_centroids_empty_cell_keeps_seed(spark):
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
     out = {r.cent_id: r.g_v for r in kmeans_centroids(df, k=3, dims=2, iters=2).collect()}
     assert out[2] == [0.0, 0.0]  # empty cell kept its seed vector
-    assert out[0] == [0.0, 0.0] and out[1] == [9.0, 9.0] or out[1] == [0.0, 0.0]
+    # the two live centroids converge to the two cluster centers, in
+    # either assignment order
+    assert (out[0], out[1]) in (
+        ([0.0, 0.0], [9.0, 9.0]),
+        ([9.0, 9.0], [0.0, 0.0]),
+    )
 
 
 def test_connected_components_deep_chain_logarithmic_rounds(spark):
@@ -412,3 +424,19 @@ def test_repetition_metrics_hand_checked(spark):
     assert out[3].top_word_ratio == 0.5
     assert out[3].dup_ngram_ratio == pytest.approx(3 / 5)  # pq,qp,pq,qp,pq
     assert (out[4].n_words, out[4].dup_word_ratio) == (0, 0.0)
+
+
+def test_repetition_metrics_null_text_is_zero(spark):
+    """NULL text must behave like the empty string (n_words=0, ratios
+    0.0) — matching the DuckDB oracle's COALESCE, not propagate NULL."""
+    from kolang_spark.llm import repetition_metrics
+
+    df = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    m = repetition_metrics("text")
+    r = df.select(*[v.alias(k) for k, v in m.items()]).collect()[0]
+    assert (r.n_words, r.dup_word_ratio, r.top_word_ratio, r.dup_ngram_ratio) == (
+        0,
+        0.0,
+        0.0,
+        0.0,
+    )

@@ -135,3 +135,16 @@ def test_dedup_stream_order_col_keeps_min(spark):
     out = sorted(r.doc_id for r in dedup_stream(df, order_col="doc_id").collect())
     # ids 1/3/9 canonicalize identically -> min id 1 survives; 2 unique
     assert out == [1, 2]
+
+
+def test_dedup_stream_rejects_watermark_plus_order_col(spark):
+    """order_col is batch-only; silently ignoring it under a watermark
+    would hand back arbitrary-row dedup while the caller believes they
+    requested deterministic min-order_col semantics."""
+    from kolang_spark.streaming import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "t")], "doc_id int, text string"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="batch-only"):
+        dedup_stream(df, ts_col="ts", watermark="1 hour", order_col="doc_id")
