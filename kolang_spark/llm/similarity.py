@@ -152,15 +152,26 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: exact cosine ranking *within* matching LSH buckets.
 
     With ``n_planes`` hyperplanes the corpus splits into ``2^n_planes``
     buckets; each query only scores its own bucket (~N/2^p candidates).
-    Recall < 1 by design — raise recall via multi-probe (drop
-    ``n_planes``) or signature unions. The bucket join is a plain
-    equi-join: hash-partitioned, AQE-skew-splittable, no cross product.
+    Recall < 1 by design. ``multi_probe=r`` probes every bucket within
+    Hamming distance ≤ r of the query's signature (the standard
+    multi-probe LSH recall lever: a true neighbor disagreeing on ≤ r
+    planes is still found). Cost: the *query* side — the small,
+    broadcast side — fans out ×Σ C(n_planes, 0..r); the corpus is
+    bucketed exactly once, each corpus row matches a given query in at
+    most one probed bucket (buckets are disjoint), so no candidate
+    dedup pass is needed. recall@10 arc on planted near-dup clusters:
+    0.25 (r=0) → ≥0.95 (r=1) at n_planes=4 (see BASELINE.md §recall).
+    The bucket join is a plain equi-join: hash-partitioned,
+    AQE-skew-splittable, no cross product.
     """
+    if not 0 <= multi_probe <= n_planes:
+        raise ValueError("multi_probe must be in [0, n_planes]")
     corpus = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v"))
@@ -172,9 +183,24 @@ def lsh_topk(
             F.col(query_id_col).alias("query_id"),
             _as_double(F.col(query_vec_col)).alias("q_v"),
         )
-        .withColumn("bucket", lsh_signature("q_v", n_planes, dims))
+        .withColumn("sig", lsh_signature("q_v", n_planes, dims))
         .withColumn("q_n", _norm("q_v", dims))
     )
+    if multi_probe:
+        masks = [
+            m
+            for m in range(1 << n_planes)
+            if bin(m).count("1") <= multi_probe
+        ]
+        qs = qs.withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    else:
+        qs = qs.withColumn("bucket", F.col("sig"))
+    qs = qs.drop("sig")
 
     scored = corpus.join(F.broadcast(qs), "bucket").select(
         "query_id",

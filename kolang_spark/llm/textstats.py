@@ -228,18 +228,29 @@ def repetition_metrics(col: ColumnOrName, ngram: int = 2) -> Dict[str, Column]:
     return {k: bound[k] for k in keys}
 
 
-def _token_hash60(token: Column) -> Column:
-    """60-bit integer hash of a token via md5 hex (conv of 15 hex chars).
+def _token_hash60(token: Column, hash_fn: str = "md5") -> Column:
+    """60-bit integer hash of a token.
 
+    ``hash_fn='md5'`` (default): md5 hex → conv of 15 hex chars.
     Engine-portable: DuckDB computes the same value with
-    ``('0x' || substr(md5(t), 18, 15))::BIGINT``.
+    ``('0x' || substr(md5(t), 18, 15))::BIGINT`` — keeps oracle runs
+    bit-exact.
+
+    ``hash_fn='xxhash64'``: one JVM hash, no hex string round-trip —
+    ~10× cheaper per token; the production knob. Signed 64-bit, but
+    simhash only inspects bits 0..59, where two's complement agrees
+    with the unsigned bit pattern.
     """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(token)
+    if hash_fn != "md5":
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     return F.conv(F.substring(F.md5(F.encode(token, "UTF-8")), 18, 15), 16, 10).cast(
         "long"
     )
 
 
-def simhash(col: ColumnOrName, bits: int = 16) -> Column:
+def simhash(col: ColumnOrName, bits: int = 16, hash_fn: str = "md5") -> Column:
     """SimHash of the whitespace-token set (default 16 bits).
 
     Per bit *b*: set iff a strict majority of token hashes have bit *b*
@@ -247,6 +258,11 @@ def simhash(col: ColumnOrName, bits: int = 16) -> Column:
     Hamming distance). Pure array-expression implementation — token
     hashes computed once into an array, then ``bits`` filter-counts; no
     explode, no shuffle, no UDF.
+
+    ``hash_fn``: ``'md5'`` (oracle-portable, default) or ``'xxhash64'``
+    (production — one JVM hash per token instead of an md5 hex
+    round-trip). Signatures differ across hash_fns by construction;
+    the *semantics* (near-dups ⇒ low Hamming distance) are identical.
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")
@@ -260,7 +276,9 @@ def simhash(col: ColumnOrName, bits: int = 16) -> Column:
             sig = sig + F.when(cnt * 2 > n, F.lit(mask)).otherwise(0)
         return sig
 
-    # let-bind the hash array: without bind_once the tokenize+md5
+    # let-bind the hash array: without bind_once the tokenize+hash
     # transform would be re-evaluated once per bit (16×) — HOF lambdas
     # get no subexpression elimination
-    return bind_once(F.transform(tokenize(col), _token_hash60), build)
+    return bind_once(
+        F.transform(tokenize(col), lambda t: _token_hash60(t, hash_fn)), build
+    )

@@ -44,10 +44,13 @@ TABLE_NAMES = [
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (``{sf_dir}/{name}.parquet``).
 
-    The ``events`` table is written with parquet ``TIMESTAMP(NANOS)``,
-    which Spark 4 rejects unless ``spark.sql.legacy.parquet.nanosAsLong``
-    is true (FIXTURES.md §B). With that conf the ``ts`` column arrives as
-    a nanosecond **long**; it is normalized here to
+    The ``events`` table's ``ts`` has shipped as parquet
+    ``TIMESTAMP(NANOS)`` (rounds 1-3) and as ``timestamp[us]`` with
+    ``isAdjustedToUTC=false`` (round 4+, read by Spark as
+    ``TIMESTAMP_NTZ``); both layouts are handled. Nanos requires
+    ``spark.sql.legacy.parquet.nanosAsLong`` (FIXTURES.md §B), under
+    which ``ts`` arrives as a nanosecond **long**. Either way the column
+    is normalized here to
 
     * ``ts``         — timestamp (microsecond precision), and
     * ``ts_ms``      — epoch milliseconds (long), the contract
@@ -73,25 +76,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         prev_conf = None
     df = None
+    read_err: Optional[Exception] = None
     try:
         spark.conf.set(conf_key, "true")
         df = spark.read.parquet(path)
         df.schema  # force schema resolution while the conf is in effect
     except Exception as exc:
+        read_err = exc
+    # Restore the caller's conf on both paths. A restore failure on the
+    # *success* path is a real bug (e.g. Spark Connect refusing the conf)
+    # and must surface; on the error path it must not mask the original
+    # read error (round-3 verdict item 7 — previously a bare
+    # `except: pass` hid both cases).
+    try:
+        if prev_conf is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev_conf)
+    except Exception:
+        if read_err is None:
+            raise
+    if read_err is not None:
         # Only the nanos-type rejection should fall through to the
         # pyarrow fallback; surface real errors (missing path, corrupt
         # file, permissions) to the caller.
-        msg = str(exc)
+        msg = str(read_err)
         if not ("nano" in msg.lower() or "TIMESTAMP(NANOS" in msg):
-            raise
-    finally:
-        try:
-            if prev_conf is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev_conf)
-        except Exception:
-            pass
+            raise read_err
 
     ts_type = dict(df.dtypes).get("ts") if df is not None else None
     if ts_type == "bigint":  # nanosAsLong in effect
@@ -109,9 +120,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ],
             F.expr("ts div 1000000").alias("ts_ms"),
         )
-    if ts_type in ("timestamp", "timestamp_ntz"):
+    if ts_type == "timestamp_ntz":
+        # Round-4 fixtures write ts as parquet timestamp[us] with
+        # isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+        # Normalize to TIMESTAMP (LTZ) *as if the naive value were UTC*,
+        # via an explicit NTZ epoch diff — NOT a cast, whose epoch would
+        # shift with the session timezone. This keeps the r3 contract:
+        # ts is an LTZ timestamp whose epoch equals the stored instant
+        # (so window()/cast-to-long are tz-independent and match the
+        # DuckDB oracle's naive-as-UTC arithmetic), ts_ms is exact.
+        epoch_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+        return df.select(
+            *[
+                F.timestamp_micros(epoch_us).alias("ts") if c == "ts" else F.col(c)
+                for c in df.columns
+            ],
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 1000"
+            ).alias("ts_ms"),
+        )
+    if ts_type == "timestamp":
         return df.withColumn(
-            "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+            "ts_ms", (F.unix_micros(F.col("ts")) / 1000).cast("long")
         )
     # conf off and Spark refused / odd type: pyarrow fallback (small data only)
     import pyarrow.parquet as pq

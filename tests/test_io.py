@@ -23,6 +23,35 @@ def test_events_ts_normalized(spark, sf_dir):
     assert r.hi < 4_102_444_800_000  # before 2100
 
 
+def test_read_table_surfaces_conf_restore_failure(spark, sf_dir, monkeypatch):
+    """A conf-restore failure on the SUCCESS path must surface (e.g.
+    Spark Connect refusing the runtime conf), not vanish into a bare
+    except — round-3 verdict item 7."""
+    conf_cls = type(spark.conf)
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    real_set = conf_cls.set
+    calls = {"n": 0}
+
+    # the message must not mention the key: "nanos..." would match the
+    # nanos-type-rejection fallback check in read_table
+    def boom_unset(self, k):
+        raise RuntimeError("simulated: conf frozen")
+
+    def flaky_set(self, k, value):
+        if k == key:
+            calls["n"] += 1
+            if calls["n"] >= 2:  # 1st = apply (succeeds), 2nd = restore
+                raise RuntimeError("simulated: conf frozen")
+        return real_set(self, k, value)
+
+    # events read succeeds, then restore (unset or set, whichever the
+    # prior conf state selects) blows up → must propagate
+    monkeypatch.setattr(conf_cls, "unset", boom_unset)
+    monkeypatch.setattr(conf_cls, "set", flaky_set)
+    with pytest.raises(RuntimeError, match="simulated: conf frozen"):
+        read_table(spark, sf_dir, "events")
+
+
 def test_embeddings_schema(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     assert dict(emb.dtypes)["embedding"] == "array<float>"

@@ -183,10 +183,73 @@ def test_decode_image_fake_pipeline(spark, docs):
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
 
 
-def test_decode_image_real_raises(spark, docs):
-    packed = pack_blob(docs.select("doc_id", "text").limit(1), "text")
-    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
-        decode_image(packed, fake=False).collect()
+def _golden_bmp(logical_rows):
+    """Build a 24bpp bottom-up BI_RGB BMP from logical top-down RGB
+    pixel rows ([[(r,g,b),...],...]) — stride-padded, BGR on disk."""
+    h = len(logical_rows)
+    w = len(logical_rows[0])
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = b"".join(bytes([b, g, rr]) for (rr, g, b) in logical_rows[r])
+        pix += row + b"\x00" * (stride - len(row))
+
+    def le(x, n):
+        return int(x).to_bytes(n, "little")
+
+    return (
+        b"BM" + le(54 + len(pix), 4) + le(0, 4) + le(54, 4)
+        + le(40, 4) + le(w, 4) + le(h, 4) + le(1, 2) + le(24, 2)
+        + le(0, 4) + le(len(pix), 4) + le(2835, 4) * 2 + le(0, 4) * 2
+    ) + pix
+
+
+def test_decode_image_real_ppm_and_bmp_golden(spark):
+    """Real decode on golden bytes: a hand-built P6 PPM (with a header
+    comment) and a hand-built bottom-up BGR stride-padded BMP must both
+    come back as logical top-down RGB statistics; non-image bytes must
+    degrade to format='unknown', not an executor exception."""
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(range(12))
+    bmp = _golden_bmp([[(10, 11, 12), (13, 14, 15)], [(16, 17, 18), (19, 20, 21)]])
+    rows = [(1, bytearray(ppm)), (2, bytearray(bmp)), (3, bytearray(b"not an image"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in decode_image(df).collect()}
+
+    p = out[1]
+    assert (p.format, p.width, p.height, p.n_channels) == ("ppm", 2, 2, 3)
+    assert p.sum_pixel == sum(range(12)) and p.first_pixel == 0
+    assert p.mean_pixel == pytest.approx(sum(range(12)) / 12)
+
+    b = out[2]
+    assert (b.format, b.width, b.height, b.n_channels) == ("bmp", 2, 2, 3)
+    assert b.sum_pixel == sum(range(10, 22))
+    # decoded top-left RED byte proves the bottom-up flip AND the
+    # BGR->RGB reorder happened (raw file byte order would give 18)
+    assert b.first_pixel == 10
+
+    u = out[3]
+    assert u.format == "unknown" and u.width is None and u.sum_pixel is None
+    assert u.n_bytes == len(b"not an image")
+
+
+def test_synth_ppm_blobs_decode_roundtrip(spark):
+    """Column-native PPM synthesis -> real numpy decode round-trip:
+    every decoded statistic must equal the closed-form prediction from
+    the id (the same formulas the DuckDB oracle uses)."""
+    from kolang_spark.llm.multimodal import synth_ppm_blobs
+
+    df = spark.range(0, 40).selectExpr("id AS doc_id")
+    out = decode_image(synth_ppm_blobs(df)).collect()
+    assert len(out) == 40
+    for r in out:
+        i = r.doc_id
+        w, h = 4 + i % 8, 4 + i % 5
+        npx = w * h * 3
+        s = sum((i * 7 + j * 13) % 256 for j in range(npx))
+        assert (r.format, r.width, r.height, r.n_channels) == ("ppm", w, h, 3)
+        assert r.n_bytes == len(f"P6\n{w} {h}\n255\n") + npx
+        assert r.sum_pixel == s and r.first_pixel == (i * 7) % 256
+        assert r.mean_pixel == pytest.approx(s / npx)
 
 
 def test_sample_frames(spark, docs):
@@ -284,6 +347,29 @@ def test_extract_features_deterministic_and_chains_to_ann(spark, docs):
     assert all(q == v for q, v in top.items())  # self is its own top-1
 
 
+def test_extract_features_real_path(spark):
+    """Default (real) feature path: image blobs are featurized from
+    decoded pixel bytes, other blobs from raw bytes, via the strided
+    positional mean fold — hand-checkable and partition-independent."""
+    from kolang_spark.llm.multimodal import extract_features
+
+    ppm = b"P6\n2 2\n255\n" + bytes(range(12))
+    rows = [(1, bytearray(ppm)), (2, bytearray(b"\x00\xff\x00\xff"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r.features for r in extract_features(df, dims=4).collect()}
+    # image: pixel bytes 0..11 folded into 4 dims -> col means of
+    # [[0,1,2,3],[4,5,6,7],[8,9,10,11]] / 255
+    assert out[1] == pytest.approx([v / 255.0 for v in (4.0, 5.0, 6.0, 7.0)])
+    # raw bytes path: one row [0,255,0,255] / 255
+    assert out[2] == pytest.approx([0.0, 1.0, 0.0, 1.0])
+    # partition-independence
+    out2 = {
+        r.doc_id: r.features
+        for r in extract_features(df.repartition(3), dims=4).collect()
+    }
+    assert out == pytest.approx(out2)
+
+
 def test_ivf_topk_self_hit_and_recall_monotone_in_nprobe(spark, emb):
     from kolang_spark.llm import ivf_topk
 
@@ -375,6 +461,116 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges, max_iter=8).collect()}
+    assert len(comp) == 65
+    assert set(comp.values()) == {0}
+
+
+def test_ann_recall_floor_vs_brute_force(spark):
+    """Round-3 verdict item 4: recall@10 of the ANN operators vs the
+    exact brute-force baseline, with asserted floors a bucketing change
+    would break. Measured on planted near-duplicate clusters (40
+    clusters × 10 members, cosine ≈ 0.9 within-cluster) — the workload
+    ANN exists for; the near-random fixture numbers are recorded in
+    BASELINE.md §ANN recall. Deterministic: fixed numpy seed, md5
+    planes, stride centroids."""
+    import numpy as np
+
+    from kolang_spark.llm.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(40):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for m in range(10):
+            v = base + 0.06 * rng.normal(size=64)
+            rows.append((c * 10 + m, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    K = 10
+    exact = sets(brute_force_topk(emb, qs, k=K, dims=64))
+
+    def recall(approx):
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    lsh_r0 = recall(sets(lsh_topk(emb, qs, k=K, n_planes=4, dims=64)))
+    lsh_r1 = recall(sets(lsh_topk(emb, qs, k=K, n_planes=4, dims=64, multi_probe=1)))
+    lsh_r2 = recall(sets(lsh_topk(emb, qs, k=K, n_planes=4, dims=64, multi_probe=2)))
+    ivf_np4 = recall(sets(ivf_topk(emb, qs, k=K, nprobe=4, dims=64)))
+
+    # multi-probe is the recall lever: strictly monotone in radius here
+    assert lsh_r0 < lsh_r1 < lsh_r2
+    # floors (measured 0.44 / 0.78 / 0.94 / 0.93): a regression in
+    # bucketing, probing, or scoring trips these
+    assert lsh_r1 >= 0.70
+    assert lsh_r2 >= 0.90
+    assert ivf_np4 >= 0.90
+
+    with pytest.raises(ValueError):
+        lsh_topk(emb, qs, n_planes=4, multi_probe=5)
+
+
+def test_hash_fn_xxhash64_same_candidate_semantics(spark):
+    """The production hash knob must preserve candidate-pair *semantics*:
+    planted exact duplicates always collide (identical shingle sets ⇒
+    identical minhash signature / simhash signature under ANY hash), and
+    a clearly-unrelated doc pairs with nobody under either hash. The
+    signatures themselves differ across hash_fns by construction."""
+    from kolang_spark.llm import minhash_candidate_pairs, simhash_hamming_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "on a bright morning while birds sing in the old oak trees"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, "zzz qqq vvv kkk www yyy xxx jjj hhh ggg fff ddd sss aaa bbb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for hash_fn in ("md5", "xxhash64"):
+        mh = {
+            (r.id_a, r.id_b)
+            for r in minhash_candidate_pairs(df, hash_fn=hash_fn).collect()
+        }
+        assert (1, 2) in mh, hash_fn
+        assert not any(3 in p for p in mh), hash_fn
+        sh = {
+            (r.id_a, r.id_b): r.hamming
+            for r in simhash_hamming_pairs(df, hash_fn=hash_fn).collect()
+        }
+        assert sh.get((1, 2)) == 0, hash_fn
+        assert not any(3 in p for p in sh), hash_fn
+
+    with pytest.raises(ValueError):
+        minhash_candidate_pairs(df, hash_fn="sha1")
+
+
+def test_connected_components_adaptive_jump_reengages_on_stall(spark):
+    """jump_frac=1.0 makes every round *eligible* to skip the jump; the
+    halving guard must still re-engage pointer jumping on a crawling
+    frontier (a chain's changed-count decays by ~1/round, not 2x), so a
+    64-deep path must still resolve in logarithmic rounds — a
+    propagation-only walk would need ~64."""
+    from kolang_spark.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, max_iter=10, jump_frac=1.0).collect()
+    }
     assert len(comp) == 65
     assert set(comp.values()) == {0}
 

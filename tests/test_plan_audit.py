@@ -20,7 +20,7 @@ QUERIES = entry_mod.queries()
 
 # the one operator where Python is the sanctioned tool (media decode has
 # no Catalyst expression); everything else must stay JVM-side
-PANDAS_ALLOWED = {"multimodal_decode_fake", "multimodal_blob_embed_ann"}
+PANDAS_ALLOWED = {"multimodal_decode", "multimodal_blob_embed_ann"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
