@@ -41,6 +41,25 @@ _REV_E4_SQL = (
 )
 
 
+def _sql_pat(p: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return p.replace("'", "''")
+
+
+def _scrub_patterns():
+    from kolang_spark.llm.scrub import PII_PATTERNS, URL_PATTERN
+
+    return (
+        _sql_pat(PII_PATTERNS["email"]),
+        _sql_pat(PII_PATTERNS["ipv4"]),
+        _sql_pat(PII_PATTERNS["phone"]),
+        _sql_pat(URL_PATTERN),
+    )
+
+
+_PII_EMAIL_SQL, _PII_IPV4_SQL, _PII_PHONE_SQL, _URL_SQL = _scrub_patterns()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = read_table(spark, sf_dir, name)
     if name in ("documents", "embeddings"):
@@ -349,6 +368,71 @@ def _q_repetition_documents(spark, sf_dir):
         F.round(m["dup_word_ratio"], 6).alias("dup_word_ratio"),
         F.round(m["top_word_ratio"], 6).alias("top_word_ratio"),
         F.round(m["dup_ngram_ratio"], 6).alias("dup_2gram_ratio"),
+    )
+
+
+def _q_pii_scrub_documents(spark, sf_dir):
+    """PII redaction (`kolang_spark/llm/scrub.py::redact_pii` +
+    `pii_counts`): deterministic PII (email / phone / IPv4, derived
+    from doc_id) is injected into each document natively in Column
+    expressions, then redacted to typed tokens and counted. Patterns
+    restrict themselves to the Java∩RE2 regex subset, so the DuckDB
+    oracle reproduces every redaction byte-for-byte — a mis-scoped
+    pattern, wrong application order, or engine-divergent regex
+    hash-mismatches."""
+    from kolang_spark.llm import pii_counts, redact_pii
+
+    dc = _t(spark, sf_dir, "documents")
+    injected = dc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (415) 555-0"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 3, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        redact_pii("text").alias("clean"),
+        counts["n_email"],
+        counts["n_ipv4"],
+        counts["n_phone"],
+    )
+
+
+def _q_url_domain_stats(spark, sf_dir):
+    """URL extraction + domain normalization
+    (`kolang_spark/llm/scrub.py::url_domains`): deterministic URLs
+    (with www/credentials/port variants keyed on doc_id) injected in
+    Column expressions, domains extracted/stripped/lowered per row, then
+    a domain-mixture groupBy — the standard C4/RefinedWeb curation
+    signal. Oracle mirrors the extraction pipeline in DuckDB RE2."""
+    from kolang_spark.llm import url_domains
+
+    dc = _t(spark, sf_dir, "documents")
+    injected = dc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.Example.com"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("user@data.example.org:8080"))
+            .otherwise(F.lit("cdn.site.net")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" for details"),
+        ).alias("text"),
+    )
+    return (
+        injected.select(F.explode(url_domains("text")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
 
 
@@ -1016,6 +1100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "add_trend_line": _q_add_trend_line,
+        # --- tail: new this round (oracle-backed; rotate into the
+        #     window after a local-green round, per the rotation
+        #     contract) ---
+        "pii_scrub_documents": _q_pii_scrub_documents,
+        "url_domain_stats": _q_url_domain_stats,
     }
 
 
@@ -1975,6 +2064,56 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS DOUBLE)/10000 AS cum_revenue
             FROM daily
+        """,
+        # Same deterministic injection as _q_pii_scrub_documents, same
+        # Java∩RE2 patterns (kolang_spark/llm/scrub.py::PII_PATTERNS),
+        # same email→ipv4→phone application order.
+        "pii_scrub_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com or +1 (415) 555-0'
+                          || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0')
+                          || ' from 10.0.' || (doc_id % 256) || '.7'
+                       AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL_SQL}', '<email>', 'g'),
+                       '{_PII_IPV4_SQL}', '<ipv4>', 'g'),
+                       '{_PII_PHONE_SQL}', '<phone>', 'g') AS clean,
+                   CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT) AS n_phone
+            FROM t
+        """,
+        # Mirrors kolang_spark/llm/scrub.py::url_domains: URL regex →
+        # strip scheme → authority before the first /:?# → after last
+        # @ → lower → strip leading www.
+        "url_domain_stats": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' see https://'
+                          || CASE WHEN doc_id % 3 = 0 THEN 'www.Example.com'
+                                  WHEN doc_id % 3 = 1 THEN 'user@data.example.org:8080'
+                                  ELSE 'cdn.site.net' END
+                          || '/p/' || doc_id || ' for details'
+                       AS text
+              FROM documents
+            ), u AS (
+              SELECT unnest(regexp_extract_all(text, '{_URL_SQL}')) AS url
+              FROM t
+            )
+            SELECT regexp_replace(
+                     lower(regexp_replace(
+                       regexp_extract(regexp_replace(url, '^https?://', ''),
+                                      '^[^/:?#]+'),
+                       '^.*@', '')),
+                     '^www\\.', '') AS domain,
+                   COUNT(*) AS n_docs
+            FROM u
+            GROUP BY 1
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

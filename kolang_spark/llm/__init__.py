@@ -45,3 +45,9 @@ from kolang_spark.llm.textstats import (  # noqa: F401
     tokenize,
     word_ngrams,
 )
+from kolang_spark.llm.scrub import (  # noqa: F401
+    extract_urls,
+    pii_counts,
+    redact_pii,
+    url_domains,
+)

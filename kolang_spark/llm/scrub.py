@@ -1,0 +1,127 @@
+"""PII scrubbing and URL/domain analysis for training-data curation —
+pure Column expressions (``regexp_replace`` / ``regexp_extract_all``),
+no UDFs, no shuffle: the per-document work rides the scan.
+
+Web-scale corpora must have contact PII redacted before training; URL
+structure (domain mixture, link density) is a standard curation signal
+(C4/RefinedWeb-style pipelines). Both are per-row regex algebra —
+exactly what whole-stage codegen compiles well.
+
+Engine portability: every pattern below restricts itself to the regex
+subset Java (Spark) and RE2 (DuckDB) implement identically — character
+classes, bounded repetition, alternation, ``\\b`` word boundaries; no
+lookaround, no backreferences — so the DuckDB oracle reproduces
+redactions and extractions bit-exact.
+
+Scale posture: no joins, no aggregation inside the operators themselves
+(callers group the extracted domains however they need); plans stay one
+Project over the scan with pushdown/pruning intact.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kolang_spark.functions.core import ColumnOrName, str_to_column
+
+__all__ = [
+    "PII_PATTERNS",
+    "URL_PATTERN",
+    "redact_pii",
+    "pii_counts",
+    "extract_urls",
+    "url_domains",
+]
+
+# Ordered: emails are redacted before ipv4/phones so the digit runs
+# inside an address-like email local part can't double-match. Patterns
+# are the conservative high-precision core (curation wants few false
+# redactions of ordinary prose, not forensic recall).
+PII_PATTERNS: Dict[str, str] = {
+    # local@domain.tld — tld 2+ alpha
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad, each octet 1-3 digits, word-bounded
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # international-ish phone: +CC or bare, 9-15 digits with -/space/().
+    # Requires a leading + or ( to stay precise (a bare 10-digit run in
+    # prose is as likely an id as a phone number).
+    "phone": r"[+(]\d[\d() -]{7,14}\d",
+}
+
+URL_PATTERN = r"https?://[^\s\"'<>]+"
+
+
+def _tokens(kinds: Iterable[str]) -> Dict[str, str]:
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    return {k: PII_PATTERNS[k] for k in PII_PATTERNS if k in set(kinds)}
+
+
+def redact_pii(
+    col: ColumnOrName,
+    kinds: Optional[Iterable[str]] = None,
+    token: str = "<{kind}>",
+) -> Column:
+    """Replace each PII match with a typed token (default ``<email>``,
+    ``<ipv4>``, ``<phone>``) — chained ``regexp_replace``, one Project.
+
+    ``kinds`` subsets/orders nothing: application order is the fixed
+    precision-preserving order of :data:`PII_PATTERNS` regardless of the
+    iterable's order, so output is deterministic.
+    """
+    out = str_to_column(col)
+    for kind, pat in _tokens(kinds if kinds is not None else PII_PATTERNS).items():
+        out = F.regexp_replace(out, pat, token.format(kind=kind))
+    return out
+
+
+def pii_counts(
+    col: ColumnOrName, kinds: Optional[Iterable[str]] = None
+) -> Dict[str, Column]:
+    """Per-kind match counts (``size(regexp_extract_all(...))``) — the
+    audit/reporting companion to :func:`redact_pii`. NULL text counts 0.
+    """
+    c = str_to_column(col)
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(pat), F.lit(0))).alias(
+            f"n_{kind}"
+        )
+        for kind, pat in _tokens(kinds if kinds is not None else PII_PATTERNS).items()
+    }
+
+
+def extract_urls(col: ColumnOrName) -> Column:
+    """All http(s) URLs in the text, in document order
+    (``array<string>``; empty array for none/NULL)."""
+    c = F.coalesce(str_to_column(col), F.lit(""))
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), F.lit(0))
+
+
+def url_domains(col: ColumnOrName, strip_www: bool = True) -> Column:
+    """Lower-cased registrable-ish domains of every URL in the text
+    (``array<string>``, document order, duplicates preserved — callers
+    ``explode`` + ``groupBy`` for mixture stats).
+
+    Domain = authority up to the first ``/``, ``:``, ``?`` or ``#``;
+    credentials (``user@``) stripped; optional leading ``www.``
+    stripped. Pure array algebra over :func:`extract_urls` — still no
+    UDF, still one Project.
+    """
+    urls = extract_urls(col)
+
+    def domain_of(u: Column) -> Column:
+        # strip scheme, then cut at the first delimiter
+        rest = F.regexp_replace(u, r"^https?://", "")
+        auth = F.split(rest, r"[/:?#]").getItem(0)
+        # drop user@ credentials; element_at(-1) = after last '@'
+        host = F.element_at(F.split(auth, "@"), -1)
+        host = F.lower(host)
+        if strip_www:
+            host = F.regexp_replace(host, r"^www\.", "")
+        return host
+
+    return F.transform(urls, domain_of)

