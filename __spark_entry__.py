@@ -958,7 +958,11 @@ def _q_multimodal_blob_embed_ann(spark, sf_dir):
     dc = _t(spark, sf_dir, "documents")
     packed = pack_blob(dc.select("doc_id", "text"), "text")
     feats = extract_features(packed, dims=16)
-    anchors = feats.where(F.col("doc_id") % 200 == 0)
+    # featurize the query side from the *filtered* blobs: deriving
+    # anchors from `feats` would run the full-corpus Arrow stage twice
+    # (the r3 2x bench regression); features are deterministic per
+    # blob, so the two paths are value-identical
+    anchors = extract_features(packed.where(F.col("doc_id") % 200 == 0), dims=16)
     out = lsh_topk(
         feats,
         anchors,
