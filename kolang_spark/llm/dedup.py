@@ -332,28 +332,37 @@ def connected_components(
     Each heavy round is one equi-join + one groupBy + one small
     self-join (hash-partitioned, fully parallel); tail rounds drop the
     self-join. Lineage is truncated per round with ``localCheckpoint``
-    so plans don't snowball.
+    so plans don't snowball, and superseded checkpoints are *released*
+    (RDD-level unpersist) as soon as the next round's checkpoint
+    materializes — without that, up to 2·max_iter full-vertex-set
+    block sets stay pinned until JVM GC (at 100 TB: gigabytes of dead
+    blocks competing with the shuffle for executor memory).
 
     Returns ``(id, component)`` for every vertex appearing in ``edges``,
-    where ``component`` is the minimum vertex id of the cluster.
+    where ``component`` is the minimum vertex id of the cluster. The
+    returned frame reads the final round's checkpoint (that one block
+    set stays alive for the caller).
     """
+    from kolang_spark.utils import release_checkpoints, tracked_local_checkpoint
+
+    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # self-loops fold "min of self and neighbors" into one equi-join, so
     # each round references the label table exactly once (a dual
     # union+join reference trips attribute dedup on checkpointed plans)
     verts = sym.select("a").distinct()
-    sym = (
-        sym.union(verts.select("a", F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym, sym_ids = tracked_local_checkpoint(
+        sym.union(verts.select("a", F.col("a").alias("b"))).distinct()
     )
     n_verts = sym.where(F.col("a") == F.col("b")).count()
 
     labels = verts.select(F.col("a").alias("id"), F.col("a").alias("lbl"))
     prev_changed = float("inf")
+    stale_ids: set = set()  # checkpoints no future round reads
+    live_ids: set = set()  # previous round's checkpoints (still readable)
     for _ in range(max_iter):
-        propagated = (
+        propagated, ck_ids = tracked_local_checkpoint(
             sym.join(labels, sym["b"] == labels["id"])
             .select(F.col("a").alias("id"), "lbl", (sym["b"] == sym["a"]).alias("slf"))
             .groupBy("id")
@@ -361,7 +370,12 @@ def connected_components(
                 F.min("lbl").alias("lbl"),
                 F.min(F.when(F.col("slf"), F.col("lbl"))).alias("old_lbl"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # this round's propagation re-materialized everything the
+        # previous round's checkpoints held — they are now unreadable by
+        # any future plan; drop their blocks
+        release_checkpoints(spark, stale_ids)
+        stale_ids, live_ids = live_ids, set(ck_ids)
         # convergence test on the propagation itself: stable-under-
         # propagation means labels are equal across every edge, i.e.
         # constant per component — fully converged, and the jump below
@@ -383,7 +397,7 @@ def connected_components(
         # pointer jump: lbl ← lbl(lbl). Labels only ever decrease, so
         # the jump is safe and deterministic; checkpointing `propagated`
         # first keeps the self-join from recomputing the aggregation.
-        labels = (
+        labels, jump_ids = tracked_local_checkpoint(
             propagated.alias("x")
             .join(
                 propagated.select(
@@ -396,7 +410,14 @@ def connected_components(
                 F.col("x.id").alias("id"),
                 F.coalesce("plbl", F.col("x.lbl")).alias("lbl"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        # the jump checkpoint supersedes `propagated` within this round
+        live_ids |= set(jump_ids)
+    # the loop's final checkpoint(s) back the returned frame and must
+    # stay; everything else — including the graph table, unless no
+    # round ran and the returned frame still reads it — is dead now
+    dead = set(stale_ids) | (set(sym_ids) if live_ids else set())
+    release_checkpoints(spark, dead)
     return labels.select("id", F.col("lbl").alias("component"))
 
 
@@ -558,6 +579,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     dims: Optional[int] = None,
     max_rows: Optional[int] = 100_000,
+    on_exceed: str = "raise",
 ) -> DataFrame:
     """Embedding near-duplicates: pairs with cosine ≥ threshold —
     **exact-baseline form; not the scale path**.
@@ -567,9 +589,12 @@ def embedding_near_dup_pairs(
     scale. The production operator is
     :func:`embedding_near_dup_pairs_lsh` (identical scoring, sign-LSH
     bucket equi-join). To keep the quadratic plan from being launched by
-    accident, the input is size-probed first and anything over
-    ``max_rows`` raises with a pointer to the LSH variant; pass
-    ``max_rows=None`` to opt in deliberately. The probe is a
+    accident, the input is size-probed **eagerly at call time** (this
+    schedules one bounded Spark job before any action — see README
+    §Operational notes) and anything over ``max_rows`` raises with a
+    pointer to the LSH variant; ``on_exceed='warn'`` downgrades the
+    guard to a ``warnings.warn`` + proceed for interactive sessions;
+    pass ``max_rows=None`` to skip the probe entirely. The probe is a
     ``limit(max_rows+1).count()`` — bounded work regardless of input
     size (early-stops after ``max_rows+1`` rows), so the guard's cost
     does not grow with the corpus. Guarding by default is a deliberate
@@ -586,15 +611,22 @@ def embedding_near_dup_pairs(
     from kolang_spark.llm.similarity import _dot, _norm
     from kolang_spark.utils import pushdown_fence
 
+    if on_exceed not in ("raise", "warn"):
+        raise ValueError("on_exceed must be 'raise' or 'warn'")
     if max_rows is not None:
         n = df.select(id_col).limit(max_rows + 1).count()
         if n > max_rows:
-            raise ValueError(
+            msg = (
                 f"embedding_near_dup_pairs is the exact O(n²) baseline; "
                 f"input exceeds max_rows={max_rows}. Use "
                 f"embedding_near_dup_pairs_lsh (same scoring, bucketed "
                 f"equi-join) or pass max_rows=None to opt in."
             )
+            if on_exceed == "raise":
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
 
     v = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),

@@ -53,6 +53,7 @@ def transpose(
     df: DataFrame,
     col: str,
     max_rows: int = 10_000,
+    native: bool = False,
 ) -> DataFrame:
     """Transpose a *small* DataFrame around ``col``.
 
@@ -62,16 +63,26 @@ def transpose(
     * a hard ``max_rows`` guard (the reference will happily OOM the
       driver) — raises ``ValueError`` beyond it;
     * the former column names come back in an ``index`` column, matching
-      the reference's verified output shape.
+      the reference's verified output shape;
+    * ``native=True`` uses Spark 4's built-in :meth:`DataFrame.transpose`
+      (JVM-side, no pandas round-trip), with its ``key`` column renamed
+      to ``index`` for shape parity. Behavior difference, on purpose:
+      the built-in coerces all value columns to their least common type
+      (ints become doubles when mixed), where the pandas path preserves
+      per-cell values through object dtype. Default stays the
+      reference-parity path.
 
-    A transpose is inherently a driver-side operation (output schema =
-    input rows); it is intentionally NOT distributed.
+    A transpose is inherently schema-explosive (output schema = input
+    rows); both paths are intentionally NOT distributed and guarded.
     """
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(
             f"transpose is driver-side; refusing {n}+ rows (max_rows={max_rows})"
         )
+    if native:
+        out = df.transpose(col)
+        return out.withColumnRenamed("key", "index")
     pdf = df.toPandas().set_index(col).transpose().reset_index()
     pdf.columns = [str(c) for c in pdf.columns]
     from kolang_spark.sources.io import pandas_to_spark

@@ -102,3 +102,63 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     if current >= target:
         return df
     return df.repartition(target)
+
+
+def tracked_local_checkpoint(df):
+    """``localCheckpoint(eager=True)`` that also reports which RDD ids
+    the checkpoint registered, so iterative operators can *release*
+    superseded checkpoints deterministically (see
+    :func:`release_checkpoints`).
+
+    ``DataFrame.unpersist()`` only talks to the SQL cache manager and
+    leaves localCheckpoint's RDD-level blocks pinned until JVM GC — in
+    a long-lived session an iterative algorithm (connected components:
+    up to ~50 full-vertex-set checkpoints per call) accumulates
+    gigabytes of dead blocks and rides on nondeterministic
+    ContextCleaner timing. Tracking the registered ids at creation is
+    the only stable handle PySpark exposes.
+
+    Returns ``(checkpointed_df, frozenset_of_rdd_ids)``; on Spark
+    Connect (no JVM access) the id set is empty and release degrades to
+    the GC-timed behavior.
+    """
+    try:
+        jctx = df.sparkSession._jsparkSession.sparkContext()
+        before = _persistent_rdd_ids(jctx)
+    except Exception:
+        jctx = None
+        before = frozenset()
+    out = df.localCheckpoint(eager=True)
+    if jctx is None:
+        return out, frozenset()
+    try:
+        return out, frozenset(_persistent_rdd_ids(jctx) - before)
+    except Exception:
+        return out, frozenset()
+
+
+def _persistent_rdd_ids(jctx) -> frozenset:
+    m = jctx.getPersistentRDDs()
+    it = m.iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return frozenset(ids)
+
+
+def release_checkpoints(spark, rdd_ids) -> None:
+    """Drop the RDD-level blocks of previously tracked localCheckpoints
+    (non-blocking). Safe to call with ids already collected by the
+    ContextCleaner; silently a no-op on Spark Connect.
+
+    Only release checkpoints that no live DataFrame's plan reads —
+    localCheckpoint truncates lineage, so evicted blocks cannot be
+    recomputed."""
+    try:
+        jctx = spark._jsparkSession.sparkContext()
+        m = jctx.getPersistentRDDs()
+        for pid in rdd_ids:
+            if m.contains(pid):
+                m.apply(pid).unpersist(False)
+    except Exception:
+        pass

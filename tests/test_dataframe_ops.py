@@ -48,6 +48,19 @@ def test_transpose_guard(spark):
         ks.transpose(df, "k", max_rows=10)
 
 
+def test_transpose_native(spark):
+    """Spark 4 built-in path: same shape (index column + one column per
+    former row), JVM-side; values arrive type-coerced (int→double when
+    the built-in unifies value types)."""
+    df = spark.createDataFrame([("a", 1, 2), ("b", 3, 4)], ["k", "x", "y"])
+    out = ks.transpose(df, "k", native=True)
+    assert out.columns == ["index", "a", "b"]
+    got = {r["index"]: (r.a, r.b) for r in out.collect()}
+    assert got == {"x": (1, 3), "y": (2, 4)}
+    with pytest.raises(ValueError):
+        ks.transpose(spark.range(0, 50).toDF("k"), "k", max_rows=10, native=True)
+
+
 def test_union_all_docstring(spark):
     df1 = spark.createDataFrame([(1, "foo", 4), (2, "bar", 4)], ["col1", "col2", "col4"])
     df2 = spark.createDataFrame([(3, "foo", "6"), (4, "bar", "4")], ["col1", "col3", "col4"])

@@ -165,6 +165,22 @@ def test_embedding_near_dup_pairs(spark, emb):
     assert all(r.id_a < r.id_b and r.cos >= 0.45 for r in out)
 
 
+def test_embedding_near_dup_pairs_guard_modes(spark, emb):
+    """The O(n²) guard: raise by default, warn-and-proceed on request,
+    probe skipped entirely with max_rows=None."""
+    import warnings
+
+    with pytest.raises(ValueError, match="O\\(n"):
+        embedding_near_dup_pairs(emb, max_rows=10)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = embedding_near_dup_pairs(emb, max_rows=10, on_exceed="warn")
+        assert any("O(n" in str(x.message) for x in w)
+    assert df.count() >= 0  # plan still usable after warn
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(emb, on_exceed="explode")
+
+
 def test_multimodal_pack_and_metadata(spark, docs):
     packed = pack_blob(docs.select("doc_id", "text"), "text", format="txt")
     assert dict(packed.dtypes)["content"] == "binary"
@@ -573,6 +589,28 @@ def test_connected_components_adaptive_jump_reengages_on_stall(spark):
     }
     assert len(comp) == 65
     assert set(comp.values()) == {0}
+
+
+def test_connected_components_releases_checkpoint_blocks(spark):
+    """Superseded per-round localCheckpoints must be unpersisted
+    deterministically — only the final round's checkpoint (backing the
+    returned frame) may stay pinned. Without release, ~2 block sets per
+    round accumulate until JVM GC (memory pressure at scale)."""
+    from kolang_spark.llm import connected_components
+
+    def n_persistent():
+        m = spark._jsparkSession.sparkContext().getPersistentRDDs()
+        return m.size()
+
+    before = n_persistent()
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges)
+    assert set(r.component for r in comp.collect()) == {0}
+    # ≥3 rounds ran (≥6 checkpoints created); all but the final round's
+    # must be gone
+    assert n_persistent() <= before + 2
 
 
 def test_simhash_hamming_pairs_matches_brute_force(spark, docs):
