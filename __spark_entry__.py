@@ -436,6 +436,41 @@ def _q_url_domain_stats(spark, sf_dir):
     )
 
 
+def _q_stratified_sample_documents(spark, sf_dir):
+    """Training-mixture control
+    (`kolang_spark/operators/sampling.py::stratified_sample`): per-lang
+    deterministic hash sampling — keep all zh, half of en, no de,
+    default 25% elsewhere. One Project over the scan (CASE-threshold +
+    md5 gate); the oracle reproduces the identical md5 bucket and CASE
+    in DuckDB, so membership is bit-exact."""
+    from kolang_spark.operators.sampling import stratified_sample
+
+    dc = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        dc, "lang", {"zh": 1.0, "en": 0.5, "de": 0.0}, "doc_id",
+        default_fraction=0.25,
+    )
+    return out.select("doc_id", "lang")
+
+
+def _q_quantiles_events(spark, sf_dir):
+    """Per-group multi-quantile profile
+    (`kolang_spark/functions/core.py::quantiles`): exact p25/p50/p95 of
+    event value per event_type in one percentile pass (one sort buffer
+    per group, not one per probability). DuckDB's quantile_cont uses
+    the same linear interpolation."""
+    from kolang_spark.functions.core import quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    q = quantiles("value", [0.25, 0.5, 0.95])
+    return ev.groupBy("event_type").agg(
+        F.round(q[0], 6).alias("p25"),
+        F.round(q[1], 6).alias("p50"),
+        F.round(q[2], 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_add_trend_line_deg2(spark, sf_dir):
     """Degree-2 polynomial trend (D7 stretch): same closed-form OLS
     path as `add_trend_line`, one aggregate pass for the 5 x-moments +
@@ -1109,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     contract) ---
         "pii_scrub_documents": _q_pii_scrub_documents,
         "url_domain_stats": _q_url_domain_stats,
+        "stratified_sample_documents": _q_stratified_sample_documents,
+        "quantiles_events": _q_quantiles_events,
     }
 
 
@@ -2118,6 +2155,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM u
             GROUP BY 1
+        """,
+        # Mirrors operators/sampling.py::stratified_sample: identical
+        # 60-bit md5 bucket, identical per-stratum CASE thresholds.
+        "stratified_sample_documents": f"""
+            SELECT doc_id, lang
+            FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT
+                  < CASE lang
+                      WHEN 'de' THEN {int(0.0 * (1 << 60))}
+                      WHEN 'en' THEN {int(0.5 * (1 << 60))}
+                      WHEN 'zh' THEN {int(1.0 * (1 << 60))}
+                      ELSE {int(0.25 * (1 << 60))}
+                    END
+        """,
+        # quantile_cont uses the same linear interpolation as Spark's
+        # exact percentile; round(6) absorbs last-ulp float differences.
+        "quantiles_events": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 6) AS p95,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -39,6 +39,7 @@ from kolang_spark.functions import (  # noqa: F401
     number_normalizer,
     parse_jalali,
     percent,
+    quantiles,
     persian_number,
     str_array_to_array,
     str_to_column,

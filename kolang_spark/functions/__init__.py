@@ -17,6 +17,7 @@ from kolang_spark.functions.core import (  # noqa: F401
     cumulative_sum,
     is_null_or_in,
     median,
+    quantiles,
     moving_average,
     moving_avg,
     percent,

@@ -110,6 +110,34 @@ def median(col: ColumnOrName, exact: bool = True) -> Column:
     return out
 
 
+def quantiles(
+    col: ColumnOrName,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> Column:
+    """Aggregate: multi-quantile summary of the group
+    (``array<double>``, one element per probability, linear
+    interpolation — the ``median`` family generalized to a full
+    per-group distribution profile in ONE sort/sketch pass instead of
+    one per probability).
+
+    ``exact=True`` → ``percentile(col, array(...))`` (per-group sort
+    buffer); ``exact=False`` → ``approx_percentile`` (t-digest sketch,
+    mergeable map-side, bounded memory) — the right default at 100 TB.
+    DuckDB's ``quantile_cont(col, [..])`` computes the same
+    interpolation, so exact results are oracle-comparable.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError("probs must be non-empty, each in [0, 1]")
+    c = to_col(col)
+    arr = F.array(*[F.lit(p) for p in ps])
+    if exact:
+        return F.percentile(c, arr)
+    return F.approx_percentile(c, arr, F.lit(accuracy))
+
+
 def _ordered(on_col: ColumnOrName, ascending: bool) -> Column:
     c = to_col(on_col)
     return c if ascending else c.desc()

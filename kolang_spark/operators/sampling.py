@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.utils import ColumnOrName, to_col, to_col_list
 
-__all__ = ["top_k_per_group", "deterministic_sample"]
+__all__ = ["top_k_per_group", "deterministic_sample", "stratified_sample"]
 
 
 def top_k_per_group(
@@ -64,12 +64,50 @@ def deterministic_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * (1 << 60))
+    return df.where(_hash60(key, salt) < F.lit(threshold))
+
+
+def _hash60(key: ColumnOrName, salt: str) -> Column:
+    """60-bit md5 bucket of ``key`` (engine-portable; see
+    ``llm.textstats._token_hash60``)."""
     c = to_col(key).cast("string")
-    # 60-bit md5 bucket (engine-portable; see llm.textstats._token_hash60)
-    h = F.conv(
+    return F.conv(
         F.substring(F.md5(F.encode(F.concat(c, F.lit(salt)), "UTF-8")), 18, 15),
         16,
         10,
     ).cast("long")
-    threshold = int(fraction * (1 << 60))
-    return df.where(h < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: ColumnOrName,
+    fractions: dict,
+    key: ColumnOrName,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-mixture control
+    knob: keep e.g. 100% of one language and 10% of another, stably.
+
+    Same md5 hash-gate as :func:`deterministic_sample`, but the
+    threshold is chosen per row by the ``strata`` value (a driver-side
+    ``CASE WHEN`` chain over the ``fractions`` dict — no join, no
+    shuffle, one Project over the scan; strata counts in the handfuls
+    are the normal case). Unlisted/NULL strata fall back to
+    ``default_fraction``. Deterministic across runs, partitionings, and
+    engines, and composable: the same ``(key, salt)`` subset is
+    selected from any table sharing the key.
+    """
+    for v, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {v!r} must be in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError("default_fraction must be in [0, 1]")
+    s = to_col(strata)
+    threshold = F.lit(int(default_fraction * (1 << 60)))
+    for v, f in fractions.items():
+        threshold = F.when(s == F.lit(v), F.lit(int(f * (1 << 60)))).otherwise(
+            threshold
+        )
+    return df.where(_hash60(key, salt) < threshold)

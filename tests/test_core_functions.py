@@ -181,3 +181,19 @@ def test_core_ops_stay_udf_free(spark):
         .withColumn("cs", ks.cumulative_sum("v", "id", partition_by=F.col("id") % 3))
     )
     assert not has_python_eval(df)
+
+
+def test_quantiles_exact_and_approx(spark):
+    df = spark.range(1, 101).toDF("v").withColumn("g", F.col("v") % 2 == 0)
+    out = df.groupBy("g").agg(ks.quantiles("v", [0.0, 0.5, 1.0]).alias("q"))
+    got = {r.g: r.q for r in out.collect()}
+    # odds 1..99: min 1, median 50th value interp -> 50.0? (49 elems + interp)
+    assert got[False][0] == 1.0 and got[False][2] == 99.0
+    assert got[True][0] == 2.0 and got[True][2] == 100.0
+    # approx path returns same cardinality, plausible values
+    (qa,) = df.agg(ks.quantiles("v", [0.25, 0.75], exact=False).alias("q")).first()
+    assert len(qa) == 2 and 20 <= qa[0] <= 30 and 70 <= qa[1] <= 80
+    with pytest.raises(ValueError):
+        ks.quantiles("v", [])
+    with pytest.raises(ValueError):
+        ks.quantiles("v", [1.5])

@@ -5,6 +5,7 @@ naive formulations."""
 import uuid
 
 import pyspark.sql.functions as F
+import pytest
 
 from kolang_spark.operators.skew import salted_join, skew_safe_distinct_count
 from kolang_spark.sources.bucketing import assert_no_shuffle_join, write_bucketed
@@ -120,3 +121,48 @@ def test_deterministic_sample_stable_and_composable(spark, sf_dir):
          deterministic_sample(od, "o_orderkey", 0.1, salt="x")
          .select("o_orderkey").collect()}
     assert c != a
+
+
+def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
+    """Per-stratum hash gating: full stratum kept at 1.0, empty at 0.0,
+    unlisted strata follow default_fraction; same key set under any
+    partitioning; per-stratum subsets are nested consistently with the
+    flat deterministic_sample at the same fraction."""
+    from kolang_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+    from kolang_spark.sources.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, keep_none = langs[0], langs[1]
+    out = stratified_sample(
+        docs, "lang", {keep_all: 1.0, keep_none: 0.0}, "doc_id",
+        default_fraction=0.3,
+    )
+    got = {r.doc_id: r.lang for r in out.select("doc_id", "lang").collect()}
+    n_all = docs.where(F.col("lang") == keep_all).count()
+    assert sum(1 for v in got.values() if v == keep_all) == n_all
+    assert not any(v == keep_none for v in got.values())
+    # default-fraction strata must equal the flat sample restricted to them
+    flat = {
+        r.doc_id
+        for r in deterministic_sample(docs, "doc_id", 0.3)
+        .select("doc_id").collect()
+    }
+    others = {k for k, v in got.items() if v not in (keep_all, keep_none)}
+    expect = {
+        r.doc_id
+        for r in docs.where(~F.col("lang").isin(keep_all, keep_none))
+        .select("doc_id").collect()
+    } & flat
+    assert others == expect
+    # partition-independence
+    out2 = stratified_sample(
+        docs.repartition(7), "lang", {keep_all: 1.0, keep_none: 0.0}, "doc_id",
+        default_fraction=0.3,
+    )
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == set(got)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "lang", {keep_all: 1.2}, "doc_id")
