@@ -436,6 +436,35 @@ def _q_url_domain_stats(spark, sf_dir):
     )
 
 
+def _q_boilerplate_lines_documents(spark, sf_dir):
+    """C4/RefinedWeb line-level boilerplate removal
+    (`kolang_spark/llm/curate.py::remove_boilerplate_lines`): a shared
+    footer and per-section banner are injected Column-natively, then
+    lines recurring in > min_df documents are stripped with order and
+    original bytes preserved. The oracle re-derives the hot set and the
+    filtered reassembly independently in DuckDB (lateral unnest +
+    NOT IN + ordered string_agg) — same result from a different
+    algorithm."""
+    from kolang_spark.llm import remove_boilerplate_lines
+
+    dc = _t(spark, sf_dir, "documents")
+    injected = dc.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSECTION "),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("\n  == FOOTER: subscribe ==  "),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(injected, min_df=40)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("clean"),
+        F.col("n_lines_removed").cast("int").alias("n_lines_removed"),
+    )
+
+
 def _q_stratified_sample_documents(spark, sf_dir):
     """Training-mixture control
     (`kolang_spark/operators/sampling.py::stratified_sample`): per-lang
@@ -1146,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quantiles_events": _q_quantiles_events,
+        "boilerplate_lines_documents": _q_boilerplate_lines_documents,
     }
 
 
@@ -2178,6 +2208,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(value, 0.95), 6) AS p95,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
+        """,
+        # Independent re-derivation of remove_boilerplate_lines: lateral
+        # unnest for (pos, line), hot set via distinct-doc df, NOT IN
+        # filter, ordered string_agg reassembly — different algorithm,
+        # same bytes.
+        "boilerplate_lines_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     text || chr(10) || 'SECTION ' || (doc_id % 10)
+                          || chr(10) || '  == FOOTER: subscribe ==  ' AS text
+              FROM documents
+            ), arrs AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS arr FROM t
+            ), ln AS (
+              SELECT doc_id, s.i, arr[s.i] AS line
+              FROM arrs, unnest(generate_series(1, len(arr))) AS s(i)
+            ), hot AS (
+              SELECT tl FROM (SELECT DISTINCT doc_id, trim(line) AS tl FROM ln)
+              GROUP BY tl HAVING COUNT(*) > 40
+            ), kept AS (
+              SELECT doc_id, i, line FROM ln
+              WHERE trim(line) NOT IN (SELECT tl FROM hot)
+            )
+            SELECT t.doc_id,
+                   coalesce(string_agg(kept.line, chr(10) ORDER BY kept.i), '')
+                     AS clean,
+                   CAST(len(string_split(t.text, chr(10))) - COUNT(kept.i) AS INT)
+                     AS n_lines_removed
+            FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+            GROUP BY t.doc_id, t.text
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

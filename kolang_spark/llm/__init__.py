@@ -26,7 +26,11 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     with_shingles,
 )
-from kolang_spark.llm.curate import curate, curate_flags  # noqa: F401
+from kolang_spark.llm.curate import (  # noqa: F401
+    curate,
+    curate_flags,
+    remove_boilerplate_lines,
+)
 from kolang_spark.llm.similarity import (  # noqa: F401
     brute_force_topk,
     cosine,

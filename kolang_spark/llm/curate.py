@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import doc_fingerprint, lang_id, quality_metrics
 
-__all__ = ["curate_flags", "curate"]
+__all__ = ["curate_flags", "curate", "remove_boilerplate_lines"]
 
 
 def curate_flags(
@@ -69,4 +69,69 @@ def curate(
     flags = curate_flags(df, text_col, id_col, min_quality, langs)
     return df.join(
         flags.where("kept").select(id_col), id_col, "left_semi"
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 5,
+    max_hot: int = 100_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Strip *boilerplate lines* — lines recurring across more than
+    ``min_df`` documents (nav menus, footers, cookie banners): the
+    C4/RefinedWeb line-level dedup rule, line order preserved.
+
+    Plan shape (scale-first):
+
+    1. document frequency per trimmed line — ``array_distinct`` per doc
+       *before* the explode (each doc votes once), then one groupBy;
+    2. the hot set is capped at ``max_hot`` lines (by df desc, line
+       asc — deterministic) and collapsed to ONE array row, which rides
+       a ``crossJoin(broadcast(...))`` to every document: boilerplate
+       is high-frequency by definition, so the hot set is small even at
+       100 TB (bounded by distinct lines with df > min_df, then capped);
+    3. per-document filtering is then a pure Column ``filter`` +
+       ``array_join`` — original line text and order preserved with NO
+       re-assembly shuffle (the explode/groupBy path would shuffle
+       every line of every document a second time).
+
+    Matching is on ``trim(line)``; kept lines keep their original
+    bytes. Adds ``n_lines_removed`` for auditability. ``out_col``
+    defaults to replacing ``text_col`` in place.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                # NB: `lambda l: F.trim(l)`, not bare `F.trim` — transform
+                # feeds (element, index) to two-parameter callables, and
+                # trim's optional 2nd param would silently become the
+                # index (trimming digit chars instead of whitespace)
+                F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l))
+            )
+        ).alias("line"),
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .where(F.col("line_df") > min_df)
+        .orderBy(F.col("line_df").desc(), F.col("line"))
+        .limit(max_hot)
+    )
+    hot_arr = hot.agg(F.collect_list("line").alias("__hot_lines__"))
+    arr = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        arr, lambda l: ~F.array_contains(F.col("__hot_lines__"), F.trim(l))
+    )
+    return (
+        df.crossJoin(F.broadcast(hot_arr))
+        .withColumn("n_lines_removed", F.size(arr) - F.size(kept))
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .drop("__hot_lines__")
     )

@@ -121,6 +121,13 @@ def tracked_local_checkpoint(df):
     Returns ``(checkpointed_df, frozenset_of_rdd_ids)``; on Spark
     Connect (no JVM access) the id set is empty and release degrades to
     the GC-timed behavior.
+
+    Caveat: the id set is computed as a before/after diff of the
+    context's persistent-RDD registry, so a *concurrent* persist from
+    another driver thread inside that window would be captured (and
+    later released) too. Acceptable for the iterative operators here
+    (one driver thread builds one query); in a multi-threaded driver,
+    serialize calls or skip release.
     """
     try:
         jctx = df.sparkSession._jsparkSession.sparkContext()

@@ -2,6 +2,8 @@
 
 import uuid
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from kolang_spark.llm import curate, curate_flags
@@ -84,3 +86,40 @@ def test_dedup_stream_real_stream(spark, sf_dir, tmp_path):
     n_stream = spark.table(sink).count()
     n_batch = dedup_stream(dc.drop("ts")).count()
     assert n_stream == n_batch
+
+
+def test_remove_boilerplate_lines(spark):
+    """Lines recurring in > min_df docs are stripped (trim-matched,
+    original bytes and order kept); rarer shared lines stay; audit
+    count is exact; empty hot set is a no-op."""
+    from kolang_spark.llm import remove_boilerplate_lines
+
+    footer = "FOOTER: subscribe to our newsletter"
+    rows = []
+    for i in range(6):
+        body = f"unique body line {i}"
+        pair = "shared by two docs" if i < 2 else f"filler {i}"
+        rows.append((i, f"{body}\n{pair}\n  {footer}  "))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in remove_boilerplate_lines(df, min_df=5).collect()
+    }
+    for i in range(6):
+        body = f"unique body line {i}"
+        pair = "shared by two docs" if i < 2 else f"filler {i}"
+        assert out[i][0] == f"{body}\n{pair}", out[i]
+        assert out[i][1] == 1
+    # min_df=1: the two-doc shared line goes too
+    out2 = {
+        r.doc_id: r.n_lines_removed
+        for r in remove_boilerplate_lines(df, min_df=1).collect()
+    }
+    assert out2[0] == 2 and out2[5] == 1
+    # high threshold: nothing hot, text unchanged
+    out3 = remove_boilerplate_lines(df, min_df=50).collect()
+    assert all(r.n_lines_removed == 0 for r in out3)
+    assert {r.text for r in out3} == {t for _, t in rows}
+    with pytest.raises(ValueError):
+        remove_boilerplate_lines(df, min_df=0)
