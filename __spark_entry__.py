@@ -436,6 +436,21 @@ def _q_url_domain_stats(spark, sf_dir):
     )
 
 
+def _q_profile_orders(spark, sf_dir):
+    """One-pass table profile
+    (`kolang_spark/operators/profile.py::profile_table`): per-column
+    count/null/distinct/min/max over orders in a single aggregation job
+    (map-side combinable; stack reshape is metadata work on the 1-row
+    result). exact_distinct=True here for oracle parity; the default is
+    the HLL path at scale. Doubles excluded (engine float-formatting
+    differs; the numeric profile is exercised via bigint columns)."""
+    from kolang_spark.operators import profile_table
+
+    od = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    return profile_table(od, columns=cols, exact_distinct=True)
+
+
 def _q_boilerplate_lines_documents(spark, sf_dir):
     """C4/RefinedWeb line-level boilerplate removal
     (`kolang_spark/llm/curate.py::remove_boilerplate_lines`): a shared
@@ -1176,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": _q_stratified_sample_documents,
         "quantiles_events": _q_quantiles_events,
         "boilerplate_lines_documents": _q_boilerplate_lines_documents,
+        "profile_orders": _q_profile_orders,
     }
 
 
@@ -2239,6 +2255,25 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
             GROUP BY t.doc_id, t.text
         """,
+        # One SELECT per profiled column, UNION ALL — the orthodox SQL
+        # formulation of what profile_table computes in one stacked agg.
+        "profile_orders": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS n_null,
+                   COUNT(DISTINCT {c}) AS n_distinct,
+                   CAST(MIN({c}) AS VARCHAR) AS min_value,
+                   CAST(MAX({c}) AS VARCHAR) AS max_value
+            FROM orders
+            """
+            for c in [
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+                "o_orderdate",
+            ]
+        ),
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),
         #   hll_users_monthly (HLL estimates differ by design),

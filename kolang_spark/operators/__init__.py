@@ -10,6 +10,7 @@ from kolang_spark.operators.sampling import (  # noqa: F401
     stratified_sample,
     top_k_per_group,
 )
+from kolang_spark.operators.profile import profile_table  # noqa: F401
 from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
 from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
 from kolang_spark.operators.sketches import (  # noqa: F401

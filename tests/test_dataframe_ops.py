@@ -193,3 +193,24 @@ def test_with_cumulative_sum_matches_window_variant(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_profile_table(spark):
+    from kolang_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (2, None, 7.5)],
+        "id long, s string, v double",
+    )
+    out = {r.column: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 3 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 2)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert (out["v"].min_value, out["v"].max_value) == ("5.0", "7.5")
+    assert (out["id"].min_value, out["id"].max_value) == ("1", "2")
+    # subset + unknown column guard
+    sub = profile_table(df, columns=["id"]).collect()
+    assert len(sub) == 1
+    with pytest.raises(ValueError):
+        profile_table(df, columns=["nope"])
