@@ -323,11 +323,14 @@ def connected_components(
     bounded by log2(changed) and the O(log diameter) worst case is
     preserved.
 
-    The convergence check is fused into the propagation aggregation:
+    The convergence check is fused all the way into the checkpoint job:
     the self-loop row (a,a) carries vertex a's *old* label through the
     same equi-join, so ``old_lbl = min(lbl) FILTER (WHERE b = a)`` comes
-    out of the one groupBy and the changed-count is a scan of the
-    checkpointed result — no separate old-vs-new join per round.
+    out of the one groupBy, and the changed-count is collected via
+    ``DataFrame.observe`` **during the eager checkpoint's own action** —
+    a heavy round is therefore exactly two Spark jobs (propagate+count
+    fused, jump), a tail round exactly one. (Fallback: a plain count of
+    the checkpointed result where Observation is unavailable.)
 
     Each heavy round is one equi-join + one groupBy + one small
     self-join (hash-partitioned, fully parallel); tail rounds drop the
@@ -362,7 +365,7 @@ def connected_components(
     stale_ids: set = set()  # checkpoints no future round reads
     live_ids: set = set()  # previous round's checkpoints (still readable)
     for _ in range(max_iter):
-        propagated, ck_ids = tracked_local_checkpoint(
+        agg = (
             sym.join(labels, sym["b"] == labels["id"])
             .select(F.col("a").alias("id"), "lbl", (sym["b"] == sym["a"]).alias("slf"))
             .groupBy("id")
@@ -371,16 +374,33 @@ def connected_components(
                 F.min(F.when(F.col("slf"), F.col("lbl"))).alias("old_lbl"),
             )
         )
+        # convergence metric rides the checkpoint's own job (observe):
+        # stable-under-propagation means labels are equal across every
+        # edge, i.e. constant per component — fully converged, and the
+        # jump below would be a no-op, so the last round skips its join
+        obs = None
+        try:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            agg = agg.observe(
+                obs,
+                F.sum(
+                    (F.col("lbl") != F.col("old_lbl")).cast("long")
+                ).alias("changed"),
+            )
+        except Exception:
+            obs = None
+        propagated, ck_ids = tracked_local_checkpoint(agg)
         # this round's propagation re-materialized everything the
         # previous round's checkpoints held — they are now unreadable by
         # any future plan; drop their blocks
         release_checkpoints(spark, stale_ids)
         stale_ids, live_ids = live_ids, set(ck_ids)
-        # convergence test on the propagation itself: stable-under-
-        # propagation means labels are equal across every edge, i.e.
-        # constant per component — fully converged, and the jump below
-        # would be a no-op, so the last round skips its join entirely
-        changed = propagated.where(F.col("lbl") != F.col("old_lbl")).count()
+        if obs is not None:
+            changed = obs.get["changed"] or 0
+        else:  # Observation unavailable (e.g. some Connect versions)
+            changed = propagated.where(F.col("lbl") != F.col("old_lbl")).count()
         if changed == 0:
             labels = propagated.select("id", "lbl")
             break
