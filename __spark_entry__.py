@@ -2170,9 +2170,11 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII_EMAIL_SQL}', '<email>', 'g'),
                        '{_PII_IPV4_SQL}', '<ipv4>', 'g'),
                        '{_PII_PHONE_SQL}', '<phone>', 'g') AS clean,
-                   CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS INT) AS n_email,
-                   CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS INT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS INT) AS n_phone
+                   -- coalesce mirrors pii_counts' NULL-counts-0 contract
+                   -- (kolang_spark/llm/scrub.py::pii_counts)
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_EMAIL_SQL}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_IPV4_SQL}')) AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_PHONE_SQL}')) AS INT) AS n_phone
             FROM t
         """,
         # Mirrors kolang_spark/llm/scrub.py::url_domains: URL regex →
@@ -2241,8 +2243,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, s.i, arr[s.i] AS line
               FROM arrs, unnest(generate_series(1, len(arr))) AS s(i)
             ), hot AS (
-              SELECT tl FROM (SELECT DISTINCT doc_id, trim(line) AS tl FROM ln)
+              -- blank lines excluded (operator contract) and the
+              -- max_hot=100000 cap mirrored (df desc, line asc)
+              SELECT tl FROM (SELECT DISTINCT doc_id, trim(line) AS tl FROM ln
+                              WHERE trim(line) <> '')
               GROUP BY tl HAVING COUNT(*) > 40
+              ORDER BY COUNT(*) DESC, tl LIMIT 100000
             ), kept AS (
               SELECT doc_id, i, line FROM ln
               WHERE trim(line) NOT IN (SELECT tl FROM hot)

@@ -89,14 +89,22 @@ def remove_boilerplate_lines(
     1. document frequency per trimmed line — ``array_distinct`` per doc
        *before* the explode (each doc votes once), then one groupBy;
     2. the hot set is capped at ``max_hot`` lines (by df desc, line
-       asc — deterministic) and collapsed to ONE array row, which rides
-       a ``crossJoin(broadcast(...))`` to every document: boilerplate
-       is high-frequency by definition, so the hot set is small even at
-       100 TB (bounded by distinct lines with df > min_df, then capped);
+       asc — deterministic) and collapsed to ONE map row
+       (``line → true``), which rides a ``crossJoin(broadcast(...))``
+       to every document: boilerplate is high-frequency by definition,
+       so the hot set is small even at 100 TB (bounded by distinct
+       lines with df > min_df, then capped);
     3. per-document filtering is then a pure Column ``filter`` +
-       ``array_join`` — original line text and order preserved with NO
+       ``array_join`` — membership is an O(1) hash probe per line
+       (``try_element_at`` on the broadcast map, not a linear array
+       scan), original line text and order preserved with NO
        re-assembly shuffle (the explode/groupBy path would shuffle
        every line of every document a second time).
+
+    Empty/whitespace-only lines are never boilerplate candidates: in
+    any real corpus more than ``min_df`` documents contain a blank
+    line, and stripping those would collapse paragraph structure
+    corpus-wide — C4/RefinedWeb line dedup operates on non-empty lines.
 
     Matching is on ``trim(line)``; kept lines keep their original
     bytes. Adds ``n_lines_removed`` for auditability. ``out_col``
@@ -118,20 +126,28 @@ def remove_boilerplate_lines(
         ).alias("line"),
     )
     hot = (
-        lines.groupBy("line")
+        lines.where(F.col("line") != "")
+        .groupBy("line")
         .agg(F.count(F.lit(1)).alias("line_df"))
         .where(F.col("line_df") > min_df)
         .orderBy(F.col("line_df").desc(), F.col("line"))
         .limit(max_hot)
     )
-    hot_arr = hot.agg(F.collect_list("line").alias("__hot_lines__"))
+    hot_map = hot.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("line"), F.lit(True)))
+        ).alias("__hot_map__")
+    )
     arr = F.split(F.col(text_col), "\n")
+    # try_element_at (not element_at): NULL on a missing key instead of
+    # an ANSI MAP_KEY_DOES_NOT_EXIST error — missing means "keep"
     kept = F.filter(
-        arr, lambda l: ~F.array_contains(F.col("__hot_lines__"), F.trim(l))
+        arr,
+        lambda l: F.try_element_at(F.col("__hot_map__"), F.trim(l)).isNull(),
     )
     return (
-        df.crossJoin(F.broadcast(hot_arr))
+        df.crossJoin(F.broadcast(hot_map))
         .withColumn("n_lines_removed", F.size(arr) - F.size(kept))
         .withColumn(out_col, F.array_join(kept, "\n"))
-        .drop("__hot_lines__")
+        .drop("__hot_map__")
     )

@@ -44,6 +44,13 @@ def profile_table(
         raise ValueError(f"unknown columns: {sorted(missing)}")
     if not cols:
         raise ValueError("no columns to profile")
+    # names flow into the stack() SQL string below — a quote/backtick
+    # would silently misparse there, so fail loudly instead
+    bad = [c for c in cols if "`" in c or "'" in c or "\n" in c]
+    if bad:
+        raise ValueError(
+            f"column names with quotes/backticks are not supported: {bad!r}"
+        )
 
     aggs = [F.count(F.lit(1)).alias("__n__")]
     for c in cols:

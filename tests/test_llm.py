@@ -288,6 +288,39 @@ def test_connected_components_merges_chains(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_uses_fused_observation_count(spark, monkeypatch):
+    """The convergence count must ride the checkpoint job via Observation
+    on classic Spark (round-4 verdict item 5): the ONLY DataFrame.count()
+    call per invocation is the up-front n_verts count — a per-round
+    fallback count job means the fused path silently degraded."""
+    # pyspark>=4: pyspark.sql.DataFrame is a facade; instances are the
+    # classic subclass, so patch the class the instances actually use
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pyspark 3.x
+        from pyspark.sql import DataFrame
+
+    from kolang_spark.llm import connected_components
+
+    calls = []
+    real_count = DataFrame.count
+
+    def counting_count(self):
+        calls.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert len(calls) == 1, (
+        f"expected exactly the n_verts count; saw {len(calls)} count jobs "
+        "(Observation fast path not taken)"
+    )
+
+
 def test_connected_components_cycle(spark):
     from kolang_spark.llm import connected_components
 
