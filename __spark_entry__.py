@@ -1026,6 +1026,113 @@ def _q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode_png(spark, sf_dir):
+    """REAL PNG decode, oracle-backed (round-4 verdict item 4): every
+    row gets a spec-valid PNG (8-bit RGB, single stored-deflate IDAT,
+    closed-form adler32, built-in crc32 chunk checksums) built natively
+    in Column expressions from its doc_id
+    (`kolang_spark/llm/multimodal.py::synth_png_blobs`), then the
+    Arrow-batched zlib-inflate + numpy-unfilter parser decodes it back.
+    The oracle predicts every decoded statistic closed-form from doc_id
+    alone — a wrong chunk walk, inflate offset, filter-byte slip, or
+    checksum bug hash-mismatches."""
+    from kolang_spark.llm.multimodal import decode_image, synth_png_blobs
+
+    dc = _t(spark, sf_dir, "documents")
+    blobs = synth_png_blobs(dc.select("doc_id"))
+    out = decode_image(blobs)
+    return out.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        "n_bytes",
+        "sum_pixel",
+        "first_pixel",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+_ANN_RECALL_DIMS = 16
+_ANN_RECALL_N = 400
+# multi_probe=2 over 4 planes: all masks with popcount <= 2
+_MP2_MASKS = [m for m in range(16) if bin(m).count("1") <= 2]
+
+
+def _q_ann_recall_planted(spark, sf_dir):
+    """Externally-verifiable ANN recall (round-4 verdict item 3): a
+    planted 40-cluster x 10-member corpus is built deterministically
+    from md5 arithmetic (center(cluster,d) + noise(id,d)/16, every
+    float op exactly mirrorable), then recall@10 of
+    `lsh_topk(multi_probe=2)` against exact `brute_force_topk` is
+    computed per query — 40 rows of (query_id, n_hit, recall_at_10).
+    The DuckDB oracle re-derives the corpus, the exact ranking, the LSH
+    bucketing (same inlined md5 plane coefficients), the multi-probe
+    fanout, and the recall join bit-exact — ANN quality becomes a
+    hash-checked number instead of a local CI floor. The query's own
+    vector always lands in its probed home bucket, so n_hit >= 1 and
+    all 40 groups materialize in both engines."""
+    from kolang_spark.llm.similarity import brute_force_topk, lsh_topk
+
+    D, K = _ANN_RECALL_DIMS, 10
+    dc = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < _ANN_RECALL_N)
+    )
+    i = F.col("doc_id").cast("long")
+    clus = ((i - i % 10) / 10).cast("long")
+
+    def h32(prefix, key, d):
+        # first 8 md5 hex chars as a 32-bit int -> exact double
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix),
+                        key.cast("string"),
+                        F.lit(":"),
+                        d.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(D - 1)),
+        # center in [-1,1) shared by the cluster + per-id noise/8; the
+        # /2^31 and /8 scalings are exact powers of two, so both
+        # engines compute bit-identical components. noise/8 puts the
+        # measured recall in the non-degenerate 0.90-1.0 band (avg
+        # ~0.997) — the check demonstrably distinguishes hit from miss
+        lambda d: (h32("c", clus, d) / 2147483648.0 - 1.0)
+        + (h32("n", i, d) / 2147483648.0 - 1.0) / 8.0,
+    )
+    corpus = dc.select(F.col("doc_id").alias("vec_id"), vec.alias("embedding"))
+    queries = corpus.where(F.col("vec_id") % 10 == 0)
+    exact = brute_force_topk(corpus, queries, k=K, dims=D)
+    ann = lsh_topk(
+        corpus, queries, k=K, n_planes=4, dims=D, multi_probe=2
+    )
+    hits = exact.select("query_id", "vec_id").join(
+        ann.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            (F.col("n_hit") / K).alias("recall_at_10"),
+        )
+    )
+
+
 def _q_multimodal_blob_embed_ann(spark, sf_dir):
     """The full multimodal chain: pack blobs → Arrow-batched REAL
     feature extraction (strided byte-fold signature) → LSH ANN top-k
@@ -1102,40 +1209,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (round-3 verdict item 3): each round, several tail oracle-backed
     queries swap with in-window queries already green in two external
     rounds, so every oracle-backed query earns an *external* green row
-    within two rounds. Round-4 rotation — in: percent_by_returnflag,
-    cumulative_revenue_by_shipdate, jalali_orders_by_month,
-    dedup_stream_batch, add_trend_line_deg2, repetition_documents,
-    multimodal_decode (new, real decoder); out (green r2+r3, operator
-    still pinned by an in-window sibling): percent_partitioned,
-    jalali_roundtrip, sliding_events, salted_join_revenue,
-    simhash_documents, multimodal_blob_metadata, add_trend_line. The
-    tail holds (a) rows-only queries (no SQL-expressible oracle) and
-    (b) oracle-backed rotation/stretch variants — they still run in
-    bench.py and stay oracle-checked by tests/test_oracle_parity.py."""
+    within two rounds. Round-5 rotation — in: the six r4-new operators
+    (pii_scrub_documents, url_domain_stats,
+    stratified_sample_documents, quantiles_events,
+    boilerplate_lines_documents, profile_orders — r4 verdict item 1),
+    the two stalest oracle-backed veterans (scale_cumulative_revenue
+    last green r2, embedding_neardup_pairs last green r1 — item 6),
+    and the two new-this-round queries (multimodal_decode_png — item 4,
+    ann_recall_planted — item 3); out (each green in FOUR external
+    rounds r1-r4, operator still pinned by local oracle-parity tests):
+    median_acctbal_by_segment, cond_count_orders, weighted_avg_discount,
+    bin_part_sizes, str_array_roundtrip, is_null_or_in,
+    sum_columns_lineitem, array_contains, persian_number,
+    number_normalize_documents. The tail holds (a) rows-only queries
+    (no SQL-expressible oracle) and (b) oracle-backed rotation/stretch
+    variants — they still run in bench.py and stay oracle-checked by
+    tests/test_oracle_parity.py."""
     return {
         # --- oracle-backed, positions 1-50 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
-        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
+        "pii_scrub_documents": _q_pii_scrub_documents,
         "cumulative_orders_by_day": _q_cumulative_orders_by_day,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
-        "cond_count_orders": _q_cond_count_orders,
-        "weighted_avg_discount": _q_weighted_avg_discount,
+        "url_domain_stats": _q_url_domain_stats,
+        "stratified_sample_documents": _q_stratified_sample_documents,
         "count_distinct_with_nulls": _q_count_distinct_with_nulls,
-        "bin_part_sizes": _q_bin_part_sizes,
-        "sum_columns_lineitem": _q_sum_columns_lineitem,
+        "quantiles_events": _q_quantiles_events,
+        "boilerplate_lines_documents": _q_boilerplate_lines_documents,
         "moving_average_revenue": _q_moving_average_revenue,
         "ewma_users": _q_ewma_users,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "union_customers_suppliers": _q_union_customers_suppliers,
-        "number_normalize_documents": _q_number_normalize_documents,
+        "profile_orders": _q_profile_orders,
         "text_clean_documents": _q_text_clean_documents,
-        "str_array_roundtrip": _q_str_array_roundtrip,
-        "array_contains": _q_array_contains,
-        "is_null_or_in": _q_is_null_or_in,
+        "scale_cumulative_revenue": _q_scale_cumulative_revenue,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "multimodal_decode_png": _q_multimodal_decode_png,
         "session_count_by_user": _q_session_count_by_user,
         "cube_percent_parts": _q_cube_percent_parts,
-        "persian_number": _q_persian_number,
+        "ann_recall_planted": _q_ann_recall_planted,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
@@ -1170,28 +1283,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
-        # --- tail: oracle-backed rotation variants (green in earlier
-        #     external rounds, operator pinned by an in-window sibling;
-        #     past the harness's 50-query window but still run by
-        #     bench.py and oracle-checked by tests/test_oracle_parity.py)
+        # --- tail: oracle-backed rotation variants (green in >= 2
+        #     earlier external rounds, operator pinned by an in-window
+        #     sibling or by tests/test_oracle_parity.py; past the
+        #     harness's 50-query window but still run by bench.py and
+        #     oracle-checked locally every run) ---
         "percent_partitioned": _q_percent_partitioned,
-        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
+        "cond_count_orders": _q_cond_count_orders,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "bin_part_sizes": _q_bin_part_sizes,
+        "str_array_roundtrip": _q_str_array_roundtrip,
+        "is_null_or_in": _q_is_null_or_in,
+        "sum_columns_lineitem": _q_sum_columns_lineitem,
+        "array_contains": _q_array_contains,
+        "persian_number": _q_persian_number,
+        "number_normalize_documents": _q_number_normalize_documents,
         "jalali_roundtrip": _q_jalali_roundtrip,
-        "scale_cumulative_revenue": _q_scale_cumulative_revenue,
         "sliding_events": _q_sliding_events,
         "salted_join_revenue": _q_salted_join_revenue,
         "simhash_documents": _q_simhash_documents,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "add_trend_line": _q_add_trend_line,
-        # --- tail: new this round (oracle-backed; rotate into the
-        #     window after a local-green round, per the rotation
-        #     contract) ---
-        "pii_scrub_documents": _q_pii_scrub_documents,
-        "url_domain_stats": _q_url_domain_stats,
-        "stratified_sample_documents": _q_stratified_sample_documents,
-        "quantiles_events": _q_quantiles_events,
-        "boilerplate_lines_documents": _q_boilerplate_lines_documents,
-        "profile_orders": _q_profile_orders,
     }
 
 
@@ -2046,6 +2159,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST((doc_id*7) % 256 AS INT) AS first_pixel,
                    ROUND(CAST(sum_pixel AS DOUBLE) / npx, 6) AS mean_pixel
             FROM px
+        """,
+        # Closed-form prediction of the PNG decode: same pixel formula
+        # as the PPM oracle; n_bytes = 68 fixed framing bytes (sig 8 +
+        # IHDR 25 + IDAT hdr/crc 12 + zlib framing 11 + IEND 12) plus
+        # the stored stream h*(1+3w).
+        "multimodal_decode_png": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 8 AS INT) AS width,
+                     CAST(4 + doc_id % 5 AS INT) AS height
+              FROM documents
+            ), px AS (
+              SELECT doc_id, width, height,
+                     width * height * 3 AS npx,
+                     CAST(list_sum(list_transform(
+                         generate_series(0, width*height*3 - 1),
+                         i -> (doc_id*7 + i*13) % 256)) AS BIGINT)
+                       AS sum_pixel
+              FROM dims
+            )
+            SELECT doc_id,
+                   'png' AS format,
+                   width, height,
+                   3 AS n_channels,
+                   CAST(68 + height * (1 + 3*width) AS BIGINT) AS n_bytes,
+                   sum_pixel,
+                   CAST((doc_id*7) % 256 AS INT) AS first_pixel,
+                   ROUND(CAST(sum_pixel AS DOUBLE) / npx, 6) AS mean_pixel
+            FROM px
+        """,
+        # Full independent re-derivation of the planted-recall number:
+        # identical md5 corpus (center + noise/16, exact power-of-two
+        # scalings), exact ranking, the SAME inlined LSH plane
+        # coefficients, the same popcount<=2 probe masks, and the same
+        # recall join — recall@10 of lsh_topk(multi_probe=2) becomes a
+        # hash-checked value.
+        "ann_recall_planted": f"""
+            WITH spine AS (
+              SELECT doc_id AS i FROM documents WHERE doc_id < {_ANN_RECALL_N}
+            ), corpus AS (
+              SELECT i AS vec_id,
+                     list_transform(range({_ANN_RECALL_DIMS}), d ->
+                       (('0x' || substr(md5('c' || CAST(i//10 AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0)
+                     + (('0x' || substr(md5('n' || CAST(i AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0) / 8.0
+                     ) AS v
+              FROM spine
+            ), scored_e AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM corpus q, corpus c WHERE q.vec_id % 10 = 0
+            ), exact AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored_e) WHERE rnk <= 10
+            ), sigs AS (
+              SELECT vec_id, v,
+                     {_lsh_sig_sql('v', 4, _ANN_RECALL_DIMS)} AS sig
+              FROM corpus
+            ), probes AS (
+              SELECT s.vec_id AS query_id, s.v AS qv,
+                     xor(s.sig, m.m) AS bucket
+              FROM sigs s, (SELECT unnest({_MP2_MASKS}) AS m) m
+              WHERE s.vec_id % 10 = 0
+            ), cand AS (
+              SELECT p.query_id, s.vec_id,
+                     list_dot_product(p.qv, s.v)
+                       / (sqrt(list_dot_product(p.qv, p.qv))
+                          * sqrt(list_dot_product(s.v, s.v))) AS cos
+              FROM probes p JOIN sigs s ON s.sig = p.bucket
+            ), ann AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, vec_id) AS rnk
+                FROM cand) WHERE rnk <= 10
+            )
+            SELECT e.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit,
+                   CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+            FROM exact e JOIN ann a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
         """,
         "multimodal_sample_frames": """
             SELECT doc_id,

@@ -2,19 +2,23 @@
 columns with typed metadata structs, plus Arrow-batched processing
 (decode / feature-extract / frame-sample).
 
-The decode step is REAL: :func:`decode_image` parses binary P6 PPM and
-24-bit uncompressed BMP payloads with numpy inside ``mapInPandas`` —
-header parse, stride/padding removal, bottom-up row flip, BGR→RGB
-reorder — and returns decoded dimensions plus pixel statistics that an
-independent oracle can predict. Formats outside these two come back as
+The decode step is REAL: :func:`decode_image` parses binary P6 PPM,
+24-bit uncompressed BMP, and PNG (8-bit RGB/RGBA, stdlib ``zlib``
+inflate + numpy scanline unfiltering for all five filter types)
+payloads inside ``mapInPandas`` — header parse, stride/padding removal,
+bottom-up row flip, BGR→RGB reorder, Sub/Up/Average/Paeth reversal —
+and returns decoded dimensions plus pixel statistics that an
+independent oracle can predict. Formats outside these come back as
 ``format='unknown'`` with NULL dimensions (no exception mid-pipeline at
 scale). ``fake=True`` remains only as a test shim for exercising batch
 plumbing with arbitrary (non-image) bytes.
 
-:func:`synth_ppm_blobs` builds *real* PPM bytes natively in Column
-expressions (header via ``encode``, pixels via hex-string → ``unhex``),
-so a decode query needs no Python on the synthesis side and a DuckDB
-oracle can predict every decoded value closed-form from the id.
+:func:`synth_ppm_blobs` and :func:`synth_png_blobs` build *real* image
+bytes natively in Column expressions (headers via ``encode``/hex
+literals, pixels via hex-string → ``unhex``, PNG checksums via
+closed-form adler32 + built-in ``crc32``), so a decode query needs no
+Python on the synthesis side and a DuckDB oracle can predict every
+decoded value closed-form from the id.
 
 Scale posture: binary payloads ride the scan (parquet binary columns are
 page-compressed and column-pruned like any other); metadata-only queries
@@ -38,6 +42,7 @@ __all__ = [
     "pack_blob",
     "blob_metadata",
     "synth_ppm_blobs",
+    "synth_png_blobs",
     "decode_image",
     "extract_features",
     "sample_frames",
@@ -130,6 +135,117 @@ def synth_ppm_blobs(
     return df.withColumn(out, blob)
 
 
+def synth_png_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "content",
+) -> DataFrame:
+    """Attach a *real*, spec-valid binary PNG per row (8-bit RGB,
+    non-interlaced), derived deterministically from ``id_col`` — pure
+    Column expressions, no Python and no compressor.
+
+    Same closed-form pixel layout as :func:`synth_ppm_blobs` (so the
+    oracle predicts identical pixel statistics):
+
+    - ``width  = 4 + id % 8``, ``height = 4 + id % 5``
+    - pixel byte ``i`` (row-major RGB) = ``(id*7 + i*13) % 256``
+    - every scanline uses filter type 0 (None)
+
+    The trick that keeps this JVM-side: the IDAT zlib stream uses a
+    single **stored** (BTYPE=00, uncompressed) deflate block — legal
+    zlib that needs no compressor — so the only non-trivial pieces are
+    the adler32 checksum (closed-form two-sum ``F.aggregate`` over the
+    byte sequence) and the per-chunk CRC-32, which is exactly Spark's
+    built-in ``F.crc32``. Total blob length = ``68 + h*(1+3w)`` bytes.
+    """
+    i = F.col(id_col).cast("long")
+    w = (i % 8 + 4).cast("long")
+    h = (i % 5 + 4).cast("long")
+    rowbytes = w * 3  # bytes per scanline, excluding the filter byte
+    npx = rowbytes * h
+    stream_len = (rowbytes + 1) * h  # raw deflate payload incl. filter bytes
+
+    def byte_at(j):  # pixel byte j (row-major, filter bytes excluded)
+        return (i * 7 + j * 13) % 256
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    def hex8(c):
+        return F.lpad(F.hex(c), 8, "0")
+
+    def le16(c):  # 2-byte little-endian hex
+        return F.concat(hex2(c % 256), hex2(((c - c % 256) / 256).cast("long")))
+
+    # raw stream: per row, one 0x00 filter byte then the row's pixels
+    raw_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), h - 1),
+            lambda r: F.concat(
+                F.lit("00"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0).cast("long"), rowbytes - 1),
+                        lambda k: hex2(byte_at(r * rowbytes + k)),
+                    ),
+                    "",
+                ),
+            ),
+        ),
+        "",
+    )
+
+    # adler32 over the raw stream: A = 1 + Σd  (mod 65521);
+    # B = Σ_p A_after_p = L + Σ_p (L-p)·d_p (mod 65521). Filter bytes are
+    # zero, so both sums run over pixel bytes only; pixel byte j sits at
+    # stream position p(j) = j + j//rowbytes + 1.
+    s_sum = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), npx - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + byte_at(j),
+    )
+    w_sum = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), npx - 1),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + (
+            stream_len
+            - (j + ((j - j % rowbytes) / rowbytes).cast("long") + 1)
+        )
+        * byte_at(j),
+    )
+    adler_a = (s_sum + 1) % 65521
+    adler_b = (stream_len + w_sum) % 65521
+    adler_hex = hex8(adler_b * 65536 + adler_a)
+
+    # zlib: 0x78 0x01 header, one final stored block (BFINAL=1 BTYPE=00),
+    # LEN/NLEN little-endian, raw bytes, adler32 big-endian
+    z_hex = F.concat(
+        F.lit("780101"),
+        le16(stream_len),
+        le16(65535 - stream_len),
+        raw_hex,
+        adler_hex,
+    )
+
+    ihdr_data_hex = F.concat(hex8(w), hex8(h), F.lit("0802000000"))
+    crc_ihdr = hex8(F.crc32(F.unhex(F.concat(F.lit("49484452"), ihdr_data_hex))))
+    crc_idat = hex8(F.crc32(F.unhex(F.concat(F.lit("49444154"), z_hex))))
+
+    blob_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # PNG signature
+        F.lit("0000000D49484452"),  # IHDR length + type
+        ihdr_data_hex,
+        crc_ihdr,
+        hex8(stream_len + 11),  # IDAT length (zlib hdr 2 + stored hdr 5 + L + adler 4)
+        F.lit("49444154"),
+        z_hex,
+        crc_idat,
+        F.lit("0000000049454E44AE426082"),  # IEND
+    )
+    return df.withColumn(out, F.unhex(blob_hex))
+
+
 # -------------------------------------------------------------- decode
 
 
@@ -195,11 +311,104 @@ def _parse_bmp(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
     return ("bmp", w, h, 3, np.ascontiguousarray(px))
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int) -> Optional[np.ndarray]:
+    """Reverse PNG scanline filtering (types 0-4: None/Sub/Up/Average/
+    Paeth) → top-down row-major pixel bytes. Up/None/Average vectorize
+    per row; Sub/Paeth carry a within-row recurrence, walked per byte
+    (scanlines are short; the Arrow batch amortizes the Python cost)."""
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    data = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_row = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = int(ftypes[r])
+        cur = data[r]
+        prior = out[r - 1].astype(np.int32) if r else zero_row
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-recurrent
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) & 0xFF if x >= ch else 0
+                up = int(prior[x]) & 0xFF
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prior[x - ch]) & 0xFF if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = cur[x] + pred
+        else:
+            return None
+        out[r] = rec & 0xFF
+    return out.reshape(-1)
+
+
+def _parse_png(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
+    """PNG (RFC 2083): 8-byte signature then length/type/data/crc chunks.
+    Supported: 8-bit depth, color type 2 (RGB) / 6 (RGBA), deflate
+    compression, filter method 0, non-interlaced — decoded with stdlib
+    ``zlib`` + numpy unfiltering. Anything else → None (caller reports
+    ``format='unknown'``)."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        return None
+    pos, n = 8, len(b)
+    w = h = None
+    ch = 0
+    idat = []
+    while pos + 8 <= n:
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitd, ct, comp, filt, ilace = data[8], data[9], data[10], data[11], data[12]
+            if bitd != 8 or ct not in (2, 6) or comp or filt or ilace:
+                return None
+            ch = 3 if ct == 2 else 4
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if not w or not h or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, w, h, ch)
+    if px is None:
+        return None
+    return ("png", w, h, ch, px)
+
+
 def _parse_image(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
     if b[:2] == b"P6":
         return _parse_ppm(b)
     if b[:2] == b"BM":
         return _parse_bmp(b)
+    if b[:8] == _PNG_SIG:
+        return _parse_png(b)
     return None
 
 
