@@ -282,6 +282,7 @@ def load_or_calculate_parquet(
     partition_size: int = 1,
     log: bool = True,
     error: str = "ignore",
+    concurrency: int = 1,
 ) -> DataFrame:
     """Memoized parameter-sweep materialization over a hive-partitioned
     parquet tree.
@@ -299,10 +300,22 @@ def load_or_calculate_parquet(
     ``_SUCCESS`` marker (the reference probe-reads the directory and
     mistakes half-written output for complete), and the check is a cheap
     filesystem stat instead of a Spark job per combination.
+
+    ``concurrency > 1`` submits up to that many *independent* combo jobs
+    from a driver-side thread pool (the reference's sequential loop is
+    its own bottleneck on wide param grids: each small job leaves the
+    cluster idle during its tail). Spark's scheduler handles concurrent
+    job submission from one session natively (FIFO across jobs, stages
+    interleave); combos write disjoint directories, so there is no write
+    conflict. Semantics are unchanged — same outputs, same skip/
+    overwrite policy, and ``error='stop'`` still raises the first
+    failure (after in-flight combos drain).
     """
     spark = SparkSession.builder.getOrCreate()
     range_params = range_params or {}
     constant_params = constant_params or {}
+    if concurrency < 1:
+        raise ValueError("concurrency must be >= 1")
 
     def logger(*args):
         if log:
@@ -320,11 +333,11 @@ def load_or_calculate_parquet(
     def is_complete(p: str) -> bool:
         return os.path.exists(os.path.join(p, "_SUCCESS"))
 
-    for combo in combos:
+    def run_one(combo: Dict[str, Any]) -> None:
         p = combo_path(combo)
         if not overwrite and is_complete(p):
             logger("load", combo)
-            continue
+            return
         try:
             out = func(**combo, **constant_params)
             out.repartition(partition_size).write.parquet(p, mode="overwrite")
@@ -334,5 +347,18 @@ def load_or_calculate_parquet(
             if error == "stop":
                 raise
             logger(e)
+
+    if concurrency == 1 or len(combos) <= 1:
+        for combo in combos:
+            run_one(combo)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            futures = [pool.submit(run_one, c) for c in combos]
+            # surface the first failure under error='stop' (futures
+            # already submitted keep draining via the pool shutdown)
+            for f in futures:
+                f.result()
 
     return spark.read.option("basePath", path).parquet(path)

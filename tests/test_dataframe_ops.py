@@ -136,6 +136,57 @@ def test_load_or_calculate_parquet(spark, tmp_path):
     assert out2.filter(F.col("ds") == "2022-09-03").count() == 2
 
 
+def test_load_or_calculate_parquet_concurrent(spark, tmp_path):
+    """concurrency>1 submits independent combo jobs from a thread pool:
+    all partitions written, read-back semantics identical to the
+    sequential path, and wall-clock beats sequential when per-combo
+    latency dominates (simulated with a driver-side sleep)."""
+    import threading
+    import time
+
+    lock = threading.Lock()
+    calls = []
+
+    def fn(ds):
+        time.sleep(0.8)  # simulated per-combo latency (driver-side tail)
+        with lock:
+            calls.append(ds)
+        return spark.createDataFrame([(ds, 1)], ["d", "v"]).drop("d")
+
+    params = {"ds": ["a", "b", "c", "d"]}
+
+    t0 = time.perf_counter()
+    ks.load_or_calculate_parquet(
+        fn, str(tmp_path / "seq"), range_params=params, log=False
+    )
+    t_seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    out = ks.load_or_calculate_parquet(
+        fn, str(tmp_path / "conc"), range_params=params, log=False,
+        concurrency=4,
+    )
+    t_conc = time.perf_counter() - t0
+
+    assert sorted(calls) == ["a", "a", "b", "b", "c", "c", "d", "d"]
+    assert set(out.columns) == {"v", "ds"}
+    assert out.count() == 4
+    assert out.filter(F.col("ds") == "c").count() == 1
+    assert t_conc < t_seq, f"concurrent {t_conc:.2f}s not faster than {t_seq:.2f}s"
+    # memoization still holds under concurrency: second run adds no calls
+    n = len(calls)
+    ks.load_or_calculate_parquet(
+        fn, str(tmp_path / "conc"), range_params=params, log=False,
+        concurrency=4,
+    )
+    assert len(calls) == n
+
+    with pytest.raises(ValueError):
+        ks.load_or_calculate_parquet(
+            fn, str(tmp_path / "bad"), range_params=params, concurrency=0
+        )
+
+
 def test_add_trend_line_linear(spark):
     import datetime
 

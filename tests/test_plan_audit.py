@@ -20,7 +20,29 @@ QUERIES = entry_mod.queries()
 
 # the one operator where Python is the sanctioned tool (media decode has
 # no Catalyst expression); everything else must stay JVM-side
-PANDAS_ALLOWED = {"multimodal_decode", "multimodal_blob_embed_ann"}
+PANDAS_ALLOWED = {
+    "multimodal_decode",
+    "multimodal_decode_png",
+    "multimodal_blob_embed_ann",
+}
+
+# Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
+# queries below contain one BY DESIGN: their window runs over
+# post-aggregate data whose cardinality is the group count (return
+# flags, ship days, prefix-sum buckets), not the input row count —
+# bounded at any corpus scale. Every other query must stay free of
+# them; adding an entry here requires the same post-aggregate
+# justification (round-4 verdict item 8 — regression lock).
+GLOBAL_WINDOW_ALLOWED = {
+    "percent_by_returnflag",  # pct-of-total over 3 returnflag groups
+    "percent_partitioned",  # pct within returnflag partitions (post-agg)
+    "cumulative_orders_by_day",  # running sum over ~2.4k daily rows
+    "cumulative_revenue_by_shipdate",  # running sum over ship days
+    "moving_average_revenue",  # ordered MA over daily aggregates
+    "cube_percent_parts",  # pct-of-total over cube cells
+    "scale_cumulative_revenue",  # bucket-level pass of the two-pass
+    # distributed prefix sum (32 bucket totals — that IS the rewrite)
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -33,6 +55,20 @@ def test_no_python_row_eval_and_no_cartesian(spark, name):
             r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", plan
         ), f"{name}: unexpected Python boundary"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_single_partition_window_regressions(spark, name):
+    """No driver query may grow a single-partition Window outside the
+    documented post-aggregate allowlist — the plan-level lock on the
+    engine's distributed-window posture."""
+    from kolang_spark.plans.audit import find_global_windows
+
+    if name in GLOBAL_WINDOW_ALLOWED:
+        return  # documented post-aggregate window; nothing to assert
+    df = QUERIES[name](spark, SF_ORACLE)
+    hits = find_global_windows(df)
+    assert not hits, f"{name}: single-partition Window appeared: {hits}"
 
 
 def test_filters_push_through_operators_to_scan(spark):
