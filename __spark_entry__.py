@@ -515,6 +515,73 @@ def _q_quantiles_events(spark, sf_dir):
     )
 
 
+def _q_contamination_documents(spark, sf_dir):
+    """Train/eval n-gram contamination screening
+    (`kolang_spark/llm/decontam.py::ngram_contamination`): every 25th
+    document stands in as the eval benchmark; each corpus document is
+    checked for shared 8-gram overlap (distinct-gram hit counts). The
+    oracle re-derives the shingle sets, the eval gram union, and the
+    hit counts independently in DuckDB."""
+    from kolang_spark.llm import ngram_contamination
+
+    dc = _t(spark, sf_dir, "documents")
+    eval_df = dc.where(F.col("doc_id") % 25 == 0)
+    return ngram_contamination(dc, eval_df, n=8)
+
+
+def _q_chunk_documents(spark, sf_dir):
+    """Token-window chunking (`kolang_spark/llm/prep.py::
+    chunk_documents`): 64-token windows with 8-token overlap, one row
+    per window with its re-joined text — integer-only window spine so
+    the DuckDB oracle derives identical chunk boundaries."""
+    from kolang_spark.llm import chunk_documents
+
+    dc = _t(spark, sf_dir, "documents")
+    return chunk_documents(dc, chunk_tokens=64, overlap=8)
+
+
+def _q_mad_outliers_events(spark, sf_dir):
+    """Robust per-group outlier detection
+    (`kolang_spark/operators/robust.py::mad_outliers`): event values
+    flagged against their event_type's median ± 3 robust sigma
+    (1.4826·MAD). Both medians are exact interpolated percentiles and
+    the threshold product is evaluated in a fixed order, so the DuckDB
+    oracle (quantile_cont) reproduces every flag bit-exact."""
+    from kolang_spark.operators import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev.select("event_id", "event_type", "value"), "value",
+                       by=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("group_median", 6).alias("group_median"),
+        F.round("mad", 6).alias("mad"),
+        "is_outlier",
+    )
+
+
+def _q_tfidf_top_documents(spark, sf_dir):
+    """Per-document TF-IDF top terms
+    (`kolang_spark/llm/terms.py::tfidf_top_terms`): top-3 terms per
+    document under the integer-only ranking contract (tf desc, rarer
+    term on ties, then term); the float tfidf itself is informational
+    (round(6)). The oracle replays the identical ranking in DuckDB."""
+    from kolang_spark.llm import tfidf_top_terms
+
+    dc = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(dc, k=3)
+    return out.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df_term",
+        F.round("tfidf", 6).alias("tfidf"),
+        "rank",
+    )
+
+
 def _q_add_trend_line_deg2(spark, sf_dir):
     """Degree-2 polynomial trend (D7 stretch): same closed-form OLS
     path as `add_trend_line`, one aggregate pass for the 5 x-moments +
@@ -1305,6 +1372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "add_trend_line": _q_add_trend_line,
+        # --- tail: new this round (oracle-backed; rotate into the
+        #     window after a local-green round, per the rotation
+        #     contract) ---
+        "contamination_documents": _q_contamination_documents,
+        "chunk_documents": _q_chunk_documents,
+        "mad_outliers_events": _q_mad_outliers_events,
+        "tfidf_top_documents": _q_tfidf_top_documents,
     }
 
 
@@ -2483,6 +2557,115 @@ def oracle_sql() -> dict[str, str]:
                 "o_orderdate",
             ]
         ),
+        # Independent re-derivation of ngram_contamination (n=8): same
+        # whitespace shingling as the proven _SHINGLE_CTE family
+        # (DuckDB list slices are 1-based end-INCLUSIVE: w[i:i+7] is 8
+        # tokens), eval grams = union over every 25th doc, hit counts
+        # over per-doc distinct grams.
+        "contamination_documents": r"""
+            WITH cw AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), csh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, len(w)-6)]) AS s
+              FROM cw
+            ), eg AS (
+              SELECT DISTINCT unnest(s) AS g FROM csh WHERE doc_id % 25 = 0
+            ), cx AS (
+              SELECT doc_id, unnest(s) AS g FROM csh
+            ), hits AS (
+              SELECT cx.doc_id, COUNT(*) AS n_hits
+              FROM cx JOIN eg USING (g) GROUP BY cx.doc_id
+            )
+            SELECT csh.doc_id,
+                   CAST(len(csh.s) AS INT) AS n_ngrams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM csh LEFT JOIN hits h ON csh.doc_id = h.doc_id
+        """,
+        # Mirrors prep.py::chunk_documents (chunk 64, overlap 8, stride
+        # 56): identical integer window-count arithmetic, 1-based
+        # end-inclusive slice w[s+1 : s+64] = 64 tokens.
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(text), '\s+') END AS w
+              FROM documents
+            ), c AS (
+              SELECT doc_id, w, len(w) AS n,
+                     CASE WHEN len(w) <= 0 THEN 0
+                          WHEN len(w) <= 64 THEN 1
+                          ELSE (len(w) - 64 + 55) // 56 + 1 END AS nc
+              FROM t
+            ), e AS (
+              SELECT doc_id, w, n, unnest(range(0, nc)) AS chunk_id
+              FROM c WHERE nc > 0
+            )
+            SELECT doc_id, chunk_id,
+                   CAST(least(64, n - chunk_id*56) AS BIGINT) AS n_tokens,
+                   array_to_string(w[chunk_id*56 + 1 : chunk_id*56 + 64], ' ')
+                     AS chunk_text
+            FROM e
+        """,
+        # Mirrors operators/robust.py::mad_outliers: exact interpolated
+        # medians (quantile_cont = Spark median), fixed-order threshold
+        # product (mad * 1.4826) * 3.0.
+        "mad_outliers_events": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS m
+              FROM events GROUP BY event_type
+            ), d AS (
+              SELECT e.event_id, e.event_type, e.value, med.m,
+                     abs(e.value - med.m) AS adev
+              FROM events e JOIN med USING (event_type)
+            ), mad AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS md
+              FROM d GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value,
+                   ROUND(d.m, 6) AS group_median,
+                   ROUND(mad.md, 6) AS mad,
+                   CASE WHEN d.value IS NULL THEN FALSE
+                        ELSE (mad.md > 0 AND d.adev > (mad.md * 1.4826) * 3.0)
+                   END AS is_outlier
+            FROM d JOIN mad USING (event_type)
+        """,
+        # Mirrors llm/terms.py::tfidf_top_terms (k=3): identical
+        # integer-only ranking (tf desc, df asc, term asc — binary
+        # collation both engines); ln smoothing informational, round(6).
+        "tfidf_top_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t))) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM t2
+              GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df_term FROM tf
+              GROUP BY term
+            ), nd AS (
+              SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+              FROM documents
+            ), r AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df_term,
+                     tf.tf * ln((nd.n + 1)/(dft.df_term + 1)) AS tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dft.df_term ASC, tf.term ASC)
+                       AS rnk
+              FROM tf JOIN dft USING (term), nd
+            )
+            SELECT doc_id, term, tf, df_term,
+                   ROUND(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS "rank"
+            FROM r WHERE rnk <= 3
+        """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),
         #   hll_users_monthly (HLL estimates differ by design),

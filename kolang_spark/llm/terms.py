@@ -1,0 +1,71 @@
+"""Corpus term statistics: per-document TF-IDF top terms — the
+classic keyword/topic signal used for corpus exploration and
+mixture diagnostics.
+
+Scale shape: explode → two map-side-combinable aggregations (per-doc
+term frequency; per-term document frequency) → one hash join on the
+term → a *partitioned* window for the per-document top-k. No global
+window, no UDF, no driver collect; the corpus total is a 1-row
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kolang_spark.llm.textstats import tokenize
+
+__all__ = ["tfidf_top_terms"]
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF.
+
+    Returns ``(id_col, term, tf, df_term, tfidf, rank)``. TF is the raw
+    in-document count; ``df_term`` the number of distinct documents
+    containing the term; ``tfidf = tf * ln((N+1)/(df_term+1))`` with the
+    +1 smoothing that keeps corpus-universal terms finite.
+
+    The ranking contract is deliberately *integer-only*: ``tf`` desc,
+    then ``df_term`` asc (rarer term wins ties), then ``term`` asc.
+    This makes the top-k reproducible bit-exact on any engine — a
+    float-ordered ranking would be at the mercy of the platform's
+    ``ln``; the float ``tfidf`` itself is informational output.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokenize(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term")).where(
+        F.col("term") != ""
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_term")
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs__")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df_term").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_term, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("__n_docs__") + 1) / (F.col("df_term") + 1)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df_term", "tfidf", "rank")
+    )

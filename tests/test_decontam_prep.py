@@ -1,0 +1,121 @@
+"""Unit tests for the round-5 pipeline operators: n-gram contamination
+screening, token-window chunking, robust MAD outliers, TF-IDF top
+terms."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from kolang_spark.llm import chunk_documents, ngram_contamination, tfidf_top_terms
+from kolang_spark.operators import mad_outliers
+
+
+def test_ngram_contamination_flags_shared_grams(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "an entirely different set of words here today"),
+            (3, "too short"),  # < n tokens -> 0 grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "watch the quick brown fox jumps away")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in ngram_contamination(corpus, eval_df, n=4).collect()
+    }
+    assert len(out) == 3
+    # doc 1 shares 'the quick brown fox' and 'quick brown fox jumps'
+    assert out[1].n_ngrams == 6 and out[1].n_hits == 2 and out[1].contaminated
+    assert out[2].n_hits == 0 and not out[2].contaminated
+    assert out[3].n_ngrams == 0 and out[3].n_hits == 0 and not out[3].contaminated
+
+
+def test_ngram_contamination_fingerprint_matches_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon token{i} zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    eval_df = corpus.where("doc_id % 5 = 0")
+    a = ngram_contamination(corpus, eval_df, n=3, fingerprint=True)
+    b = ngram_contamination(corpus, eval_df, n=3, fingerprint=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        ngram_contamination(corpus, eval_df, n=0)
+
+
+def test_chunk_documents_windows(spark):
+    text10 = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    # doc 1: stride 3, 10 tokens -> chunks at offsets 0,3,6 cover t0..t9
+    assert {c for d, c in rows if d == 1} == {0, 1, 2}
+    assert rows[(1, 0)].chunk_text == "t0 t1 t2 t3"
+    assert rows[(1, 1)].chunk_text == "t3 t4 t5 t6"
+    assert rows[(1, 2)].chunk_text == "t6 t7 t8 t9"
+    assert all(rows[(1, c)].n_tokens == 4 for c in range(3))
+    # short doc: one partial chunk; empty doc: no rows
+    assert rows[(2, 0)].chunk_text == "a b" and rows[(2, 0)].n_tokens == 2
+    assert not any(d == 3 for d, _ in rows)
+    # ragged tail: 11 tokens -> 4th chunk holds the 2-token remainder
+    df11 = spark.createDataFrame(
+        [(9, " ".join(f"t{i}" for i in range(11)))], "doc_id long, text string"
+    )
+    tail = {
+        r.chunk_id: r for r in chunk_documents(df11, chunk_tokens=4, overlap=1).collect()
+    }
+    assert set(tail) == {0, 1, 2, 3}
+    assert tail[3].chunk_text == "t9 t10" and tail[3].n_tokens == 2
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_mad_outliers_per_group(spark):
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 5.0),
+        ("b", 99.0),  # MAD = 0 in group b -> nothing flagged
+        ("c", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = mad_outliers(df, "v", by=["g"])
+    got = [(r.g, r.v, r.is_outlier) for r in out.collect()]
+    assert ("a", 100.0, True) in got
+    assert all(not o for g, v, o in got if g == "a" and v != 100.0)
+    assert all(not o for g, _, o in got if g == "b")  # degenerate group
+    assert ("c", None, False) in got
+
+
+def test_tfidf_top_terms_integer_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana cherry"),
+            (2, "banana cherry cherry durian"),
+            (3, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df_term) for r in out.collect()
+    }
+    # doc 1: apple tf=2 wins; then banana vs cherry both tf=1 df=3 -> term asc
+    assert got[(1, 1)] == ("apple", 2, 2)
+    assert got[(1, 2)] == ("banana", 1, 3)
+    # doc 2: cherry tf=2; then durian (df=1) beats banana (df=3)
+    assert got[(2, 1)] == ("cherry", 2, 3)
+    assert got[(2, 2)] == ("durian", 1, 1)
+    # doc 3: all tf=1 -> apple (df=2) beats banana/cherry (df=3)
+    assert got[(3, 1)] == ("apple", 1, 2)
+    assert len([k for k in got if k[0] == 3]) == 2
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, k=0)
