@@ -562,6 +562,23 @@ def _q_mad_outliers_events(spark, sf_dir):
     )
 
 
+def _q_equi_depth_bin_events(spark, sf_dir):
+    """Equi-depth binning (`kolang_spark/operators/binning.py::
+    equi_depth_bin`): per-event_type quartile buckets over value — the
+    distributed replacement for global ntile (boundaries from one
+    percentile agg, broadcast back; detail rows never shuffle). The
+    oracle rebuilds the identical interpolated boundaries with
+    quantile_cont and replays the strictly-below counting rule."""
+    from kolang_spark.operators import equi_depth_bin
+
+    ev = _t(spark, sf_dir, "events")
+    out = equi_depth_bin(
+        ev.select("event_id", "event_type", "value"), "value", n_bins=4,
+        by=["event_type"],
+    )
+    return out.select("event_id", "event_type", "value", "bin")
+
+
 def _q_tfidf_top_documents(spark, sf_dir):
     """Per-document TF-IDF top terms
     (`kolang_spark/llm/terms.py::tfidf_top_terms`): top-3 terms per
@@ -1379,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "mad_outliers_events": _q_mad_outliers_events,
         "tfidf_top_documents": _q_tfidf_top_documents,
+        "equi_depth_bin_events": _q_equi_depth_bin_events,
     }
 
 
@@ -2665,6 +2683,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df_term,
                    ROUND(tfidf, 6) AS tfidf, CAST(rnk AS INT) AS "rank"
             FROM r WHERE rnk <= 3
+        """,
+        # Mirrors operators/binning.py::equi_depth_bin (n_bins=4 per
+        # event_type): identical interpolated percentile boundaries,
+        # identical strictly-below bucket rule.
+        "equi_depth_bin_events": """
+            WITH b AS (
+              SELECT event_type,
+                     [quantile_cont(value, 0.25),
+                      quantile_cont(value, 0.5),
+                      quantile_cont(value, 0.75)] AS bs
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST(1 + len(list_filter(b.bs, x -> e.value > x))
+                                  AS INT) END AS bin
+            FROM events e JOIN b USING (event_type)
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -95,6 +95,35 @@ def test_mad_outliers_per_group(spark):
     assert ("c", None, False) in got
 
 
+def test_equi_depth_bin_quartiles(spark):
+    from kolang_spark.operators import equi_depth_bin
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 9)] + [("a", None)],
+        "g string, v double",
+    )
+    out = {
+        (r.g, r.v): r.bin for r in equi_depth_bin(df, "v", n_bins=4).collect()
+    }
+    # 8 values 1..8 -> quartile boundaries 2.75/4.5/6.25: 2 per bucket
+    assert [out[("a", float(v))] for v in range(1, 9)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert out[("a", None)] is None
+    # group-wise: each group gets its own boundaries
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 100.0), ("b", 200.0)],
+        "g string, v double",
+    )
+    out2 = {
+        (r.g, r.v): r.bin
+        for r in equi_depth_bin(df2, "v", n_bins=2, by=["g"]).collect()
+    }
+    assert out2[("a", 1.0)] == 1 and out2[("a", 2.0)] == 2
+    assert out2[("b", 100.0)] == 1 and out2[("b", 200.0)] == 2
+
+    with pytest.raises(ValueError):
+        equi_depth_bin(df, "v", n_bins=1)
+
+
 def test_tfidf_top_terms_integer_ranking(spark):
     df = spark.createDataFrame(
         [
