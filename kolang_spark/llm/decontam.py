@@ -5,10 +5,10 @@ evaluation benchmark).
 
 Scale shape: the *eval* side is benchmarks — thousands of documents,
 millions of n-grams at most — so its distinct n-gram fingerprints ride
-a broadcast; the 100 TB *corpus* side is never shuffled wholesale: only
-rows that actually match an eval n-gram reach the per-document counting
-aggregate (and those are 8-byte xxhash64 fingerprints, never the
-n-gram text). One Arrow-free, UDF-free pass.
+a broadcast; the 100 TB *corpus* side is tokenized and shingled exactly
+once and shuffled exactly once (the per-document counting aggregate,
+map-side combinable, carrying ids and counts — never the n-gram text).
+One Arrow-free, UDF-free pass.
 """
 
 from __future__ import annotations
@@ -56,7 +56,11 @@ def ngram_contamination(
         raise ValueError("n must be >= 1")
 
     def key(c):
-        return F.xxhash64(c) if fingerprint else c
+        # NULL-safe: explode_outer emits a NULL gram for gram-less
+        # documents, and hash(NULL) is the seed (not NULL) — keep the
+        # key NULL so it can never equi-join an eval gram
+        hashed = F.xxhash64(c) if fingerprint else c
+        return F.when(c.isNull(), F.lit(None)).otherwise(hashed)
 
     csh = with_shingles(corpus.select(id_col, text_col), text_col, n)
     esh = with_shingles(
@@ -66,20 +70,31 @@ def ngram_contamination(
         esh.select(F.explode("shingles").alias("g"))
         .select(key(F.col("g")).alias("__h__"))
         .distinct()
+        .withColumn("__hit__", F.lit(True))
     )
-    ids = csh.select(F.col(id_col), F.size("shingles").alias("n_ngrams"))
-    # shingles are distinct per document (with_shingles), so a plain
-    # count after the semi-ish inner join is the distinct-hit count
-    hits = (
-        csh.select(F.col(id_col), F.explode("shingles").alias("g"))
-        .select(id_col, key(F.col("g")).alias("__h__"))
-        .join(F.broadcast(eval_grams), "__h__")
+    # ONE pass over the corpus: explode_outer keeps gram-less documents
+    # (NULL gram row), the broadcast LEFT join marks eval matches, and a
+    # single hash aggregate folds both outputs — the corpus is
+    # tokenized/shingled once and shuffled once (the groupBy), versus
+    # the naive ids⋈hits formulation that shingles the corpus twice.
+    # Shingles are distinct per document (with_shingles), so counting
+    # markers IS the distinct-hit count.
+    ex = csh.select(
+        F.col(id_col),
+        F.size("shingles").alias("__n__"),
+        F.explode_outer("shingles").alias("g"),
+    ).select(id_col, "__n__", key(F.col("g")).alias("__h__"))
+    return (
+        ex.join(F.broadcast(eval_grams), "__h__", "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n_hits__"))
-    )
-    return ids.join(hits, id_col, "left").select(
-        id_col,
-        "n_ngrams",
-        F.coalesce("__n_hits__", F.lit(0)).cast("bigint").alias("n_hits"),
-        (F.coalesce("__n_hits__", F.lit(0)) > 0).alias("contaminated"),
+        .agg(
+            F.max("__n__").alias("n_ngrams"),
+            F.count("__hit__").cast("bigint").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
     )
