@@ -25,6 +25,7 @@ __all__ = [
     "read_csv",
     "read_json",
     "write_table",
+    "overwrite_partitions",
 ]
 
 TABLE_NAMES = [
@@ -271,6 +272,43 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: List[str],
+    format: str = "parquet",  # noqa: A002 — mirrors write_table
+) -> None:
+    """Idempotent incremental write: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition untouched — the
+    daily-backfill/late-data primitive for a partitioned lake table.
+
+    Implemented with Spark's *dynamic* partition-overwrite mode scoped
+    to this one write (the session conf is restored afterwards, even on
+    failure): ``mode('overwrite')`` under ``partitionOverwriteMode=
+    dynamic`` deletes and rewrites exactly the partitions the incoming
+    rows land in. Re-running the same write is a no-op semantically —
+    the property that makes backfills safe to retry at 100 TB.
+    """
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    spark = df.sparkSession
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            df.write.format(format)
+            .mode("overwrite")
+            .partitionBy(*partition_by)
+            .save(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def load_or_calculate_parquet(

@@ -97,6 +97,40 @@ def test_json_schema_on_read_tolerates_drift(spark, tmp_path):
     assert rows == {1: (None, None), 2: ("x", None)}
 
 
+def test_overwrite_partitions_replaces_only_incoming(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting day=2 must leave day=1
+    untouched, replace day=2 wholesale, and restore the session conf."""
+    from kolang_spark.sources.io import overwrite_partitions
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "c", 20)], "day int, k string, v int"
+    )
+    overwrite_partitions(base, path, ["day"])
+    # backfill day=2 with corrected rows; day=1 must survive
+    fix = spark.createDataFrame(
+        [(2, "c", 99), (2, "d", 21)], "day int, k string, v int"
+    )
+    overwrite_partitions(fix, path, ["day"])
+    got = {
+        (r.day, r.k): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a"): 10, (1, "b"): 11, (2, "c"): 99, (2, "d"): 21}
+    # retry is a semantic no-op
+    overwrite_partitions(fix, path, ["day"])
+    assert spark.read.parquet(path).count() == 4
+    # session conf restored (default static / unset)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .upper()
+        == "STATIC"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        overwrite_partitions(base, path, [])
+
+
 def test_write_table_partition_by_prunes(spark, sf_dir, tmp_path):
     from kolang_spark.plans.audit import explain_str
     from kolang_spark.sources.io import write_table
