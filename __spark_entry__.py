@@ -562,6 +562,20 @@ def _q_mad_outliers_events(spark, sf_dir):
     )
 
 
+def _q_stratified_fixed_documents(spark, sf_dir):
+    """Fixed-quota stratified sampling
+    (`kolang_spark/operators/sampling.py::stratified_fixed_sample`):
+    exactly 10 documents per language, selected as the 10 smallest
+    md5(key) hashes per stratum — engine-deterministic membership the
+    DuckDB oracle reproduces row-for-row with the same hash and
+    row_number rule."""
+    from kolang_spark.operators import stratified_fixed_sample
+
+    dc = _t(spark, sf_dir, "documents")
+    out = stratified_fixed_sample(dc.select("doc_id", "lang"), "lang", 10, "doc_id")
+    return out.select("doc_id", "lang")
+
+
 def _q_equi_depth_bin_events(spark, sf_dir):
     """Equi-depth binning (`kolang_spark/operators/binning.py::
     equi_depth_bin`): per-event_type quartile buckets over value — the
@@ -1397,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": _q_mad_outliers_events,
         "tfidf_top_documents": _q_tfidf_top_documents,
         "equi_depth_bin_events": _q_equi_depth_bin_events,
+        "stratified_fixed_documents": _q_stratified_fixed_documents,
     }
 
 
@@ -2700,6 +2715,17 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(1 + len(list_filter(b.bs, x -> e.value > x))
                                   AS INT) END AS bin
             FROM events e JOIN b USING (event_type)
+        """,
+        # Mirrors operators/sampling.py::stratified_fixed_sample: same
+        # 60-bit md5 hash, same (hash asc, key asc) row_number rule.
+        "stratified_fixed_documents": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT ASC,
+                       CAST(doc_id AS VARCHAR) ASC) AS rn
+              FROM documents
+            ) WHERE rn <= 10
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

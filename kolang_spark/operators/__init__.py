@@ -7,6 +7,7 @@ from kolang_spark.operators.rangejoin import (  # noqa: F401
 )
 from kolang_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
+    stratified_fixed_sample,
     stratified_sample,
     top_k_per_group,
 )

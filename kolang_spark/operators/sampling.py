@@ -14,7 +14,12 @@ from pyspark.sql import functions as F
 
 from kolang_spark.utils import ColumnOrName, to_col, to_col_list
 
-__all__ = ["top_k_per_group", "deterministic_sample", "stratified_sample"]
+__all__ = [
+    "top_k_per_group",
+    "deterministic_sample",
+    "stratified_sample",
+    "stratified_fixed_sample",
+]
 
 
 def top_k_per_group(
@@ -111,3 +116,39 @@ def stratified_sample(
             threshold
         )
     return df.where(_hash60(key, salt) < threshold)
+
+
+def stratified_fixed_sample(
+    df: DataFrame,
+    strata: ColumnOrName,
+    n_per_stratum: int,
+    key: ColumnOrName,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum
+    is smaller) — the fixed-budget companion to the fraction-based
+    :func:`stratified_sample` (eval-set carving, per-source quota
+    sampling).
+
+    Selection = the ``n`` smallest md5 hashes of ``key`` within each
+    stratum: deterministic across runs/partitionings/engines, and a
+    different ``salt`` draws an independent quota from the same keys.
+    Ties cannot occur for distinct keys (the hash includes the key);
+    equal keys tie-break on the key itself.
+
+    Plan: one partitioned window (``row_number`` ≤ n) — recognized by
+    Spark ≥3.5's ``WindowGroupLimit`` rule, so each shuffle partition
+    keeps only its local top-n before the final per-stratum pass. No
+    global window, no driver collect.
+    """
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    h = _hash60(key, salt)
+    w = Window.partitionBy(to_col(strata)).orderBy(
+        h.asc(), to_col(key).cast("string").asc()
+    )
+    return (
+        df.withColumn("__ks_rn__", F.row_number().over(w))
+        .where(F.col("__ks_rn__") <= n_per_stratum)
+        .drop("__ks_rn__")
+    )

@@ -95,6 +95,33 @@ def test_mad_outliers_per_group(spark):
     assert ("c", None, False) in got
 
 
+def test_stratified_fixed_sample_quota(spark):
+    from kolang_spark.operators import stratified_fixed_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 50 else ("zh" if i < 60 else "de")) for i in range(63)],
+        "doc_id long, lang string",
+    )
+    out = stratified_fixed_sample(df, "lang", 5, "doc_id")
+    counts = {
+        r.lang: r.n
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # full quota from big strata; the 3-row stratum keeps all 3
+    assert counts == {"en": 5, "zh": 5, "de": 3}
+    # deterministic: same selection on re-run; different salt -> usually different
+    a = {r.doc_id for r in out.collect()}
+    b = {r.doc_id for r in stratified_fixed_sample(df, "lang", 5, "doc_id").collect()}
+    assert a == b
+    c = {
+        r.doc_id
+        for r in stratified_fixed_sample(df, "lang", 5, "doc_id", salt="x").collect()
+    }
+    assert c != a  # 2^-60-ish chance of collision across 13 slots
+    with pytest.raises(ValueError):
+        stratified_fixed_sample(df, "lang", 0, "doc_id")
+
+
 def test_equi_depth_bin_quartiles(spark):
     from kolang_spark.operators import equi_depth_bin
 
