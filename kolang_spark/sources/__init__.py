@@ -6,6 +6,10 @@ from kolang_spark.sources.bucketing import (  # noqa: F401
 )
 from kolang_spark.sources.io import (  # noqa: F401
     load_or_calculate_parquet,
+    overwrite_partitions,
     pandas_to_spark,
+    read_csv,
+    read_json,
     read_table,
+    write_table,
 )

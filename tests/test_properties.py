@@ -133,3 +133,74 @@ def test_moving_average_frame_semantics(spark, vals, mode):
         for i in range(n)
     ]
     assert all(abs(g - e) < 1e-9 for g, e in zip(got, expect))
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    chunk=st.integers(2, 12),
+    overlap=st.integers(0, 5),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_covers_all_tokens_exactly(spark, texts, chunk, overlap):
+    """Chunking invariants for arbitrary token streams: every token is
+    covered, window starts advance by exactly the stride, the final
+    window reaches the last token, and de-overlapped concatenation
+    reconstructs the document."""
+    from kolang_spark.llm import chunk_documents
+
+    overlap = min(overlap, chunk - 1)
+    stride = chunk - overlap
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, dict[int, str]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text
+    for i, toks in enumerate(texts):
+        if not toks:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert set(chunks) == set(range(len(chunks)))  # dense 0..nc-1
+        rebuilt = (chunks[0].split(" ") if chunks[0] else [])
+        for c in range(1, len(chunks)):
+            rebuilt.extend(chunks[c].split(" ")[overlap:])
+        assert rebuilt == toks  # full coverage, order preserved
+        # every window except the last is full-size
+        for c in range(len(chunks) - 1):
+            assert len(chunks[c].split(" ")) == chunk
+
+
+@given(
+    n_docs=st.integers(1, 8),
+    n=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_ngram_contamination_self_screen(spark, n_docs, n):
+    """Screening a corpus against ITSELF must flag every document that
+    has at least one n-gram (n_hits == n_ngrams), and never flag
+    gram-less documents."""
+    from kolang_spark.llm import ngram_contamination
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(i % 6)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_contamination(df, df, n=n).collect()
+    assert len(out) == n_docs
+    for r in out:
+        assert r.n_hits == r.n_ngrams
+        assert r.contaminated == (r.n_ngrams > 0)
