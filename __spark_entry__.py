@@ -1152,6 +1152,32 @@ def _q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode, oracle-backed: every row gets a spec-valid
+    RIFF/WAVE mono PCM-16 blob built natively in Column expressions
+    from its doc_id (`kolang_spark/llm/multimodal.py::synth_wav_blobs`
+    — stdlib `wave` re-reads the bytes, proven in tests), then the
+    Arrow-batched chunk-walk parser decodes it back. The oracle
+    predicts every decoded statistic (frames, byte count, sample
+    sum/first/peak, duration) closed-form from doc_id alone."""
+    from kolang_spark.llm.multimodal import decode_audio, synth_wav_blobs
+
+    dc = _t(spark, sf_dir, "documents")
+    out = decode_audio(synth_wav_blobs(dc.select("doc_id")))
+    return out.select(
+        "doc_id",
+        "format",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "n_bytes",
+        F.round("duration_s", 6).alias("duration_s"),
+        "sum_sample",
+        "first_sample",
+        "peak_abs",
+    )
+
+
 _ANN_RECALL_DIMS = 16
 _ANN_RECALL_N = 400
 # multi_probe=2 over 4 planes: all masks with popcount <= 2
@@ -1412,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_documents": _q_tfidf_top_documents,
         "equi_depth_bin_events": _q_equi_depth_bin_events,
         "stratified_fixed_documents": _q_stratified_fixed_documents,
+        "multimodal_decode_wav": _q_multimodal_decode_wav,
     }
 
 
@@ -2726,6 +2753,31 @@ def oracle_sql() -> dict[str, str]:
                        CAST(doc_id AS VARCHAR) ASC) AS rn
               FROM documents
             ) WHERE rn <= 10
+        """,
+        # Closed-form prediction of the WAV decode: two's-complement
+        # reading of the synthesized 16-bit words; n_bytes = 44-byte
+        # canonical RIFF header + 2 bytes/sample.
+        "multimodal_decode_wav": """
+            WITH d AS (
+              SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+            ), s AS (
+              SELECT doc_id, n,
+                     list_transform(range(n), k ->
+                       CASE WHEN (doc_id*31 + k*17) % 65536 >= 32768
+                            THEN (doc_id*31 + k*17) % 65536 - 65536
+                            ELSE (doc_id*31 + k*17) % 65536 END) AS v
+              FROM d
+            )
+            SELECT doc_id, 'wav' AS format,
+                   8000 AS sample_rate, 1 AS n_channels,
+                   CAST(n AS BIGINT) AS n_samples,
+                   CAST(44 + 2*n AS BIGINT) AS n_bytes,
+                   ROUND(CAST(n AS DOUBLE)/8000, 6) AS duration_s,
+                   CAST(list_sum(v) AS BIGINT) AS sum_sample,
+                   CAST(v[1] AS INT) AS first_sample,
+                   CAST(list_max(list_transform(v, x -> abs(x))) AS INT)
+                     AS peak_abs
+            FROM s
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -43,7 +43,9 @@ __all__ = [
     "blob_metadata",
     "synth_ppm_blobs",
     "synth_png_blobs",
+    "synth_wav_blobs",
     "decode_image",
+    "decode_audio",
     "extract_features",
     "sample_frames",
 ]
@@ -246,6 +248,72 @@ def synth_png_blobs(
     return df.withColumn(out, F.unhex(blob_hex))
 
 
+def synth_wav_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "content",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Attach a *real*, spec-valid RIFF/WAVE blob per row (mono 16-bit
+    PCM), derived deterministically from ``id_col`` — pure Column
+    expressions.
+
+    Closed-form layout (everything oracle-predictable from the id):
+
+    - ``n_samples = 64 + id % 64`` (64..127)
+    - sample ``k``: the stored 16-bit word is ``w = (id*31 + k*17) %
+      65536`` (little-endian); the decoded int16 is its two's
+      complement reading, ``w - 65536 if w >= 32768 else w``
+
+    Canonical 44-byte RIFF header (PCM fmt chunk) + the sample data;
+    total blob length = ``44 + 2*n_samples`` bytes.
+    """
+    i = F.col(id_col).cast("long")
+    n = (i % 64 + 64).cast("long")
+    data_size = n * 2
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    def le16(c):
+        return F.concat(hex2(c % 256), hex2(((c - c % 256) / 256).cast("long")))
+
+    def le32(c):
+        lo = c % 65536
+        hi = ((c - lo) / 65536).cast("long")
+        return F.concat(le16(lo), le16(hi))
+
+    def le32_const(v: int) -> str:
+        return bytes([v & 255, (v >> 8) & 255, (v >> 16) & 255, (v >> 24) & 255]).hex().upper()
+
+    # unsigned 16-bit word per sample: (id*31 + k*17) % 65536 is the
+    # two's-complement bit pattern of the int16 sample — emit it LE
+    samples_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n - 1),
+            lambda k: le16((i * 31 + k * 17) % 65536),
+        ),
+        "",
+    )
+    blob_hex = F.concat(
+        F.lit("52494646"),  # 'RIFF'
+        le32(data_size + 36),
+        F.lit("57415645"),  # 'WAVE'
+        F.lit("666D7420"),  # 'fmt '
+        F.lit(le32_const(16)),  # fmt chunk size
+        F.lit("0100"),  # PCM
+        F.lit("0100"),  # mono
+        F.lit(le32_const(sample_rate)),
+        F.lit(le32_const(sample_rate * 2)),  # byte rate
+        F.lit("0200"),  # block align
+        F.lit("1000"),  # 16 bits
+        F.lit("64617461"),  # 'data'
+        le32(data_size),
+        samples_hex,
+    )
+    return df.withColumn(out, F.unhex(blob_hex))
+
+
 # -------------------------------------------------------------- decode
 
 
@@ -412,9 +480,48 @@ def _parse_image(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
     return None
 
 
+def _parse_wav(b: bytes) -> Optional[Tuple[int, int, np.ndarray]]:
+    """RIFF/WAVE with PCM (format 1) 16-bit samples: chunk-walk to the
+    ``fmt `` and ``data`` chunks; returns (sample_rate, n_channels,
+    int16 samples interleaved). Anything else (float/ADPCM/8-bit/
+    truncated) → None."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(b)
+    rate = chans = bits = fmt_code = None
+    data = None
+    while pos + 8 <= n:
+        typ = b[pos : pos + 4]
+        ln = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if typ == b"fmt ":
+            if ln < 16:
+                return None
+            fmt_code = int.from_bytes(body[0:2], "little")
+            chans = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif typ == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt_code != 1 or bits != 16 or not rate or not chans or data is None:
+        return None
+    usable = len(data) - (len(data) % (2 * chans))
+    samples = np.frombuffer(data, dtype="<i2", count=usable // 2)
+    return (rate, chans, samples)
+
+
 _DECODE_SCHEMA = (
     "doc_id long, format string, width int, height int, n_channels int, "
     "n_bytes long, sum_pixel long, first_pixel int, mean_pixel double"
+)
+
+_AUDIO_SCHEMA = (
+    "doc_id long, format string, sample_rate int, n_channels int, "
+    "n_samples long, n_bytes long, duration_s double, sum_sample long, "
+    "first_sample int, peak_abs int"
 )
 
 
@@ -491,6 +598,69 @@ def decode_image(
             )
 
     return src.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+def decode_audio(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode audio blobs via Arrow-batched ``mapInPandas``: RIFF/WAVE
+    PCM-16 is parsed for real (chunk walk, fmt/data extraction, numpy
+    int16 samples); anything else yields ``format='unknown'`` with NULL
+    audio fields — same poison-blob contract as :func:`decode_image`.
+
+    Output per blob: ``sample_rate``/``n_channels``/``n_samples``
+    (frames per channel)/``duration_s`` plus sample statistics
+    (``sum_sample``, ``first_sample``, ``peak_abs``) — all
+    oracle-predictable for :func:`synth_wav_blobs` payloads.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            fmt = np.empty(n_rows, dtype=object)
+            rate = np.full(n_rows, None, dtype=object)
+            chans = np.full(n_rows, None, dtype=object)
+            nsamp = np.full(n_rows, None, dtype=object)
+            nbytes = np.zeros(n_rows, dtype=np.int64)
+            dur = np.full(n_rows, None, dtype=object)
+            ssum = np.full(n_rows, None, dtype=object)
+            first = np.full(n_rows, None, dtype=object)
+            peak = np.full(n_rows, None, dtype=object)
+            for i, b in enumerate(pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                nbytes[i] = len(b)
+                parsed = _parse_wav(b)
+                if parsed is None:
+                    fmt[i] = "unknown"
+                    continue
+                r_, c_, s = parsed
+                frames = s.size // c_
+                fmt[i] = "wav"
+                rate[i], chans[i], nsamp[i] = r_, c_, frames
+                dur[i] = frames / r_
+                if s.size:
+                    ssum[i] = int(s.sum(dtype=np.int64))
+                    first[i] = int(s[0])
+                    peak[i] = int(np.abs(s.astype(np.int32)).max())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmt,
+                    "sample_rate": rate,
+                    "n_channels": chans,
+                    "n_samples": nsamp,
+                    "n_bytes": nbytes,
+                    "duration_s": dur,
+                    "sum_sample": ssum,
+                    "first_sample": first,
+                    "peak_abs": peak,
+                }
+            )
+
+    return src.mapInPandas(decode_batches, schema=_AUDIO_SCHEMA)
 
 
 # ------------------------------------------------------------ features

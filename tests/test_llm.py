@@ -393,6 +393,65 @@ def test_synth_png_blobs_decode_roundtrip(spark):
             pos += 12 + ln
 
 
+def test_decode_audio_real_wav_golden(spark):
+    """Real WAV decode against stdlib-`wave`-written golden bytes
+    (stereo, 44.1 kHz) plus the poison-blob degrade contract."""
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(44100)
+    samples = np.array([100, -200, 32767, -32768, 5, 6], dtype="<i2")
+    w.writeframes(samples.tobytes())
+    w.close()
+
+    from kolang_spark.llm.multimodal import decode_audio
+
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not audio"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in decode_audio(df).collect()}
+    a = out[1]
+    assert (a.format, a.sample_rate, a.n_channels, a.n_samples) == ("wav", 44100, 2, 3)
+    assert a.sum_sample == int(samples.sum()) and a.first_sample == 100
+    assert a.peak_abs == 32768
+    assert out[2].format == "unknown" and out[2].sample_rate is None
+
+
+def test_synth_wav_blobs_decode_roundtrip(spark):
+    """Column-native WAV synthesis -> real RIFF/PCM decode round-trip:
+    every decoded statistic equals the closed-form prediction, and
+    stdlib `wave` re-reads the bytes (spec-strict)."""
+    import io as _io
+    import wave
+
+    from kolang_spark.llm.multimodal import decode_audio, synth_wav_blobs
+
+    df = spark.range(0, 30).selectExpr("id AS doc_id")
+    blobs = synth_wav_blobs(df)
+    out = decode_audio(blobs).collect()
+    assert len(out) == 30
+    for r in out:
+        i = r.doc_id
+        n = 64 + i % 64
+        vals = [
+            (w - 65536 if w >= 32768 else w)
+            for w in (((i * 31 + k * 17) % 65536) for k in range(n))
+        ]
+        assert (r.format, r.sample_rate, r.n_channels) == ("wav", 8000, 1)
+        assert r.n_samples == n and r.n_bytes == 44 + 2 * n
+        assert r.sum_sample == sum(vals) and r.first_sample == vals[0]
+        assert r.peak_abs == max(abs(v) for v in vals)
+        assert r.duration_s == pytest.approx(n / 8000)
+    for row in blobs.limit(3).collect():
+        wv = wave.open(_io.BytesIO(bytes(row["content"])))
+        assert (wv.getnchannels(), wv.getsampwidth(), wv.getframerate()) == (1, 2, 8000)
+
+
 def test_sample_frames(spark, docs):
     packed = pack_blob(docs.select("doc_id", "text").limit(5), "text")
     out = sample_frames(packed, fps=2)

@@ -23,6 +23,7 @@ QUERIES = entry_mod.queries()
 PANDAS_ALLOWED = {
     "multimodal_decode",
     "multimodal_decode_png",
+    "multimodal_decode_wav",
     "multimodal_blob_embed_ann",
 }
 
