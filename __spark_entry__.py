@@ -1152,6 +1152,32 @@ def _q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def _q_resample_events_hourly(spark, sf_dir):
+    """Time-series gap filling (`kolang_spark/operators/resample.py::
+    resample_fill`): per-event_type hourly grid from each key's first
+    to last bucket, sum-aggregated (integer cents for cross-engine
+    exactness), empty buckets forward-filled and flagged. The oracle
+    re-derives the spine (generate-range per key), the left join, and
+    the IGNORE NULLS forward fill independently in DuckDB."""
+    from kolang_spark.operators import resample_fill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = resample_fill(
+        ev, "ts", "cents", "1 hour", by=["event_type"], agg="sum",
+        fill="forward",
+    )
+    return out.select(
+        "event_type",
+        F.unix_timestamp("bucket_ts").alias("bucket_s"),
+        F.col("value").alias("sum_cents"),
+        "is_filled",
+    )
+
+
 def _q_multimodal_decode_wav(spark, sf_dir):
     """REAL audio decode, oracle-backed: every row gets a spec-valid
     RIFF/WAVE mono PCM-16 blob built natively in Column expressions
@@ -1439,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equi_depth_bin_events": _q_equi_depth_bin_events,
         "stratified_fixed_documents": _q_stratified_fixed_documents,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
+        "resample_events_hourly": _q_resample_events_hourly,
     }
 
 
@@ -2778,6 +2805,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_max(list_transform(v, x -> abs(x))) AS INT)
                      AS peak_abs
             FROM s
+        """,
+        # Mirrors operators/resample.py::resample_fill (1h grid, sum of
+        # integer cents, forward fill): per-key range spine, left join,
+        # IGNORE NULLS running last — independently re-derived.
+        "resample_events_hourly": """
+            WITH obs AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS b,
+                     SUM(CAST(round(value*100) AS BIGINT)) AS agg
+              FROM events GROUP BY 1, 2
+            ), rng AS (
+              SELECT event_type, MIN(b) AS lo, MAX(b) AS hi
+              FROM obs GROUP BY 1
+            ), spine AS (
+              SELECT r.event_type, unnest(range(r.lo, r.hi + 3600, 3600)) AS b
+              FROM rng r
+            ), j AS (
+              SELECT s.event_type, s.b, o.agg
+              FROM spine s LEFT JOIN obs o USING (event_type, b)
+            )
+            SELECT event_type, b AS bucket_s,
+                   last_value(agg IGNORE NULLS) OVER (
+                     PARTITION BY event_type ORDER BY b
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sum_cents,
+                   agg IS NULL AS is_filled
+            FROM j
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -175,3 +175,46 @@ def test_tfidf_top_terms_integer_ranking(spark):
     assert len([k for k in got if k[0] == 3]) == 2
     with pytest.raises(ValueError):
         tfidf_top_terms(df, k=0)
+
+
+def test_resample_fill_forward(spark):
+    import datetime as dt
+
+    from kolang_spark.operators import resample_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(hours=0, minutes=10), 2.0),  # same hour bucket
+        ("a", t0 + dt.timedelta(hours=3), 5.0),  # 2-hour gap
+        ("b", t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        (r.k, r.bucket_ts.hour): (r.value, r.is_filled)
+        for r in resample_fill(df, "ts", "v", "1 hour", by=["k"]).collect()
+    }
+    # key a: hours 0..3 dense; 0 aggregates 1+2, 1-2 forward-filled, 3 observed
+    assert out[("a", 0)] == (3.0, False)
+    assert out[("a", 1)] == (3.0, True)
+    assert out[("a", 2)] == (3.0, True)
+    assert out[("a", 3)] == (5.0, False)
+    # key b: single bucket, no spine beyond it
+    assert out[("b", 0)] == (7.0, False)
+    assert len(out) == 5
+
+    # zero fill + avg agg
+    out2 = {
+        (r.k, r.bucket_ts.hour): r.value
+        for r in resample_fill(
+            df, "ts", "v", "1 hour", by=["k"], agg="avg", fill="zero"
+        ).collect()
+    }
+    assert out2[("a", 0)] == 1.5 and out2[("a", 1)] == 0 and out2[("a", 3)] == 5.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_fill(df, "ts", "v", "1 month", by=["k"])
+    with _pytest.raises(ValueError):
+        resample_fill(df, "ts", "v", "1 hour", by=["k"], fill="interpolate")
