@@ -1365,28 +1365,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     boilerplate_lines_documents, profile_orders — r4 verdict item 1),
     the two stalest oracle-backed veterans (scale_cumulative_revenue
     last green r2, embedding_neardup_pairs last green r1 — item 6),
-    and the two new-this-round queries (multimodal_decode_png — item 4,
-    ann_recall_planted — item 3); out (each green in FOUR external
-    rounds r1-r4, operator still pinned by local oracle-parity tests):
-    median_acctbal_by_segment, cond_count_orders, weighted_avg_discount,
-    bin_part_sizes, str_array_roundtrip, is_null_or_in,
-    sum_columns_lineitem, array_contains, persian_number,
-    number_normalize_documents. The tail holds (a) rows-only queries
-    (no SQL-expressible oracle) and (b) oracle-backed rotation/stretch
-    variants — they still run in bench.py and stay oracle-checked by
-    tests/test_oracle_parity.py."""
+    and ALL TEN new-this-round queries (multimodal_decode_png — item 4,
+    ann_recall_planted — item 3, contamination_documents,
+    chunk_documents, mad_outliers_events, tfidf_top_documents,
+    equi_depth_bin_events, stratified_fixed_documents,
+    multimodal_decode_wav, resample_events_hourly — so no new operator
+    debuts outside the external window, the r4 "What's wrong" item 2);
+    out (each green in 3-4 external rounds, operator still pinned by
+    local oracle-parity tests): median_acctbal_by_segment,
+    cond_count_orders, weighted_avg_discount, bin_part_sizes,
+    str_array_roundtrip, is_null_or_in, sum_columns_lineitem,
+    array_contains, persian_number, number_normalize_documents,
+    cumulative_orders_by_day, moving_average_revenue,
+    cube_percent_parts, asof_last_purchase, range_join_error_clicks,
+    hypertable_rollup_events, cosine_topk, skew_safe_distinct_users.
+    Round-6 must rotate back in the seven tail queries last green r3
+    (percent_partitioned, jalali_roundtrip, sliding_events,
+    salted_join_revenue, simhash_documents, multimodal_blob_metadata,
+    add_trend_line) to keep the two-round promise. The tail holds
+    (a) rows-only queries (no SQL-expressible oracle) and (b)
+    oracle-backed rotation/stretch variants — they still run in
+    bench.py and stay oracle-checked by tests/test_oracle_parity.py."""
     return {
         # --- oracle-backed, positions 1-50 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
         "pii_scrub_documents": _q_pii_scrub_documents,
-        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
+        "contamination_documents": _q_contamination_documents,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "url_domain_stats": _q_url_domain_stats,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "count_distinct_with_nulls": _q_count_distinct_with_nulls,
         "quantiles_events": _q_quantiles_events,
         "boilerplate_lines_documents": _q_boilerplate_lines_documents,
-        "moving_average_revenue": _q_moving_average_revenue,
+        "chunk_documents": _q_chunk_documents,
         "ewma_users": _q_ewma_users,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "unpivot_lineitem": _q_unpivot_lineitem,
@@ -1397,7 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "multimodal_decode_png": _q_multimodal_decode_png,
         "session_count_by_user": _q_session_count_by_user,
-        "cube_percent_parts": _q_cube_percent_parts,
+        "mad_outliers_events": _q_mad_outliers_events,
         "ann_recall_planted": _q_ann_recall_planted,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
@@ -1405,11 +1416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json_extract,
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "deterministic_sample_orders": _q_deterministic_sample_orders,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "range_join_error_clicks": _q_range_join_error_clicks,
-        "hypertable_rollup_events": _q_hypertable_rollup_events,
+        "tfidf_top_documents": _q_tfidf_top_documents,
+        "equi_depth_bin_events": _q_equi_depth_bin_events,
+        "stratified_fixed_documents": _q_stratified_fixed_documents,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
+        "multimodal_decode_wav": _q_multimodal_decode_wav,
         "dedup_stream_batch": _q_dedup_stream_batch,
         "token_stats_documents": _q_token_stats_documents,
         "quality_documents": _q_quality_documents,
@@ -1422,7 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "repetition_documents": _q_repetition_documents,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "cosine_topk": _q_cosine_topk,
+        "resample_events_hourly": _q_resample_events_hourly,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "multimodal_decode": _q_multimodal_decode,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
@@ -1455,17 +1466,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": _q_simhash_documents,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
         "add_trend_line": _q_add_trend_line,
-        # --- tail: new this round (oracle-backed; rotate into the
-        #     window after a local-green round, per the rotation
-        #     contract) ---
-        "contamination_documents": _q_contamination_documents,
-        "chunk_documents": _q_chunk_documents,
-        "mad_outliers_events": _q_mad_outliers_events,
-        "tfidf_top_documents": _q_tfidf_top_documents,
-        "equi_depth_bin_events": _q_equi_depth_bin_events,
-        "stratified_fixed_documents": _q_stratified_fixed_documents,
-        "multimodal_decode_wav": _q_multimodal_decode_wav,
-        "resample_events_hourly": _q_resample_events_hourly,
+        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
+        "moving_average_revenue": _q_moving_average_revenue,
+        "cube_percent_parts": _q_cube_percent_parts,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_error_clicks": _q_range_join_error_clicks,
+        "hypertable_rollup_events": _q_hypertable_rollup_events,
+        "cosine_topk": _q_cosine_topk,
+        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
     }
 
 

@@ -422,6 +422,42 @@ def test_decode_audio_real_wav_golden(spark):
     assert out[2].format == "unknown" and out[2].sample_rate is None
 
 
+def test_decoders_degrade_on_truncated_blobs(spark):
+    """Truncation anywhere in a valid PNG/WAV must degrade to
+    format='unknown' (poison-blob contract), never raise in the Arrow
+    stage."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import decode_audio, decode_image
+
+    png = _golden_png(4, 3, 3, np.arange(36, dtype=np.uint8), [0, 2])
+    # cuts: inside the signature, inside IHDR, mid-IDAT. (Clipping only
+    # the trailing IEND bytes still decodes — every pixel is present;
+    # leniency about a missing end-marker matches real decoders.)
+    rows = [(i, bytearray(png[:cut])) for i, cut in enumerate([10, 30, 45])]
+    out = decode_image(
+        spark.createDataFrame(rows, "doc_id long, content binary")
+    ).collect()
+    assert all(r.format == "unknown" for r in out)
+
+    import io as _io
+    import wave
+
+    buf = _io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(np.arange(10, dtype="<i2").tobytes())
+    w.close()
+    wav = buf.getvalue()
+    rows = [(i, bytearray(wav[:cut])) for i, cut in enumerate([8, 20, len(wav) - 3])]
+    out = decode_audio(
+        spark.createDataFrame(rows, "doc_id long, content binary")
+    ).collect()
+    assert all(r.format == "unknown" for r in out)
+
+
 def test_synth_wav_blobs_decode_roundtrip(spark):
     """Column-native WAV synthesis -> real RIFF/PCM decode round-trip:
     every decoded statistic equals the closed-form prediction, and
