@@ -31,3 +31,4 @@ from kolang_spark.operators.unions import safe_union, union_all  # noqa: F401
 from kolang_spark.operators.robust import mad_outliers  # noqa: F401
 from kolang_spark.operators.binning import equi_depth_bin  # noqa: F401
 from kolang_spark.operators.resample import resample_fill  # noqa: F401
+from kolang_spark.operators.layout import morton_code, zorder_by  # noqa: F401

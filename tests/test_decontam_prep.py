@@ -218,3 +218,75 @@ def test_resample_fill_forward(spark):
         resample_fill(df, "ts", "v", "1 month", by=["k"])
     with _pytest.raises(ValueError):
         resample_fill(df, "ts", "v", "1 hour", by=["k"], fill="interpolate")
+
+
+def test_morton_code_matches_reference(spark):
+    from kolang_spark.operators import morton_code
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(8) for b in range(8)], "a long, b long"
+    )
+    got = {
+        (r.a, r.b): r.m
+        for r in df.withColumn(
+            "m", morton_code([F.col("a"), F.col("b")], 3)
+        ).collect()
+    }
+
+    def py_morton(a, b, bits=3):
+        m = 0
+        for i in range(bits):
+            m |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return m
+
+    assert all(got[(a, b)] == py_morton(a, b) for a in range(8) for b in range(8))
+
+
+def test_zorder_by_tightens_file_statistics(spark, tmp_path):
+    """The point of Z-ordering: per-file min/max spans shrink on BOTH
+    participating columns vs a random layout, so parquet stats prune
+    filters on either column."""
+    import glob
+    import os
+    import random
+
+    import pyarrow.parquet as pq
+
+    from kolang_spark.operators import zorder_by
+
+    rnd = random.Random(7)
+    rows = [(rnd.randrange(10**6), rnd.randrange(10**6)) for _ in range(20000)]
+    big = spark.createDataFrame(rows, "x long, y long")
+
+    def avg_spans(path):
+        spans = {"x": [], "y": []}
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = {}, {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    c = row.column(ci)
+                    st = c.statistics
+                    if st is None:
+                        continue
+                    name = c.path_in_schema
+                    lo[name] = min(lo.get(name, st.min), st.min)
+                    hi[name] = max(hi.get(name, st.max), st.max)
+            for name in spans:
+                if name in lo:
+                    spans[name].append(hi[name] - lo[name])
+        return {k: sum(v) / len(v) for k, v in spans.items()}
+
+    p_rand, p_z = str(tmp_path / "rand"), str(tmp_path / "zord")
+    big.repartition(8).write.parquet(p_rand)
+    zorder_by(big, ["x", "y"], bits=4, num_partitions=8).write.parquet(p_z)
+    r, z = avg_spans(p_rand), avg_spans(p_z)
+    assert z["x"] < r["x"] * 0.7 and z["y"] < r["y"] * 0.7
+
+    with pytest.raises(ValueError):
+        zorder_by(big, [], bits=4)
+    with pytest.raises(ValueError):
+        zorder_by(big, ["x"], bits=0)
+    with pytest.raises(ValueError):
+        zorder_by(big, ["nope"])
