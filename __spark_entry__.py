@@ -1152,6 +1152,29 @@ def _q_multimodal_decode_png(spark, sf_dir):
     )
 
 
+def _q_cms_user_counts_events(spark, sf_dir):
+    """Count-min sketch frequency estimation
+    (`kolang_spark/operators/sketches.py::cms_table`/`cms_estimate`):
+    a 3x64 CMS over event user_ids, then the min-of-counters estimate
+    for every distinct user next to the exact count — estimates are
+    over-counts only, exact when collision-free. md5-derived buckets
+    make the whole sketch engine-deterministic, so the DuckDB oracle
+    rebuilds the identical counters and estimates (unlike binary
+    sketch blobs)."""
+    from kolang_spark.operators import cms_estimate, cms_table
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cms = cms_table(ev, "user_id", depth=3, width=64)
+    est = cms_estimate(cms, ev.distinct(), "user_id", depth=3, width=64)
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(true, est["item"] == true["user_id"]).select(
+        F.col("user_id"),
+        F.col("est_count"),
+        F.col("true_count"),
+        (F.col("est_count") >= F.col("true_count")).alias("never_undercounts"),
+    )
+
+
 def _q_resample_events_hourly(spark, sf_dir):
     """Time-series gap filling (`kolang_spark/operators/resample.py::
     resample_fill`): per-event_type hourly grid from each key's first
@@ -1474,6 +1497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup_events": _q_hypertable_rollup_events,
         "cosine_topk": _q_cosine_topk,
         "skew_safe_distinct_users": _q_skew_safe_distinct_users,
+        # --- tail: new post-rotation (oracle-backed; rotates into the
+        #     window in round 6 per the contract) ---
+        "cms_user_counts_events": _q_cms_user_counts_events,
     }
 
 
@@ -2840,6 +2866,45 @@ def oracle_sql() -> dict[str, str]:
                      AS sum_cents,
                    agg IS NULL AS is_filled
             FROM j
+        """,
+        # Mirrors operators/sketches.py::cms_table/cms_estimate
+        # (depth=3, width=64): identical md5 bucket arithmetic, counter
+        # build, and min-of-counters estimate.
+        "cms_user_counts_events": """
+            WITH base AS (
+              SELECT user_id FROM events
+            ), js AS (
+              SELECT unnest([0, 1, 2]) AS j
+            ), pairs AS (
+              SELECT b.user_id, js.j,
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(b.user_id AS VARCHAR)), 18, 15))::BIGINT % 64
+                       AS bucket
+              FROM base b, js
+            ), cms AS (
+              SELECT j, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+            ), items AS (
+              SELECT DISTINCT user_id FROM base
+            ), ipairs AS (
+              SELECT i.user_id, js.j,
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(i.user_id AS VARCHAR)), 18, 15))::BIGINT % 64
+                       AS bucket
+              FROM items i, js
+            ), est AS (
+              SELECT ip.user_id,
+                     MIN(coalesce(c.cnt, 0)) AS est_count
+              FROM ipairs ip LEFT JOIN cms c
+                ON c.j = ip.j AND c.bucket = ip.bucket
+              GROUP BY 1
+            ), tru AS (
+              SELECT user_id, COUNT(*) AS true_count FROM base GROUP BY 1
+            )
+            SELECT e.user_id,
+                   CAST(e.est_count AS BIGINT) AS est_count,
+                   CAST(t.true_count AS BIGINT) AS true_count,
+                   e.est_count >= t.true_count AS never_undercounts
+            FROM est e JOIN tru t USING (user_id)
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

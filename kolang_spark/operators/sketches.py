@@ -32,6 +32,8 @@ __all__ = [
     "hll_estimate",
     "approx_quantiles",
     "sketch_rollup",
+    "cms_table",
+    "cms_estimate",
 ]
 
 
@@ -64,6 +66,109 @@ def approx_quantiles(
         to_col(col),
         F.array(*[F.lit(float(p)) for p in probabilities]),
         F.lit(accuracy),
+    )
+
+
+def _cms_bucket(col: ColumnOrName, row: int, width: int, salt: str) -> Column:
+    """Deterministic md5 bucket for CMS row ``row`` — engine-portable
+    (same 60-bit idiom as the sampling/LSH oracles), so a DuckDB oracle
+    rebuilds the identical sketch."""
+    c = to_col(col).cast("string")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row}:{salt}:"), c)), 18, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_table(
+    df: DataFrame,
+    col: ColumnOrName,
+    depth: int = 4,
+    width: int = 1024,
+    weight: Optional[ColumnOrName] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Count-min sketch of ``col``'s frequencies as a ``(row, bucket,
+    cnt)`` table — ``depth × width`` counters total.
+
+    The classic mergeable frequency sketch (Cormode–Muthukrishnan):
+    estimates are biased high only (collisions add, never subtract),
+    error ≤ N·e/width with probability 1 − e^-depth. Merging two
+    sketches of the same shape/salt = summing counters — a plain
+    ``groupBy(row, bucket).sum`` over unioned tables, so per-day
+    sketches roll up without re-scanning raw data (same algebra as
+    :func:`sketch_rollup`).
+
+    Plan: one explode (``depth`` rows per input row, each an 8-byte
+    pair) into one map-side-combinable aggregate; the result is at most
+    ``depth × width`` rows regardless of input size. Hashes are
+    md5-derived and deterministic, so any engine rebuilds the identical
+    sketch (DuckDB-oracle-checkable, unlike binary sketch blobs).
+
+    ``weight``: optional per-row count column (e.g. pre-aggregated
+    duplicates); default 1 per row.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    w = to_col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(col, j, width, salt).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"), w.alias("__w__"))
+        .groupBy(
+            F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+        )
+        .agg(F.sum("__w__").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    col: ColumnOrName,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+) -> DataFrame:
+    """Estimated frequency of each row of ``items``: the MIN over the
+    sketch's ``depth`` counters at the item's buckets (missing counter =
+    0). Over-estimates only; exact for items whose every bucket is
+    collision-free.
+
+    ``depth``/``width``/``salt`` must match the :func:`cms_table` call.
+    Plan: the item side carries its ``depth`` (row, bucket) pairs
+    through one explode, joins the ≤ depth×width-row sketch
+    (broadcast), and takes ``min`` per item — the raw table is never
+    touched.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_bucket(col, j, width, salt).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    c = to_col(col)
+    ex = items.select(c.alias("item"), F.explode(pairs).alias("p")).select(
+        "item", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    )
+    joined = ex.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return (
+        joined.groupBy("item")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
 
 

@@ -70,3 +70,52 @@ def test_approx_quantiles_ordered_and_bracket_median(spark, events):
     assert q[0] <= q[1] <= q[2]
     exact_med = events.agg(F.median("value")).first()[0]
     assert q[0] <= exact_med <= q[2]
+
+
+def test_cms_exact_when_collision_free(spark):
+    from kolang_spark.operators import cms_estimate, cms_table
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    cms = cms_table(df, "k", depth=4, width=4096)
+    est = {
+        r.item: r.est_count
+        for r in cms_estimate(cms, df.distinct(), "k", depth=4, width=4096).collect()
+    }
+    assert est == {"a": 5, "b": 3, "c": 1}
+
+
+def test_cms_overestimates_only_and_merges(spark):
+    import pyspark.sql.functions as F
+
+    from kolang_spark.operators import cms_estimate, cms_table
+
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    true = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+
+    # tiny width forces collisions -> estimates may exceed, never undercut
+    cms = cms_table(df, "k", depth=3, width=4)
+    est = {
+        r.item: r.est_count
+        for r in cms_estimate(cms, df.distinct(), "k", depth=3, width=4).collect()
+    }
+    assert all(est[k] >= true[k] for k in true)
+
+    # merge algebra: sum of half-sketches == whole sketch
+    h1 = spark.createDataFrame(rows[:100], "k string")
+    h2 = spark.createDataFrame(rows[100:], "k string")
+    c1, c2 = cms_table(h1, "k", depth=3, width=4), cms_table(h2, "k", depth=3, width=4)
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r.row, r.bucket): r.cnt for r in cms_table(df, "k", depth=3, width=4).collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_table(df, "k", depth=0)
