@@ -26,6 +26,7 @@ __all__ = [
     "read_json",
     "write_table",
     "overwrite_partitions",
+    "compact_parquet",
 ]
 
 TABLE_NAMES = [
@@ -309,6 +310,55 @@ def overwrite_partitions(
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 512,
+    min_files: int = 2,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files —
+    the small-files compaction every long-lived streaming/incremental
+    sink eventually needs (thousands of KB-files turn scan planning and
+    NameNode/listing into the bottleneck long before data volume does).
+
+    Returns the new file count (0 = skipped: already ≤ ``min_files``
+    files). The rewrite goes to a sibling temp directory first, then
+    swaps via two renames (old → ``.bak`` → delete), so a crash leaves
+    either the old or the new directory complete — never a
+    half-deleted table. Row order within files is not preserved
+    (parquet tables are unordered); combine with
+    :func:`kolang_spark.operators.layout.zorder_by` upstream when a
+    clustered layout is wanted.
+
+    File sizing uses the *current* on-disk bytes (compression-aware),
+    summed via a local directory walk — for a local/NFS lake path. On
+    an object store, run the same logic with that store's lister and
+    pass the resulting partition count to ``df.repartition`` directly.
+    """
+    if target_mb < 1:
+        raise ValueError("target_mb must be >= 1")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if len(files) <= min_files:
+        return 0
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))  # ceil
+    if n_out >= len(files):
+        return 0  # already at/below target granularity
+    tmp, bak = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_bak"
+    spark.read.parquet(path).repartition(int(n_out)).write.parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return int(n_out)
 
 
 def load_or_calculate_parquet(

@@ -141,3 +141,29 @@ def test_write_table_partition_by_prunes(spark, sf_dir, tmp_path):
     df = spark.read.parquet(path).where("c_mktsegment = 'AUTOMOBILE'")
     plan = explain_str(df, mode="formatted")
     assert "PartitionFilters" in plan and "AUTOMOBILE" in plan
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from kolang_spark.sources.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = glob.glob(path + "/*.parquet")
+    assert len(before) == 64
+    total_mb_ish = sum(__import__("os").path.getsize(f) for f in before)
+    # pick a target that lands between 1 file and 64
+    n = compact_parquet(spark, path, target_mb=max(1, total_mb_ish // (4 * 1024 * 1024)) or 1)
+    after = glob.glob(path + "/*.parquet")
+    assert 0 < n < 64 and len(after) == n
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg({"id": "sum"}).collect()[0][0] == sum(range(10000))
+    # idempotent-ish: second call with same target is a no-op or further no-op
+    assert compact_parquet(spark, path, target_mb=1024) in (0, 1)
+    # tiny tables skipped
+    small = str(tmp_path / "small")
+    spark.range(5).coalesce(1).write.parquet(small)
+    assert compact_parquet(spark, small) == 0
