@@ -50,16 +50,29 @@ from kolang_spark.functions import (  # noqa: F401
 )
 from kolang_spark.operators import (  # noqa: F401
     add_trend_line,
+    as_of_join,
+    deterministic_sample,
+    equi_depth_bin,
+    hypertable_rollup,
+    mad_outliers,
+    profile_table,
+    resample_fill,
     safe_union,
     session_id,
+    stratified_fixed_sample,
+    stratified_sample,
+    top_k_per_group,
     transpose,
     union_all,
     unpivot,
+    zorder_by,
 )
 from kolang_spark.sources import (  # noqa: F401
     load_or_calculate_parquet,
+    overwrite_partitions,
     pandas_to_spark,
     read_table,
+    write_table,
 )
 
 __version__ = "0.1.0"

@@ -204,3 +204,51 @@ def test_ngram_contamination_self_screen(spark, n_docs, n):
     for r in out:
         assert r.n_hits == r.n_ngrams
         assert r.contaminated == (r.n_ngrams > 0)
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=25,
+    ),
+    k=st.sampled_from([1.5, 3.0]),
+)
+@settings(**_SETTINGS)
+def test_mad_outliers_matches_numpy_reference(spark, vals, k):
+    """mad_outliers flags must equal the straight numpy formulation
+    (interpolated medians, scale*k threshold) for arbitrary floats."""
+    import numpy as np
+
+    from kolang_spark.operators import mad_outliers
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    got = {r.v: r.is_outlier for r in mad_outliers(df, "v", by=["g"], k=k).collect()}
+    med = float(np.median(vals))
+    adev = np.abs(np.array(vals) - med)
+    mad = float(np.median(adev))
+    for v, a in zip(vals, adev):
+        expect = mad > 0 and a > (mad * 1.4826) * k
+        assert got[float(v)] == expect, (v, med, mad)
+
+
+@given(
+    n=st.integers(8, 60),
+    n_bins=st.sampled_from([2, 4, 5]),
+)
+@settings(**_SETTINGS)
+def test_equi_depth_bin_balance_on_distinct_values(spark, n, n_bins):
+    """On n distinct values the equi-depth buckets differ in size by at
+    most 1 (the defining property), and bucket ids are the full 1..n_bins
+    range when n >= n_bins."""
+    from collections import Counter
+
+    from kolang_spark.operators import equi_depth_bin
+
+    df = spark.createDataFrame([(float(i),) for i in range(n)], "v double")
+    out = equi_depth_bin(df, "v", n_bins=n_bins)
+    counts = Counter(r.bin for r in out.collect())
+    assert set(counts) == set(range(1, n_bins + 1))
+    assert max(counts.values()) - min(counts.values()) <= 1
