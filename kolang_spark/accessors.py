@@ -127,6 +127,33 @@ class KolangFrame:
         plain = [d.df if isinstance(d, KolangFrame) else d for d in dfs]
         return KolangFrame(union_all(self._df, *plain))
 
+    def top_k_per_group(self, partition_by, order_by, k: int, **kw) -> "KolangFrame":
+        from kolang_spark.operators.sampling import top_k_per_group
+
+        return KolangFrame(top_k_per_group(self._df, partition_by, order_by, k, **kw))
+
+    def mad_outliers(self, value_col: str, by=None, **kw) -> "KolangFrame":
+        from kolang_spark.operators.robust import mad_outliers
+
+        return KolangFrame(mad_outliers(self._df, value_col, by=by, **kw))
+
+    def equi_depth_bin(self, value_col: str, n_bins: int = 10, **kw) -> "KolangFrame":
+        from kolang_spark.operators.binning import equi_depth_bin
+
+        return KolangFrame(equi_depth_bin(self._df, value_col, n_bins, **kw))
+
+    def resample_fill(
+        self, ts_col: str, value_col: str, step: str = "1 hour", **kw
+    ) -> "KolangFrame":
+        from kolang_spark.operators.resample import resample_fill
+
+        return KolangFrame(resample_fill(self._df, ts_col, value_col, step, **kw))
+
+    def zorder_by(self, cols: Sequence[str], **kw) -> "KolangFrame":
+        from kolang_spark.operators.layout import zorder_by
+
+        return KolangFrame(zorder_by(self._df, cols, **kw))
+
 
 def kl(df: DataFrame) -> KolangFrame:
     """Enter the fluent layer: ``kl(df).percent("count").df``."""

@@ -45,3 +45,21 @@ def test_count_distinct_with_nulls_approx_close(spark):
     ).first()["n"]
     assert exact == 51
     assert abs(approx - exact) <= 5
+
+
+def test_accessor_dataframe_operator_passthroughs(spark):
+    import datetime as dt
+
+    from kolang_spark.accessors import kl
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 15), float(v)) for v in range(8)],
+        "g string, ts timestamp, v double",
+    )
+    assert kl(df).top_k_per_group("g", "v", 3).df.count() == 3
+    out = kl(df).mad_outliers("v", by=["g"]).df
+    assert {"group_median", "mad", "abs_dev", "is_outlier"} <= set(out.columns)
+    assert kl(df).equi_depth_bin("v", n_bins=4).df.count() == 8
+    rs = kl(df).resample_fill("ts", "v", "1 hour", by=["g"]).df
+    assert {"bucket_ts", "value", "is_filled"} <= set(rs.columns)
+    assert kl(df).zorder_by(["v"], bits=2).df.count() == 8
