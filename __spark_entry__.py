@@ -2860,10 +2860,10 @@ def oracle_sql() -> dict[str, str]:
               FROM spine s LEFT JOIN obs o USING (event_type, b)
             )
             SELECT event_type, b AS bucket_s,
-                   last_value(agg IGNORE NULLS) OVER (
+                   CAST(last_value(agg IGNORE NULLS) OVER (
                      PARTITION BY event_type ORDER BY b
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS sum_cents,
+                     AS BIGINT) AS sum_cents,
                    agg IS NULL AS is_filled
             FROM j
         """,

@@ -16,6 +16,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import broadcast_join_nullsafe
+
 __all__ = ["equi_depth_bin"]
 
 
@@ -46,11 +48,9 @@ def equi_depth_bin(
             key
         )
     )
-    joined = (
-        df.join(F.broadcast(bounds), gb)
-        if gb
-        else df.crossJoin(F.broadcast(bounds))
-    )
+    # NULL-safe re-attach so NULL-keyed groups keep their rows (they
+    # get their own boundaries, like any other group).
+    joined = broadcast_join_nullsafe(df, bounds, gb)
     v = F.col(value_col)
     bucket = F.when(v.isNull(), F.lit(None)).otherwise(
         F.size(F.filter(F.col(key), lambda b: v > b)) + 1

@@ -8,11 +8,15 @@ columns (the Z-order curve — the technique behind Delta/Iceberg
 locally clustered, so row-group and file statistics prune filters on
 ANY of them.
 
-Scale shape: rank-binning is one exact-percentile aggregate per column
-(tiny broadcast result); the Morton code is pure integer bit algebra in
-one Project; the physical clustering is ``repartitionByRange`` +
-``sortWithinPartitions`` on the code — the standard total-ordering
-shuffle, AQE-compatible, no driver collect of data.
+Scale shape: rank-binning boundaries for ALL participating columns come
+from ONE percentile aggregate (a single job over one scan — not one per
+column), whose one-row result re-attaches via broadcast (no driver
+``collect``); bin assignment is an array boundary count
+(``size(filter(bounds, b -> v > b))``, one small lambda per column —
+not 2^bits-1 chained WHEN additions); the Morton code is pure integer
+bit algebra in one Project; the physical clustering is
+``repartitionByRange`` + ``sortWithinPartitions`` on the code — the
+standard total-ordering shuffle, AQE-compatible.
 """
 
 from __future__ import annotations
@@ -25,22 +29,15 @@ from pyspark.sql import functions as F
 __all__ = ["morton_code", "zorder_by"]
 
 
-def _bin_rank(df: DataFrame, col: str, bits: int) -> Column:
-    """Equi-depth bin id (0..2^bits-1) for ``col``: percentile
-    boundaries computed once, assignment = count of boundaries strictly
-    below the value. NULLs sort first (bin 0)."""
-    n_bins = 1 << bits
-    probs = [i / n_bins for i in range(1, n_bins)]
-    bounds = df.agg(
-        F.percentile(F.col(col), F.array(*[F.lit(p) for p in probs])).alias("b")
-    ).collect()[0]["b"]
-    v = F.col(col)
-    if bounds is None:  # all-NULL column
-        return F.lit(0)
-    expr: Column = F.lit(0)
-    for b in bounds:
-        expr = expr + F.when(v > F.lit(b), 1).otherwise(0)
-    return F.when(v.isNull(), F.lit(0)).otherwise(expr)
+def _bin_of(col: str, bounds_col: str) -> Column:
+    """Equi-depth bin id (0..2^bits-1): count of boundaries strictly
+    below the value. NULL values (and an all-NULL column, whose
+    boundary array is NULL) sort first (bin 0)."""
+    v = F.col(col).cast("double")
+    b = F.col(bounds_col)
+    return F.when(v.isNull() | b.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(b, lambda x: v > x))
+    )
 
 
 def morton_code(bin_cols: Sequence[Column], bits: int) -> Column:
@@ -70,9 +67,10 @@ def zorder_by(
     ``bits`` bins each column into ``2^bits`` exact-percentile ranks
     (rank-binning makes the curve robust to skewed value
     distributions — raw-value bit interleaving degenerates when one
-    column's range dwarfs another's). The driver holds only the
-    ``cols × (2^bits - 1)`` boundary values; everything row-wise is
-    codegen'd Column algebra.
+    column's range dwarfs another's). All columns' boundaries come from
+    a single percentile aggregate (one extra job over one scan) whose
+    one-row ``cols × (2^bits - 1)`` result broadcasts back — nothing is
+    collected to the driver; everything row-wise is Column algebra.
 
     Returns the reordered frame (an internal ``__ks_zorder__`` column is
     dropped); write it with any sink. Typical: ``zorder_by(df, ["a",
@@ -87,8 +85,23 @@ def zorder_by(
     missing = set(cols) - set(df.columns)
     if missing:
         raise ValueError(f"unknown columns: {sorted(missing)}")
-    binned = [_bin_rank(df, c, bits) for c in cols]
-    coded = df.withColumn("__ks_zorder__", morton_code(binned, bits))
+    n_bins = 1 << bits
+    prob_arr = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    bound_names = [f"__ks_zb_{c}__" for c in cols]
+    bounds = df.agg(
+        *[
+            F.percentile(F.col(c).cast("double"), prob_arr).alias(bn)
+            for c, bn in zip(cols, bound_names)
+        ]
+    )
+    coded = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__ks_zorder__",
+            morton_code([_bin_of(c, bn) for c, bn in zip(cols, bound_names)], bits),
+        )
+        .drop(*bound_names)
+    )
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     return (
         coded.repartitionByRange(parts, F.col("__ks_zorder__"))

@@ -42,6 +42,11 @@ def resample_fill(
     converted to a fixed number of seconds (calendar-stretchy units
     like month are out of scope: a fixed-step grid is what downstream
     window math assumes).
+
+    Rows with a NULL ``ts_col`` are excluded (no position on the grid);
+    a NULL ``by`` key is a real series and resamples like any other
+    (the spine join is NULL-safe on the key columns). Bucket assignment
+    floors for negative (pre-1970) epochs too.
     """
     parts = step.split()
     if len(parts) != 2:
@@ -61,9 +66,15 @@ def resample_fill(
 
     gb = list(by) if by else []
     epoch = F.unix_timestamp(F.col(ts_col))
-    bucket_s = (epoch - (epoch % step_s)).alias("__b__")
+    # floor-to-grid via pmod: Spark's % follows the dividend's sign, so
+    # `epoch - epoch % step` would round pre-1970 timestamps toward zero
+    # (into the bucket AFTER the event); pmod floors for any sign.
+    bucket_s = (epoch - F.pmod(epoch, F.lit(step_s))).alias("__b__")
+    # a NULL timestamp has no position on the grid — excluded up front
+    # (documented contract), rather than silently forming a NULL bucket
     observed = (
-        df.select(*gb, bucket_s, F.col(value_col).alias("__v__"))
+        df.where(F.col(ts_col).isNotNull())
+        .select(*gb, bucket_s, F.col(value_col).alias("__v__"))
         .groupBy(*gb, "__b__")
         .agg(aggs[agg]("__v__").alias("__agg__"))
     )
@@ -78,7 +89,21 @@ def resample_fill(
             ).alias("__b__"),
         )
     )
-    joined = spine.join(observed, gb + ["__b__"], "left")
+    # NULL-safe on the key columns: a NULL `by` key is a real series for
+    # groupBy, and its observed aggregates must land back on its spine
+    # (a plain equi-join would return that whole series as filled NULLs)
+    if gb:
+        obs_r = observed.withColumnRenamed("__b__", "__rb__")
+        for k in gb:
+            obs_r = obs_r.withColumnRenamed(k, f"__ks_rk_{k}__")
+        cond = spine["__b__"] == obs_r["__rb__"]
+        for k in gb:
+            cond = cond & spine[k].eqNullSafe(obs_r[f"__ks_rk_{k}__"])
+        joined = spine.join(obs_r, cond, "left").drop(
+            "__rb__", *[f"__ks_rk_{k}__" for k in gb]
+        )
+    else:
+        joined = spine.join(observed, ["__b__"], "left")
     if fill == "forward":
         w = (
             Window.partitionBy(*gb)

@@ -15,6 +15,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils import broadcast_join_nullsafe
+
 __all__ = ["mad_outliers"]
 
 
@@ -41,21 +43,14 @@ def mad_outliers(
     for cross-engine float identity.
     """
     gb = list(by) if by else []
+    # NULL-safe re-attach: a NULL group key is a real group for groupBy,
+    # and its rows must come back out (docstring contract).
     med = df.groupBy(*gb).agg(F.median(value_col).alias("group_median"))
-    joined = (
-        df.join(F.broadcast(med), gb)
-        if gb
-        else df.crossJoin(F.broadcast(med))
-    )
-    dev = joined.withColumn(
+    dev = broadcast_join_nullsafe(df, med, gb).withColumn(
         "abs_dev", F.abs(F.col(value_col) - F.col("group_median"))
     )
     mad = dev.groupBy(*gb).agg(F.median("abs_dev").alias("mad"))
-    out = (
-        dev.join(F.broadcast(mad), gb)
-        if gb
-        else dev.crossJoin(F.broadcast(mad))
-    )
+    out = broadcast_join_nullsafe(dev, mad, gb)
     threshold = (F.col("mad") * scale) * k
     return out.withColumn(
         "is_outlier",

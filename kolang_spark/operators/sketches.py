@@ -110,10 +110,13 @@ def cms_table(
     sketch (DuckDB-oracle-checkable, unlike binary sketch blobs).
 
     ``weight``: optional per-row count column (e.g. pre-aggregated
-    duplicates); default 1 per row.
+    duplicates); default 1 per row. NULL values are excluded from the
+    sketch (a frequency sketch counts values; NULL is absence of one) —
+    mirrored by :func:`cms_estimate`, which excludes NULL items.
     """
     if depth < 1 or width < 2:
         raise ValueError("depth must be >= 1 and width >= 2")
+    df = df.where(to_col(col).isNotNull())
     w = to_col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
     pairs = F.array(
         *[
@@ -151,6 +154,12 @@ def cms_estimate(
     through one explode, joins the ≤ depth×width-row sketch
     (broadcast), and takes ``min`` per item — the raw table is never
     touched.
+
+    Output has one row per DISTINCT item value (duplicate rows in
+    ``items`` collapse — an estimate is a property of the value, not
+    the row). NULL items are excluded: NULL never enters the sketch on
+    the :func:`cms_table` side (its bucket hash is NULL, so it drops
+    out of the counters), so no estimate exists for it.
     """
     pairs = F.array(
         *[
@@ -162,6 +171,7 @@ def cms_estimate(
         ]
     )
     c = to_col(col)
+    items = items.where(c.isNotNull())
     ex = items.select(c.alias("item"), F.explode(pairs).alias("p")).select(
         "item", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
     )

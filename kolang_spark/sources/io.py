@@ -325,10 +325,24 @@ def compact_parquet(
 
     Returns the new file count (0 = skipped: already ≤ ``min_files``
     files). The rewrite goes to a sibling temp directory first, then
-    swaps via two renames (old → ``.bak`` → delete), so a crash leaves
-    either the old or the new directory complete — never a
-    half-deleted table. Row order within files is not preserved
-    (parquet tables are unordered); combine with
+    swaps via two renames (``path`` → ``__compact_bak``, then
+    ``__compact_tmp`` → ``path``). The data is never half-deleted —
+    both the old and new copies are complete on disk at every moment —
+    but the swap is NOT atomic: a crash between the two renames leaves
+    no directory at ``path`` until you manually rename
+    ``<path>__compact_bak`` (the untouched original) or
+    ``<path>__compact_tmp`` (the complete rewrite) back into place.
+    On a real lake, prefer a table format with atomic commits
+    (Delta/Iceberg ``OPTIMIZE``); this operator targets plain-parquet
+    directories where those aren't available.
+
+    Hive-partitioned trees (``k=v`` subdirectories) are detected and
+    the layout is preserved: partition columns are re-applied on the
+    rewrite (clustered by partition key, so each partition directory
+    compacts to ~1 file), keeping downstream partition pruning intact.
+
+    Row order within files is not preserved (parquet tables are
+    unordered); combine with
     :func:`kolang_spark.operators.layout.zorder_by` upstream when a
     clustered layout is wanted.
 
@@ -352,13 +366,34 @@ def compact_parquet(
     if n_out >= len(files):
         return 0  # already at/below target granularity
     tmp, bak = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_bak"
-    spark.read.parquet(path).repartition(int(n_out)).write.parquet(tmp)
+    # hive layout detection: partition columns appear as k=v directory
+    # segments between the root and the data files
+    part_cols: list[str] = []
+    probe = os.path.relpath(os.path.dirname(files[0]), path)
+    if probe != ".":
+        for seg in probe.split(os.sep):
+            if "=" in seg:
+                part_cols.append(seg.split("=", 1)[0])
+    df = spark.read.parquet(path)
+    if part_cols:
+        # cluster by partition key so each partition directory compacts
+        # to ~1 file, and re-apply partitionBy to keep pruning intact
+        writer = df.repartition(int(n_out), *part_cols).write.partitionBy(*part_cols)
+    else:
+        writer = df.repartition(int(n_out)).write
+    writer.parquet(tmp)
+    new_files = sum(
+        1
+        for dp, _, fs in os.walk(tmp)
+        for f in fs
+        if f.endswith(".parquet")
+    )
     os.rename(path, bak)
     os.rename(tmp, path)
     import shutil
 
     shutil.rmtree(bak)
-    return int(n_out)
+    return new_files
 
 
 def load_or_calculate_parquet(

@@ -47,6 +47,36 @@ def name_of(c: ColumnOrName, fallback: str = "value") -> str:
     return c if isinstance(c, str) else fallback
 
 
+def broadcast_join_nullsafe(left, right, keys: Sequence[str], how: str = "inner"):
+    """``left.join(broadcast(right), keys, how)`` with NULL-safe key
+    equality (``<=>``), keeping a single copy of each key column.
+
+    ``groupBy`` treats NULL as a real group, but a plain equi-join then
+    drops the NULL-keyed rows on re-attach — so every "aggregate per
+    group, broadcast back onto the detail rows" operator in this package
+    (``mad_outliers``, ``equi_depth_bin``, ``resample_fill``) joins
+    through here to honor its "adds columns to the input rows" contract
+    for NULL group keys too. With no keys this degenerates to the
+    broadcast cross join of a 1-row aggregate.
+
+    Plan shape is unchanged: the right side stays a broadcast hash join
+    (``<=>`` is a valid hash key — NULL hashes to a regular bucket), so
+    the detail rows still never shuffle.
+    """
+    if not keys:
+        return left.crossJoin(F.broadcast(right))
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__ks_rk_{k}__")
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(renamed[f"__ks_rk_{k}__"])
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(renamed), cond, how).drop(
+        *[f"__ks_rk_{k}__" for k in keys]
+    )
+
+
 def bind_once(expr: Column, build) -> Column:
     """Evaluate ``expr`` exactly once per row, then feed it to ``build``.
 
