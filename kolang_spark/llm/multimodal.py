@@ -3,12 +3,14 @@ columns with typed metadata structs, plus Arrow-batched processing
 (decode / feature-extract / frame-sample).
 
 The decode step is REAL: :func:`decode_image` parses binary P6 PPM,
-24-bit uncompressed BMP, and PNG (8-bit RGB/RGBA, stdlib ``zlib``
-inflate + numpy scanline unfiltering for all five filter types)
-payloads inside ``mapInPandas`` — header parse, stride/padding removal,
-bottom-up row flip, BGR→RGB reorder, Sub/Up/Average/Paeth reversal —
-and returns decoded dimensions plus pixel statistics that an
-independent oracle can predict. Formats outside these come back as
+24-bit uncompressed BMP, PNG (8-bit RGB/RGBA, stdlib ``zlib`` inflate +
+numpy scanline unfiltering for all five filter types), and baseline
+JPEG (stream-defined huffman + quant tables, per-MCU entropy decode,
+dequant, numpy IDCT, Rec.601 color convert) payloads inside
+``mapInPandas`` — header parse, stride/padding removal, bottom-up row
+flip, BGR→RGB reorder, Sub/Up/Average/Paeth reversal — and returns
+decoded dimensions plus pixel statistics that an independent oracle can
+predict. Formats outside these come back as
 ``format='unknown'`` with NULL dimensions (no exception mid-pipeline at
 scale). ``fake=True`` remains only as a test shim for exercising batch
 plumbing with arbitrary (non-image) bytes.
@@ -43,6 +45,7 @@ __all__ = [
     "blob_metadata",
     "synth_ppm_blobs",
     "synth_png_blobs",
+    "synth_jpeg_blobs",
     "synth_wav_blobs",
     "decode_image",
     "decode_audio",
@@ -470,6 +473,441 @@ def _parse_png(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
     return ("png", w, h, ch, px)
 
 
+# ---------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81): real huffman entropy decode +
+# dequantization + 2-D IDCT in numpy, dependency-free. Tables come from
+# the STREAM (DQT/DHT segments), not from assumptions, so any baseline
+# grayscale or 4:4:4 color JPEG decodes; progressive (SOF2), arithmetic
+# coding, 12-bit, and subsampled (4:2:0/4:2:2) streams return None →
+# format='unknown'. A correctness-first reference decoder: per-bit
+# Python is fine for fixture-sized blobs; production swaps this single
+# function for a libjpeg binding without touching the Spark plumbing.
+
+# zigzag index -> raster position (T.81 Figure A.6)
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal 8-point DCT-II basis: spatial = C.T @ coeffs @ C
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Annex K.3 typical luminance huffman tables (public spec constants)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits, vals):
+    """(length, code) -> symbol map from a DHT BITS/HUFFVAL spec
+    (canonical assignment, T.81 Annex C)."""
+    table = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises ``_JpegMarker`` when a real marker interrupts."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf, self.pos, self.bit = buf, pos, 0
+
+    def read_bit(self) -> int:
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise _JpegMarker(nxt)
+        bit = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if b == 0xFF else 0)  # skip the stuffed 00
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self):
+        """Skip to the next marker (used for RSTn): byte-align, then
+        step over the FF xx pair."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+            self.pos += 1
+        self.pos += 2
+
+
+class _JpegMarker(Exception):
+    def __init__(self, code: int):
+        self.code = code
+
+
+def _huff_decode(r: _JpegBitReader, table) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | r.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v - (1 << cat) + 1 if cat and v < (1 << (cat - 1)) else v
+
+
+def _parse_jpeg(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
+    """Baseline sequential JPEG: marker walk → DQT/DHT/SOF0/SOS → per-MCU
+    huffman decode, dequant, IDCT, level shift; JFIF (Rec.601) YCbCr→RGB
+    for 3-component 4:4:4 streams. Restart markers honored via DRI.
+    Unsupported flavors return None (caller reports 'unknown')."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict = {}
+        huff: dict = {}
+        comps = None
+        w = h = 0
+        restart = 0
+        pos, n = 2, len(b)
+        while pos + 4 <= n:
+            if b[pos] != 0xFF:
+                return None
+            m = b[pos + 1]
+            if m == 0xD9:  # EOI before SOS
+                return None
+            ln = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            seg = b[pos + 4 : pos + 2 + ln]
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                i = 0
+                while i < len(seg):
+                    prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                    i += 1
+                    cnt = 64 * (2 if prec else 1)
+                    raw = seg[i : i + cnt]
+                    i += cnt
+                    vals = (
+                        np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                        if prec
+                        else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    )
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[_JPEG_ZIGZAG] = vals
+                    qt[tid] = tbl.reshape(8, 8)
+                pos += 2 + ln
+            elif m == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0x0F
+                    bits = list(seg[i + 1 : i + 17])
+                    cnt = sum(bits)
+                    vals = list(seg[i + 17 : i + 17 + cnt])
+                    huff[(tc, th)] = _huff_canonical(bits, vals)
+                    i += 17 + cnt
+                pos += 2 + ln
+            elif m == 0xC0:  # SOF0 baseline
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3):
+                    return None
+                comps = []
+                for ci in range(nc):
+                    o = 6 + 3 * ci
+                    cid, samp, tq = seg[o], seg[o + 1], seg[o + 2]
+                    if samp != 0x11:  # subsampling unsupported
+                        return None
+                    comps.append({"id": cid, "tq": tq})
+                pos += 2 + ln
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                return None  # non-baseline SOF
+            elif m == 0xDD:  # DRI
+                restart = int.from_bytes(seg[0:2], "big")
+                pos += 2 + ln
+            elif m == 0xDA:  # SOS
+                if comps is None or not w or not h:
+                    return None
+                ns = seg[0]
+                if ns != len(comps):
+                    return None
+                for si in range(ns):
+                    cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                    for c in comps:
+                        if c["id"] == cid:
+                            c["dc"] = huff[(0, tt >> 4)]
+                            c["ac"] = huff[(1, tt & 0x0F)]
+                scan_start = pos + 2 + ln
+                planes = _jpeg_scan(b, scan_start, w, h, comps, qt, restart)
+                if planes is None:
+                    return None
+                if len(comps) == 1:
+                    px = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+                    return ("jpeg", w, h, 1, px.reshape(-1))
+                y, cb, cr = planes
+                r_ = y + 1.402 * (cr - 128.0)
+                g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b_ = y + 1.772 * (cb - 128.0)
+                rgb = np.stack(
+                    [
+                        np.clip(np.round(r_), 0, 255),
+                        np.clip(np.round(g_), 0, 255),
+                        np.clip(np.round(b_), 0, 255),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                return ("jpeg", w, h, 3, rgb.reshape(-1))
+            elif m == 0x01 or 0xD0 <= m <= 0xD7:
+                pos += 2  # standalone markers carry no length
+            else:  # APPn / COM / anything skippable
+                pos += 2 + ln
+        return None
+    except (IndexError, KeyError, ValueError):
+        return None
+
+
+def _jpeg_scan(b, pos, w, h, comps, qt, restart):
+    """Entropy-decode a whole baseline 4:4:4 scan: one 8x8 block per
+    component per MCU. Returns one float plane (h, w) per component."""
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    r = _JpegBitReader(b, pos)
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                r.align_to_marker()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                coeffs = np.zeros(64)
+                try:
+                    cat = _huff_decode(r, c["dc"])
+                    diff = _extend(r.read_bits(cat), cat) if cat else 0
+                    pred[ci] += diff
+                    coeffs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, c["ac"])
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            return None
+                        coeffs[_JPEG_ZIGZAG[k]] = _extend(
+                            r.read_bits(size), size
+                        )
+                        k += 1
+                except _JpegMarker:
+                    return None
+                block = (
+                    _DCT_C.T
+                    @ (coeffs.reshape(8, 8) * qt[c["tq"]])
+                    @ _DCT_C
+                ) + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            mcu += 1
+    return [p[:h, :w] for p in planes]
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.nbits = 0, 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _encode_jpeg_gray(img: np.ndarray, q: int = 16) -> bytes:
+    """Minimal REAL baseline encoder (grayscale, flat quant table ``q``,
+    Annex K luminance huffman tables) used by :func:`synth_jpeg_blobs`
+    and tests — emits spec-valid streams any decoder accepts."""
+    h, w = img.shape
+    qtbl = np.full(64, q, dtype=np.int64)
+    dc_map = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_map = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc_code = {sym: (code, ln) for (ln, code), sym in dc_map.items()}
+    ac_code = {sym: (code, ln) for (ln, code), sym in ac_map.items()}
+
+    def cat_of(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    padded = np.full((bh_ * 8, bw_ * 8), 0.0)
+    padded[:h, :w] = img.astype(np.float64)
+    # replicate edges into padding (keeps block DCTs tame)
+    padded[h:, :w] = padded[h - 1 : h, :w]
+    padded[:, w:] = padded[:, w - 1 : w]
+    writer = _JpegBitWriter()
+    qraster = np.zeros((8, 8), dtype=np.int64)
+    qraster.reshape(-1)[_JPEG_ZIGZAG] = qtbl
+    pred = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeffs = _DCT_C @ blk @ _DCT_C.T
+            quant = np.round(coeffs / qraster).astype(np.int64)
+            zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            cat = cat_of(diff)
+            code, ln = dc_code[cat]
+            writer.write(code, ln)
+            if cat:
+                writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            k, run = 1, 0
+            while k < 64:
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                else:
+                    while run > 15:
+                        code, ln = ac_code[0xF0]  # ZRL
+                        writer.write(code, ln)
+                        run -= 16
+                    cat = cat_of(v)
+                    code, ln = ac_code[(run << 4) | cat]
+                    writer.write(code, ln)
+                    writer.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+                    run = 0
+                k += 1
+            if run:
+                code, ln = ac_code[0x00]  # EOB
+                writer.write(code, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    dqt = bytes([0x00]) + bytes(int(x) for x in qtbl)
+    out += b"\xff\xdb" + (len(dqt) + 2).to_bytes(2, "big") + dqt
+    sof = (
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    dht = (
+        bytes([0x00])
+        + bytes(_JPEG_DC_BITS)
+        + bytes(_JPEG_DC_VALS)
+        + bytes([0x10])
+        + bytes(_JPEG_AC_BITS)
+        + bytes(_JPEG_AC_VALS)
+    )
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synth_jpeg_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "content",
+) -> DataFrame:
+    """Attach a *real*, spec-valid baseline grayscale JPEG per row,
+    derived deterministically from ``id_col``.
+
+    Unlike PPM/PNG synthesis, a huffman bitstream has no closed-form
+    Column expression, so synthesis runs in the same sanctioned
+    Arrow-batched Python boundary as the decode. The IMAGE layout is
+    closed-form so an oracle predicts the decoded statistics exactly:
+
+    - ``width = 8*(1 + id % 3)``, ``height = 8*(1 + id % 2)``
+    - every 8x8 block is constant: block ``b`` (row-major) has value
+      ``2*((id*17 + b*29) % 128)`` — even values, so with the flat
+      quant table 16 the DC quantization ``8*(v-128)/16`` is exact and
+      the decode round-trips each pixel bit-perfectly (a constant
+      block's IDCT is exactly its DC level).
+    """
+    i = F.col(id_col).cast("long")
+    src = df.select(
+        i.alias("doc_id"),
+        (8 * (i % 3 + 1)).cast("int").alias("__w__"),
+        (8 * (i % 2 + 1)).cast("int").alias("__h__"),
+    )
+
+    def synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did, w_, h_ in zip(pdf["doc_id"], pdf["__w__"], pdf["__h__"]):
+                bw_, bh_ = w_ // 8, h_ // 8
+                img = np.zeros((h_, w_), dtype=np.uint8)
+                for b in range(bw_ * bh_):
+                    v = 2 * ((int(did) * 17 + b * 29) % 128)
+                    by, bx = divmod(b, bw_)
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                blobs.append(_encode_jpeg_gray(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], out: blobs})
+
+    return src.mapInPandas(synth_batches, schema=f"doc_id long, {out} binary")
+
+
 def _parse_image(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
     if b[:2] == b"P6":
         return _parse_ppm(b)
@@ -477,6 +915,8 @@ def _parse_image(b: bytes) -> Optional[Tuple[str, int, int, int, np.ndarray]]:
         return _parse_bmp(b)
     if b[:8] == _PNG_SIG:
         return _parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        return _parse_jpeg(b)
     return None
 
 

@@ -393,6 +393,68 @@ def test_synth_png_blobs_decode_roundtrip(spark):
             pos += 12 + ln
 
 
+def test_jpeg_codec_roundtrip_and_rejects():
+    """Baseline JPEG encode->decode round trip, exercised off-Spark:
+    exact on constant even-valued blocks (the fixture/oracle layout),
+    bounded error on gradients/noise (real lossy path: ZRL, AC runs,
+    byte stuffing), exact crop on non-multiple-of-8 dims, and clean
+    rejection of truncated/progressive-looking streams."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import _encode_jpeg_gray, _parse_jpeg
+
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for b in range(6):
+        v = 2 * ((7 * 17 + b * 29) % 128)
+        by, bx = divmod(b, 3)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    fmt, w, h, ch, px = _parse_jpeg(_encode_jpeg_gray(img))
+    assert (fmt, w, h, ch) == ("jpeg", 24, 16, 1)
+    assert np.array_equal(px.reshape(16, 24), img)
+
+    g = (np.arange(32 * 40).reshape(32, 40) * 3 % 256).astype(np.uint8)
+    _, _, _, _, px2 = _parse_jpeg(_encode_jpeg_gray(g, q=4))
+    assert np.abs(px2.reshape(32, 40).astype(int) - g.astype(int)).max() <= 8
+
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (24, 24)).astype(np.uint8)
+    _, _, _, _, px3 = _parse_jpeg(_encode_jpeg_gray(noise, q=2))
+    assert np.abs(px3.reshape(24, 24).astype(int) - noise.astype(int)).max() <= 4
+
+    odd = (np.arange(13 * 19).reshape(13, 19) % 256).astype(np.uint8)
+    fmt4, w4, h4, _, px4 = _parse_jpeg(_encode_jpeg_gray(odd, q=1))
+    assert (w4, h4) == (19, 13)
+    assert np.array_equal(px4.reshape(13, 19), odd)
+
+    assert _parse_jpeg(b"\xff\xd8garbage") is None
+    assert _parse_jpeg(b"not a jpeg") is None
+    good = _encode_jpeg_gray(img)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert _parse_jpeg(progressive) is None
+    assert _parse_jpeg(good[: len(good) // 2]) is None
+
+
+def test_synth_jpeg_blobs_decode_roundtrip(spark):
+    """Distributed JPEG synthesis -> generic decoder round trip: every
+    decoded statistic equals the closed-form prediction the DuckDB
+    oracle uses (constant blocks + even values + flat quant 16 = exact
+    lossy round trip)."""
+    from kolang_spark.llm.multimodal import synth_jpeg_blobs
+
+    df = spark.range(0, 30).selectExpr("id AS doc_id")
+    out = decode_image(synth_jpeg_blobs(df)).collect()
+    assert len(out) == 30
+    for r in out:
+        i = r.doc_id
+        w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+        nb = (w // 8) * (h // 8)
+        s = 64 * sum(2 * ((i * 17 + b * 29) % 128) for b in range(nb))
+        assert (r.format, r.width, r.height, r.n_channels) == ("jpeg", w, h, 1)
+        assert r.sum_pixel == s
+        assert r.first_pixel == 2 * ((i * 17) % 128)
+        assert r.mean_pixel == pytest.approx(s / (w * h))
+
+
 def test_decode_audio_real_wav_golden(spark):
     """Real WAV decode against stdlib-`wave`-written golden bytes
     (stereo, 44.1 kHz) plus the poison-blob degrade contract."""

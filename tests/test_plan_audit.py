@@ -24,6 +24,9 @@ PANDAS_ALLOWED = {
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    # JPEG: decode AND synthesis are Python (a huffman bitstream has no
+    # Column expression) — still the one sanctioned media boundary
+    "multimodal_decode_jpeg",
     "multimodal_blob_embed_ann",
 }
 
