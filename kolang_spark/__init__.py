@@ -65,6 +65,7 @@ from kolang_spark.operators import (  # noqa: F401
     transpose,
     union_all,
     unpivot,
+    with_zorder_key,
     zorder_by,
 )
 from kolang_spark.sources import (  # noqa: F401

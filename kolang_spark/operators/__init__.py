@@ -33,4 +33,8 @@ from kolang_spark.operators.unions import safe_union, union_all  # noqa: F401
 from kolang_spark.operators.robust import mad_outliers  # noqa: F401
 from kolang_spark.operators.binning import equi_depth_bin  # noqa: F401
 from kolang_spark.operators.resample import resample_fill  # noqa: F401
-from kolang_spark.operators.layout import morton_code, zorder_by  # noqa: F401
+from kolang_spark.operators.layout import (  # noqa: F401
+    morton_code,
+    with_zorder_key,
+    zorder_by,
+)

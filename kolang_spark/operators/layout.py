@@ -26,7 +26,7 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morton_code", "zorder_by"]
+__all__ = ["morton_code", "with_zorder_key", "zorder_by"]
 
 
 def _bin_of(col: str, bounds_col: str) -> Column:
@@ -85,6 +85,26 @@ def zorder_by(
     missing = set(cols) - set(df.columns)
     if missing:
         raise ValueError(f"unknown columns: {sorted(missing)}")
+    coded = with_zorder_key(df, cols, bits, key_col="__ks_zorder__")
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return (
+        coded.repartitionByRange(parts, F.col("__ks_zorder__"))
+        .sortWithinPartitions("__ks_zorder__")
+        .drop("__ks_zorder__")
+    )
+
+
+def with_zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    key_col: str = "zorder_key",
+) -> DataFrame:
+    """Attach the Z-order key itself as a column (the exact key
+    :func:`zorder_by` clusters on) — usable directly as a sort/bucket
+    key by external writers, and fully deterministic Column algebra, so
+    an external oracle can re-derive every key (rank-bin via exact
+    interpolated percentiles, then bit interleave)."""
     n_bins = 1 << bits
     prob_arr = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
     bound_names = [f"__ks_zb_{c}__" for c in cols]
@@ -94,17 +114,11 @@ def zorder_by(
             for c, bn in zip(cols, bound_names)
         ]
     )
-    coded = (
+    return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
-            "__ks_zorder__",
+            key_col,
             morton_code([_bin_of(c, bn) for c, bn in zip(cols, bound_names)], bits),
         )
         .drop(*bound_names)
-    )
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    return (
-        coded.repartitionByRange(parts, F.col("__ks_zorder__"))
-        .sortWithinPartitions("__ks_zorder__")
-        .drop("__ks_zorder__")
     )
