@@ -113,9 +113,12 @@ def remove_boilerplate_lines(
     if min_df < 1:
         raise ValueError("min_df must be >= 1")
     out_col = out_col or text_col
+    # explode_outer, not explode: bare explode infers+pushes a
+    # size(...)>0 filter that re-evaluates the split/trim/distinct
+    # chain; the `line != ''` gate below already drops outer NULLs
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 # NB: `lambda l: F.trim(l)`, not bare `F.trim` — transform
                 # feeds (element, index) to two-parameter callables, and

@@ -66,8 +66,16 @@ def ngram_contamination(
     esh = with_shingles(
         eval_df.select(eval_text_col or text_col), eval_text_col or text_col, n
     )
+    # explode_outer + post-explode null filter, NOT plain explode: for a
+    # bare explode the optimizer infers `size(shingles)>0 AND
+    # isnotnull(shingles)` and pushes both through the projection,
+    # duplicating the (huge) shingle expression 3x per row in the
+    # pushed filter — tripling both per-row work and the codegen unit.
+    # Filtering the exploded attribute keeps the expression evaluated
+    # exactly once.
     eval_grams = (
-        esh.select(F.explode("shingles").alias("g"))
+        esh.select(F.explode_outer("shingles").alias("g"))
+        .where(F.col("g").isNotNull())
         .select(key(F.col("g")).alias("__h__"))
         .distinct()
         .withColumn("__hit__", F.lit(True))

@@ -107,11 +107,16 @@ def jaccard_near_dup_pairs(
     # has |A| and |B| inline and no join-back against a sizes table is
     # needed (two fewer shuffled joins; the extra long per posting-list
     # row is noise next to the shingle payload)
+    # explode_outer + null filter, not bare explode: explode makes the
+    # optimizer infer `size(shingles)>0 AND isnotnull(shingles)` and
+    # push both through the projection — the huge shingle expression
+    # would be evaluated 3x per row (twice in the filter, once in the
+    # project) on BOTH sides of the self-join
     ex = sh.select(
         F.col(id_col).alias("id"),
         F.size("shingles").alias("n_sh"),
-        F.explode("shingles").alias("shingle"),
-    )
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     if max_df is not None:
         hot = (
             ex.groupBy("shingle")
@@ -206,10 +211,21 @@ def minhash_candidate_pairs(
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
 
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
     # shorter-than-n docs have no shingles → no signature (NULL min would
-    # otherwise collapse into one spurious "" band bucket via concat_ws)
-    sig = sh.where(F.size("shingles") > 0).select(
+    # otherwise collapse into one spurious "" band bucket via concat_ws).
+    # The gate is expressed on TOKEN count (>= n tokens ⟺ nonempty
+    # shingle set) so the predicate the optimizer pushes to the scan is
+    # one tokenize, not a duplicated copy of the whole shingle pipeline
+    # (`where(size(shingles) > 0)` previously re-evaluated
+    # tokenize+ngrams+distinct inside the pushed filter, on both sides
+    # of the band self-join).
+    from kolang_spark.llm.textstats import tokenize
+
+    base = df.select(id_col, text_col).where(
+        F.size(tokenize(F.col(text_col))) >= n
+    )
+    sh = with_shingles(base, text_col, n)
+    sig = sh.select(
         F.col(id_col).alias("id"),
         *_minhash_signature(F.col("shingles"), num_hashes, hash_fn),
     )

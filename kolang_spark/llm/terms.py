@@ -44,7 +44,10 @@ def tfidf_top_terms(
     toks = tokenize(F.col(text_col))
     if lowercase:
         toks = F.transform(toks, lambda t: F.lower(t))
-    terms = df.select(F.col(id_col), F.explode(toks).alias("term")).where(
+    # explode_outer, not explode: bare explode makes the optimizer infer
+    # and push `size(toks)>0`, re-running the tokenizer in the filter;
+    # the existing `term != ''` already drops the outer NULL rows
+    terms = df.select(F.col(id_col), F.explode_outer(toks).alias("term")).where(
         F.col("term") != ""
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
