@@ -1209,6 +1209,21 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_pack_examples_documents(spark, sf_dir):
+    """Sequence packing for pretraining (`kolang_spark/llm/prep.py::
+    pack_examples`): documents concatenated in doc_id order into one
+    token stream, cut into 256-token examples; per document the stream
+    offset and spanned example range. The global prefix sum runs
+    through the two-pass bucketed rewrite (`operators/scale.py::
+    with_cumulative_sum`, 100-doc buckets) — no single-partition
+    window over the data. The oracle recomputes offsets with a plain
+    SQL running sum."""
+    from kolang_spark.llm import pack_examples
+
+    dc = _t(spark, sf_dir, "documents")
+    return pack_examples(dc, example_tokens=256, bucket_size=100)
+
+
 def _q_zorder_key_parts(spark, sf_dir):
     """Z-order layout key derivation (`kolang_spark/operators/
     layout.py::with_zorder_key`, the exact key `zorder_by` clusters on):
@@ -1592,13 +1607,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL SIX new-this-round queries (multimodal_decode_jpeg —
+    1/2), and ALL SEVEN new-this-round queries (multimodal_decode_jpeg —
     item 5, zorder_key_parts / compact_parquet_stats /
     load_or_calc_partitions — item 4, ann_ivf_recall_planted /
-    sketch_rollup_users — item 8; sketch_rollup_users is rows-only by
-    design, HLL estimates aren't SQL-reproducible). OUT (14, each green
-    in 5 external rounds, operators still hash-checked every run by
-    tests/test_oracle_parity.py): count_distinct_with_nulls,
+    sketch_rollup_users — item 8, pack_examples_documents — sequence
+    packing on the distributed prefix sum; sketch_rollup_users is
+    rows-only by design, HLL estimates aren't SQL-reproducible). OUT
+    (15: fourteen green in 5 external rounds plus
+    join_revenue_by_nation green in 4, operators still hash-checked
+    every run by tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
     fingerprint_documents, exact_dedup_documents, curation_pipeline,
@@ -1646,7 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_documents": _q_tfidf_top_documents,
         "equi_depth_bin_events": _q_equi_depth_bin_events,
         "stratified_fixed_documents": _q_stratified_fixed_documents,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "pack_examples_documents": _q_pack_examples_documents,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
         "dedup_stream_batch": _q_dedup_stream_batch,
         "sketch_rollup_users": _q_sketch_rollup_users,
@@ -1675,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     bench.py and hash-checked locally every run by
         #     tests/test_oracle_parity.py). Last green r4 — these 18
         #     rotate back in round 7 per the contract: ---
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3217,6 +3235,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors llm/prep.py::pack_examples (example_tokens=256): same
+        # whitespace token counts, plain running sum for the offsets,
+        # integer-division example spans. floor(x/256.0) in Spark ==
+        # x//256 here for the non-negative in-range longs involved.
+        "pack_examples_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS token_offset,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - n_tokens) // 256 AS BIGINT)
+                   END AS first_example,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - 1) // 256 AS BIGINT)
+                   END AS last_example,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - 1) // 256
+                                   - (cum - n_tokens) // 256 + 1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT)
+                   END AS n_examples
+            FROM c
         """,
         # Mirrors operators/layout.py::with_zorder_key (bits=4, cols
         # [p_retailprice, p_size]): same exact interpolated percentile

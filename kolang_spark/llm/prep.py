@@ -9,12 +9,14 @@ the input was.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "pack_examples"]
 
 
 def chunk_documents(
@@ -83,4 +85,69 @@ def chunk_documents(
                 " ",
             ).alias("chunk_text"),
         )
+    )
+
+
+def pack_examples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    example_tokens: int = 2048,
+    tokens_col: Optional[str] = None,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing offsets: documents are
+    conceptually concatenated in ``id_col`` order into one global token
+    stream, which is cut into fixed ``example_tokens`` training
+    examples. Returns, per document: ``n_tokens``, ``token_offset``
+    (the document's start position in the stream — an exclusive prefix
+    sum), and which examples it lands in (``first_example`` /
+    ``last_example`` / ``n_examples``; a document that straddles a cut
+    spans several). Zero-token documents occupy no stream positions:
+    NULL example ids, ``n_examples = 0``.
+
+    This is the metadata a packing writer needs to emit fixed-length
+    examples deterministically and in parallel — each writer takes an
+    example-id range, joins the documents whose span intersects it, and
+    never needs to see its neighbors.
+
+    Scale shape: the global prefix sum is the classic single-partition
+    window hazard, so it runs through the two-pass bucketed rewrite
+    (:func:`kolang_spark.operators.scale.with_cumulative_sum`): a
+    within-bucket window distributed over ``id // bucket_size`` buckets
+    plus a broadcast per-bucket offset table — no stage ever funnels
+    the table through one partition. ``id_col`` values must be unique
+    (they define the concatenation order; ties would make the order,
+    and therefore the packing, ambiguous).
+
+    ``tokens_col``: use a precomputed token-count column (e.g. from a
+    real tokenizer) instead of the whitespace count of ``text_col``.
+    """
+    if example_tokens < 1:
+        raise ValueError("example_tokens must be >= 1")
+    if bucket_size < 1:
+        raise ValueError("bucket_size must be >= 1")
+    from kolang_spark.operators.scale import with_cumulative_sum
+
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(tokenize(F.col(text_col)))
+    )
+    base = df.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
+    bucket = F.col(id_col) - F.pmod(F.col(id_col), F.lit(bucket_size))
+    cum = with_cumulative_sum(base, "n_tokens", id_col, bucket, out="__cum__")
+    off = F.col("__cum__") - F.col("n_tokens")
+    nonempty = F.col("n_tokens") > 0
+    first = F.floor(off / example_tokens).cast("long")
+    last = F.floor((F.col("__cum__") - 1) / example_tokens).cast("long")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        off.alias("token_offset"),
+        F.when(nonempty, first).alias("first_example"),
+        F.when(nonempty, last).alias("last_example"),
+        F.when(nonempty, last - first + 1).otherwise(F.lit(0)).cast("long").alias(
+            "n_examples"
+        ),
     )

@@ -290,3 +290,51 @@ def test_zorder_by_tightens_file_statistics(spark, tmp_path):
         zorder_by(big, ["x"], bits=0)
     with pytest.raises(ValueError):
         zorder_by(big, ["nope"])
+
+
+def test_pack_examples_offsets_and_spans(spark):
+    """Concat-and-chunk packing: offsets are the exclusive prefix sum in
+    id order, example spans follow integer division, empty docs occupy
+    no stream positions — bucketed two-pass prefix sum (bucket_size
+    forces multiple buckets) must equal the sequential computation."""
+    from kolang_spark.llm import pack_examples
+
+    rows = [
+        (0, "a b c"),          # 3 tokens, offset 0
+        (1, ""),               # empty -> no examples
+        (2, "d e f g h"),      # 5 tokens, offset 3, straddles cut at 4
+        (3, "i j k l"),        # 4 tokens, offset 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in pack_examples(
+            df, example_tokens=4, bucket_size=2
+        ).collect()
+    }
+    assert out[0].token_offset == 0 and (out[0].first_example, out[0].last_example, out[0].n_examples) == (0, 0, 1)
+    assert out[1].n_tokens == 0 and out[1].first_example is None
+    assert out[1].last_example is None and out[1].n_examples == 0
+    # doc 1 is empty, so doc 2 starts right after doc 0
+    assert out[2].token_offset == 3
+    assert (out[2].first_example, out[2].last_example, out[2].n_examples) == (0, 1, 2)
+    assert out[3].token_offset == 8
+    assert (out[3].first_example, out[3].last_example, out[3].n_examples) == (2, 2, 1)
+    # total examples = ceil(total_tokens / example_tokens)
+    assert max(r.last_example for r in out.values() if r.last_example is not None) == (3 + 5 + 4 - 1) // 4
+
+    # tokens_col variant bypasses the whitespace tokenizer
+    df2 = spark.createDataFrame(
+        [(10, 7), (11, 1)], "doc_id long, tok long"
+    )
+    got = {
+        r.doc_id: r
+        for r in pack_examples(
+            df2, tokens_col="tok", example_tokens=4, bucket_size=1000
+        ).collect()
+    }
+    assert got[10].token_offset == 0 and got[10].n_examples == 2
+    assert got[11].token_offset == 7 and got[11].first_example == 1
+
+    with pytest.raises(ValueError):
+        pack_examples(df, example_tokens=0)

@@ -46,6 +46,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "cube_percent_parts",  # pct-of-total over cube cells
     "scale_cumulative_revenue",  # bucket-level pass of the two-pass
     # distributed prefix sum (32 bucket totals — that IS the rewrite)
+    "pack_examples_documents",  # same two-pass prefix-sum rewrite: the
+    # un-partitioned window runs over the per-bucket TOTALS table
+    # (N/bucket_size rows), never over the documents themselves
 }
 
 
