@@ -1209,6 +1209,25 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_lm_score_documents(spark, sf_dir):
+    """Unigram-LM quality scoring (`kolang_spark/llm/lmscore.py::
+    unigram_lm_scores`): the CCNet/C4-style perplexity-proxy filter,
+    self-estimated from the corpus — per document the average negative
+    log-probability under the smoothed unigram LM. Per-token log
+    contributions are fixed-point micro-nats, so the per-document sum
+    is an exact long (order-independent) and the DuckDB oracle
+    reproduces the score bit-exactly."""
+    from kolang_spark.llm import unigram_lm_scores
+
+    dc = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(dc)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    )
+
+
 def _q_pack_examples_documents(spark, sf_dir):
     """Sequence packing for pretraining (`kolang_spark/llm/prep.py::
     pack_examples`): documents concatenated in doc_id order into one
@@ -1607,15 +1626,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL SEVEN new-this-round queries (multimodal_decode_jpeg —
+    1/2), and ALL EIGHT new-this-round queries (multimodal_decode_jpeg —
     item 5, zorder_key_parts / compact_parquet_stats /
     load_or_calc_partitions — item 4, ann_ivf_recall_planted /
     sketch_rollup_users — item 8, pack_examples_documents — sequence
-    packing on the distributed prefix sum; sketch_rollup_users is
-    rows-only by design, HLL estimates aren't SQL-reproducible). OUT
-    (15: fourteen green in 5 external rounds plus
-    join_revenue_by_nation green in 4, operators still hash-checked
-    every run by tests/test_oracle_parity.py): count_distinct_with_nulls,
+    packing on the distributed prefix sum, lm_score_documents —
+    unigram-LM quality scoring; sketch_rollup_users is rows-only by
+    design, HLL estimates aren't SQL-reproducible). OUT
+    (16: fourteen green in 5 external rounds plus
+    join_revenue_by_nation and ann_ivf_topk green in 4 — IVF stays
+    pinned in-window by ann_ivf_recall_planted — operators still
+    hash-checked every run by
+    tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
     fingerprint_documents, exact_dedup_documents, curation_pipeline,
@@ -1678,7 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_documents": _q_repetition_documents,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "resample_events_hourly": _q_resample_events_hourly,
-        "ann_ivf_topk": _q_ann_ivf_topk,
+        "lm_score_documents": _q_lm_score_documents,
         "multimodal_decode": _q_multimodal_decode,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
@@ -1693,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     tests/test_oracle_parity.py). Last green r4 — these 18
         #     rotate back in round 7 per the contract: ---
         "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3235,6 +3258,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors llm/lmscore.py::unigram_lm_scores (self-scored,
+        # alpha=1): same lowercase whitespace tokens, same counts, same
+        # micro-nat fixed-point contributions (exact long sums on both
+        # engines), same ln(total + vocab) closed form.
+        "lm_score_documents": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t))) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), tok2 AS (
+              SELECT doc_id, tok FROM tok WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, COUNT(*) AS cnt FROM tok2 GROUP BY 1
+            ), consts AS (
+              SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts
+            ), contrib AS (
+              SELECT t.doc_id,
+                     CAST(round(ln(c.cnt + 1.0) * 1e6) AS BIGINT) AS c
+              FROM tok2 t JOIN counts c USING (tok)
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_tokens, SUM(c) AS s
+              FROM contrib GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(ln(consts.total + 1.0 * consts.vocab)
+                         - a.s / (a.n_tokens * 1e6), 6) AS avg_neg_logprob
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            CROSS JOIN consts
         """,
         # Mirrors llm/prep.py::pack_examples (example_tokens=256): same
         # whitespace token counts, plain running sum for the offsets,

@@ -989,3 +989,47 @@ def test_repetition_metrics_null_text_is_zero(spark):
         0.0,
         0.0,
     )
+
+
+def test_unigram_lm_scores_ranks_gibberish_higher(spark):
+    """Self-scored unigram LM: a document of corpus-typical tokens
+    scores lower (less surprising) than one of hapax gibberish; empty
+    docs get NULL score; external lm_df path smooths unseen tokens."""
+    import math
+
+    from kolang_spark.llm import unigram_lm_scores
+
+    rows = [(i, "the cat sat on the mat") for i in range(8)] + [
+        (100, "zq9x kvw7 pp3j qqrr"),
+        (101, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_lm_scores(df).collect()}
+    assert len(out) == 10
+    assert out[101].n_tokens == 0 and out[101].avg_neg_logprob is None
+    assert out[100].avg_neg_logprob > out[0].avg_neg_logprob
+    # closed-form check for the typical doc: tokens' counts are
+    # the=16, cat/sat/on/mat=8 each; total=52, vocab=9, alpha=1
+    total, vocab = 8 * 6 + 4, 9
+    contribs = [math.log(16 + 1)] * 2 + [math.log(8 + 1)] * 4
+    micro = sum(round(c * 1e6) for c in contribs)
+    expect = math.log(total + vocab) - micro / (6 * 1e6)
+    assert abs(out[0].avg_neg_logprob - expect) < 1e-9
+
+    # external reference LM: unseen tokens hit the alpha floor
+    ref = spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    scored = {
+        r.doc_id: r
+        for r in unigram_lm_scores(
+            spark.createDataFrame([(1, "a b"), (2, "zzz zzz")], "doc_id long, text string"),
+            lm_df=ref,
+        ).collect()
+    }
+    # total=4, vocab=2: seen doc mixes ln(4)/ln(2); unseen doc floors at ln(alpha)=0
+    assert scored[2].avg_neg_logprob > scored[1].avg_neg_logprob
+    e1 = math.log(4 + 2) - (round(math.log(4) * 1e6) + round(math.log(2) * 1e6)) / (2 * 1e6)
+    assert abs(scored[1].avg_neg_logprob - e1) < 1e-9
+    assert abs(scored[2].avg_neg_logprob - math.log(6)) < 1e-9
+
+    with pytest.raises(ValueError):
+        unigram_lm_scores(df, alpha=0)
