@@ -1209,6 +1209,40 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_interval_join_events(spark, sf_dir):
+    """Event-time interval join (`kolang_spark/streaming/joins.py::
+    interval_join` — the stream-stream join surface, driven here on
+    batch frames, where the same call plans as an equi-join on the key
+    with the time bound as a residual): per view event, the same
+    user's purchases in the following 30 minutes. Stream==batch
+    equivalence is proven in tests/test_streaming_windows.py; the
+    DuckDB oracle re-derives the join and aggregates."""
+    from kolang_spark.streaming import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = interval_join(
+        views,
+        purchases,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    return j.groupBy("view_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
 def _q_lm_score_documents(spark, sf_dir):
     """Unigram-LM quality scoring (`kolang_spark/llm/lmscore.py::
     unigram_lm_scores`): the CCNet/C4-style perplexity-proxy filter,
@@ -1626,17 +1660,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL EIGHT new-this-round queries (multimodal_decode_jpeg —
+    1/2), and ALL NINE new-this-round queries (multimodal_decode_jpeg —
     item 5, zorder_key_parts / compact_parquet_stats /
     load_or_calc_partitions — item 4, ann_ivf_recall_planted /
     sketch_rollup_users — item 8, pack_examples_documents — sequence
     packing on the distributed prefix sum, lm_score_documents —
-    unigram-LM quality scoring; sketch_rollup_users is rows-only by
+    unigram-LM quality scoring, interval_join_events — the
+    stream-stream join surface; sketch_rollup_users is rows-only by
     design, HLL estimates aren't SQL-reproducible). OUT
-    (16: fourteen green in 5 external rounds plus
-    join_revenue_by_nation and ann_ivf_topk green in 4 — IVF stays
-    pinned in-window by ann_ivf_recall_planted — operators still
-    hash-checked every run by
+    (17: fourteen green in 5 external rounds, join_revenue_by_nation
+    and ann_ivf_topk green in 4 — IVF stays pinned in-window by
+    ann_ivf_recall_planted — and events_json_extract green in 3;
+    operators still hash-checked every run by
     tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
@@ -1679,7 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
-        "events_json_extract": _q_events_json_extract,
+        "interval_join_events": _q_interval_join_events,
         "load_or_calc_partitions": _q_load_or_calc_partitions,
         "ann_ivf_recall_planted": _q_ann_ivf_recall_planted,
         "tfidf_top_documents": _q_tfidf_top_documents,
@@ -1716,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     rotate back in round 7 per the contract: ---
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "events_json_extract": _q_events_json_extract,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3258,6 +3294,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors streaming/joins.py::interval_join driven on batch:
+        # same inclusive [ts, ts+30min] bound, same per-view aggregates.
+        "interval_join_events": """
+            WITH v AS (
+              SELECT event_id AS view_id, user_id, ts
+              FROM events WHERE event_type = 'view'
+            ), p AS (
+              SELECT user_id, ts,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT v.view_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+            FROM v JOIN p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts
+             AND p.ts <= v.ts + INTERVAL 30 MINUTE
+            GROUP BY 1
         """,
         # Mirrors llm/lmscore.py::unigram_lm_scores (self-scored,
         # alpha=1): same lowercase whitespace tokens, same counts, same

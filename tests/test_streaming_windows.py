@@ -99,3 +99,52 @@ def test_tumbling_streaming_matches_batch(spark, sf_dir, tmp_path):
         for r in spark.table(sink).collect()
     }
     assert streamed == batch
+
+
+def test_interval_join_stream_stream_matches_batch(spark, sf_dir, tmp_path):
+    """TRUE stream-stream join: both sides are file streams with
+    watermarks; the event-time bound lets Spark run it. Inner results
+    must equal the batch run of the same call."""
+    from kolang_spark.streaming import interval_join
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), "value"
+    )
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purchases")
+    views.write.parquet(vsrc)
+    purchases.write.parquet(psrc)
+
+    batch = {
+        (r.view_id, r.r_pts)
+        for r in interval_join(
+            views, purchases, keys=["user_id"], left_ts="ts",
+            right_ts="pts", upper="30 minutes",
+        ).collect()
+    }
+    assert batch, "fixture should produce view→purchase matches"
+
+    vs = spark.readStream.schema(views.schema).parquet(vsrc)
+    ps = spark.readStream.schema(purchases.schema).parquet(psrc)
+    joined = interval_join(
+        vs, ps, keys=["user_id"], left_ts="ts", right_ts="pts",
+        upper="30 minutes", watermark="2 hours",
+    )
+    sink = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.view_id, r.r_pts) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    assert streamed == batch
