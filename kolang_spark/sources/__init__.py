@@ -9,6 +9,7 @@ from kolang_spark.sources.io import (  # noqa: F401
     overwrite_partitions,
     pandas_to_spark,
     read_csv,
+    read_blobs,
     read_json,
     read_table,
     write_table,

@@ -249,6 +249,47 @@ def read_json(
     return reader.json(path)
 
 
+def read_blobs(
+    spark: SparkSession,
+    path: str,
+    pattern: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest raw media/files as blob rows via Spark's ``binaryFile``
+    source: ``(id_col, path, length, mod_time, content)`` with
+    ``content`` the opaque binary column the multimodal operators
+    (``blob_metadata`` / ``decode_image`` / ``decode_audio`` /
+    ``extract_features``) consume directly.
+
+    ``id_col`` is ``xxhash64(path)`` — deterministic across runs and
+    engines, stable under re-listing (a row_number would depend on
+    listing order). ``pattern`` filters filenames at the SOURCE
+    (``pathGlobFilter``, pruned during listing — e.g. ``'*.png'``);
+    ``max_bytes`` likewise rejects oversized payloads at listing time
+    (one poison multi-GB file would otherwise dominate a task).
+
+    Scale posture: binaryFile splits by FILE (one row per file, never
+    splitting a blob), so parallelism equals file count — for
+    billions of small objects, land them into parquet with this reader
+    once, then run the pipeline over the parquet (pages compress and
+    column-prune; the object store listing happens exactly once).
+    """
+    reader = spark.read.format("binaryFile")
+    if pattern is not None:
+        reader = reader.option("pathGlobFilter", pattern)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df.select(
+        F.xxhash64(F.col("path")).alias(id_col),
+        "path",
+        "length",
+        F.col("modificationTime").alias("mod_time"),
+        "content",
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -167,3 +167,33 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     small = str(tmp_path / "small")
     spark.range(5).coalesce(1).write.parquet(small)
     assert compact_parquet(spark, small) == 0
+
+
+def test_read_blobs_binaryfile_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: deterministic path-hash ids, glob filter
+    applied at the source listing, oversize rejection, bytes intact and
+    consumable by the multimodal decode chain."""
+    import os
+
+    from kolang_spark.llm.multimodal import blob_metadata
+    from kolang_spark.sources.io import read_blobs
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x89PNGxx")
+    (d / "b.bin").write_bytes(b"RIFFxxxxWAVE")
+    (d / "c.txt").write_bytes(b"not a blob")
+    (d / "huge.bin").write_bytes(b"\x00" * 4096)
+
+    out = read_blobs(spark, str(d), pattern="*.bin", max_bytes=1024)
+    rows = {os.path.basename(r.path): r for r in out.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}  # glob drops c.txt, cap drops huge
+    assert bytes(rows["a.bin"].content) == b"\x89PNGxx"
+    assert rows["b.bin"].length == 12
+    # ids deterministic across re-reads
+    again = {r.path: r.doc_id for r in read_blobs(spark, str(d), pattern="*.bin").collect()}
+    assert all(again[r.path] == r.doc_id for r in rows.values())
+    # feeds the blob pipeline directly
+    meta = blob_metadata(out.select("doc_id", "content"))
+    hdrs = {r.doc_id: r.header_hex for r in meta.collect()}
+    assert hdrs[rows["a.bin"].doc_id] == "89504E47"
