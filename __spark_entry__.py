@@ -1209,6 +1209,63 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_upsert_partitions_orders(spark, sf_dir):
+    """Partition-pruned keyed upsert (`kolang_spark/sources/io.py::
+    upsert_partitioned` — MERGE semantics on plain parquet): orders is
+    landed hive-partitioned by priority, every 100th key gets a
+    +12345-cent update and two synthetic keys are inserted; only the
+    touched partitions are rewritten (byte-identity of untouched
+    partitions proven in tests/test_io.py). The oracle computes the
+    merged per-priority aggregates straight from the source table; the
+    5-row collect is the bounded result materialization before scratch
+    cleanup."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.sources.io import upsert_partitioned
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ks_upsert_q_")
+    try:
+        path = os.path.join(tmp, "orders")
+        od.write.partitionBy("o_orderpriority").parquet(path)
+        updates = od.where(F.col("o_orderkey") % 100 == 0).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("cents") + 12345).alias("cents"),
+        )
+        inserts = spark.createDataFrame(
+            [(-1, "1-URGENT", 111), (-2, "5-LOW", 222)],
+            "o_orderkey long, o_orderpriority string, cents long",
+        )
+        upsert_partitioned(
+            spark,
+            path,
+            updates.unionByName(inserts),
+            keys=["o_orderkey"],
+            partition_by=["o_orderpriority"],
+        )
+        rows = [
+            (r.prio, r.n_rows, r.sum_cents)
+            for r in spark.read.parquet(path)
+            .groupBy(F.col("o_orderpriority").alias("prio"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "prio string, n_rows bigint, sum_cents bigint"
+    )
+
+
 def _q_interval_join_events(spark, sf_dir):
     """Event-time interval join (`kolang_spark/streaming/joins.py::
     interval_join` — the stream-stream join surface, driven here on
@@ -1660,18 +1717,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL NINE new-this-round queries (multimodal_decode_jpeg —
+    1/2), and ALL TEN new-this-round queries (multimodal_decode_jpeg —
     item 5, zorder_key_parts / compact_parquet_stats /
     load_or_calc_partitions — item 4, ann_ivf_recall_planted /
     sketch_rollup_users — item 8, pack_examples_documents — sequence
     packing on the distributed prefix sum, lm_score_documents —
     unigram-LM quality scoring, interval_join_events — the
-    stream-stream join surface; sketch_rollup_users is rows-only by
+    stream-stream join surface, upsert_partitions_orders —
+    partition-pruned MERGE; sketch_rollup_users is rows-only by
     design, HLL estimates aren't SQL-reproducible). OUT
-    (17: fourteen green in 5 external rounds, join_revenue_by_nation
+    (18: fourteen green in 5 external rounds, join_revenue_by_nation
     and ann_ivf_topk green in 4 — IVF stays pinned in-window by
-    ann_ivf_recall_planted — and events_json_extract green in 3;
-    operators still hash-checked every run by
+    ann_ivf_recall_planted — and events_json_extract +
+    tumbling_events_hourly green in 3; operators still hash-checked
+    every run by
     tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
@@ -1712,7 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": _q_mad_outliers_events,
         "ann_recall_planted": _q_ann_recall_planted,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
-        "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "upsert_partitions_orders": _q_upsert_partitions_orders,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
         "interval_join_events": _q_interval_join_events,
         "load_or_calc_partitions": _q_load_or_calc_partitions,
@@ -1752,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "events_json_extract": _q_events_json_extract,
+        "tumbling_events_hourly": _q_tumbling_events_hourly,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3294,6 +3354,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors sources/io.py::upsert_partitioned driven end-to-end:
+        # the merged table must equal updating every 100th key and
+        # appending the two synthetic rows.
+        "upsert_partitions_orders": """
+            WITH src AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS cents
+              FROM orders
+            ), merged AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN o_orderkey % 100 = 0
+                          THEN cents + 12345 ELSE cents END AS cents
+              FROM src
+              UNION ALL
+              SELECT * FROM (VALUES
+                (CAST(-1 AS BIGINT), '1-URGENT', CAST(111 AS BIGINT)),
+                (CAST(-2 AS BIGINT), '5-LOW', CAST(222 AS BIGINT)))
+                AS t(o_orderkey, o_orderpriority, cents)
+            )
+            SELECT o_orderpriority AS prio,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM merged GROUP BY 1
         """,
         # Mirrors streaming/joins.py::interval_join driven on batch:
         # same inclusive [ts, ts+30min] bound, same per-view aggregates.

@@ -11,6 +11,7 @@ from kolang_spark.sources.io import (  # noqa: F401
     read_csv,
     read_blobs,
     read_json,
+    upsert_partitioned,
     read_table,
     write_table,
 )

@@ -24,9 +24,11 @@ __all__ = [
     "load_or_calculate_parquet",
     "read_csv",
     "read_json",
+    "read_blobs",
     "write_table",
     "overwrite_partitions",
     "compact_parquet",
+    "upsert_partitioned",
 ]
 
 TABLE_NAMES = [
@@ -526,3 +528,91 @@ def load_or_calculate_parquet(
                 f.result()
 
     return spark.read.option("basePath", path).parquet(path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: List[str],
+    partition_by: List[str],
+    order_col: Optional[str] = None,
+    format: str = "parquet",  # noqa: A002 — mirrors write_table
+    max_affected_partitions: int = 10_000,
+) -> int:
+    """Keyed upsert (MERGE semantics) into a hive-partitioned parquet
+    table WITHOUT a table format: rows in ``updates`` replace target
+    rows with the same ``keys``, new keys are inserted — and ONLY the
+    partitions the updates touch are rewritten; every other partition's
+    files are left byte-identical (verified by test). Returns the
+    number of affected partitions.
+
+    At 100 TB this is the difference between a merge and a full table
+    rewrite: the affected partition VALUES (not rows) are collected —
+    bounded by partitions touched, capped at
+    ``max_affected_partitions`` — and turned into literal predicates,
+    so the target scan partition-prunes to exactly those directories.
+    The rewrite itself goes through dynamic partition overwrite
+    (:func:`overwrite_partitions`), which replaces only the partitions
+    present in the merged output.
+
+    ``order_col``: when ``updates`` may contain several rows per key,
+    the row with the greatest ``order_col`` wins (last-wins merge);
+    without it, update keys are assumed unique.
+
+    The merged rows are materialized (``localCheckpoint``) before the
+    overwrite — Spark refuses to overwrite a path it is still reading,
+    and materializing first also means the data being written no longer
+    depends on the files being replaced. Caveat (documented, not
+    hidden): between commit-time partition replacement and on a cluster
+    that loses an executor holding checkpoint blocks mid-write, the
+    affected partitions can need a re-run — for transactional
+    guarantees use a table format (Delta/Iceberg MERGE); this operator
+    targets plain-parquet lakes where those aren't available.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    if not partition_by:
+        raise ValueError("partition_by must name at least one column")
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        updates = (
+            updates.withColumn("__ks_rn__", F.row_number().over(w))
+            .where(F.col("__ks_rn__") == 1)
+            .drop("__ks_rn__")
+        )
+
+    affected = updates.select(*partition_by).distinct().limit(
+        max_affected_partitions + 1
+    ).collect()
+    if len(affected) > max_affected_partitions:
+        raise ValueError(
+            f"updates touch more than {max_affected_partitions} partitions — "
+            "split the backfill, or rewrite the table with write_table"
+        )
+    if not affected:
+        return 0
+
+    target = spark.read.format(format).load(path)
+    # literal partition predicates → the scan prunes to exactly the
+    # affected directories (an OR of per-partition conjunctions)
+    part_pred = None
+    for row in affected:
+        conj = None
+        for p in partition_by:
+            c = (
+                F.col(p).isNull()
+                if row[p] is None
+                else (F.col(p) == F.lit(row[p]))
+            )
+            conj = c if conj is None else (conj & c)
+        part_pred = conj if part_pred is None else (part_pred | conj)
+    kept = target.where(part_pred).join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*kept.columns))
+    merged = merged.localCheckpoint(eager=True)
+    overwrite_partitions(merged, path, partition_by, format=format)
+    return len(affected)

@@ -197,3 +197,53 @@ def test_read_blobs_binaryfile_roundtrip(spark, tmp_path):
     meta = blob_metadata(out.select("doc_id", "content"))
     hdrs = {r.doc_id: r.header_hex for r in meta.collect()}
     assert hdrs[rows["a.bin"].doc_id] == "89504E47"
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE semantics on a plain-parquet hive table: updates replace
+    matching keys, inserts land, last-wins dedup applies — and the
+    files of untouched partitions are BYTE-IDENTICAL afterwards (the
+    partition-pruned merge never rewrites them)."""
+    import glob
+    import os
+
+    from kolang_spark.sources.io import upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, p string, v long",
+    )
+    base.repartition(2).write.partitionBy("p").parquet(path)
+
+    def listing(part):
+        return sorted(
+            (os.path.basename(f), os.path.getsize(f), os.path.getmtime(f))
+            for f in glob.glob(os.path.join(path, f"p={part}", "*.parquet"))
+        )
+
+    before_b, before_c = listing("b"), listing("c")
+
+    updates = spark.createDataFrame(
+        # two versions of id=1 (last-wins by seq), one new id in 'a'
+        [(1, "a", 11, 1), (1, "a", 12, 2), (5, "a", 50, 1)],
+        "id long, p string, v long, seq long",
+    )
+    n = upsert_partitioned(
+        spark, path, updates.select("id", "p", "v", "seq"),
+        keys=["id"], partition_by=["p"], order_col="seq",
+    )
+    assert n == 1  # only partition a touched
+
+    back = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert back == {1: 12, 2: 20, 3: 30, 4: 40, 5: 50}
+    # untouched partitions: identical files (names, sizes, mtimes)
+    assert listing("b") == before_b and listing("c") == before_c
+
+    # empty updates: no-op
+    empty = updates.where("id < 0")
+    assert upsert_partitioned(
+        spark, path, empty, keys=["id"], partition_by=["p"], order_col="seq"
+    ) == 0
+    with pytest.raises(ValueError):
+        upsert_partitioned(spark, path, updates, keys=[], partition_by=["p"])
