@@ -1209,6 +1209,76 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_safe_union_mismatched(spark, sf_dir):
+    """Force-mode union (`kolang_spark/operators/unions.py::safe_union`
+    = union_all(force=True), reference D5): frames with a TYPE-conflicting
+    shared column (long vs string id) and disjoint extras — force casts
+    the conflict toward string and fills missing columns with typed
+    NULLs, in deterministic first-seen column order. The oracle builds
+    the same reconciled union explicitly."""
+    from kolang_spark.operators import safe_union
+
+    cu = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("tag")
+    )
+    su = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    return safe_union(cu, su)
+
+
+def _q_transpose_region_stats(spark, sf_dir):
+    """Guarded transpose (`kolang_spark/operators/reshape.py::transpose`,
+    reference D3 — its own docstring warns against big frames, so the
+    input here is the 5-row per-region aggregate): metrics become rows,
+    region names become columns, former column names return in `index`.
+    The oracle rebuilds the transposed shape with conditional
+    aggregation over the known region names."""
+    from kolang_spark.operators import transpose
+
+    na = _t(spark, sf_dir, "nation")
+    re_ = _t(spark, sf_dir, "region")
+    base = (
+        na.join(re_, na["n_regionkey"] == re_["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("sum_nationkey"),
+        )
+        .orderBy("r_name")
+    )
+    return transpose(base, "r_name")
+
+
+def _q_pandas_bridge_region(spark, sf_dir):
+    """pandas bridge (`kolang_spark/sources/io.py::pandas_to_spark`,
+    reference D2 — the operator IS a driver-side bridge, so the 5-row
+    region collect is its intended input shape): a pandas frame
+    spanning int64/object/float64/bool dtypes round-trips into Spark
+    with the fixed float64→Double mapping; the oracle computes the
+    same columns from region directly."""
+    import pandas as pd
+
+    from kolang_spark.sources.io import pandas_to_spark
+
+    rows = sorted(
+        (r.r_regionkey, r.r_name)
+        for r in _t(spark, sf_dir, "region")
+        .select("r_regionkey", "r_name")
+        .collect()
+    )
+    pdf = pd.DataFrame(
+        {
+            "r_regionkey": pd.Series([k for k, _ in rows], dtype="int64"),
+            "r_name": [n for _, n in rows],
+            "key_f": pd.Series([k * 1.5 for k, _ in rows], dtype="float64"),
+            "is_even": pd.Series([k % 2 == 0 for k, _ in rows], dtype="bool"),
+        }
+    )
+    return pandas_to_spark(pdf, spark)
+
+
 def _q_upsert_partitions_orders(spark, sf_dir):
     """Partition-pruned keyed upsert (`kolang_spark/sources/io.py::
     upsert_partitioned` — MERGE semantics on plain parquet): orders is
@@ -1717,20 +1787,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL TEN new-this-round queries (multimodal_decode_jpeg —
-    item 5, zorder_key_parts / compact_parquet_stats /
-    load_or_calc_partitions — item 4, ann_ivf_recall_planted /
-    sketch_rollup_users — item 8, pack_examples_documents — sequence
-    packing on the distributed prefix sum, lm_score_documents —
-    unigram-LM quality scoring, interval_join_events — the
-    stream-stream join surface, upsert_partitions_orders —
-    partition-pruned MERGE; sketch_rollup_users is rows-only by
-    design, HLL estimates aren't SQL-reproducible). OUT
-    (18: fourteen green in 5 external rounds, join_revenue_by_nation
-    and ann_ivf_topk green in 4 — IVF stays pinned in-window by
-    ann_ivf_recall_planted — and events_json_extract +
-    tumbling_events_hourly green in 3; operators still hash-checked
-    every run by
+    1/2), and ALL THIRTEEN new-this-round queries
+    (multimodal_decode_jpeg — item 5, zorder_key_parts /
+    compact_parquet_stats / load_or_calc_partitions — item 4,
+    ann_ivf_recall_planted / sketch_rollup_users — item 8,
+    pack_examples_documents — sequence packing on the distributed
+    prefix sum, lm_score_documents — unigram-LM quality scoring,
+    interval_join_events — the stream-stream join surface,
+    upsert_partitions_orders — partition-pruned MERGE, plus
+    safe_union_mismatched / transpose_region_stats /
+    pandas_bridge_region closing the last D5/D3/D2 coverage nits —
+    every operator in the engine now has a driver query;
+    sketch_rollup_users is rows-only by design, HLL estimates aren't
+    SQL-reproducible). OUT (21: fourteen green in 5 external rounds;
+    join_revenue_by_nation, ann_ivf_topk and scale_percent_by_nation
+    green in 4 — IVF stays pinned in-window by ann_ivf_recall_planted,
+    percent by percent_by_returnflag + percent_partitioned; and
+    events_json_extract, tumbling_events_hourly, session_count_by_user
+    and cumulative_revenue_by_shipdate green in 3; operators still
+    hash-checked every run by
     tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
@@ -1767,12 +1842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_cumulative_revenue": _q_scale_cumulative_revenue,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "multimodal_decode_png": _q_multimodal_decode_png,
-        "session_count_by_user": _q_session_count_by_user,
+        "safe_union_mismatched": _q_safe_union_mismatched,
         "mad_outliers_events": _q_mad_outliers_events,
         "ann_recall_planted": _q_ann_recall_planted,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "upsert_partitions_orders": _q_upsert_partitions_orders,
-        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
+        "transpose_region_stats": _q_transpose_region_stats,
         "interval_join_events": _q_interval_join_events,
         "load_or_calc_partitions": _q_load_or_calc_partitions,
         "ann_ivf_recall_planted": _q_ann_ivf_recall_planted,
@@ -1796,7 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_decode": _q_multimodal_decode,
-        "scale_percent_by_nation": _q_scale_percent_by_nation,
+        "pandas_bridge_region": _q_pandas_bridge_region,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
         # --- tail: rows-only (no oracle by design) ---
         "sessionize_stream_semantics": _q_sessionize_stream_semantics,
@@ -1812,6 +1887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "events_json_extract": _q_events_json_extract,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "session_count_by_user": _q_session_count_by_user,
+        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
+        "scale_percent_by_nation": _q_scale_percent_by_nation,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3354,6 +3432,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors operators/unions.py::safe_union (force=True): long id
+        # casts toward string, each side's missing column fills NULL.
+        "safe_union_mismatched": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   c_mktsegment AS tag,
+                   CAST(NULL AS DOUBLE) AS balance
+            FROM customer
+            UNION ALL
+            SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS id,
+                   CAST(NULL AS VARCHAR) AS tag,
+                   s_acctbal AS balance
+            FROM supplier
+        """,
+        # Mirrors operators/reshape.py::transpose over the per-region
+        # aggregate: metrics as rows, the five known region names as
+        # columns (conditional aggregation rebuilds the pivoted shape).
+        "transpose_region_stats": """
+            WITH j AS (
+              SELECT r_name, n_nationkey
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+            )
+            SELECT 'n_nations' AS index,
+                   CAST(SUM(CASE WHEN r_name='AFRICA' THEN 1 END) AS BIGINT) AS "AFRICA",
+                   CAST(SUM(CASE WHEN r_name='AMERICA' THEN 1 END) AS BIGINT) AS "AMERICA",
+                   CAST(SUM(CASE WHEN r_name='ASIA' THEN 1 END) AS BIGINT) AS "ASIA",
+                   CAST(SUM(CASE WHEN r_name='EUROPE' THEN 1 END) AS BIGINT) AS "EUROPE",
+                   CAST(SUM(CASE WHEN r_name='MIDDLE EAST' THEN 1 END) AS BIGINT) AS "MIDDLE EAST"
+            FROM j
+            UNION ALL
+            SELECT 'sum_nationkey',
+                   CAST(SUM(CASE WHEN r_name='AFRICA' THEN n_nationkey END) AS BIGINT),
+                   CAST(SUM(CASE WHEN r_name='AMERICA' THEN n_nationkey END) AS BIGINT),
+                   CAST(SUM(CASE WHEN r_name='ASIA' THEN n_nationkey END) AS BIGINT),
+                   CAST(SUM(CASE WHEN r_name='EUROPE' THEN n_nationkey END) AS BIGINT),
+                   CAST(SUM(CASE WHEN r_name='MIDDLE EAST' THEN n_nationkey END) AS BIGINT)
+            FROM j
+        """,
+        # Mirrors sources/io.py::pandas_to_spark over region: the dtype
+        # spanning columns computed straight from the table.
+        "pandas_bridge_region": """
+            SELECT r_regionkey,
+                   r_name,
+                   r_regionkey * 1.5 AS key_f,
+                   r_regionkey % 2 = 0 AS is_even
+            FROM region
         """,
         # Mirrors sources/io.py::upsert_partitioned driven end-to-end:
         # the merged table must equal updating every 100th key and
