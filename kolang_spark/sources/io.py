@@ -560,6 +560,17 @@ def upsert_partitioned(
     the row with the greatest ``order_col`` wins (last-wins merge);
     without it, update keys are assumed unique.
 
+    CONTRACT — partition keys are immutable per row key: an update row
+    must carry the SAME partition values its key already has in the
+    target (new keys may land anywhere). Only the update's partitions
+    are examined, so a "moved" key would leave its old row behind in
+    the unrewritten partition. Detecting moves would require scanning
+    every partition (exactly the full-table cost this operator exists
+    to avoid); pipelines whose partition column derives from the key
+    (date of an immutable event time, hash bucket of the id) satisfy
+    this by construction — for free-moving rows use a table format's
+    MERGE.
+
     The merged rows are materialized (``localCheckpoint``) before the
     overwrite — Spark refuses to overwrite a path it is still reading,
     and materializing first also means the data being written no longer

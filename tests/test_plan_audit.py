@@ -128,3 +128,30 @@ def test_q5_join_broadcasts_dims_and_pushes_region_filter(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
     assert any("r_name" in f for f in pushed_filters(df))
+
+
+# Regression lock for the round-6 explode/pushdown fix: Catalyst's
+# InferFiltersFromGenerate (and pushed where-predicates) used to
+# duplicate the full shingle/tokenizer expression into scan-side
+# filters — up to 6 copies across a self-join. Bounds = the structural
+# minimum for each plan (one per scan branch).
+EXPR_DUP_BOUNDS = {
+    "jaccard_pairs_documents": ("array_distinct", 2),
+    "minhash_pairs_documents": ("array_distinct", 2),
+    "contamination_documents": ("array_distinct", 2),
+    "tfidf_top_documents": ("split(trim", 2),
+    "boilerplate_lines_documents": ("array_distinct", 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPR_DUP_BOUNDS))
+def test_no_expensive_expression_duplication(spark, name):
+    marker, bound = EXPR_DUP_BOUNDS[name]
+    df = QUERIES[name](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = plan.count(marker)
+    assert n <= bound, (
+        f"{name}: {marker!r} appears {n}x in the optimized plan "
+        f"(bound {bound}) — an optimizer rule is duplicating the "
+        "expression again (see explode_outer pattern in llm/dedup.py)"
+    )

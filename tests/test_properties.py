@@ -252,3 +252,80 @@ def test_equi_depth_bin_balance_on_distinct_values(spark, n, n_bins):
     counts = Counter(r.bin for r in out.collect())
     assert set(counts) == set(range(1, n_bins + 1))
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+@given(
+    toks=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    cap=st.integers(1, 40),
+)
+@settings(**_SETTINGS)
+def test_pack_examples_matches_sequential_reference(spark, toks, cap):
+    """The bucketed distributed prefix sum must equal the sequential
+    concat-and-chunk computation for any token-count sequence and
+    example capacity (including zero-token documents)."""
+    from kolang_spark.llm import pack_examples
+
+    rows = [(i, int(t)) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = {
+        r.doc_id: r
+        for r in pack_examples(
+            df, tokens_col="tok", example_tokens=cap, bucket_size=3
+        ).collect()
+    }
+    off = 0
+    for i, t in rows:
+        r = got[i]
+        assert r.n_tokens == t and r.token_offset == off
+        if t == 0:
+            assert r.first_example is None and r.n_examples == 0
+        else:
+            assert r.first_example == off // cap
+            assert r.last_example == (off + t - 1) // cap
+            assert r.n_examples == r.last_example - r.first_example + 1
+        off += t
+    assert len(got) == len(rows)
+
+
+@given(
+    base=st.dictionaries(
+        st.integers(0, 12), st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=10,
+    ),
+    ups=st.dictionaries(
+        st.integers(0, 15), st.tuples(st.integers(0, 2), st.integers(-50, 50)),
+        min_size=1, max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_upsert_partitioned_matches_dict_merge(spark, tmp_path_factory, base, ups):
+    """For any base table and update set, the partition-pruned upsert
+    must equal the plain dict merge (updates replace matching keys,
+    new keys insert). Per the operator's documented contract, updates
+    to EXISTING keys keep the key's partition (partition keys are
+    immutable per row key — a move would leave the old row behind in
+    the unrewritten partition, which is exactly why the contract
+    exists); the generator enforces that here, new keys land anywhere."""
+    from kolang_spark.sources.io import upsert_partitioned
+
+    path = str(tmp_path_factory.mktemp("upsert") / "tbl")
+    base_rows = [(k, f"p{p}", v) for k, (p, v) in base.items()]
+    spark.createDataFrame(base_rows, "id long, p string, v long").write.partitionBy(
+        "p"
+    ).parquet(path)
+    # contract: existing keys keep their base partition
+    ups = {
+        k: ((base[k][0] if k in base else p), v) for k, (p, v) in ups.items()
+    }
+    up_rows = [(k, f"p{p}", v) for k, (p, v) in ups.items()]
+    upsert_partitioned(
+        spark,
+        path,
+        spark.createDataFrame(up_rows, "id long, p string, v long"),
+        keys=["id"],
+        partition_by=["p"],
+    )
+    merged = {k: (f"p{p}", v) for k, (p, v) in {**base, **ups}.items()}
+    got = {r.id: (r.p, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == merged
