@@ -1209,6 +1209,46 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_winsorize_events(spark, sf_dir):
+    """Percentile winsorization (`kolang_spark/operators/normalize.py::
+    winsorize`): event values clipped to their event_type's
+    [p05, p95] interpolated percentiles — broadcast bounds, detail rows
+    never shuffle. Bounds are exact interpolated percentiles, so the
+    DuckDB oracle (quantile_cont) reproduces every clipped value."""
+    from kolang_spark.operators import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = winsorize(ev, "value", 0.05, 0.95, by=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_w", 6).alias("value_w"),
+    )
+
+
+def _q_zscore_events(spark, sf_dir):
+    """Per-group z-scores (`kolang_spark/operators/normalize.py::
+    standardize`): integer-cent values standardized within event_type.
+    Moments come from explicit n/Σv/Σv² sums — exact for the integral
+    inputs, so the variance/mean algebra (evaluated in a fixed order)
+    reproduces bit-exactly in DuckDB."""
+    from kolang_spark.operators import standardize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = standardize(ev, "cents", by=["event_type"], method="zscore")
+    return out.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.round("cents_std", 6).alias("z"),
+    )
+
+
 def _q_safe_union_mismatched(spark, sf_dir):
     """Force-mode union (`kolang_spark/operators/unions.py::safe_union`
     = union_all(force=True), reference D5): frames with a TYPE-conflicting
@@ -1787,7 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL THIRTEEN new-this-round queries
+    1/2), and ALL FIFTEEN new-this-round queries
     (multimodal_decode_jpeg — item 5, zorder_key_parts /
     compact_parquet_stats / load_or_calc_partitions — item 4,
     ann_ivf_recall_planted / sketch_rollup_users — item 8,
@@ -1797,15 +1837,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     upsert_partitions_orders — partition-pruned MERGE, plus
     safe_union_mismatched / transpose_region_stats /
     pandas_bridge_region closing the last D5/D3/D2 coverage nits —
-    every operator in the engine now has a driver query;
+    every operator in the engine now has a driver query — and
+    winsorize_events / zscore_events for the new normalize operators;
     sketch_rollup_users is rows-only by design, HLL estimates aren't
-    SQL-reproducible). OUT (21: fourteen green in 5 external rounds;
-    join_revenue_by_nation, ann_ivf_topk and scale_percent_by_nation
-    green in 4 — IVF stays pinned in-window by ann_ivf_recall_planted,
-    percent by percent_by_returnflag + percent_partitioned; and
-    events_json_extract, tumbling_events_hourly, session_count_by_user
-    and cumulative_revenue_by_shipdate green in 3; operators still
-    hash-checked every run by
+    SQL-reproducible). OUT (23: fourteen green in 5 external rounds;
+    join_revenue_by_nation, ann_ivf_topk, scale_percent_by_nation and
+    jalali_orders_by_month green in 4 — IVF stays pinned in-window by
+    ann_ivf_recall_planted, percent by percent_by_returnflag +
+    percent_partitioned, jalali by jalali_roundtrip; and
+    events_json_extract, tumbling_events_hourly, session_count_by_user,
+    cumulative_revenue_by_shipdate and ewma_users green in 3;
+    operators still hash-checked every run by
     tests/test_oracle_parity.py): count_distinct_with_nulls,
     unpivot_lineitem, union_customers_suppliers, text_clean_documents,
     token_stats_documents, quality_documents, lang_id_documents,
@@ -1833,8 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_events": _q_quantiles_events,
         "boilerplate_lines_documents": _q_boilerplate_lines_documents,
         "chunk_documents": _q_chunk_documents,
-        "ewma_users": _q_ewma_users,
-        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "winsorize_events": _q_winsorize_events,
+        "zscore_events": _q_zscore_events,
         "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
         "zorder_key_parts": _q_zorder_key_parts,
         "profile_orders": _q_profile_orders,
@@ -1887,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ann_ivf_topk,
         "events_json_extract": _q_events_json_extract,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "ewma_users": _q_ewma_users,
+        "jalali_orders_by_month": _q_jalali_orders_by_month,
         "session_count_by_user": _q_session_count_by_user,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
@@ -3432,6 +3476,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors operators/normalize.py::winsorize: same interpolated
+        # percentile bounds (quantile_cont ≡ Spark percentile), same
+        # least/greatest clip, NULL-through.
+        "winsorize_events": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 6) AS value,
+                   ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_w
+            FROM events e JOIN b USING (event_type)
+        """,
+        # Mirrors operators/normalize.py::standardize('zscore'): same
+        # exact integer moment sums, same fixed-order variance algebra
+        # (s2 - s1*s1/n) / (n-1) and (v - s1/n) / sqrt(var).
+        "zscore_events": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_type,
+                     COUNT(cents) AS n,
+                     SUM(CAST(cents AS DOUBLE)) AS s1,
+                     SUM(CAST(cents AS DOUBLE) * CAST(cents AS DOUBLE)) AS s2
+              FROM c GROUP BY 1
+            )
+            SELECT c.event_id, c.event_type, c.cents,
+                   ROUND((CAST(c.cents AS DOUBLE) - s1/n)
+                         / sqrt((s2 - s1*s1/n) / (n-1)), 6) AS z
+            FROM c JOIN m USING (event_type)
         """,
         # Mirrors operators/unions.py::safe_union (force=True): long id
         # casts toward string, each side's missing column fills NULL.

