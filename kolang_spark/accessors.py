@@ -154,6 +154,26 @@ class KolangFrame:
 
         return KolangFrame(zorder_by(self._df, cols, **kw))
 
+    def with_zorder_key(self, cols: Sequence[str], **kw) -> "KolangFrame":
+        from kolang_spark.operators.layout import with_zorder_key
+
+        return KolangFrame(with_zorder_key(self._df, cols, **kw))
+
+    def winsorize(self, value_col: str, **kw) -> "KolangFrame":
+        from kolang_spark.operators.normalize import winsorize
+
+        return KolangFrame(winsorize(self._df, value_col, **kw))
+
+    def standardize(self, value_col: str, **kw) -> "KolangFrame":
+        from kolang_spark.operators.normalize import standardize
+
+        return KolangFrame(standardize(self._df, value_col, **kw))
+
+    def pack_examples(self, **kw) -> "KolangFrame":
+        from kolang_spark.llm.prep import pack_examples
+
+        return KolangFrame(pack_examples(self._df, **kw))
+
 
 def kl(df: DataFrame) -> KolangFrame:
     """Enter the fluent layer: ``kl(df).percent("count").df``."""

@@ -63,3 +63,18 @@ def test_accessor_dataframe_operator_passthroughs(spark):
     rs = kl(df).resample_fill("ts", "v", "1 hour", by=["g"]).df
     assert {"bucket_ts", "value", "is_filled"} <= set(rs.columns)
     assert kl(df).zorder_by(["v"], bits=2).df.count() == 8
+
+
+def test_accessor_round6_operators(spark):
+    from kolang_spark.accessors import kl
+
+    df = spark.createDataFrame(
+        [(i, "k", float(i)) for i in range(8)], "doc_id long, k string, v double"
+    )
+    assert "v_w" in kl(df).winsorize("v", lower=0.1, upper=0.9, by=["k"]).df.columns
+    assert "v_std" in kl(df).standardize("v", by=["k"]).df.columns
+    assert "zorder_key" in kl(df).with_zorder_key(["v"], bits=2).df.columns
+    packed = kl(df.selectExpr("doc_id", "v as tok").selectExpr("doc_id", "CAST(tok AS LONG) tok")).pack_examples(
+        tokens_col="tok", example_tokens=4
+    ).df
+    assert {"token_offset", "first_example"} <= set(packed.columns)
