@@ -781,62 +781,77 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-def _encode_jpeg_gray(img: np.ndarray, q: int = 16) -> bytes:
-    """Minimal REAL baseline encoder (grayscale, flat quant table ``q``,
-    Annex K luminance huffman tables) used by :func:`synth_jpeg_blobs`
-    and tests — emits spec-valid streams any decoder accepts."""
-    h, w = img.shape
+def _pad_plane(plane: np.ndarray) -> np.ndarray:
+    """Pad to 8-multiples with edge replication (keeps block DCTs tame)."""
+    h, w = plane.shape
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    padded = np.full((bh_ * 8, bw_ * 8), 0.0)
+    padded[:h, :w] = plane.astype(np.float64)
+    padded[h:, :w] = padded[h - 1 : h, :w]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _encode_block(writer, zz, pred, dc_code, ac_code) -> int:
+    """Entropy-code one zigzagged quantized block; returns new DC pred."""
+
+    def cat_of(v: int) -> int:
+        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+    diff = int(zz[0]) - pred
+    cat = cat_of(diff)
+    code, ln = dc_code[cat]
+    writer.write(code, ln)
+    if cat:
+        writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    k, run = 1, 0
+    while k < 64:
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+        else:
+            while run > 15:
+                code, ln = ac_code[0xF0]  # ZRL
+                writer.write(code, ln)
+                run -= 16
+            cat = cat_of(v)
+            code, ln = ac_code[(run << 4) | cat]
+            writer.write(code, ln)
+            writer.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        k += 1
+    if run:
+        code, ln = ac_code[0x00]  # EOB
+        writer.write(code, ln)
+    return int(zz[0])
+
+
+def _encode_jpeg(planes, h: int, w: int, q: int = 16) -> bytes:
+    """Minimal REAL baseline encoder (1 plane = grayscale, 3 planes =
+    4:4:4 color; flat quant table ``q``, Annex K luminance huffman
+    tables for every component — legal and simplest) — emits spec-valid
+    streams any decoder accepts."""
+    nc = len(planes)
     qtbl = np.full(64, q, dtype=np.int64)
     dc_map = _huff_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_map = _huff_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     dc_code = {sym: (code, ln) for (ln, code), sym in dc_map.items()}
     ac_code = {sym: (code, ln) for (ln, code), sym in ac_map.items()}
 
-    def cat_of(v: int) -> int:
-        return int(v).bit_length() if v >= 0 else int(-v).bit_length()
-
-    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    padded = np.full((bh_ * 8, bw_ * 8), 0.0)
-    padded[:h, :w] = img.astype(np.float64)
-    # replicate edges into padding (keeps block DCTs tame)
-    padded[h:, :w] = padded[h - 1 : h, :w]
-    padded[:, w:] = padded[:, w - 1 : w]
-    writer = _JpegBitWriter()
     qraster = np.zeros((8, 8), dtype=np.int64)
     qraster.reshape(-1)[_JPEG_ZIGZAG] = qtbl
-    pred = 0
+    padded = [_pad_plane(p) for p in planes]
+    bh_, bw_ = padded[0].shape[0] // 8, padded[0].shape[1] // 8
+    writer = _JpegBitWriter()
+    pred = [0] * nc
     for by in range(bh_):
         for bx in range(bw_):
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeffs = _DCT_C @ blk @ _DCT_C.T
-            quant = np.round(coeffs / qraster).astype(np.int64)
-            zz = quant.reshape(-1)[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            cat = cat_of(diff)
-            code, ln = dc_code[cat]
-            writer.write(code, ln)
-            if cat:
-                writer.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
-            k, run = 1, 0
-            while k < 64:
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                else:
-                    while run > 15:
-                        code, ln = ac_code[0xF0]  # ZRL
-                        writer.write(code, ln)
-                        run -= 16
-                    cat = cat_of(v)
-                    code, ln = ac_code[(run << 4) | cat]
-                    writer.write(code, ln)
-                    writer.write(v if v >= 0 else v + (1 << cat) - 1, cat)
-                    run = 0
-                k += 1
-            if run:
-                code, ln = ac_code[0x00]  # EOB
-                writer.write(code, ln)
+            for ci in range(nc):  # one block per component per MCU (4:4:4)
+                blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeffs = _DCT_C @ blk @ _DCT_C.T
+                quant = np.round(coeffs / qraster).astype(np.int64)
+                zz = quant.reshape(-1)[_JPEG_ZIGZAG]
+                pred[ci] = _encode_block(writer, zz, pred[ci], dc_code, ac_code)
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -846,7 +861,8 @@ def _encode_jpeg_gray(img: np.ndarray, q: int = 16) -> bytes:
         bytes([8])
         + h.to_bytes(2, "big")
         + w.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0])
+        + bytes([nc])
+        + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(nc))
     )
     out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
     dht = (
@@ -858,11 +874,33 @@ def _encode_jpeg_gray(img: np.ndarray, q: int = 16) -> bytes:
         + bytes(_JPEG_AC_VALS)
     )
     out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
-    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    sos = bytes([nc]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(nc)
+    ) + bytes([0, 63, 0])
     out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
     out += writer.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+def _encode_jpeg_gray(img: np.ndarray, q: int = 16) -> bytes:
+    """Grayscale entry point (see :func:`_encode_jpeg`)."""
+    h, w = img.shape
+    return _encode_jpeg([img], h, w, q)
+
+
+def _encode_jpeg_rgb(rgb: np.ndarray, q: int = 16) -> bytes:
+    """4:4:4 color entry point: (h, w, 3) RGB → JFIF YCbCr (Rec.601)
+    planes → :func:`_encode_jpeg`."""
+    h, w, _ = rgb.shape
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+    return _encode_jpeg(planes, h, w, q)
 
 
 def synth_jpeg_blobs(

@@ -1033,3 +1033,31 @@ def test_unigram_lm_scores_ranks_gibberish_higher(spark):
 
     with pytest.raises(ValueError):
         unigram_lm_scores(df, alpha=0)
+
+
+def test_jpeg_color_decode_roundtrip():
+    """The decoder's 3-component 4:4:4 path (separate DC predictors per
+    component, Rec.601 YCbCr->RGB): encoded color images round-trip
+    within the chroma-rounding bound; grayscale stays exact."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import (
+        _encode_jpeg_gray,
+        _encode_jpeg_rgb,
+        _parse_jpeg,
+    )
+
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 256, (24, 32, 3)).astype(np.uint8)
+    fmt, w, h, ch, px = _parse_jpeg(_encode_jpeg_rgb(rgb, q=1))
+    assert (fmt, w, h, ch) == ("jpeg", 32, 24, 3)
+    assert np.abs(px.reshape(24, 32, 3).astype(int) - rgb.astype(int)).max() <= 4
+
+    solid = np.zeros((8, 8, 3), np.uint8)
+    solid[:, :, 0], solid[:, :, 1], solid[:, :, 2] = 200, 64, 32
+    _, _, _, _, px2 = _parse_jpeg(_encode_jpeg_rgb(solid, q=1))
+    assert np.abs(px2.reshape(8, 8, 3).astype(int) - solid.astype(int)).max() <= 1
+
+    img = np.full((16, 16), 100, dtype=np.uint8)
+    _, _, _, chg, pxg = _parse_jpeg(_encode_jpeg_gray(img))
+    assert chg == 1 and np.array_equal(pxg.reshape(16, 16), img)
