@@ -1209,6 +1209,34 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_bloom_users_events(spark, sf_dir):
+    """Bloom membership sketch (`kolang_spark/operators/sketches.py::
+    bloom_table`/`bloom_might_contain`): a 1024-bit / 3-hash filter
+    over click users, probed with every distinct user next to exact
+    membership — no false negative is possible (asserted as a column).
+    md5 bit positions make the whole filter engine-deterministic, so
+    the DuckDB oracle rebuilds identical bits and probe outcomes,
+    false positives included."""
+    from kolang_spark.operators import bloom_might_contain, bloom_table
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    bloom = bloom_table(clicks, "user_id", n_bits=1024, k=3)
+    allu = ev.select("user_id").distinct()
+    probed = bloom_might_contain(bloom, allu, "user_id", n_bits=1024, k=3)
+    exact = clicks.distinct().withColumn("__m__", F.lit(True))
+    return probed.join(
+        exact, probed["item"] == exact["user_id"], "left"
+    ).select(
+        F.col("item").alias("user_id"),
+        "might_contain",
+        F.coalesce("__m__", F.lit(False)).alias("is_member"),
+        (F.col("might_contain") | ~F.coalesce("__m__", F.lit(False))).alias(
+            "no_false_negative"
+        ),
+    )
+
+
 def _q_winsorize_events(spark, sf_dir):
     """Percentile winsorization (`kolang_spark/operators/normalize.py::
     winsorize`): event values clipped to their event_type's
@@ -1827,7 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL FIFTEEN new-this-round queries
+    1/2), and ALL SIXTEEN new-this-round queries
     (multimodal_decode_jpeg — item 5, zorder_key_parts /
     compact_parquet_stats / load_or_calc_partitions — item 4,
     ann_ivf_recall_planted / sketch_rollup_users — item 8,
@@ -1838,9 +1866,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     safe_union_mismatched / transpose_region_stats /
     pandas_bridge_region closing the last D5/D3/D2 coverage nits —
     every operator in the engine now has a driver query — and
-    winsorize_events / zscore_events for the new normalize operators;
+    winsorize_events / zscore_events for the new normalize operators
+    and bloom_users_events for the new membership sketch;
     sketch_rollup_users is rows-only by design, HLL estimates aren't
-    SQL-reproducible). OUT (23: fourteen green in 5 external rounds;
+    SQL-reproducible). OUT (24, incl. multimodal_sample_frames green
+    in 3: fourteen green in 5 external rounds;
     join_revenue_by_nation, ann_ivf_topk, scale_percent_by_nation and
     jalali_orders_by_month green in 4 — IVF stays pinned in-window by
     ann_ivf_recall_planted, percent by percent_by_returnflag +
@@ -1914,7 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_decode": _q_multimodal_decode,
         "pandas_bridge_region": _q_pandas_bridge_region,
-        "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "bloom_users_events": _q_bloom_users_events,
         # --- tail: rows-only (no oracle by design) ---
         "sessionize_stream_semantics": _q_sessionize_stream_semantics,
         "hll_users_monthly": _q_hll_users_monthly,
@@ -1934,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_count_by_user": _q_session_count_by_user,
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
+        "multimodal_sample_frames": _q_multimodal_sample_frames,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3476,6 +3507,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors operators/sketches.py::bloom_table/bloom_might_contain
+        # (1024 bits, k=3): identical md5 bit positions, identical
+        # all-bits-set probe — false positives reproduce exactly.
+        "bloom_users_events": """
+            WITH clicks AS (
+              SELECT DISTINCT user_id FROM events WHERE event_type='click'
+            ), js AS (
+              SELECT unnest([0, 1, 2]) AS j
+            ), bloombits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(c.user_id AS VARCHAR)), 18, 15))::BIGINT
+                       % 1024 AS bit
+              FROM clicks c, js
+            ), allu AS (
+              SELECT DISTINCT user_id FROM events
+            ), probes AS (
+              SELECT a.user_id, js.j,
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(a.user_id AS VARCHAR)), 18, 15))::BIGINT
+                       % 1024 AS bit
+              FROM allu a, js
+            ), mc AS (
+              SELECT p.user_id, COUNT(b.bit) = 3 AS might_contain
+              FROM probes p LEFT JOIN bloombits b USING (bit)
+              GROUP BY 1
+            )
+            SELECT m.user_id, m.might_contain,
+                   (c.user_id IS NOT NULL) AS is_member,
+                   (m.might_contain OR c.user_id IS NULL)
+                     AS no_false_negative
+            FROM mc m LEFT JOIN clicks c ON c.user_id = m.user_id
         """,
         # Mirrors operators/normalize.py::winsorize: same interpolated
         # percentile bounds (quantile_cont ≡ Spark percentile), same

@@ -16,6 +16,8 @@ from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
 from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
 from kolang_spark.operators.sketches import (  # noqa: F401
     approx_quantiles,
+    bloom_might_contain,
+    bloom_table,
     cms_estimate,
     cms_table,
     hll_estimate,

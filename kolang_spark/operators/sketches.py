@@ -34,6 +34,8 @@ __all__ = [
     "sketch_rollup",
     "cms_table",
     "cms_estimate",
+    "bloom_table",
+    "bloom_might_contain",
 ]
 
 
@@ -207,4 +209,60 @@ def sketch_rollup(
             *coarse_keys,
             hll_estimate("__ks_merged__").alias("n_distinct_est"),
         )
+    )
+
+
+def bloom_table(
+    df: DataFrame,
+    col: ColumnOrName,
+    n_bits: int = 8192,
+    k: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Bloom filter of ``col``'s values as a table of SET BIT positions
+    (``(bit)`` rows, ≤ ``n_bits``) — the membership sketch completing
+    the family (HLL = distinct count, CMS = frequency, Bloom = set
+    membership). No false negatives; false-positive rate ≈
+    ``(1 - e^(-k·n/m))^k``.
+
+    Merging two filters of the same shape/salt = ``union.distinct()``
+    of their bit tables — per-day filters roll up without re-scanning
+    raw data, same algebra as the other sketches. Bit positions use
+    the same md5 idiom as :func:`cms_table`, so any engine (and the
+    DuckDB oracle) rebuilds the identical filter. NULL values are
+    excluded (membership of NULL is not a meaningful question here).
+
+    Plan: one explode (``k`` longs per row) into a distinct — bounded
+    at ``n_bits`` rows regardless of input size.
+    """
+    if n_bits < 2 or k < 1:
+        raise ValueError("need n_bits >= 2 and k >= 1")
+    df = df.where(to_col(col).isNotNull())
+    bits = F.array(*[_cms_bucket(col, j, n_bits, salt) for j in range(k)])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    col: ColumnOrName,
+    n_bits: int = 8192,
+    k: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Probe a :func:`bloom_table`: one row per DISTINCT non-NULL item
+    with ``might_contain`` = all ``k`` of its bit positions set.
+    Guaranteed true for every inserted value (no false negatives);
+    occasionally true for absent ones. ``n_bits``/``k``/``salt`` must
+    match the build. Plan: items explode to ``k`` probes, equi-join the
+    ≤ ``n_bits``-row filter (broadcast), count matches per item."""
+    c = to_col(col)
+    items = items.where(c.isNotNull())
+    bits = F.array(*[_cms_bucket(col, j, n_bits, salt) for j in range(k)])
+    ex = items.select(c.alias("item"), F.explode(bits).alias("bit"))
+    hit = bloom.withColumn("__hit__", F.lit(1))
+    return (
+        ex.join(F.broadcast(hit), "bit", "left")
+        .groupBy("item")
+        .agg((F.count("__hit__") == k).alias("might_contain"))
     )

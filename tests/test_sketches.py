@@ -119,3 +119,35 @@ def test_cms_overestimates_only_and_merges(spark):
 
     with _pytest.raises(ValueError):
         cms_table(df, "k", depth=0)
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Bloom contract: every inserted value probes true (no false
+    negatives), merge = union.distinct of bit tables equals the
+    direct filter, NULLs excluded, duplicates collapse."""
+    from kolang_spark.operators import bloom_might_contain, bloom_table
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(40)], "x string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(40)] + [(None,)], "x string")
+    fa = bloom_table(a, "x", n_bits=256, k=3)
+    fb = bloom_table(b, "x", n_bits=256, k=3)
+    merged = fa.union(fb).distinct()
+    direct = bloom_table(a.union(b), "x", n_bits=256, k=3)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in direct.collect()
+    )
+    probe = a.union(b).union(
+        spark.createDataFrame([(f"w{i}",) for i in range(200)], "x string")
+    )
+    got = {
+        r.item: r.might_contain
+        for r in bloom_might_contain(merged, probe, "x", n_bits=256, k=3).collect()
+    }
+    assert None not in got
+    assert all(got[f"u{i}"] and got[f"v{i}"] for i in range(40))
+    # with 80*3 bits over 256, absent keys must include SOME negatives
+    # (the filter would be useless if everything probed true)
+    assert any(not got[f"w{i}"] for i in range(200))
+
+    with pytest.raises(ValueError):
+        bloom_table(a, "x", n_bits=1)
