@@ -1,0 +1,79 @@
+"""Streaming sinks beyond append: per-micro-batch MERGE into a
+hive-partitioned parquet table.
+
+Structured Streaming's file sink is append-only; CDC-shaped streams
+(upserts keyed by id) need merge semantics. ``foreachBatch`` is the
+sanctioned bridge: each micro-batch is a normal batch DataFrame, so the
+engine's partition-pruned :func:`kolang_spark.sources.io.
+upsert_partitioned` applies verbatim — only the partitions a batch
+touches are rewritten, batches apply in order, and a batch replayed
+after a failure re-applies idempotently (same keys → same final rows).
+
+The target table is created by the first non-empty batch. The
+upsert operator's contract carries over: partition values are
+immutable per key, and the rewrite window is documented there.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+__all__ = ["upsert_sink"]
+
+
+def upsert_sink(
+    stream_df: DataFrame,
+    path: str,
+    keys: List[str],
+    partition_by: List[str],
+    order_col: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Start a streaming query that MERGEs each micro-batch into the
+    parquet table at ``path`` (see module docstring). Returns the
+    started ``StreamingQuery``; callers ``awaitTermination`` it.
+
+    ``order_col`` resolves duplicate keys WITHIN a batch (last wins);
+    ACROSS batches, later batches win by construction.
+    ``available_now=True`` drains the source and stops (the backfill
+    mode); ``False`` runs continuously on the default trigger.
+    """
+    import os
+
+    from kolang_spark.sources.io import upsert_partitioned
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if not os.path.exists(path):
+            if order_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+                batch_df = (
+                    batch_df.withColumn("__ks_rn__", F.row_number().over(w))
+                    .where(F.col("__ks_rn__") == 1)
+                    .drop("__ks_rn__")
+                )
+            batch_df.write.partitionBy(*partition_by).parquet(path)
+        else:
+            upsert_partitioned(
+                spark,
+                path,
+                batch_df,
+                keys=keys,
+                partition_by=partition_by,
+                order_col=order_col,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

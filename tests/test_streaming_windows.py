@@ -148,3 +148,45 @@ def test_interval_join_stream_stream_matches_batch(spark, sf_dir, tmp_path):
         (r.view_id, r.r_pts) for r in spark.sql(f"SELECT * FROM {sink}").collect()
     }
     assert streamed == batch
+
+
+def test_upsert_sink_streaming_merge(spark, tmp_path):
+    """CDC-shaped stream into a hive-partitioned parquet table: the
+    first batch creates the table, later files upsert through the
+    partition-pruned merge; the final table equals applying the update
+    log in order."""
+    from kolang_spark.streaming import upsert_sink
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, p string, v long, seq long"
+
+    # stage 1: initial rows
+    spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "a", 20, 1), (3, "b", 30, 1)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = upsert_sink(
+        stream, tbl, keys=["id"], partition_by=["p"],
+        order_col="seq", checkpoint=ckpt,
+    )
+    q.awaitTermination(120)
+    got1 = {r.id: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got1 == {1: 10, 2: 20, 3: 30}
+
+    # stage 2: an update (id=1, two versions — last wins) and an insert
+    spark.createDataFrame(
+        [(1, "a", 11, 2), (1, "a", 12, 3), (4, "b", 40, 2)], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    q2 = upsert_sink(
+        stream, tbl, keys=["id"], partition_by=["p"],
+        order_col="seq", checkpoint=ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {r.id: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got2 == {1: 12, 2: 20, 3: 30, 4: 40}
