@@ -51,6 +51,10 @@ from kolang_spark.functions import (  # noqa: F401
 from kolang_spark.operators import (  # noqa: F401
     add_trend_line,
     as_of_join,
+    bloom_might_contain,
+    bloom_table,
+    cms_estimate,
+    cms_table,
     deterministic_sample,
     equi_depth_bin,
     hypertable_rollup,
@@ -59,12 +63,15 @@ from kolang_spark.operators import (  # noqa: F401
     resample_fill,
     safe_union,
     session_id,
+    sketch_rollup,
+    standardize,
     stratified_fixed_sample,
     stratified_sample,
     top_k_per_group,
     transpose,
     union_all,
     unpivot,
+    winsorize,
     with_zorder_key,
     zorder_by,
 )
@@ -72,7 +79,9 @@ from kolang_spark.sources import (  # noqa: F401
     load_or_calculate_parquet,
     overwrite_partitions,
     pandas_to_spark,
+    read_blobs,
     read_table,
+    upsert_partitioned,
     write_table,
 )
 
