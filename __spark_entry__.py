@@ -1209,6 +1209,24 @@ def _q_cms_user_counts_events(spark, sf_dir):
     )
 
 
+def _q_skew_report_events(spark, sf_dir):
+    """Join-key skew diagnostic (`kolang_spark/operators/skew.py::
+    skew_report`): the 20 heaviest user_ids with row counts, table
+    share, and skew factor vs the uniform baseline — the pre-flight
+    number that decides whether `salted_join` is needed. Deterministic
+    tie-breaks make the report oracle-checkable."""
+    from kolang_spark.operators import skew_report
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    out = skew_report(ev, ["user_id"], top_k=20)
+    return out.select(
+        "user_id",
+        "n_rows",
+        F.round("share_pct", 6).alias("share_pct"),
+        F.round("skew_factor", 6).alias("skew_factor"),
+    )
+
+
 def _q_bloom_users_events(spark, sf_dir):
     """Bloom membership sketch (`kolang_spark/operators/sketches.py::
     bloom_table`/`bloom_might_contain`): a 1024-bit / 3-hash filter
@@ -1855,7 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL SIXTEEN new-this-round queries
+    1/2), and ALL SEVENTEEN new-this-round queries
     (multimodal_decode_jpeg — item 5, zorder_key_parts /
     compact_parquet_stats / load_or_calc_partitions — item 4,
     ann_ivf_recall_planted / sketch_rollup_users — item 8,
@@ -1867,10 +1885,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pandas_bridge_region closing the last D5/D3/D2 coverage nits —
     every operator in the engine now has a driver query — and
     winsorize_events / zscore_events for the new normalize operators
-    and bloom_users_events for the new membership sketch;
+    bloom_users_events for the new membership sketch and
+    skew_report_events for the skew diagnostic;
     sketch_rollup_users is rows-only by design, HLL estimates aren't
-    SQL-reproducible). OUT (24, incl. multimodal_sample_frames green
-    in 3: fourteen green in 5 external rounds;
+    SQL-reproducible). OUT (25, incl. multimodal_sample_frames and
+    simhash_hamming_pairs green in 3: fourteen green in 5 external
+    rounds;
     join_revenue_by_nation, ann_ivf_topk, scale_percent_by_nation and
     jalali_orders_by_month green in 4 — IVF stays pinned in-window by
     ann_ivf_recall_planted, percent by percent_by_returnflag +
@@ -1898,7 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_by_returnflag": _q_percent_by_returnflag,
         "pii_scrub_documents": _q_pii_scrub_documents,
         "contamination_documents": _q_contamination_documents,
-        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "skew_report_events": _q_skew_report_events,
         "url_domain_stats": _q_url_domain_stats,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "cms_user_counts_events": _q_cms_user_counts_events,
@@ -1965,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
@@ -3507,6 +3528,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.true_count AS BIGINT) AS true_count,
                    e.est_count >= t.true_count AS never_undercounts
             FROM est e JOIN tru t USING (user_id)
+        """,
+        # Mirrors operators/skew.py::skew_report: same counts, same
+        # desc-count/asc-key tie-break, same share and uniform-baseline
+        # factor arithmetic.
+        "skew_report_events": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1
+            ), t AS (
+              SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c
+            ), top AS (
+              SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 20
+            )
+            SELECT top.user_id,
+                   CAST(top.n_rows AS BIGINT) AS n_rows,
+                   ROUND(100.0 * top.n_rows / t.total, 6) AS share_pct,
+                   ROUND(top.n_rows / (CAST(t.total AS DOUBLE) / t.nkeys), 6)
+                     AS skew_factor
+            FROM top CROSS JOIN t
         """,
         # Mirrors operators/sketches.py::bloom_table/bloom_might_contain
         # (1024 bits, k=3): identical md5 bit positions, identical

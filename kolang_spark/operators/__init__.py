@@ -28,6 +28,7 @@ from kolang_spark.operators.sketches import (  # noqa: F401
 from kolang_spark.operators.sessions import session_id, with_session_id  # noqa: F401
 from kolang_spark.operators.skew import (  # noqa: F401
     salted_join,
+    skew_report,
     skew_safe_distinct_count,
 )
 from kolang_spark.operators.trend import add_trend_line  # noqa: F401

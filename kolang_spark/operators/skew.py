@@ -86,3 +86,46 @@ def skew_safe_distinct_count(
     return pairs.groupBy(*[to_col(k) for k in keys]).agg(
         F.count(F.lit(1)).alias(out)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    keys: Sequence[ColumnOrName],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-flight skew diagnostic for a join/aggregation key: the
+    ``top_k`` heaviest key tuples with their row counts, share of the
+    table, and ``skew_factor`` = count / (total / n_distinct_keys) —
+    a key at factor ~1 is uniform; factors in the hundreds mean the
+    planned equi-join needs :func:`salted_join` or AQE skew handling.
+    Run it BEFORE the expensive job: one map-side-combinable groupBy +
+    a distributed ``TakeOrdered`` top-k (never a global window) + a
+    broadcast 1-row totals join. Ties break on the key values, so the
+    report is deterministic.
+
+    NULL keys are real groups and report like any other (a NULL-heavy
+    join key is one of the most common skew sources).
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    key_cols: List[Column] = [to_col(k) for k in keys]
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("__ks_total__"),
+        F.count(F.lit(1)).alias("__ks_nkeys__"),
+    )
+    top = counts.orderBy(
+        F.col("n_rows").desc(), *[F.col(c) for c in counts.columns[:-1]]
+    ).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            *counts.columns[:-1],
+            "n_rows",
+            (100.0 * F.col("n_rows") / F.col("__ks_total__")).alias("share_pct"),
+            (
+                F.col("n_rows")
+                / (F.col("__ks_total__") / F.col("__ks_nkeys__"))
+            ).alias("skew_factor"),
+        )
+    )

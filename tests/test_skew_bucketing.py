@@ -166,3 +166,28 @@ def test_stratified_sample_per_stratum_fractions(spark, sf_dir):
     assert {r.doc_id for r in out2.select("doc_id").collect()} == set(got)
     with pytest.raises(ValueError):
         stratified_sample(docs, "lang", {keep_all: 1.2}, "doc_id")
+
+
+def test_skew_report_identifies_hot_keys(spark):
+    """skew_report: hot key surfaces first with the right factor; NULL
+    keys are real groups; output is deterministic under count ties."""
+    from kolang_spark.operators import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 20 + [(None,)] * 20 + [
+        (f"cold{i}",) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top_k=3).collect()
+    assert [r.k for r in out] == ["hot", None, "warm"] or [r.k for r in out] == ["hot", "warm", None]
+    top = out[0]
+    # 120 rows over 23 distinct keys -> uniform share ~5.2; hot=60
+    assert top.k == "hot" and top.n_rows == 60
+    assert top.share_pct == pytest.approx(50.0)
+    assert top.skew_factor == pytest.approx(60 / (120 / 23))
+    # count tie between NULL and warm (20 each): deterministic order
+    # by key value with NULL sorting per Spark/DuckDB agreement is not
+    # asserted beyond membership; factors must match
+    assert {r.n_rows for r in out[1:]} == {20}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        skew_report(df, ["k"], top_k=0)
