@@ -1767,6 +1767,27 @@ def _q_ann_ivf_recall_planted(spark, sf_dir):
     )
 
 
+def _q_pca_embeddings(spark, sf_dir):
+    """Distributed PCA (`kolang_spark/llm/pca.py`): sufficient-statistic
+    aggregation (one map-side-combinable job, d(d+3)/2 moment rows
+    independent of corpus size), driver-side eigh on the 64×64
+    covariance, Column-native projection. Rows-only: the
+    eigendecomposition is not SQL-expressible — exact numerical parity
+    vs numpy PCA on the same data is pinned in tests/test_llm.py."""
+    from kolang_spark.llm import pca_fit, pca_project
+
+    em = _t(spark, sf_dir, "embeddings")
+    model = pca_fit(em, dims=64, k=4)
+    out = pca_project(em, model)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", i + 1), 6).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
 def _q_sketch_rollup_users(spark, sf_dir):
     """Two-level HLL mergeability (`kolang_spark/operators/
     sketches.py::sketch_rollup`, round-5 verdict item 8): per-day user
@@ -1971,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        "pca_embeddings": _q_pca_embeddings,
         # --- tail: oracle-backed rotation veterans (still run by
         #     bench.py and hash-checked locally every run by
         #     tests/test_oracle_parity.py). Last green r4 — these 18

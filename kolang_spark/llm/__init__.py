@@ -57,5 +57,6 @@ from kolang_spark.llm.scrub import (  # noqa: F401
 )
 from kolang_spark.llm.decontam import ngram_contamination  # noqa: F401
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
+from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401
 from kolang_spark.llm.terms import tfidf_top_terms  # noqa: F401

@@ -1061,3 +1061,42 @@ def test_jpeg_color_decode_roundtrip():
     img = np.full((16, 16), 100, dtype=np.uint8)
     _, _, _, chg, pxg = _parse_jpeg(_encode_jpeg_gray(img))
     assert chg == 1 and np.array_equal(pxg.reshape(16, 16), img)
+
+
+def test_pca_matches_numpy_and_projects(spark, emb):
+    """Distributed moment-aggregation PCA must match numpy PCA on the
+    collected data: same eigenvalues, same (sign-normalized) top
+    components, projections equal within float tolerance, variance
+    explained in descending order."""
+    import numpy as np
+
+    from kolang_spark.llm import pca_fit, pca_project
+
+    model = pca_fit(emb, dims=64, k=4)
+    X = np.array([r.embedding for r in emb.select("embedding").collect()])
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    w, vecs = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    assert model.n_rows == len(X)
+    assert np.allclose(model.mean, mu, atol=1e-9)
+    assert model.explained_variance[0] >= model.explained_variance[-1] > 0
+    for ci, idx in enumerate(order):
+        assert model.explained_variance[ci] == pytest.approx(w[idx], rel=1e-6)
+        ref = vecs[:, idx]
+        pivot = int(np.argmax(np.abs(ref)))
+        if ref[pivot] < 0:
+            ref = -ref
+        assert np.allclose(model.components[ci], ref, atol=1e-6)
+
+    out = pca_project(emb, model).select("vec_id", "pca").collect()
+    by_id = {r.vec_id: np.array(r.pca) for r in out}
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    P = np.array(model.components)
+    for vid, x in zip(ids, X):
+        assert np.allclose(by_id[vid], P @ (x - mu), atol=1e-8)
+
+    with pytest.raises(ValueError):
+        pca_fit(emb, dims=64, k=0)
+    with pytest.raises(ValueError):
+        pca_fit(emb.where("vec_id < 0"), dims=64, k=2)
