@@ -22,8 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # min-of-N per query: first execution pays plan analysis + codegen
-# compile and absorbs machine noise; the min is the steady-state number
-REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+# compile and absorbs machine noise; the min is the steady-state number.
+# Default 3 (round-6): this host's documented multi-second stalls make
+# best-of-2 records noisy — the third sample costs ~1 extra minute at
+# sf0.1 and removes most of the tail.
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 
 def build_spark() -> SparkSession:

@@ -627,3 +627,22 @@ def upsert_partitioned(
     merged = merged.localCheckpoint(eager=True)
     overwrite_partitions(merged, path, partition_by, format=format)
     return len(affected)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Optional[List[str]] = None
+) -> List[str]:
+    """Register the testdata tables as temp views so the whole engine is
+    reachable from ``spark.sql`` (the reference's users are SQL-first;
+    this is the one-call bridge). Returns the registered names.
+
+    Views are metadata-only (no data movement); the ``events``
+    timestamp normalization from :func:`read_table` is baked into the
+    view, so SQL sees the same ``ts``/``ts_ms`` contract as the
+    DataFrame API.
+    """
+    out = []
+    for name in names or TABLE_NAMES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        out.append(name)
+    return out

@@ -247,3 +247,14 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     ) == 0
     with pytest.raises(ValueError):
         upsert_partitioned(spark, path, updates, keys=[], partition_by=["p"])
+
+
+def test_register_views_sql_bridge(spark, sf_dir):
+    from kolang_spark.sources.io import register_views
+
+    names = register_views(spark, sf_dir, ["region", "events"])
+    assert names == ["region", "events"]
+    assert spark.sql("SELECT COUNT(*) c FROM region").first().c == 5
+    # events view carries the ts normalization (ts_ms present)
+    row = spark.sql("SELECT ts, ts_ms FROM events LIMIT 1").first()
+    assert row.ts is not None and isinstance(row.ts_ms, int)
