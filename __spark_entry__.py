@@ -3560,7 +3560,11 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
               SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c
             ), top AS (
-              SELECT * FROM c ORDER BY n_rows DESC, user_id LIMIT 20
+              -- NULLS FIRST mirrors Spark's ascending default (a NULL
+              -- join key is a classic skew source and must rank
+              -- identically in both engines)
+              SELECT * FROM c ORDER BY n_rows DESC, user_id NULLS FIRST
+              LIMIT 20
             )
             SELECT top.user_id,
                    CAST(top.n_rows AS BIGINT) AS n_rows,
