@@ -1894,7 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     jalali_roundtrip, sliding_events, salted_join_revenue,
     simhash_documents, multimodal_blob_metadata, add_trend_line — r5
     verdict item 2), the promised cms_user_counts_events debut (item
-    1/2), and ALL SEVENTEEN new-this-round queries
+    1/2), and ALL EIGHTEEN new-this-round queries
     (multimodal_decode_jpeg — item 5, zorder_key_parts /
     compact_parquet_stats / load_or_calc_partitions — item 4,
     ann_ivf_recall_planted / sketch_rollup_users — item 8,
@@ -1906,12 +1906,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pandas_bridge_region closing the last D5/D3/D2 coverage nits —
     every operator in the engine now has a driver query — and
     winsorize_events / zscore_events for the new normalize operators
-    bloom_users_events for the new membership sketch and
-    skew_report_events for the skew diagnostic;
-    sketch_rollup_users is rows-only by design, HLL estimates aren't
-    SQL-reproducible). OUT (25, incl. multimodal_sample_frames and
-    simhash_hamming_pairs green in 3: fourteen green in 5 external
-    rounds;
+    bloom_users_events for the new membership sketch,
+    skew_report_events for the skew diagnostic and pca_embeddings for
+    distributed PCA; sketch_rollup_users and pca_embeddings are
+    rows-only by design — HLL estimates and eigendecompositions aren't
+    SQL-reproducible). OUT (26, incl. multimodal_sample_frames,
+    simhash_hamming_pairs and percent_by_returnflag green in 3:
+    fourteen green in 5 external rounds;
     join_revenue_by_nation, ann_ivf_topk, scale_percent_by_nation and
     jalali_orders_by_month green in 4 — IVF stays pinned in-window by
     ann_ivf_recall_planted, percent by percent_by_returnflag +
@@ -1935,8 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py."""
     return {
         # --- positions 1-50 (the external window; all oracle-backed
-        #     except sketch_rollup_users, rows-only by design) ---
-        "percent_by_returnflag": _q_percent_by_returnflag,
+        #     except sketch_rollup_users and pca_embeddings, rows-only
+        #     by design) ---
+        "pca_embeddings": _q_pca_embeddings,
         "pii_scrub_documents": _q_pii_scrub_documents,
         "contamination_documents": _q_contamination_documents,
         "skew_report_events": _q_skew_report_events,
@@ -1992,7 +1994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
-        "pca_embeddings": _q_pca_embeddings,
         # --- tail: oracle-backed rotation veterans (still run by
         #     bench.py and hash-checked locally every run by
         #     tests/test_oracle_parity.py). Last green r4 — these 18
@@ -2008,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "percent_by_returnflag": _q_percent_by_returnflag,
         "median_acctbal_by_segment": _q_median_acctbal_by_segment,
         "cond_count_orders": _q_cond_count_orders,
         "weighted_avg_discount": _q_weighted_avg_discount,
