@@ -329,3 +329,58 @@ def test_upsert_partitioned_matches_dict_merge(spark, tmp_path_factory, base, up
     merged = {k: (f"p{p}", v) for k, (p, v) in {**base, **ups}.items()}
     got = {r.id: (r.p, r.v) for r in spark.read.parquet(path).collect()}
     assert got == merged
+
+
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=40),
+    bounds=st.tuples(
+        st.floats(0.0, 0.45, allow_nan=False), st.floats(0.55, 1.0, allow_nan=False)
+    ),
+)
+@settings(**_SETTINGS)
+def test_winsorize_matches_numpy_percentile_clip(spark, vals, bounds):
+    """winsorize == numpy clip at linear-interpolated percentiles
+    (numpy 'linear' is Spark percentile's interpolation)."""
+    import numpy as np
+
+    lo_p, hi_p = bounds
+    from kolang_spark.operators import winsorize
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    got = sorted(
+        r.v_w for r in winsorize(df, "v", lower=lo_p, upper=hi_p).collect()
+    )
+    arr = np.array(vals, dtype=float)
+    lo = np.percentile(arr, lo_p * 100, method="linear")
+    hi = np.percentile(arr, hi_p * 100, method="linear")
+    expect = sorted(np.clip(arr, lo, hi))
+    assert got == _approx_list(expect)
+
+
+def _approx_list(xs):
+    import pytest as _pt
+
+    return [_pt.approx(x, rel=1e-12, abs=1e-12) for x in xs]
+
+
+@given(vals=st.lists(st.integers(-500, 500), min_size=2, max_size=40))
+@settings(**_SETTINGS)
+def test_standardize_zscore_matches_numpy(spark, vals):
+    """standardize('zscore') == numpy sample-std z-scores (ddof=1),
+    NULL when spread is zero."""
+    import numpy as np
+
+    from kolang_spark.operators import standardize
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double"
+    )
+    got = {r.i: r.v_std for r in standardize(df, "v").collect()}
+    arr = np.array(vals, dtype=float)
+    sd = arr.std(ddof=1)
+    if sd == 0:
+        assert all(x is None for x in got.values())
+    else:
+        z = (arr - arr.mean()) / sd
+        for i, expect in enumerate(z):
+            assert got[i] == __import__("pytest").approx(expect, rel=1e-9, abs=1e-9)
