@@ -155,3 +155,30 @@ def test_no_expensive_expression_duplication(spark, name):
         f"(bound {bound}) — an optimizer rule is duplicating the "
         "expression again (see explode_outer pattern in llm/dedup.py)"
     )
+
+
+# Column-pruning lock: the scan must read EXACTLY the needed columns —
+# through the events ts-normalization projection, operator expression
+# trees, and explode/aggregate pipelines alike. A widened ReadSchema
+# here means some new wrapper broke pruning for every query over that
+# table.
+PRUNING_EXPECTED = {
+    "skew_report_events": {"user_id"},
+    "cms_user_counts_events": {"user_id"},
+    "bloom_users_events": {"event_type", "user_id"},
+    "exact_dedup_documents": {"doc_id", "text"},
+    "zorder_key_parts": {"p_partkey", "p_retailprice", "p_size"},
+    "winsorize_events": {"event_id", "event_type", "value"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PRUNING_EXPECTED))
+def test_scan_column_pruning_exact(spark, name):
+    from kolang_spark.plans.audit import read_schema_columns
+
+    df = QUERIES[name](spark, SF_ORACLE)
+    cols = set(read_schema_columns(df))
+    assert cols == PRUNING_EXPECTED[name], (
+        f"{name}: scan reads {sorted(cols)}, expected "
+        f"{sorted(PRUNING_EXPECTED[name])}"
+    )
