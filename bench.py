@@ -27,6 +27,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # best-of-2 records noisy — the third sample costs ~1 extra minute at
 # sf0.1 and removes most of the tail.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# Global wall budget: once exceeded, remaining queries run ONCE instead
+# of REPEATS times (every query still runs — coverage never shrinks,
+# only the noise-absorption does). Guards against an external runner's
+# time limit on a badly stalling host.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
 
 
 def build_spark() -> SparkSession:
@@ -68,9 +73,15 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    suite_t0 = time.perf_counter()
+    budget_hit = False
     for name, fn in qs.items():
         best = None
-        for _ in range(max(1, REPEATS)):
+        reps = max(1, REPEATS)
+        if time.perf_counter() - suite_t0 > BUDGET_S:
+            budget_hit = True
+            reps = 1
+        for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -85,6 +96,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": float(sf) if sf else None,
+        "budget_hit": budget_hit,
         "queries": timings,
     }
     # Emission layout (round-5 verdict item 3): the driver records only
