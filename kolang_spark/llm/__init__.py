@@ -18,6 +18,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     connected_components,
     dedup_keep_list,
     exact_dedup,
+    incremental_exact_dedup,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     jaccard_near_dup_pairs,

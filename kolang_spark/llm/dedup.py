@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import (
@@ -24,6 +24,7 @@ from kolang_spark.utils import ColumnOrName, ensure_min_parallelism, to_col
 
 __all__ = [
     "exact_dedup",
+    "incremental_exact_dedup",
     "with_shingles",
     "jaccard_near_dup_pairs",
     "minhash_candidate_pairs",
@@ -737,3 +738,66 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def incremental_exact_dedup(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup for INCREMENTAL ingest: flag each new document
+    against the fingerprints of everything already accepted, then
+    persist the novel fingerprints — so each ingest batch scans only
+    itself plus the (fingerprint-only) state table, never the
+    accumulated corpus text.
+
+    Returns the batch with ``fingerprint``, ``is_duplicate`` (seen in
+    state OR a later copy within this batch — first occurrence by
+    ``id_col`` wins, matching :func:`exact_dedup`'s keep rule), and
+    appends the batch's novel fingerprints to ``state_path`` (parquet,
+    append mode — safe to re-run only after a completed write; pair
+    with a checkpointed stream for exactly-once).
+
+    Scale shape: the state table holds ONE md5 row per distinct
+    document ever accepted (~16 bytes + overhead vs the full text);
+    the membership check is an equi-join on the fingerprint —
+    hash-partitioned both sides, no broadcast assumption, AQE handles
+    the sizes. For a quick pre-filter at extreme state sizes, screen
+    with :func:`kolang_spark.operators.sketches.bloom_might_contain`
+    first and equi-join only the maybes.
+    """
+    import os
+
+    from kolang_spark.llm.textstats import doc_fingerprint
+
+    batch = new_df.withColumn("fingerprint", doc_fingerprint(text_col))
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path).select(
+            F.col("fingerprint").alias("__fp__")
+        )
+    else:
+        state = spark.createDataFrame([], "__fp__ string")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    marked = (
+        batch.join(
+            state.withColumn("__seen__", F.lit(True)),
+            batch["fingerprint"] == state["__fp__"],
+            "left",
+        )
+        .drop("__fp__")
+        .withColumn("__rn__", F.row_number().over(w))
+        .withColumn(
+            "is_duplicate",
+            F.coalesce("__seen__", F.lit(False)) | (F.col("__rn__") > 1),
+        )
+        .drop("__seen__", "__rn__")
+    )
+    novel = (
+        marked.where(~F.col("is_duplicate"))
+        .select("fingerprint")
+        .distinct()
+    )
+    novel.write.mode("append").parquet(state_path)
+    return marked

@@ -1100,3 +1100,38 @@ def test_pca_matches_numpy_and_projects(spark, emb):
         pca_fit(emb, dims=64, k=0)
     with pytest.raises(ValueError):
         pca_fit(emb.where("vec_id < 0"), dims=64, k=2)
+
+
+def test_incremental_exact_dedup_across_batches(spark, tmp_path):
+    """Ingest-time dedup against persisted fingerprint state: batch 1
+    establishes state, batch 2 is checked against it (plus its own
+    first-seen rule); whitespace/case variants collapse; the state
+    table holds one fingerprint per distinct accepted document."""
+    from kolang_spark.llm import incremental_exact_dedup
+
+    state = str(tmp_path / "fps")
+    b1 = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out1 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b1, state).collect()}
+    # in-batch: 1 keeps (first id), 2 is its duplicate, 3 novel
+    assert out1 == {1: False, 2: True, 3: False}
+    assert spark.read.parquet(state).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "Same Text"), (11, "brand new"), (12, "brand  NEW")],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b2, state).collect()}
+    # 10 duplicates batch-1 state; 11 novel; 12 duplicates 11 in-batch
+    assert out2 == {10: True, 11: False, 12: True}
+    assert spark.read.parquet(state).count() == 3
+
+    # idempotent-ish replay: re-running batch 2 flags everything dup
+    out3 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b2, state).collect()}
+    assert out3 == {10: True, 11: True, 12: True}
+    assert spark.read.parquet(state).count() == 3
