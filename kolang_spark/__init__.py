@@ -69,6 +69,7 @@ from kolang_spark.operators import (  # noqa: F401
     stratified_sample,
     top_k_per_group,
     transpose,
+    weighted_sample,
     union_all,
     unpivot,
     winsorize,

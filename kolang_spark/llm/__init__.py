@@ -17,6 +17,7 @@ appears only where semantics require it (multimodal decode stubs).
 from kolang_spark.llm.dedup import (  # noqa: F401
     connected_components,
     dedup_keep_list,
+    duplicate_spans,
     exact_dedup,
     incremental_exact_dedup,
     embedding_near_dup_pairs,
@@ -57,6 +58,7 @@ from kolang_spark.llm.scrub import (  # noqa: F401
     url_domains,
 )
 from kolang_spark.llm.decontam import ngram_contamination  # noqa: F401
+from kolang_spark.llm.multimodal import audio_frame_features  # noqa: F401
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401

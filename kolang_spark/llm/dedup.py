@@ -34,6 +34,7 @@ __all__ = [
     "embedding_near_dup_pairs_lsh",
     "connected_components",
     "dedup_keep_list",
+    "duplicate_spans",
 ]
 
 
@@ -801,3 +802,98 @@ def incremental_exact_dedup(
     )
     novel.write.mode("append").parquet(state_path)
     return marked
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    hash_fn: Optional[str] = None,
+) -> DataFrame:
+    """Exact substring-level duplication: the maximal token spans that
+    occur (as an ``n``-token run) at least ``min_count`` times anywhere
+    in the corpus — the distributed re-expression of the suffix-array
+    ExactSubstr rule (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better").
+
+    Strategy (no suffix array, no cross join — shapes that survive
+    100 TB):
+
+    1. positional n-grams: ``posexplode`` of the no-shuffle
+       ``word_ngrams`` expression gives ``(id, pos, gram)`` where
+       ``pos`` is the 0-based start-token index;
+    2. corpus-frequency filter: ``groupBy(gram)`` keeps grams occurring
+       ``>= min_count`` times (within-doc repeats count — a doc that
+       repeats its own boilerplate is duplication too);
+    3. posting-list equi-join marks duplicated positions, then a
+       **per-document** window merges overlapping-or-adjacent
+       duplicated grams (gap ``> n`` starts a new span) into maximal
+       spans.
+
+    Two shuffles (gram aggregate + join) and one ``id``-partitioned
+    window — never a global window, never all-pairs. At corpus scale,
+    ubiquitous short grams concentrate in step 2's aggregate exactly
+    like Jaccard's stop-shingles; raise ``n`` (the published rule uses
+    50-token runs) rather than sampling, since the gram count per doc
+    is linear in its length regardless of ``n``.
+
+    Returns one row per maximal span: ``(id_col, span_start, span_end,
+    n_tokens)`` — inclusive 0-based token indices, ``n_tokens =
+    span_end - span_start + 1``. Removal policy is pipeline-specific
+    (drop all occurrences, keep-first, or cut documents at span
+    boundaries) and is left to the caller.
+
+    ``hash_fn='xxhash64'`` is the production knob: both shuffles then
+    carry an 8-byte gram hash instead of the ~``6n``-byte gram string
+    (the dominant shuffle payload at corpus scale). A 64-bit collision
+    marks a non-duplicated position — vanishingly rare and it only
+    widens a span by one gram; the default (``None``, raw strings) is
+    exact and engine-portable for the oracle.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2")
+    if hash_fn not in (None, "xxhash64"):
+        raise ValueError("hash_fn must be None or 'xxhash64'")
+    tok = "__ks_tokens"
+    ex = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .withColumn(tok, tokenize(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(word_ngrams(F.col(tok), n)).alias("pos", "gram"),
+        )
+    )
+    if hash_fn == "xxhash64":
+        ex = ex.withColumn("gram", F.xxhash64("gram"))
+    dup = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    marked = ex.join(dup, "gram").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)
+    ).otherwise(F.lit(1))
+    spans = (
+        marked.withColumn("__brk", brk)
+        .withColumn("span_id", F.sum("__brk").over(w))
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+    )
+    return spans.select(
+        F.col("id").alias(id_col),
+        F.col("span_start").cast("long"),
+        F.col("span_end").cast("long"),
+        (F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )

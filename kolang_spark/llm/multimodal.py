@@ -51,6 +51,7 @@ __all__ = [
     "decode_audio",
     "extract_features",
     "sample_frames",
+    "audio_frame_features",
 ]
 
 BLOB_META_SCHEMA = T.StructType(
@@ -1229,3 +1230,87 @@ def sample_frames(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
+
+
+_AUDIO_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, energy long, zero_crossings int, "
+    "peak_abs int, dominant_bin int"
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    frame_len: int = 32,
+    hop: int = 16,
+) -> DataFrame:
+    """Short-time frame features over decoded PCM audio — the framing
+    stage every spectrogram/MFCC pipeline starts with, run inside the
+    same sanctioned Arrow ``mapInPandas`` boundary as
+    :func:`decode_audio` (DSP over raw bytes has no Catalyst
+    expression).
+
+    One output row per **full** frame (length ``frame_len``, stride
+    ``hop``; a trailing partial frame is dropped, the standard STFT
+    contract):
+
+    - ``energy`` — exact ``int64`` sum of squared samples (integer
+      math, engine-portable for the oracle);
+    - ``zero_crossings`` — strict sign flips between consecutive
+      samples within the frame (zeros break a run, they never count);
+    - ``peak_abs`` — max absolute sample;
+    - ``dominant_bin`` — argmax-magnitude rFFT bin **excluding DC**
+      (ties → lowest bin). The one float-path column: it is pinned
+      against an O(n²) pure-Python DFT in unit tests rather than the
+      SQL oracle.
+
+    Multi-channel audio uses channel 0 (deinterleaved) — frame features
+    are per-channel quantities and the caller can pre-mix if desired.
+    Undecodable blobs contribute no rows (the poison-blob contract of
+    the decode family, restated as an empty frame set).
+
+    Arrow-batched and embarrassingly parallel: no shuffle, no state —
+    output partitioning inherits the input's, so at 100 TB this runs as
+    a pure map stage over however the blobs were laid out.
+    """
+    if frame_len < 2:
+        raise ValueError("frame_len must be >= 2")
+    if hop < 1:
+        raise ValueError("hop must be >= 1")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, energy, zcr, peak, dom = [], [], [], [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                parsed = _parse_wav(b)
+                if parsed is None:
+                    continue
+                _, chans, s = parsed
+                mono = s[::chans].astype(np.int64)
+                n = mono.size
+                f = 0
+                while f * hop + frame_len <= n:
+                    fr = mono[f * hop : f * hop + frame_len]
+                    ids.append(int(doc_id))
+                    fidx.append(f)
+                    energy.append(int((fr * fr).sum()))
+                    zcr.append(int(((fr[:-1] * fr[1:]) < 0).sum()))
+                    peak.append(int(np.abs(fr).max()))
+                    mag = np.abs(np.fft.rfft(fr.astype(np.float64)))
+                    dom.append(int(np.argmax(mag[1:])) + 1)
+                    f += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "zero_crossings": pd.Series(zcr, dtype="int32"),
+                    "peak_abs": pd.Series(peak, dtype="int32"),
+                    "dominant_bin": pd.Series(dom, dtype="int32"),
+                }
+            )
+
+    return src.mapInPandas(frame_batches, schema=_AUDIO_FRAME_SCHEMA)

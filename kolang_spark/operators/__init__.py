@@ -10,6 +10,7 @@ from kolang_spark.operators.sampling import (  # noqa: F401
     stratified_fixed_sample,
     stratified_sample,
     top_k_per_group,
+    weighted_sample,
 )
 from kolang_spark.operators.profile import profile_table  # noqa: F401
 from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401

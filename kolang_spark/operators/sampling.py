@@ -19,6 +19,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "stratified_fixed_sample",
+    "weighted_sample",
 ]
 
 
@@ -152,3 +153,55 @@ def stratified_fixed_sample(
         .where(F.col("__ks_rn__") <= n_per_stratum)
         .drop("__ks_rn__")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: ColumnOrName,
+    weight: ColumnOrName,
+    k: int,
+    strata: Optional[ColumnOrName] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling **without replacement** — Efraimidis–Spirakis
+    A-Res: each row draws ``u`` uniform in (0,1) and the ``k`` largest
+    ``u^(1/w)`` win, which yields exactly the sequential
+    weighted-without-replacement distribution (Efraimidis & Spirakis
+    2006). The pipeline use: pick a fixed-size training subset where
+    selection probability tracks document weight (length, quality
+    score, upstream mixture coefficient) instead of being uniform.
+
+    The uniform is md5-derived from ``(key, salt)`` — the same
+    engine-portable hash-gate as :func:`deterministic_sample` — so the
+    sample is stable across runs, partitionings, and engines, and
+    independent samples come from distinct ``salt`` values. Ranking
+    uses the equivalent monotone key ``ln(u)/w`` (no overflow for tiny
+    ``u`` or large ``w``).
+
+    With ``strata`` the top-``k`` is per stratum (one stratum-
+    partitioned window — the WindowGroupLimit plan, same shape as
+    :func:`stratified_fixed_sample`); without, a global
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition top-``k`` then a k-row merge on the driver, no global
+    shuffle or single-partition window at any scale.
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    selection probability in the model). Returns the sampled rows with
+    all input columns.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w_col = to_col(weight).cast("double")
+    # u in (0,1): (hash60 + 0.5) / 2^60 — never exactly 0 or 1, so
+    # ln(u) is finite and the key is total-ordered
+    u = (_hash60(key, salt) + F.lit(0.5)) / F.lit(float(1 << 60))
+    ekey = F.log(u) / w_col
+    src = df.where(w_col.isNotNull() & (w_col > 0)).withColumn("__ks_ekey", ekey)
+    if strata is not None:
+        win = Window.partitionBy(to_col(strata)).orderBy(F.col("__ks_ekey").desc())
+        return (
+            src.withColumn("__ks_rn", F.row_number().over(win))
+            .where(F.col("__ks_rn") <= k)
+            .drop("__ks_rn", "__ks_ekey")
+        )
+    return src.orderBy(F.col("__ks_ekey").desc()).limit(k).drop("__ks_ekey")

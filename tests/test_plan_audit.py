@@ -28,6 +28,9 @@ PANDAS_ALLOWED = {
     # Column expression) — still the one sanctioned media boundary
     "multimodal_decode_jpeg",
     "multimodal_blob_embed_ann",
+    # STFT-style framing over raw PCM bytes: DSP with no Column
+    # expression — same sanctioned media boundary as the decoders
+    "multimodal_audio_frames",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
