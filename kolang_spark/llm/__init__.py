@@ -18,12 +18,14 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     connected_components,
     dedup_keep_list,
     duplicate_spans,
+    strip_duplicate_spans,
     exact_dedup,
     incremental_exact_dedup,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
     jaccard_near_dup_pairs,
     minhash_candidate_pairs,
+    hamming_pairs,
     simhash_hamming_pairs,
     simhash_near_dup_pairs,
     with_shingles,
@@ -58,7 +60,10 @@ from kolang_spark.llm.scrub import (  # noqa: F401
     url_domains,
 )
 from kolang_spark.llm.decontam import ngram_contamination  # noqa: F401
-from kolang_spark.llm.multimodal import audio_frame_features  # noqa: F401
+from kolang_spark.llm.multimodal import (  # noqa: F401
+    audio_frame_features,
+    image_ahash,
+)
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401

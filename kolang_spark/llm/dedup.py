@@ -30,11 +30,13 @@ __all__ = [
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
     "simhash_hamming_pairs",
+    "hamming_pairs",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
     "connected_components",
     "dedup_keep_list",
     "duplicate_spans",
+    "strip_duplicate_spans",
 ]
 
 
@@ -600,16 +602,42 @@ def simhash_hamming_pairs(
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
+    sig = ensure_min_parallelism(df).select(
+        F.col(id_col).alias(id_col),
+        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("__ks_sig"),
+    )
+    return hamming_pairs(sig, id_col, "__ks_sig", bits, max_distance)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bits: int = 64,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ ``max_distance`` over **any**
+    precomputed bit-signature column — SimHash
+    (:func:`simhash_hamming_pairs` delegates here), image perceptual
+    hashes (:func:`kolang_spark.llm.multimodal.image_ahash`), audio
+    fingerprints. Same pigeonhole decomposition: ``max_distance + 1``
+    disjoint bands, candidates from the (band_id, band_bits) equi-join,
+    exact ``bit_count(xor)`` verify, first-agreeing-band dedup — see
+    the scale notes on :func:`simhash_hamming_pairs`. NULL signatures
+    (e.g. undecodable blobs) are excluded.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
     n_bands = max_distance + 1
     if n_bands > bits:
         raise ValueError("max_distance + 1 must be <= bits")
 
-    sig = ensure_min_parallelism(df).select(
+    sig = df.select(
         F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sig"),
-    )
+        to_col(sig_col).cast("long").alias("sig"),
+    ).where(F.col("sig").isNotNull())
     bands = F.array(
         *[
             F.struct(
@@ -896,4 +924,63 @@ def duplicate_spans(
         (F.col("span_end") - F.col("span_start") + 1)
         .cast("long")
         .alias("n_tokens"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_count: int = 2,
+    out: str = "clean_text",
+    spans: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Rewrite each document with every duplicated span removed — the
+    removal half of the ExactSubstr rule (:func:`duplicate_spans` is
+    the detection half). All occurrences are dropped, the aggressive
+    variant discussed in Lee et al. 2022 §4 (a keep-one policy needs a
+    canonical-occurrence choice that is corpus-order-dependent; callers
+    wanting it can filter the spans frame themselves before passing it
+    via ``spans``).
+
+    Shape: spans collapse to one array per doc (a groupBy of the
+    already-tiny span set), then a 1:1 left join back onto the corpus
+    and a pure Column rewrite — ``filter`` with the (token, index)
+    lambda probes the span array per token, and surviving tokens
+    re-join with single spaces. Documents without spans pass through
+    untouched (``filter``'s identity), so whitespace is normalized only
+    where a rewrite actually happened — the usual contract of a
+    token-level cleaner.
+
+    ``spans`` defaults to ``duplicate_spans(df, ...)`` with the same
+    parameters; pass a precomputed/filtered frame to avoid re-deriving
+    it or to apply a custom keep policy.
+    """
+    if spans is None:
+        spans = duplicate_spans(df, id_col, text_col, n, min_count)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__ks_spans")
+    )
+    toks = tokenize(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__ks_spans"),
+        lambda sp: (i >= sp["s"]) & (i <= sp["e"]),
+    )
+    rewritten = F.array_join(
+        F.filter(toks, lambda t, i: ~covered(i.cast("long"))), " "
+    )
+    return (
+        df.join(spans_arr, id_col, "left")
+        .withColumn(
+            out,
+            F.when(F.col("__ks_spans").isNull(), F.col(text_col)).otherwise(
+                rewritten
+            ),
+        )
+        .drop("__ks_spans")
     )

@@ -52,6 +52,7 @@ __all__ = [
     "extract_features",
     "sample_frames",
     "audio_frame_features",
+    "image_ahash",
 ]
 
 BLOB_META_SCHEMA = T.StructType(
@@ -1314,3 +1315,79 @@ def audio_frame_features(
             )
 
     return src.mapInPandas(frame_batches, schema=_AUDIO_FRAME_SCHEMA)
+
+
+_AHASH_SCHEMA = "doc_id long, format string, width int, height int, ahash long"
+
+
+def image_ahash(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image blob — the standard
+    cheap near-duplicate fingerprint for image corpora (resize →
+    grayscale → threshold against the mean → one bit per cell), run
+    inside the sanctioned Arrow ``mapInPandas`` boundary.
+
+    This variant is **exact-integer end to end** so an independent
+    engine can reproduce every bit:
+
+    - grayscale = r+g+b channel sum (no division — thresholding is
+      scale-invariant), channel 0 alone for single-channel images;
+    - resize = nearest-neighbor sample at cell centers,
+      ``y(r) = (2r+1)*h // (2*grid)`` (never out of range, defined for
+      images smaller than the grid — block-mean is undefined there);
+    - bit ``r*grid+c`` set iff ``grid² * v[r][c] > sum(v)`` (strict,
+      division-free mean threshold).
+
+    Near-identical images (recompression, small crops/edits) agree on
+    most bits; pair them with :func:`kolang_spark.llm.dedup.
+    hamming_pairs` — the same pigeonhole band join the SimHash path
+    uses, bucketed and never all-pairs. ``grid=8`` packs into one
+    signed long (bit 63 may set the sign — compare as raw bits).
+    Undecodable blobs yield ``format='unknown'`` with NULL hash.
+    """
+    if not 1 <= grid <= 8:
+        raise ValueError("grid must be in 1..8 (hash must fit one long)")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_rows = len(pdf)
+            fmt = np.empty(n_rows, dtype=object)
+            wd = np.full(n_rows, None, dtype=object)
+            ht = np.full(n_rows, None, dtype=object)
+            hsh = np.full(n_rows, None, dtype=object)
+            for i, b in enumerate(pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                parsed = _parse_image(b)
+                if parsed is None:
+                    fmt[i] = "unknown"
+                    continue
+                kind, w, h, ch, px = parsed
+                fmt[i], wd[i], ht[i] = kind, w, h
+                arr = px.reshape(h, w, ch).astype(np.int64)
+                gray = arr[:, :, :3].sum(axis=2) if ch >= 3 else arr[:, :, 0]
+                ys = (2 * np.arange(grid) + 1) * h // (2 * grid)
+                xs = (2 * np.arange(grid) + 1) * w // (2 * grid)
+                v = gray[np.ix_(ys, xs)]
+                bits = (grid * grid * v > v.sum()).astype(np.uint64)
+                code = np.uint64(0)
+                for r in range(grid):
+                    for c in range(grid):
+                        if bits[r, c]:
+                            code |= np.uint64(1) << np.uint64(r * grid + c)
+                hsh[i] = int(np.int64(code))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmt,
+                    "width": wd,
+                    "height": ht,
+                    "ahash": hsh,
+                }
+            )
+
+    return src.mapInPandas(hash_batches, schema=_AHASH_SCHEMA)

@@ -31,6 +31,9 @@ PANDAS_ALLOWED = {
     # STFT-style framing over raw PCM bytes: DSP with no Column
     # expression — same sanctioned media boundary as the decoders
     "multimodal_audio_frames",
+    # perceptual hashing decodes image bytes (same boundary); the
+    # downstream Hamming band join is pure Column algebra
+    "multimodal_ahash_pairs",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The

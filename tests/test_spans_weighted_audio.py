@@ -260,3 +260,121 @@ def test_duplicate_spans_hash_knob_agrees(spark):
     assert exact == hashed and len(exact) > 0
     with pytest.raises(ValueError):
         duplicate_spans(docs, hash_fn="md5")
+
+
+# ------------------------------------- strip_duplicate_spans / ahash
+
+
+def test_strip_duplicate_spans_rewrite(spark):
+    from kolang_spark.llm.dedup import strip_duplicate_spans
+
+    rows = [
+        (1, "a b c d e f g h i j k l m"),
+        (2, "z z a b c d e f g h i j q r"),
+        (3, "untouched  doc   with   odd   spacing"),
+        (4, "p p p p p p p p p p"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.clean_text for r in strip_duplicate_spans(df, n=8).collect()}
+    assert out[1] == "k l m"
+    assert out[2] == "z z q r"
+    # span-free docs pass through byte-identical (whitespace preserved)
+    assert out[3] == "untouched  doc   with   odd   spacing"
+    assert out[4] == ""  # fully duplicated -> fully stripped
+    # custom keep policy via a pre-filtered spans frame
+    from kolang_spark.llm.dedup import duplicate_spans
+
+    spans = duplicate_spans(df, n=8).where(F.col("doc_id") != 1)
+    kept = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_spans(df, n=8, spans=spans).collect()
+    }
+    assert kept[1] == "a b c d e f g h i j k l m"  # doc 1 exempted
+    assert kept[2] == "z z q r"
+
+
+def test_image_ahash_golden_and_poison(spark):
+    """aHash bits against a hand-computed 2x2-grid case, plus the
+    poison-blob contract."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import image_ahash
+
+    # 2x2 grayscale-ish PPM, grid=2: pixels chosen so exactly one cell
+    # exceeds the mean. w=h=2 -> cell centers sample every pixel.
+    # gray cells = [3, 6, 9, 300]; sum=318; 4*v > 318 iff v > 79.5
+    px = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 100, 100, 100])
+    blob = b"P6\n2 2\n255\n" + px
+    rows = [(1, bytearray(blob)), (2, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r.doc_id: r for r in image_ahash(df, grid=2).collect()}
+    assert out[1].format == "ppm" and (out[1].width, out[1].height) == (2, 2)
+    assert out[1].ahash == 0b1000  # only cell (1,1) -> bit 3
+    assert out[2].format == "unknown" and out[2].ahash is None
+    with pytest.raises(ValueError):
+        image_ahash(df, grid=9)
+
+
+def test_image_ahash_matches_numpy_reference(spark):
+    """Full 8x8 hash over the synth PPM corpus vs an independent pure-
+    numpy reimplementation (incl. two's-complement bit-63 packing)."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import image_ahash, synth_ppm_blobs
+
+    df = spark.range(0, 40).selectExpr("id AS doc_id")
+    got = {r.doc_id: r.ahash for r in image_ahash(synth_ppm_blobs(df)).collect()}
+    for i in range(40):
+        w, h = 4 + i % 8, 4 + i % 5
+        px = np.array(
+            [(i * 7 + j * 13) % 256 for j in range(w * h * 3)], dtype=np.int64
+        ).reshape(h, w, 3)
+        gray = px.sum(axis=2)
+        ys = (2 * np.arange(8) + 1) * h // 16
+        xs = (2 * np.arange(8) + 1) * w // 16
+        v = gray[np.ix_(ys, xs)].flatten()
+        code = 0
+        for b in range(64):
+            if 64 * v[b] > v.sum():
+                code |= 1 << b
+        expect = code - (1 << 64) if code >= (1 << 63) else code
+        assert got[i] == expect, i
+
+
+def test_hamming_pairs_banded_equals_brute(spark):
+    """The generic banded join finds EXACTLY the brute-force pair set
+    at 64 bits (pigeonhole completeness + exact verify), each pair
+    once; NULL signatures are excluded."""
+    from kolang_spark.llm.dedup import hamming_pairs
+
+    import random
+
+    rng = random.Random(7)
+    sigs = [rng.getrandbits(64) for _ in range(60)]
+    # plant close pairs: ids 100/101 at distance 2, 102/103 identical
+    base = rng.getrandbits(64)
+    rows = [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in enumerate(sigs)]
+    b2 = base ^ 0b101
+    rows += [
+        (100, base - (1 << 64) if base >= (1 << 63) else base),
+        (101, b2 - (1 << 64) if b2 >= (1 << 63) else b2),
+        (102, 12345),
+        (103, 12345),
+        (104, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "doc_id", "sig", 64, 3).collect()
+    }
+    vals = {i: s for i, s in rows if s is not None}
+    brute = {}
+    ids = sorted(vals)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            d = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                brute[(a, b)] = d
+    assert got == brute
+    assert got[(100, 101)] == 2 and got[(102, 103)] == 0
