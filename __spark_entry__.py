@@ -1964,6 +1964,36 @@ def _q_multimodal_ahash_pairs(spark, sf_dir):
     return hamming_pairs(sig, "doc_id", "ahash", bits=64, max_distance=3)
 
 
+def _q_vocabulary_documents(spark, sf_dir):
+    """Corpus vocabulary (`kolang_spark/llm/terms.py::vocabulary`):
+    the 300 most frequent lowercased terms with corpus tf and document
+    frequency, min_df=2 — the tokenizer-training prep step. Integer-
+    only total ordering (tf desc, term asc) makes the selected set
+    engine-reproducible; TakeOrderedAndProject, no global window."""
+    from kolang_spark.llm.terms import vocabulary
+
+    dc = _t(spark, sf_dir, "documents")
+    return vocabulary(dc, max_size=300, min_df=2)
+
+
+def _q_quantize_embeddings(spark, sf_dir):
+    """Int8 storage quantization (`kolang_spark/llm/quantize.py::
+    quantize_embedding`): symmetric per-vector scalar quantization of
+    the fp32 embedding column, exploded to (vec_id, dim, code) rows
+    plus the per-vector scale. The oracle replays the identical double
+    arithmetic (max-abs, (v*127)/max, round) per element."""
+    from kolang_spark.llm.quantize import quantize_embedding
+
+    em = _t(spark, sf_dir, "embeddings")
+    codes, scale = quantize_embedding(F.col("embedding"))
+    q = em.select("vec_id", codes.alias("__codes"), scale.alias("__scale"))
+    return q.select(
+        "vec_id",
+        F.posexplode("__codes").alias("dim", "code"),
+        F.round("__scale", 9).alias("scale"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every oracle-backed
@@ -2098,6 +2128,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     bench.py and hash-checked locally every run by
         #     tests/test_oracle_parity.py). Last green r4 — these 18
         #     rotate back in round 7 per the contract: ---
+        # --- tail: late-r6 debuts (oracle-checked every run by
+        #     tests/test_oracle_parity.py; window candidates for r7) ---
+        "vocabulary_documents": _q_vocabulary_documents,
+        "quantize_embeddings": _q_quantize_embeddings,
         "repetition_documents": _q_repetition_documents,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "dedup_components": _q_dedup_components,
@@ -3745,6 +3779,56 @@ def oracle_sql() -> dict[str, str]:
                      AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        """,
+        # Mirrors llm/terms.py::vocabulary (max_size=300, min_df=2):
+        # same tokenization/lowering as the tfidf oracle, integer-only
+        # total order makes the LIMIT deterministic.
+        "vocabulary_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t))) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), perdoc AS (
+              SELECT doc_id, term, COUNT(*) AS c FROM t2
+              GROUP BY doc_id, term
+            ), stats AS (
+              SELECT term, CAST(SUM(c) AS BIGINT) AS tf,
+                     CAST(COUNT(*) AS BIGINT) AS df_term
+              FROM perdoc GROUP BY term
+              HAVING COUNT(*) >= 2
+            )
+            SELECT term, tf, df_term FROM stats
+            ORDER BY tf DESC, term ASC LIMIT 300
+        """,
+        # Mirrors llm/quantize.py::quantize_embedding: identical double
+        # arithmetic per element — exact float32->double widening,
+        # exact max-abs, (v*127)/max then round (both engines tie away
+        # from zero; real-data ties are measure-zero).
+        "quantize_embeddings": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), m AS (
+              SELECT vec_id, v,
+                     list_max([abs(x) for x in v]) AS ma
+              FROM e
+            ), ex AS (
+              SELECT vec_id, ma,
+                     unnest([{'d': i-1,
+                              'c': CASE WHEN ma > 0
+                                   THEN CAST(round(v[i]*127/ma) AS INT)
+                                   ELSE 0 END}
+                             for i in range(1, len(v)+1)],
+                            recursive := true)
+              FROM m
+            )
+            SELECT vec_id, CAST(d AS INT) AS dim, c AS code,
+                   ROUND(CASE WHEN ma > 0 THEN ma/127 ELSE 0 END, 9)
+                     AS scale
+            FROM ex
         """,
         "multimodal_decode_wav": """
             WITH d AS (

@@ -67,4 +67,8 @@ from kolang_spark.llm.multimodal import (  # noqa: F401
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401
-from kolang_spark.llm.terms import tfidf_top_terms  # noqa: F401
+from kolang_spark.llm.quantize import (  # noqa: F401
+    dequantize_embedding,
+    quantize_embedding,
+)
+from kolang_spark.llm.terms import tfidf_top_terms, vocabulary  # noqa: F401

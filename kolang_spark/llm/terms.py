@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["tfidf_top_terms"]
+__all__ = ["tfidf_top_terms", "vocabulary"]
 
 
 def tfidf_top_terms(
@@ -72,3 +72,49 @@ def tfidf_top_terms(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df_term", "tfidf", "rank")
     )
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_size: int = 30000,
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary: the ``max_size`` most frequent terms with
+    their corpus term frequency and document frequency — the
+    tokenizer-training / feature-hashing prep step every text pipeline
+    runs before anything else.
+
+    Scale shape: explode → one map-side-combinable ``(id, term)``
+    aggregate reused for both statistics (``tf`` = total occurrences,
+    ``df_term`` = distinct docs) → ``min_df`` filter →
+    ``orderBy().limit(max_size)``, which compiles to
+    TakeOrderedAndProject: per-partition top-k then a k-row driver
+    merge — no global window, no full sort. The ordering contract is
+    integer-only and total (``tf`` desc, ``term`` asc), so the selected
+    vocabulary is reproducible bit-exact on any engine.
+
+    Returns ``(term, tf, df_term)``.
+    """
+    if max_size < 1:
+        raise ValueError("max_size must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    toks = tokenize(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    # explode_outer: see tfidf_top_terms — bare explode would push a
+    # size()>0 filter that re-runs the tokenizer expression
+    terms = df.select(F.col(id_col), F.explode_outer(toks).alias("term")).where(
+        F.col("term") != ""
+    )
+    per_doc = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf_doc")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("__tf_doc").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df_term"),
+    )
+    if min_df > 1:
+        stats = stats.where(F.col("df_term") >= min_df)
+    return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(max_size)
