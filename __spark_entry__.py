@@ -665,11 +665,20 @@ def _q_dedup_stream_batch(spark, sf_dir):
 
 
 def _q_sessionize_stream_semantics(spark, sf_dir):
+    """Inactivity-gap sessionization (`kolang_spark/streaming/sessions
+    .py::sessionize`, Spark `session_window` — the same call runs
+    batch or streaming). NOW ORACLE-BACKED (upgraded from rows-only):
+    the oracle replays the gap-merge rule (probe-verified inclusive —
+    events exactly `gap` apart merge) with a per-key lag/running-sum
+    window; bounds compare as epoch micros for engine portability."""
     ev = _t(spark, sf_dir, "events")
     from kolang_spark.streaming import sessionize
 
     return sessionize(ev, key="user_id", ts="ts", gap="30 minutes").select(
-        "key", "session_start", "session_end", "n_events"
+        "key",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
     )
 
 
@@ -2057,7 +2066,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the trend family stays pinned by add_trend_line, fresh from its
     own r6 rotate-in).
 
-    Round-7 obligation: the 18 tail queries last green r4
+    Round-7 obligation: the two late-r6 tail debuts
+    (vocabulary_documents, quantize_embeddings — oracle-backed, never
+    yet externally green) take window priority, then the 18 tail
+    queries last green r4
     (median_acctbal_by_segment through skew_safe_distinct_users, see
     the tail section) rotate back in, displacing this round's freshest
     greens. The tail holds (a) rows-only queries (no SQL-expressible
@@ -2118,8 +2130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         "pandas_bridge_region": _q_pandas_bridge_region,
         "bloom_users_events": _q_bloom_users_events,
-        # --- tail: rows-only (no oracle by design) ---
+        # sessionize: upgraded rows-only -> oracle-backed (late r6)
         "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+        # --- tail: rows-only (no oracle by design) ---
         "hll_users_monthly": _q_hll_users_monthly,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
@@ -3829,6 +3842,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CASE WHEN ma > 0 THEN ma/127 ELSE 0 END, 9)
                      AS scale
             FROM ex
+        """,
+        # Mirrors streaming/sessions.py::sessionize (30-min gap):
+        # session_window merges events <= gap apart (inclusive,
+        # probe-verified); session_end = last event + gap.
+        "sessionize_stream_semantics": """
+            WITH e AS (
+              SELECT user_id AS key, epoch_us(ts) AS t FROM events
+            ), o AS (
+              SELECT key, t,
+                     CASE WHEN t - lag(t) OVER (
+                            PARTITION BY key ORDER BY t) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e
+            ), s AS (
+              SELECT key, t,
+                     SUM(brk) OVER (PARTITION BY key ORDER BY t) AS sid
+              FROM o
+            )
+            SELECT key, MIN(t) AS session_start_us,
+                   MAX(t) + 1800000000 AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY key, sid
         """,
         "multimodal_decode_wav": """
             WITH d AS (
