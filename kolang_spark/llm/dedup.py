@@ -25,6 +25,7 @@ from kolang_spark.utils import ColumnOrName, ensure_min_parallelism, to_col
 __all__ = [
     "exact_dedup",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "with_shingles",
     "jaccard_near_dup_pairs",
     "minhash_candidate_pairs",
@@ -183,6 +184,55 @@ def _minhash_signature(
     ]
 
 
+def _minhash_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str,
+) -> DataFrame:
+    """``(id, band_id, band_key)`` per document — the LSH banding stage
+    shared by :func:`minhash_candidate_pairs` (self-join) and
+    :func:`incremental_minhash_dedup` (join against persisted state).
+
+    Shorter-than-n docs have no shingles → no signature (a NULL min
+    would otherwise collapse into one spurious "" band bucket via
+    concat_ws). The gate is expressed on TOKEN count (>= n tokens ⟺
+    nonempty shingle set) so the predicate the optimizer pushes to the
+    scan is one tokenize, not a duplicated copy of the whole shingle
+    pipeline. One pass: an inline array of (band_id, band_key) structs
+    is exploded — a per-band union would re-run shingling + signatures.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+
+    from kolang_spark.llm.textstats import tokenize
+
+    base = df.select(id_col, text_col).where(
+        F.size(tokenize(F.col(text_col))) >= n
+    )
+    sh = with_shingles(base, text_col, n)
+    sig = sh.select(
+        F.col(id_col).alias("id"),
+        *_minhash_signature(F.col("shingles"), num_hashes, hash_fn),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_id", "band.band_key")
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -211,42 +261,7 @@ def minhash_candidate_pairs(
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("bands must divide num_hashes")
-    rows_per_band = num_hashes // bands
-
-    # shorter-than-n docs have no shingles → no signature (NULL min would
-    # otherwise collapse into one spurious "" band bucket via concat_ws).
-    # The gate is expressed on TOKEN count (>= n tokens ⟺ nonempty
-    # shingle set) so the predicate the optimizer pushes to the scan is
-    # one tokenize, not a duplicated copy of the whole shingle pipeline
-    # (`where(size(shingles) > 0)` previously re-evaluated
-    # tokenize+ngrams+distinct inside the pushed filter, on both sides
-    # of the band self-join).
-    from kolang_spark.llm.textstats import tokenize
-
-    base = df.select(id_col, text_col).where(
-        F.size(tokenize(F.col(text_col))) >= n
-    )
-    sh = with_shingles(base, text_col, n)
-    sig = sh.select(
-        F.col(id_col).alias("id"),
-        *_minhash_signature(F.col("shingles"), num_hashes, hash_fn),
-    )
-    # one pass: explode an inline array of (band_id, band_key) structs —
-    # a 3-way union here would re-run shingling + signatures per band
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("band_key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("id", "band.band_id", "band.band_key")
+    banded = _minhash_band_keys(df, id_col, text_col, n, num_hashes, bands, hash_fn)
 
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
@@ -984,3 +999,94 @@ def strip_duplicate_spans(
         )
         .drop("__ks_spans")
     )
+
+
+def incremental_minhash_dedup(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 6,
+    bands: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-duplicate dedup for INCREMENTAL ingest — the MinHash+LSH
+    counterpart of :func:`incremental_exact_dedup`: each new batch is
+    checked against the **band keys** of everything already accepted,
+    then the accepted docs' band keys are persisted. A batch scans only
+    itself plus the compact state table (``bands`` short hash strings
+    per accepted doc), never the accumulated corpus text.
+
+    Returns the batch with ``is_near_duplicate``: true when any of the
+    doc's LSH bands collides with the state (candidate near-dup of an
+    accepted doc) or with an earlier-``id_col`` doc in the same batch.
+    The within-batch rule is band-key-first-wins — conservative w.r.t.
+    a strict doc-at-a-time loop (a doc flagged only via an earlier
+    *also-flagged* doc would have been accepted sequentially), but
+    flagged docs never enter the persisted state, so the divergence
+    does not compound across batches. Docs shorter than ``n`` tokens
+    have no signature and are always accepted (no bands to collide or
+    persist) — same contract as :func:`minhash_candidate_pairs`.
+
+    Like every LSH method this flags *candidates* at the banding
+    S-curve's selectivity; chain a Jaccard verify on the flagged subset
+    when precision matters more than a second look at the text.
+
+    Scale shape: one equi-join on (band_id, band_key) against state,
+    one band-partitioned window for the within-batch rule — both
+    hash-partitioned, no broadcast assumption. State grows by ``bands``
+    rows per accepted doc; compact it periodically with
+    :func:`kolang_spark.sources.io.compact_parquet`.
+    """
+    import os
+
+    banded = _minhash_band_keys(
+        new_df, id_col, text_col, n, num_hashes, bands, hash_fn
+    )
+    if os.path.exists(state_path):
+        state = spark.read.parquet(state_path).select(
+            "band_id", F.col("band_key").alias("__sk__")
+        )
+    else:
+        state = spark.createDataFrame([], "band_id int, __sk__ string")
+
+    w = Window.partitionBy("band_id", "band_key").orderBy("id")
+    flags = (
+        banded.join(
+            state.withColumn("__seen__", F.lit(True)),
+            (banded["band_id"] == state["band_id"])
+            & (banded["band_key"] == state["__sk__"]),
+            "left",
+        )
+        .drop(state["band_id"])
+        .drop("__sk__")
+        .withColumn("__first__", F.min("id").over(w))
+        .groupBy("id")
+        .agg(
+            (
+                F.max(F.coalesce(F.col("__seen__"), F.lit(False)).cast("int"))
+                + F.max((F.col("__first__") < F.col("id")).cast("int"))
+                > 0
+            ).alias("is_near_duplicate")
+        )
+    )
+    # sentinel join-key name: a bare drop("id") would also remove the
+    # caller's column when id_col == "id"
+    keyed = flags.withColumnRenamed("id", "__ks_mid__")
+    marked = new_df.join(
+        keyed, new_df[id_col] == keyed["__ks_mid__"], "left"
+    ).drop("__ks_mid__").withColumn(
+        "is_near_duplicate",
+        F.coalesce("is_near_duplicate", F.lit(False)),
+    )
+    novel = (
+        banded.join(
+            flags.where(F.col("is_near_duplicate")).select("id"), "id", "left_anti"
+        )
+        .select("band_id", "band_key")
+        .distinct()
+    )
+    novel.write.mode("append").parquet(state_path)
+    return marked

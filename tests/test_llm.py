@@ -1135,3 +1135,51 @@ def test_incremental_exact_dedup_across_batches(spark, tmp_path):
             incremental_exact_dedup(spark, b2, state).collect()}
     assert out3 == {10: True, 11: True, 12: True}
     assert spark.read.parquet(state).count() == 3
+
+
+def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
+    """Cross-batch near-dup replay: batch 2 is flagged against batch
+    1's persisted band keys without rescanning batch 1's text; flagged
+    docs never enter the state; short docs always pass."""
+    from kolang_spark.llm import incremental_minhash_dedup
+
+    state = str(tmp_path / "mh_state")
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "completely different content about spark execution plans here"
+    b1 = spark.createDataFrame(
+        [(1, text_a), (2, text_b), (3, text_a + " tail")], ["doc_id", "text"]
+    )
+    m1 = {
+        r.doc_id: r.is_near_duplicate
+        for r in incremental_minhash_dedup(spark, b1, state).collect()
+    }
+    # doc 3 shares most shingles with doc 1 -> within-batch candidate
+    assert m1[1] is False and m1[2] is False
+    assert m1[3] is True
+
+    b2 = spark.createDataFrame(
+        [
+            (10, text_a),            # near-dups batch 1's accepted doc 1
+            (11, "short doc"),       # < n tokens: no signature, accepted
+            (12, "fresh novel words never seen in any earlier batch at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    m2 = {
+        r.doc_id: r.is_near_duplicate
+        for r in incremental_minhash_dedup(spark, b2, state).collect()
+    }
+    assert m2[10] is True
+    assert m2[11] is False and m2[12] is False
+
+    # flagged docs (3, 10) never entered the state: replaying doc 3's
+    # exact text in a fresh batch still collides only via doc 1's keys,
+    # and state rows stay (bands x accepted-with-signature docs) distinct
+    st = spark.read.parquet(state)
+    assert st.count() == st.distinct().count()
+    b3 = spark.createDataFrame([(20, text_b)], ["doc_id", "text"])
+    m3 = {
+        r.doc_id: r.is_near_duplicate
+        for r in incremental_minhash_dedup(spark, b3, state).collect()
+    }
+    assert m3[20] is True  # doc 2's keys persisted in batch 1
