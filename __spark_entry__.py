@@ -2003,6 +2003,48 @@ def _q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def _q_incremental_minhash_batches(spark, sf_dir):
+    """Incremental-ingest NEAR-dup, observable end-to-end
+    (`kolang_spark/llm/dedup.py::incremental_minhash_dedup`): the
+    documents table is split into two ingest batches (even doc_ids,
+    then odd), batch 1's accepted band keys are persisted to a scratch
+    state dir, and batch 2 is flagged against that state without
+    rescanning batch 1's text. Each batch's flags are frozen to
+    parquet before the next call mutates the state (Spark pins the
+    state file listing at DataFrame creation, but the explicit
+    materialization makes the ordering contract visible). The oracle
+    re-derives both batches' flags — banding, within-batch
+    first-wins, accepted-only state — entirely in SQL. The scratch
+    dir is cleaned at query START (not end) so the returned DataFrame
+    stays readable; footprint is bounded to one run."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm.dedup import incremental_minhash_dedup
+
+    base = os.path.join(tempfile.gettempdir(), "ks_incr_mh_q")
+    shutil.rmtree(base, ignore_errors=True)
+    state = os.path.join(base, "state")
+    # deterministic half-corpus (doc_id % 4 < 2): the replay semantics
+    # are fully exercised at half the banding cost — the op itself runs
+    # the full corpus in production
+    dc = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 < 2)
+        .select("doc_id", "text")
+    )
+    frozen = []
+    for batch_no, parity in ((1, 0), (2, 1)):
+        b = dc.where(F.col("doc_id") % 4 == parity)
+        m = incremental_minhash_dedup(spark, b, state).select(
+            "doc_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
+        )
+        # freeze this batch's flags BEFORE the next call appends to the
+        # state (eager localCheckpoint: one job, no scratch read-back)
+        frozen.append(m.localCheckpoint(eager=True))
+    return frozen[0].union(frozen[1])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every oracle-backed
@@ -2145,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     tests/test_oracle_parity.py; window candidates for r7) ---
         "vocabulary_documents": _q_vocabulary_documents,
         "quantize_embeddings": _q_quantize_embeddings,
+        "incremental_minhash_batches": _q_incremental_minhash_batches,
         "repetition_documents": _q_repetition_documents,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
         "dedup_components": _q_dedup_components,
@@ -2297,6 +2340,37 @@ def _simhash_hamming_sql(bits: int = 16, max_distance: int = 2) -> str:
          AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sim_sig, b.sim_sig)) <= {max_distance}
     """
+
+
+def _minhash_banded_cte(num_hashes: int = 6, bands: int = 3) -> str:
+    """The shingle -> md5 minhash signature -> (doc_id, band_id,
+    band_key) CTE chain shared by the minhash-pairs and
+    incremental-minhash oracles (mirror of
+    kolang_spark.llm.dedup._minhash_band_keys)."""
+    rows = num_hashes // bands
+    mh = ",\n             ".join(
+        f"list_min([md5('{i}:' || x) for x in s]) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _SHINGLE_CTE
+        + f"""
+    , sig AS (
+      SELECT doc_id,
+             {mh}
+      FROM sh WHERE len(s) > 0
+    ), banded AS (
+      {band_selects}
+    )
+    """
+    )
 
 
 def _minhash_sql(num_hashes: int = 6, bands: int = 3) -> str:
@@ -3864,6 +3938,56 @@ def oracle_sql() -> dict[str, str]:
                    MAX(t) + 1800000000 AS session_end_us,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY key, sid
+        """,
+        # Mirrors llm/dedup.py::incremental_minhash_dedup over the
+        # even/odd two-batch replay: same md5 minhash banding as the
+        # minhash_pairs oracle, batch-1 within-batch first-wins,
+        # accepted-only band keys as state, batch-2 flags vs state +
+        # within-batch. Short docs have no signature -> accepted.
+        "incremental_minhash_batches": _minhash_banded_cte()
+        + """
+            , b1 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 4 = 0
+            ), b1m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b1
+            ), flag1 AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN fm < doc_id THEN 1 ELSE 0 END) AS f
+              FROM b1m GROUP BY doc_id
+            ), state1 AS (
+              SELECT DISTINCT b.band_id, b.band_key
+              FROM b1 b JOIN flag1 f1 USING (doc_id)
+              WHERE f1.f = 0
+            ), b2 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 4 = 1
+            ), b2m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b2
+            ), flag2 AS (
+              SELECT x.doc_id,
+                     MAX(CASE WHEN st.band_key IS NOT NULL
+                               OR x.fm < x.doc_id
+                              THEN 1 ELSE 0 END) AS f
+              FROM b2m x LEFT JOIN state1 st
+                ON x.band_id = st.band_id AND x.band_key = st.band_key
+              GROUP BY x.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 4 = 0 THEN 1 ELSE 2 END AS batch,
+                   coalesce(CASE WHEN d.doc_id % 4 = 0
+                                 THEN f1.f ELSE f2.f END = 1,
+                            false) AS is_near_duplicate
+            FROM documents d
+            LEFT JOIN flag1 f1 ON d.doc_id % 4 = 0 AND f1.doc_id = d.doc_id
+            LEFT JOIN flag2 f2 ON d.doc_id % 4 = 1 AND f2.doc_id = d.doc_id
+            WHERE d.doc_id % 4 < 2
         """,
         "multimodal_decode_wav": """
             WITH d AS (
