@@ -2015,15 +2015,17 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     materialization makes the ordering contract visible). The oracle
     re-derives both batches' flags — banding, within-batch
     first-wins, accepted-only state — entirely in SQL. The scratch
-    dir is cleaned at query START (not end) so the returned DataFrame
-    stays readable; footprint is bounded to one run."""
+    dir is per-run unique (mkdtemp) so concurrent harness runs can
+    never interleave state appends, and it is removed at query END —
+    safe because both batches' flags are frozen via eager
+    localCheckpoint before return, so the returned DataFrame never
+    re-reads the state dir."""
     import shutil
     import tempfile
 
     from kolang_spark.llm.dedup import incremental_minhash_dedup
 
-    base = os.path.join(tempfile.gettempdir(), "ks_incr_mh_q")
-    shutil.rmtree(base, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="ks_incr_mh_q_")
     state = os.path.join(base, "state")
     # deterministic half-corpus (doc_id % 4 < 2): the replay semantics
     # are fully exercised at half the banding cost — the op itself runs
@@ -2042,6 +2044,7 @@ def _q_incremental_minhash_batches(spark, sf_dir):
         # freeze this batch's flags BEFORE the next call appends to the
         # state (eager localCheckpoint: one job, no scratch read-back)
         frozen.append(m.localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
     return frozen[0].union(frozen[1])
 
 

@@ -577,6 +577,18 @@ def simhash_near_dup_pairs(
     )
 
 
+def _band_mask(width: int) -> Column:
+    """All-ones mask of ``width`` low bits as a LongType literal.
+    ``(1 << 64) - 1`` overflows LongType (PySpark rejects the literal
+    at expression-build time), so a full-width band — e.g.
+    ``hamming_pairs(..., bits=64, max_distance=0)``, one band of all
+    64 bits — uses -1 (all bits set in two's complement); the masked
+    value is already zero-filled by ``shiftrightunsigned``."""
+    if width >= 64:
+        return F.lit(-1).cast("long")
+    return F.lit((1 << width) - 1)
+
+
 def _simhash_bands(bits: int, n_bands: int) -> List[tuple]:
     """Split ``bits`` into ``n_bands`` contiguous (shift, width) slices;
     the first ``bits % n_bands`` bands take the extra bit."""
@@ -658,7 +670,7 @@ def hamming_pairs(
             F.struct(
                 F.lit(i).alias("band_id"),
                 F.shiftrightunsigned(F.col("sig"), shift)
-                .bitwiseAND(F.lit((1 << width) - 1))
+                .bitwiseAND(_band_mask(width))
                 .alias("band_bits"),
             )
             for i, (shift, width) in enumerate(_simhash_bands(bits, n_bands))
@@ -677,7 +689,7 @@ def hamming_pairs(
     first_agree = None
     for i, (shift, width) in enumerate(_simhash_bands(bits, n_bands)):
         band_zero = (
-            F.shiftrightunsigned(xor, shift).bitwiseAND(F.lit((1 << width) - 1)) == 0
+            F.shiftrightunsigned(xor, shift).bitwiseAND(_band_mask(width)) == 0
         )
         first_agree = (
             F.when(band_zero, F.lit(i))

@@ -380,6 +380,28 @@ def test_hamming_pairs_banded_equals_brute(spark):
     assert got[(100, 101)] == 2 and got[(102, 103)] == 0
 
 
+def test_hamming_pairs_full_width_band(spark):
+    """max_distance=0 at bits=64 builds ONE band spanning all 64 bits;
+    the all-ones mask must not overflow LongType (advisory fix: -1
+    literal instead of 2^64-1). Exact-duplicate pairs only."""
+    from kolang_spark.llm.dedup import hamming_pairs
+
+    neg = (1 << 63) - 1  # high-bit-adjacent value
+    rows = [
+        (1, 12345),
+        (2, 12345),
+        (3, -neg - 1),  # LONG_MIN: exercises the sign bit in the band
+        (4, -neg - 1),
+        (5, 777),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "doc_id", "sig", 64, 0).collect()
+    }
+    assert got == {(1, 2): 0, (3, 4): 0}
+
+
 # ----------------------------------------------- invariant properties
 
 
