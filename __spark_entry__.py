@@ -1431,6 +1431,104 @@ def _q_upsert_partitions_orders(spark, sf_dir):
     )
 
 
+def _q_overwrite_partitions_idempotent(spark, sf_dir):
+    """Dynamic partition-overwrite backfill, proven idempotent
+    end-to-end (`kolang_spark/sources/io.py::overwrite_partitions`,
+    round-6 verdict item 7): orders is landed hive-partitioned by
+    priority, then a backfill rewrites ONLY the '2-HIGH' and '5-LOW'
+    partitions with +777-cent corrections — and the identical backfill
+    is run a SECOND time. The read-back per-priority aggregates prove
+    all three contract points at once: untouched partitions still hold
+    first-write rows, touched partitions were replaced (append-instead-
+    of-replace would double n_rows), and the re-run was a semantic
+    no-op. The oracle computes the expected merged state straight from
+    the source table; the 5-row collect is the bounded materialization
+    before scratch cleanup."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.sources.io import overwrite_partitions
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="ks_ovw_q_")
+    try:
+        path = os.path.join(tmp, "orders")
+        overwrite_partitions(od, path, ["o_orderpriority"])
+        patch = od.where(
+            F.col("o_orderpriority").isin("2-HIGH", "5-LOW")
+        ).withColumn("cents", F.col("cents") + 777)
+        overwrite_partitions(patch, path, ["o_orderpriority"])
+        overwrite_partitions(patch, path, ["o_orderpriority"])
+        rows = [
+            (r.prio, r.n_rows, r.sum_cents)
+            for r in spark.read.parquet(path)
+            .groupBy(F.col("o_orderpriority").alias("prio"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "prio string, n_rows bigint, sum_cents bigint"
+    )
+
+
+def _q_read_blobs_metadata(spark, sf_dir):
+    """Blob ingestion via Spark's binaryFile source
+    (`kolang_spark/sources/io.py::read_blobs`, round-6 verdict item
+    6): 64 deterministic blob files are written to a per-run scratch
+    dir (content ``KSBLOB<id>|`` + id×'x'), plus decoys that the
+    source-level filters must exclude — four ``skip_*.dat`` rejected
+    by ``pattern='*.bin'`` at listing time and one oversized ``.bin``
+    rejected by ``max_bytes``. The ingested rows surface blob id
+    (parsed from the filename), byte length, 6-byte magic sniff, and
+    the full decoded payload; the oracle regenerates all of it from
+    ``range(64)`` — the row set only matches if the bytes on disk
+    round-tripped exactly and both filters held. The 64-row collect is
+    the bounded materialization before scratch cleanup."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.sources.io import read_blobs
+
+    tmp = tempfile.mkdtemp(prefix="ks_blobs_q_")
+    try:
+        for i in range(64):
+            with open(os.path.join(tmp, f"blob_{i:05d}.bin"), "wb") as f:
+                f.write(f"KSBLOB{i:05d}|".encode() + b"x" * i)
+        for i in range(4):
+            with open(os.path.join(tmp, f"skip_{i}.dat"), "wb") as f:
+                f.write(b"NOPE")
+        with open(os.path.join(tmp, "blob_big.bin"), "wb") as f:
+            f.write(b"KSBLOB" + b"y" * 300)
+        body = F.decode("content", "UTF-8")
+        rows = [
+            (r.blob_id, r.length, r.magic, r.body)
+            for r in read_blobs(spark, tmp, pattern="*.bin", max_bytes=200)
+            .select(
+                F.regexp_extract(
+                    "path", r"blob_(\d{5})\.bin$", 1
+                ).cast("int").alias("blob_id"),
+                "length",
+                F.substring(body, 1, 6).alias("magic"),
+                body.alias("body"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "blob_id int, length bigint, magic string, body string"
+    )
+
+
 def _q_interval_join_events(spark, sf_dir):
     """Event-time interval join (`kolang_spark/streaming/joins.py::
     interval_join` — the stream-stream join surface, driven here on
@@ -2022,6 +2120,38 @@ def _q_quantize_embeddings(spark, sf_dir):
     )
 
 
+def _q_incremental_exact_batches(spark, sf_dir):
+    """Incremental-ingest EXACT dedup, observable end-to-end
+    (`kolang_spark/llm/dedup.py::incremental_exact_dedup`, round-6
+    verdict item 5): the documents table is split into two ingest
+    batches (even doc_ids, then odd); batch 1's novel fingerprints are
+    persisted to a per-run scratch state dir (parquet, fingerprint-only
+    — the state never holds text), and batch 2 is flagged against that
+    state without rescanning batch 1. Each batch's flags are frozen via
+    eager localCheckpoint before the next call appends to the state,
+    and the scratch dir is removed before return. The oracle re-derives
+    both batches' flags — md5 canonical fingerprints, within-batch
+    first-occurrence-wins by doc_id, accepted-only state — entirely in
+    SQL."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm.dedup import incremental_exact_dedup
+
+    base = tempfile.mkdtemp(prefix="ks_incr_ex_q_")
+    state = os.path.join(base, "state")
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    frozen = []
+    for batch_no, parity in ((1, 0), (2, 1)):
+        b = dc.where(F.col("doc_id") % 2 == parity)
+        m = incremental_exact_dedup(spark, b, state).select(
+            "doc_id", F.lit(batch_no).alias("batch"), "is_duplicate"
+        )
+        frozen.append(m.localCheckpoint(eager=True))
+    shutil.rmtree(base, ignore_errors=True)
+    return frozen[0].union(frozen[1])
+
+
 def _q_incremental_minhash_batches(spark, sf_dir):
     """Incremental-ingest NEAR-dup, observable end-to-end
     (`kolang_spark/llm/dedup.py::incremental_minhash_dedup`): the
@@ -2209,6 +2339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     tests/test_oracle_parity.py; window candidates for r7) ---
         "vocabulary_documents": _q_vocabulary_documents,
         "quantize_embeddings": _q_quantize_embeddings,
+        "incremental_exact_batches": _q_incremental_exact_batches,
+        "read_blobs_metadata": _q_read_blobs_metadata,
+        "overwrite_partitions_idempotent": _q_overwrite_partitions_idempotent,
         "incremental_minhash_batches": _q_incremental_minhash_batches,
         "repetition_documents": _q_repetition_documents,
         "add_trend_line_deg2": _q_add_trend_line_deg2,
@@ -2928,6 +3061,51 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                      AS fingerprint
             FROM documents
+        """,
+        # Mirrors llm/dedup.py::incremental_exact_dedup over the
+        # even/odd two-batch replay: same md5 canonical fingerprint as
+        # exact_dedup_documents, batch-1 within-batch first-wins (by
+        # doc_id), novel-fingerprint-only state, batch-2 flags vs
+        # state + within-batch.
+        "incremental_exact_batches": r"""
+            WITH fp AS (
+              SELECT doc_id, doc_id % 2 AS par,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM documents
+            ), b1 AS (
+              SELECT doc_id, fingerprint,
+                     MIN(doc_id) OVER (PARTITION BY fingerprint)
+                       < doc_id AS is_dup
+              FROM fp WHERE par = 0
+            ), state AS (
+              SELECT DISTINCT fingerprint FROM b1 WHERE NOT is_dup
+            ), b2 AS (
+              SELECT doc_id, fingerprint,
+                     MIN(doc_id) OVER (PARTITION BY fingerprint)
+                       < doc_id AS in_batch_dup
+              FROM fp WHERE par = 1
+            )
+            SELECT doc_id, CAST(1 AS INT) AS batch,
+                   is_dup AS is_duplicate
+            FROM b1
+            UNION ALL
+            SELECT b2.doc_id, CAST(2 AS INT) AS batch,
+                   (s.fingerprint IS NOT NULL) OR b2.in_batch_dup
+                     AS is_duplicate
+            FROM b2 LEFT JOIN state s USING (fingerprint)
+        """,
+        # Mirrors sources/io.py::read_blobs over the deterministic
+        # 64-file scratch dir the query writes: ids 0..63, content
+        # 'KSBLOB<id5>|' + id * 'x'; the pattern/max_bytes decoys never
+        # appear. Regenerated wholesale from range(64).
+        "read_blobs_metadata": """
+            SELECT CAST(i AS INT) AS blob_id,
+                   CAST(12 + i AS BIGINT) AS length,
+                   'KSBLOB' AS magic,
+                   'KSBLOB' || lpad(CAST(i AS VARCHAR), 5, '0') || '|'
+                     || repeat('x', CAST(i AS INT)) AS body
+            FROM range(64) t(i)
         """,
         "exact_dedup_documents": r"""
             SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
@@ -4288,6 +4466,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors sources/io.py::overwrite_partitions over the
+        # land + double-backfill replay: '2-HIGH'/'5-LOW' rows carry
+        # the +777 correction exactly once (replace, not append; the
+        # second identical backfill is a no-op), everything else is
+        # first-write state.
+        "overwrite_partitions_idempotent": """
+            SELECT o_orderpriority AS prio,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)
+                        + CASE WHEN o_orderpriority IN ('2-HIGH','5-LOW')
+                               THEN 777 ELSE 0 END) AS BIGINT)
+                     AS sum_cents
+            FROM orders GROUP BY 1
         """,
         # Mirrors streaming/joins.py::interval_join driven on batch:
         # same inclusive [ts, ts+30min] bound, same per-view aggregates.
