@@ -1896,8 +1896,13 @@ def _q_pca_embeddings(spark, sf_dir):
     import numpy as np
 
     from kolang_spark.llm import pca_fit, pca_project
+    from kolang_spark.utils import ensure_min_parallelism
 
-    em = _t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    # full-rank projection is 64 dot products per row — spread a
+    # single-split parquet input across cores (no-op at scale)
+    em = ensure_min_parallelism(
+        _t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
+    )
     model = pca_fit(em, dims=64, k=64)
     comp = np.array(model.components)
     resid = float(np.abs(comp @ comp.T - np.eye(64)).max())

@@ -22,7 +22,31 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kolang_spark.utils import ensure_min_parallelism
+
 __all__ = ["PcaModel", "pca_fit", "pca_project"]
+
+
+def _arr_lit(values) -> Column:
+    """Constant ``array<double>`` / ``array<array<double>>`` literal
+    built as ONE SQL expression string parsed JVM-side. ``F.lit`` on a
+    Python list converts element-wise over py4j — ~2 s for 4096
+    doubles, dominating the whole projection at d=64 — while a single
+    ``F.expr`` call parses in <10 ms. ``repr`` emits the shortest
+    string that round-trips to the identical double, and the ``D``
+    suffix pins the SQL type to DOUBLE (a bare decimal would parse as
+    DECIMAL)."""
+
+    def one(v: float) -> str:
+        return f"{float(v)!r}D"
+
+    if values and isinstance(values[0], (list, tuple)):
+        body = ",".join(
+            "array(" + ",".join(one(c) for c in row) + ")" for row in values
+        )
+    else:
+        body = ",".join(one(c) for c in values)
+    return F.expr(f"array({body})")
 
 
 class PcaModel(NamedTuple):
@@ -55,7 +79,11 @@ def pca_fit(
     if not 1 <= k <= dims:
         raise ValueError("need 1 <= k <= dims")
     v = F.col(vec_col)
-    src = df.where(v.isNotNull()).select(
+    # the moment explode is d(d+3)/2 structs per row — compute-heavy
+    # per input row, so a single-split input (one small parquet file)
+    # must not serialize it onto one core; no-op on real multi-split
+    # inputs
+    src = ensure_min_parallelism(df.where(v.isNotNull())).select(
         F.transform(v, lambda x: x.cast("double")).alias("__v__")
     )
     # (i, j, v_i*v_j) for the upper triangle plus (i, -1, v_i) for the
@@ -133,26 +161,37 @@ def pca_project(
     """Project each vector onto the model's components:
     ``out_col[k] = (v − μ) · c_k`` — pure Column algebra against
     broadcast literal arrays (the model is ``k·d + d`` doubles inlined
-    as literals; no join, no shuffle, rides the scan)."""
-    v = F.col(vec_col)
-    mean_arr = F.array(*[F.lit(m) for m in model.mean])
+    as literals; no join, no shuffle, rides the scan).
 
-    def proj(comp: List[float]) -> Column:
-        comp_arr = F.array(*[F.lit(c) for c in comp])
-        return F.aggregate(
-            F.zip_with(
-                F.zip_with(
-                    F.transform(v, lambda x: x.cast("double")),
-                    mean_arr,
-                    lambda a, b: a - b,
+    Plan shape: the components are ONE ``array<array<double>>``
+    literal iterated by a single ``transform``, and the centered
+    vector is hoisted into a temp column so it evaluates once per row
+    — the naive per-component formulation (k independent aggregates,
+    each re-inlining the d-element mean) builds an O(k·d²)-node
+    expression tree whose Catalyst analysis alone dominates runtime at
+    k=d=64 (~270k nodes, measured ~5 s per action at sf0.1); this form
+    is O(k·d + d) nodes with identical per-element arithmetic order,
+    so results are bit-identical."""
+    tmp = f"__ks_pca_cen_{out_col}__"
+    mean_arr = _arr_lit(model.mean)
+    comp_lit = _arr_lit(model.components)
+    cen = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        mean_arr,
+        lambda a, b: a - b,
+    )
+    return (
+        df.withColumn(tmp, cen)
+        .withColumn(
+            out_col,
+            F.transform(
+                comp_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col(tmp), c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                comp_arr,
-                lambda a, b: a * b,
             ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
-
-    return df.withColumn(
-        out_col, F.array(*[proj(c) for c in model.components])
+        .drop(tmp)
     )
