@@ -32,6 +32,18 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # only the noise-absorption does). Guards against an external runner's
 # time limit on a badly stalling host.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+# Drift canary (round-6 verdict item 4): this host's suite totals swing
+# ±30% on UNCHANGED code (BASELINE.md r4-r6 interleaved A/Bs), so raw
+# per-round totals are hostage to when the driver happens to run. A
+# fixed reference query — parquet scan + groupBy-agg on lineitem,
+# independent of any engine code so it is identical across rounds — is
+# interleaved every CANARY_EVERY queries; the record carries the raw
+# samples plus a canary-normalized total: total * NOMINAL / median.
+# CANARY_NOMINAL_S is the idle-host median for this canary at sf0.1
+# (pinned round 7; see BASELINE.md) — normalized totals are comparable
+# across rounds as long as this constant never changes.
+CANARY_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_EVERY", "20"))
+CANARY_NOMINAL_S = 0.35
 
 
 def build_spark() -> SparkSession:
@@ -48,6 +60,26 @@ def build_spark() -> SparkSession:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
+
+
+def _canary_df(spark: SparkSession):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _run_canary(spark: SparkSession) -> float:
+    t0 = time.perf_counter()
+    _canary_df(spark).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -71,11 +103,18 @@ def main() -> None:
     except Exception:
         pass
 
+    _run_canary(spark)  # untimed: compile the canary's codegen once
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    canary_samples: list[float] = []
+    canary_positions: list[int] = []
     suite_t0 = time.perf_counter()
     budget_hit = False
-    for name, fn in qs.items():
+    for pos, (name, fn) in enumerate(qs.items()):
+        if pos % max(1, CANARY_EVERY) == 0:
+            canary_samples.append(round(_run_canary(spark), 3))
+            canary_positions.append(pos)
         best = None
         reps = max(1, REPEATS)
         if time.perf_counter() - suite_t0 > BUDGET_S:
@@ -88,7 +127,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 2)
+    canary_samples.append(round(_run_canary(spark), 3))
+    canary_positions.append(len(qs))
     total = round(sum(timings.values()), 2)
+    srt = sorted(canary_samples)
+    canary_median = round(
+        (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2, 3
+    )
+    normalized_total = round(
+        total * CANARY_NOMINAL_S / max(canary_median, 1e-6), 2
+    )
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     record = {
@@ -97,6 +145,13 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "budget_hit": budget_hit,
+        "canary": {
+            "samples": canary_samples,
+            "positions": canary_positions,
+            "median": canary_median,
+            "nominal": CANARY_NOMINAL_S,
+        },
+        "normalized_total": normalized_total,
         "queries": timings,
     }
     # Emission layout (round-5 verdict item 3): the driver records only
@@ -125,6 +180,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": record["sf"],
                 "n_queries": len(timings),
+                "canary_median": canary_median,
+                "normalized_total": normalized_total,
                 "order": "registry",
                 "full_record": "BENCH_LOCAL_FULL.json",
                 "timings": [timings[k] for k in timings],
