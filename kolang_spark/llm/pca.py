@@ -38,7 +38,12 @@ def _arr_lit(values) -> Column:
     DECIMAL)."""
 
     def one(v: float) -> str:
-        return f"{float(v)!r}D"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            # repr emits 'nan'/'inf', which the SQL parser rejects; a
+            # model containing them is broken upstream anyway
+            raise ValueError("non-finite value in literal array")
+        return f"{f!r}D"
 
     if values and isinstance(values[0], (list, tuple)):
         body = ",".join(

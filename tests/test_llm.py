@@ -1102,6 +1102,47 @@ def test_pca_matches_numpy_and_projects(spark, emb):
         pca_fit(emb.where("vec_id < 0"), dims=64, k=2)
 
 
+def test_pca_arr_lit_roundtrips_exactly(spark):
+    """The SQL-text literal builder must reproduce every double
+    bit-exactly (repr is the shortest round-tripping form and the SQL
+    parser applies Double.parseDouble), including negatives, subnormal
+    magnitudes, and values with no short decimal form; non-finite
+    values raise instead of emitting unparseable SQL."""
+    import math
+    import struct
+
+    import pytest as _pytest
+
+    from kolang_spark.llm.pca import _arr_lit
+
+    vals = [
+        0.0,
+        -0.0,
+        1.0,
+        -1.5,
+        1e-300,
+        -1e300,
+        5e-324,  # smallest subnormal
+        math.pi,
+        1 / 3,
+        struct.unpack("<d", struct.pack("<q", 0x3FF123456789ABCD))[0],
+    ]
+    flat = spark.range(1).select(_arr_lit(vals).alias("a")).first().a
+    assert [struct.pack("<d", x) for x in flat] == [
+        struct.pack("<d", v) for v in vals
+    ]
+    nested = (
+        spark.range(1)
+        .select(_arr_lit([vals[:5], vals[5:]]).alias("m"))
+        .first()
+        .m
+    )
+    assert [x for row in nested for x in row] == [float(v) for v in vals]
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with _pytest.raises(ValueError):
+            _arr_lit([1.0, bad])
+
+
 def test_incremental_exact_dedup_across_batches(spark, tmp_path):
     """Ingest-time dedup against persisted fingerprint state: batch 1
     establishes state, batch 2 is checked against it (plus its own
