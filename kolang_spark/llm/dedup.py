@@ -802,6 +802,8 @@ def incremental_exact_dedup(
     state_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_bits: Optional[int] = None,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Exact dedup for INCREMENTAL ingest: flag each new document
     against the fingerprints of everything already accepted, then
@@ -820,9 +822,22 @@ def incremental_exact_dedup(
     document ever accepted (~16 bytes + overhead vs the full text);
     the membership check is an equi-join on the fingerprint —
     hash-partitioned both sides, no broadcast assumption, AQE handles
-    the sizes. For a quick pre-filter at extreme state sizes, screen
-    with :func:`kolang_spark.operators.sketches.bloom_might_contain`
-    first and equi-join only the maybes.
+    the sizes.
+
+    ``bloom_bits`` enables the extreme-state-size pre-filter: a Bloom
+    bit table (:func:`kolang_spark.operators.sketches.bloom_table`) is
+    persisted NEXT TO the state (``<state_path>_bloom``, merged
+    incrementally — merging = appending the novel fingerprints' bits)
+    and each batch probes it first. Bloom "absent" is certain, so only
+    the maybe rows take the fingerprint equi-join — with a typical
+    dedup-heavy batch that maybe-set is small enough to broadcast, so
+    the billion-row state is *scanned but never shuffled*. False
+    positives only cost a redundant join probe, never a wrong flag
+    (the equi-join re-verifies every maybe); results are byte-equal to
+    the unfiltered path. A pre-existing bloom-less state upgrades
+    transparently (the filter is built once from the state, then
+    maintained incrementally). ``bloom_bits``/``bloom_k`` must stay
+    constant across batches of one state dir.
     """
     import os
 
@@ -835,15 +850,59 @@ def incremental_exact_dedup(
         )
     else:
         state = spark.createDataFrame([], "__fp__ string")
+    state_flagged = state.withColumn("__seen__", F.lit(True))
+
+    bloom_path = None
+    if bloom_bits is None:
+        pre = batch.join(
+            state_flagged, batch["fingerprint"] == state["__fp__"], "left"
+        ).drop("__fp__")
+    else:
+        from kolang_spark.operators.sketches import (
+            bloom_might_contain,
+            bloom_table,
+        )
+
+        bloom_path = state_path.rstrip("/") + "_bloom"
+        if os.path.exists(bloom_path):
+            bloom = spark.read.parquet(bloom_path).distinct()
+        elif os.path.exists(state_path):
+            # legacy bloom-less state: build the filter once, persist,
+            # maintain incrementally from here on
+            bloom = bloom_table(state, "__fp__", n_bits=bloom_bits, k=bloom_k)
+            bloom.write.mode("overwrite").parquet(bloom_path)
+            bloom = spark.read.parquet(bloom_path)
+        else:
+            bloom = spark.createDataFrame([], "bit bigint")
+        probe = bloom_might_contain(
+            bloom,
+            batch.select("fingerprint").distinct(),
+            "fingerprint",
+            n_bits=bloom_bits,
+            k=bloom_k,
+        ).select(F.col("item").alias("__pf__"), "might_contain")
+        b2 = batch.join(
+            probe, batch["fingerprint"] == F.col("__pf__"), "left"
+        ).drop("__pf__")
+        maybe_flag = F.coalesce("might_contain", F.lit(False))
+        maybes = b2.where(maybe_flag)
+        certain = b2.where(~maybe_flag).withColumn(
+            "__seen__", F.lit(None).cast("boolean")
+        )
+        pre = (
+            maybes.join(
+                state_flagged,
+                maybes["fingerprint"] == state["__fp__"],
+                "left",
+            )
+            .drop("__fp__")
+            .unionByName(certain)
+            .drop("might_contain")
+        )
+
     w = Window.partitionBy("fingerprint").orderBy(id_col)
     marked = (
-        batch.join(
-            state.withColumn("__seen__", F.lit(True)),
-            batch["fingerprint"] == state["__fp__"],
-            "left",
-        )
-        .drop("__fp__")
-        .withColumn("__rn__", F.row_number().over(w))
+        pre.withColumn("__rn__", F.row_number().over(w))
         .withColumn(
             "is_duplicate",
             F.coalesce("__seen__", F.lit(False)) | (F.col("__rn__") > 1),
@@ -855,6 +914,15 @@ def incremental_exact_dedup(
         .select("fingerprint")
         .distinct()
     )
+    if bloom_path is not None:
+        # freeze the novel set once: it feeds two writes, and the state
+        # append below must not be re-read by the bloom append's plan
+        novel = novel.localCheckpoint(eager=True)
+        from kolang_spark.operators.sketches import bloom_table as _bt
+
+        _bt(novel, "fingerprint", n_bits=bloom_bits, k=bloom_k).write.mode(
+            "append"
+        ).parquet(bloom_path)
     novel.write.mode("append").parquet(state_path)
     return marked
 
