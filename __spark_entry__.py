@@ -841,18 +841,39 @@ def _q_hypertable_rollup_events(spark, sf_dir):
 
 def _q_hll_users_monthly(spark, sf_dir):
     """Mergeable-sketch rollup: daily HLL sketches of active users,
-    merged to a monthly estimate without re-scanning raw events. The
-    merge is loss-free (tested equal to a direct monthly sketch);
-    rows-only vs DuckDB — its HLL implementation estimates
-    differently by design."""
-    from kolang_spark.operators.sketches import sketch_rollup
-
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn("day", F.to_date("ts")).withColumn(
-        "month", F.trunc(F.to_date("ts"), "month")
+    merged to a monthly estimate without re-scanning raw events.
+    Oracle-backed via the same invariant triple as
+    `sketch_rollup_users` (exact monthly distinct count in pure SQL +
+    accuracy flag + loss-free merge==direct flag); the two queries pin
+    the rollup at both calendar granularities."""
+    from kolang_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+        sketch_rollup,
     )
-    return sketch_rollup(
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.trunc(F.to_date("ts"), "month").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    rolled = sketch_rollup(
         ev, "user_id", fine_keys=["month", "day"], coarse_keys=["month"]
+    )
+    direct = ev.groupBy("month").agg(
+        F.count_distinct("user_id").alias("n_distinct_exact"),
+        hll_estimate(hll_sketch("user_id")).alias("__direct_est"),
+    )
+    j = rolled.join(direct, "month")
+    est = F.col("n_distinct_est").cast("double")
+    exact = F.col("n_distinct_exact").cast("double")
+    return j.select(
+        "month",
+        F.col("n_distinct_exact").cast("bigint").alias("n_distinct_exact"),
+        (F.abs(est - exact) <= 0.05 * exact).cast("int").alias("est_within_tol"),
+        (F.col("n_distinct_est") == F.col("__direct_est"))
+        .cast("int")
+        .alias("merge_equals_direct"),
     )
 
 
@@ -1922,23 +1943,44 @@ def _q_pca_embeddings(spark, sf_dir):
 def _q_sketch_rollup_users(spark, sf_dir):
     """Two-level HLL mergeability (`kolang_spark/operators/
     sketches.py::sketch_rollup`, round-5 verdict item 8): per-day user
-    sketches merge up to monthly distinct-count estimates WITHOUT
+    sketches merge up to weekly distinct-count estimates WITHOUT
     re-scanning raw events — the second aggregation shuffles only
-    sketch bytes. Rows-only by design: Spark's Apache DataSketches HLL
-    estimate is not reproducible in DuckDB; the estimate's accuracy
-    band vs exact counts is pinned by tests/test_sketches.py."""
+    sketch bytes.
+
+    Oracle-backed via sketch *invariants* (round-7, same pattern as
+    pca_embeddings): the DataSketches estimate itself is not
+    reproducible in DuckDB, but per week the query emits (a) the EXACT
+    distinct count — pure SQL; (b) an accuracy flag |est − exact| ≤
+    5%·exact (lg_k=12 → ~1.6% expected error, so a healthy sketch
+    clears 5% with wide margin); (c) a merge-consistency flag:
+    rollup-from-daily-sketches == direct weekly sketch, the loss-free
+    merge property also unit-pinned in tests/test_sketches.py. A wrong
+    sketch, merge, or estimate flips a flag and breaks the hash."""
     from kolang_spark.operators import sketch_rollup
+    from kolang_spark.operators.sketches import hll_estimate, hll_sketch
 
     ev = _t(spark, sf_dir, "events").select(
         F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"),
         F.to_date("ts").alias("day"),
         "user_id",
     )
-    out = sketch_rollup(
+    rolled = sketch_rollup(
         ev, "user_id", fine_keys=["week", "day"], coarse_keys=["week"]
     )
-    return out.select(
-        "week", F.col("n_distinct_est").cast("bigint").alias("n_distinct_est")
+    direct = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("n_distinct_exact"),
+        hll_estimate(hll_sketch("user_id")).alias("__direct_est"),
+    )
+    j = rolled.join(direct, "week")
+    est = F.col("n_distinct_est").cast("double")
+    exact = F.col("n_distinct_exact").cast("double")
+    return j.select(
+        "week",
+        F.col("n_distinct_exact").cast("bigint").alias("n_distinct_exact"),
+        (F.abs(est - exact) <= 0.05 * exact).cast("int").alias("est_within_tol"),
+        (F.col("n_distinct_est") == F.col("__direct_est"))
+        .cast("int")
+        .alias("merge_equals_direct"),
     )
 
 
@@ -2257,9 +2299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     remainder of the r6 greens take r9. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
     tests/test_oracle_parity.py; the only rows-only queries left are
-    the five at the head of the tail (HLL estimates, float-cosine ANN
-    rankings — accuracy pinned by planted-corpus recall queries and
-    unit tests)."""
+    the three float-cosine ANN rankings (recall pinned externally by
+    the planted-corpus queries) — the HLL pair upgraded to
+    oracle-backed this round via exact-count/accuracy/merge
+    invariants, the same pattern as pca_embeddings."""
     return {
         # --- positions 1-50: the external window, all oracle-backed.
         # debuts (8): never yet externally green ---
@@ -2324,12 +2367,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_documents": _q_text_clean_documents,
         "token_stats_documents": _q_token_stats_documents,
         "unpivot_lineitem": _q_unpivot_lineitem,
-        # --- tail: rows-only (no oracle by design) ---
+        # --- tail: upgraded rows-only -> oracle-backed this round via
+        #     exact-count + accuracy + merge-consistency invariants;
+        #     never externally green, so r8 window priority alongside
+        #     the 7 leftovers above ---
         "hll_users_monthly": _q_hll_users_monthly,
+        "sketch_rollup_users": _q_sketch_rollup_users,
+        # --- tail: rows-only (no oracle by design: float-cosine ANN
+        #     rankings; recall pinned externally by the planted-corpus
+        #     queries) ---
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
-        "sketch_rollup_users": _q_sketch_rollup_users,
         # --- tail: r6 window greens (48) — fresh until r8; rotate
         #     back across rounds 8-9 ---
         "pii_scrub_documents": _q_pii_scrub_documents,
@@ -4056,6 +4105,27 @@ def oracle_sql() -> dict[str, str]:
         # Mirrors llm/terms.py::vocabulary (max_size=300, min_df=2):
         # same tokenization/lowering as the tfidf oracle, integer-only
         # total order makes the LIMIT deterministic.
+        # Mirror operators/sketches.py::sketch_rollup via invariants
+        # (the DataSketches estimate is not reproducible in DuckDB):
+        # exact distinct counts in SQL; accuracy + loss-free-merge
+        # flags computed Spark-side, constant-1 when the sketch is
+        # healthy.
+        "sketch_rollup_users": """
+            SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS n_distinct_exact,
+                   1 AS est_within_tol,
+                   1 AS merge_equals_direct
+            FROM events GROUP BY 1
+        """,
+        "hll_users_monthly": """
+            SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                     AS n_distinct_exact,
+                   1 AS est_within_tol,
+                   1 AS merge_equals_direct
+            FROM events GROUP BY 1
+        """,
         # Mirrors llm/pca.py invariants with k=dims (full rotation):
         # per-row projected norm == centered norm, Σλ == covariance
         # trace (same s2/n − μ² formula as pca_fit), orthonormality
