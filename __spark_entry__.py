@@ -1084,6 +1084,13 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-k (`kolang_spark/llm/similarity.py::
+    lsh_topk`, multi_probe=0). Oracle-backed since round 7: the plane
+    coefficients are deterministic md5-derived doubles inlined
+    identically in both engines (_lsh_sig_sql), so DuckDB rebuilds the
+    same buckets and replays the exact in-bucket cosine ranking with
+    the same (cos desc, vec_id) tie-break — the last LSH surface that
+    was still rows-only."""
     from kolang_spark.llm import lsh_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -1093,11 +1100,11 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
-    """IVF cell-probe ANN. Unlike LSH (`ann_lsh_topk`, rows-only), the
-    IVF index is fully deterministic from the data — stride-selected
-    centroids, cosine argmax assignment — so the DuckDB oracle rebuilds
-    the identical index and the result is hash-matched, recall < 1 and
-    all."""
+    """IVF cell-probe ANN. The index is fully deterministic from the
+    data — stride-selected centroids, cosine argmax assignment — so
+    the DuckDB oracle rebuilds the identical index and the result is
+    hash-matched, recall < 1 and all (ann_lsh_topk earned the same
+    treatment in round 7)."""
     from kolang_spark.llm import ivf_topk
 
     em = _t(spark, sf_dir, "embeddings")
@@ -2298,11 +2305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     those 7 leftovers first, then as many r6 greens as fit; the
     remainder of the r6 greens take r9. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
-    tests/test_oracle_parity.py; the only rows-only queries left are
-    the three float-cosine ANN rankings (recall pinned externally by
-    the planted-corpus queries) — the HLL pair upgraded to
-    oracle-backed this round via exact-count/accuracy/merge
-    invariants, the same pattern as pca_embeddings."""
+    tests/test_oracle_parity.py; only TWO rows-only queries remain
+    (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable —
+    and multimodal_blob_embed_ann — sanctioned-Python features;
+    recall pinned externally by the planted-corpus queries). Upgraded
+    to oracle-backed this round: the HLL pair via exact-count/
+    accuracy/merge invariants (same pattern as pca_embeddings) and
+    ann_lsh_topk via a full DuckDB replay of the md5-plane buckets."""
     return {
         # --- positions 1-50: the external window, all oracle-backed.
         # debuts (8): never yet externally green ---
@@ -2373,10 +2382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the 7 leftovers above ---
         "hll_users_monthly": _q_hll_users_monthly,
         "sketch_rollup_users": _q_sketch_rollup_users,
-        # --- tail: rows-only (no oracle by design: float-cosine ANN
-        #     rankings; recall pinned externally by the planted-corpus
-        #     queries) ---
+        # ann_lsh_topk also upgraded r7: the DuckDB oracle rebuilds
+        # the identical md5-derived plane buckets and replays the
+        # in-bucket cosine ranking ---
         "ann_lsh_topk": _q_ann_lsh_topk,
+        # --- tail: rows-only (no oracle by design — sampled-k-means
+        #     Lloyd iterations / sanctioned-Python feature extraction
+        #     are not SQL-replayable; recall pinned externally by the
+        #     planted-corpus queries) ---
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         # --- tail: r6 window greens (48) — fresh until r8; rotate
@@ -3271,6 +3284,34 @@ def oracle_sql() -> dict[str, str]:
                        /(sqrt(list_dot_product(q.v, q.v))
                          *sqrt(list_dot_product(b.v, b.v))) AS cos_raw
               FROM e b CROSS JOIN q
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        # Mirrors llm/similarity.py::lsh_topk at multi_probe=0: the
+        # SAME md5-derived plane coefficients bucket both engines
+        # identically (see _lsh_sig_sql); exact cosine ranking within
+        # the query's own bucket, (cos desc, vec_id) tie-break.
+        "ann_lsh_topk": f"""
+            WITH e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), e AS (
+              SELECT vec_id, v, {_lsh_sig_sql("v", 3, 64)} AS bucket
+              FROM e0
+            ), q AS (
+              SELECT vec_id AS query_id, v, bucket FROM e
+              WHERE vec_id % 100 = 0
+            ), scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM e c JOIN q ON c.bucket = q.bucket
             ), ranked AS (
               SELECT query_id, vec_id, cos_raw,
                      ROW_NUMBER() OVER (PARTITION BY query_id
