@@ -1994,8 +1994,14 @@ def _q_sketch_rollup_users(spark, sf_dir):
 def _q_multimodal_blob_embed_ann(spark, sf_dir):
     """The full multimodal chain: pack blobs → Arrow-batched REAL
     feature extraction (strided byte-fold signature) → LSH ANN top-k
-    over the resulting vectors. Rows-only check (sanctioned mapInPandas
-    stage)."""
+    over the resulting vectors. Oracle-backed since round 7 despite
+    the sanctioned mapInPandas stage: the fold is exact integer
+    arithmetic (per-residue byte sums are < 2^53 so numpy's pairwise
+    mean equals any-order SQL SUM bit-for-bit, and the trailing
+    /r /255.0 divisions are replayed in the same order), so DuckDB
+    rebuilds the identical 16-dim features from hex(encode(text)),
+    re-derives the same md5-plane buckets, and replays the in-bucket
+    cosine ranking."""
     from kolang_spark.llm import lsh_topk
     from kolang_spark.llm.multimodal import extract_features, pack_blob
 
@@ -2305,13 +2311,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     those 7 leftovers first, then as many r6 greens as fit; the
     remainder of the r6 greens take r9. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
-    tests/test_oracle_parity.py; only TWO rows-only queries remain
-    (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable —
-    and multimodal_blob_embed_ann — sanctioned-Python features;
-    recall pinned externally by the planted-corpus queries). Upgraded
-    to oracle-backed this round: the HLL pair via exact-count/
-    accuracy/merge invariants (same pattern as pca_embeddings) and
-    ann_lsh_topk via a full DuckDB replay of the md5-plane buckets."""
+    tests/test_oracle_parity.py; exactly ONE rows-only query remains
+    (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable;
+    its recall is pinned externally by ann_ivf_recall_planted).
+    Upgraded to oracle-backed this round: the HLL pair via
+    exact-count/accuracy/merge invariants (same pattern as
+    pca_embeddings), ann_lsh_topk via a full DuckDB replay of the
+    md5-plane buckets, and multimodal_blob_embed_ann via an exact
+    byte-fold feature replay from hex(encode(text))."""
     return {
         # --- positions 1-50: the external window, all oracle-backed.
         # debuts (8): never yet externally green ---
@@ -2382,15 +2389,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the 7 leftovers above ---
         "hll_users_monthly": _q_hll_users_monthly,
         "sketch_rollup_users": _q_sketch_rollup_users,
-        # ann_lsh_topk also upgraded r7: the DuckDB oracle rebuilds
-        # the identical md5-derived plane buckets and replays the
-        # in-bucket cosine ranking ---
+        # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
+        # DuckDB rebuilds the identical md5-plane buckets (and, for
+        # the blob chain, the exact byte-fold features) and replays
+        # the in-bucket cosine rankings ---
         "ann_lsh_topk": _q_ann_lsh_topk,
-        # --- tail: rows-only (no oracle by design — sampled-k-means
-        #     Lloyd iterations / sanctioned-Python feature extraction
-        #     are not SQL-replayable; recall pinned externally by the
-        #     planted-corpus queries) ---
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        # --- tail: the ONE remaining rows-only query (sampled-k-means
+        #     Lloyd iterations are not SQL-replayable; its recall is
+        #     pinned externally by ann_ivf_recall_planted) ---
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         # --- tail: r6 window greens (48) — fresh until r8; rotate
         #     back across rounds 8-9 ---
@@ -3292,6 +3299,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # Mirrors the full multimodal chain: blob bytes are
+        # hex(encode(text)); llm/multimodal.py::extract_features folds
+        # them as f[k] = mean(bytes at positions ≡ k mod 16)/255 —
+        # integer sums are order-exact in float64, and the /r /255.0
+        # divisions replay in numpy's order — then lsh_topk(k=3,
+        # n_planes=3, dims=16) replays exactly as in ann_lsh_topk.
+        "multimodal_blob_embed_ann": f"""
+            WITH raw AS (
+              SELECT doc_id, hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n
+              FROM documents
+            ), feat AS (
+              SELECT doc_id,
+                     [(CAST(CAST(coalesce(list_sum(
+                          [CAST('0x' || substr(hx, 2*j + 1, 2) AS INT)
+                           for j in range(k, n, 16)]), 0) AS BIGINT)
+                        AS DOUBLE)
+                       / ((n + 15) // 16)) / 255.0
+                      for k in range(0, 16)] AS v
+              FROM raw WHERE n > 0
+            ), e AS (
+              SELECT doc_id AS vec_id, v,
+                     {_lsh_sig_sql("v", 3, 16)} AS bucket
+              FROM feat
+            ), q AS (
+              SELECT vec_id AS query_id, v, bucket FROM e
+              WHERE vec_id % 200 = 0
+            ), scored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM e c JOIN q ON c.bucket = q.bucket
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 3
         """,
         # Mirrors llm/similarity.py::lsh_topk at multi_probe=0: the
         # SAME md5-derived plane coefficients bucket both engines
