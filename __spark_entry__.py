@@ -481,6 +481,42 @@ def _q_boilerplate_lines_documents(spark, sf_dir):
     )
 
 
+def _q_split_documents(spark, sf_dir):
+    """Deterministic train/val/test assignment
+    (`kolang_spark/operators/sampling.py::split_dataset`): each doc_id
+    hashes stably into one split (80/10/10), reproducible across runs,
+    partitionings, and engines — the reproducible alternative to
+    randomSplit. One Project over the scan; the oracle recomputes the
+    identical md5 bucket against the identical cumulative-threshold
+    integers."""
+    from kolang_spark.operators.sampling import split_dataset
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_dataset(
+        dc, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def _q_mix_documents_by_lang(spark, sf_dir):
+    """Domain-reweighted training mixture
+    (`kolang_spark/operators/sampling.py::mix_datasets`): resample the
+    corpus so language proportions hit the 40/20/20/10/10 target at
+    the maximum achievable volume (the limiting language is kept
+    whole, the rest hash-downsampled). The oracle re-derives the exact
+    per-language thresholds from the same counts/weights double
+    arithmetic and replays the md5 gate, so membership is
+    bit-exact."""
+    from kolang_spark.operators.sampling import mix_datasets
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_datasets(
+        dc,
+        "lang",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+        "doc_id",
+    )
+
+
 def _q_stratified_sample_documents(spark, sf_dir):
     """Training-mixture control
     (`kolang_spark/operators/sampling.py::stratified_sample`): per-lang
@@ -2389,6 +2425,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     the 7 leftovers above ---
         "hll_users_monthly": _q_hll_users_monthly,
         "sketch_rollup_users": _q_sketch_rollup_users,
+        # --- tail: new-this-round operators (oracle-backed, never yet
+        #     externally green — r8 window priority with the rest) ---
+        "split_documents": _q_split_documents,
+        "mix_documents_by_lang": _q_mix_documents_by_lang,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -2637,7 +2677,19 @@ def _lsh_sig_sql(vec: str = "v", n_planes: int = 4, dims: int = 64) -> str:
     return " + ".join(cases)
 
 
+def _split_bounds(fracs: "list[float]") -> "list[int]":
+    """Replicate split_dataset's cumulative-threshold fold exactly (the
+    same left-to-right float additions), so the oracle inlines the
+    identical 60-bit integers."""
+    out, cum = [], 0.0
+    for f in fracs[:-1]:
+        cum += f
+        out.append(int(cum * (1 << 60)))
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
+    _sb = _split_bounds([0.8, 0.1, 0.1])
     return {
         "percent_by_returnflag": """
             SELECT l_returnflag, COUNT(*) AS cnt,
@@ -3802,6 +3854,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Mirrors operators/sampling.py::stratified_sample: identical
         # 60-bit md5 bucket, identical per-stratum CASE thresholds.
+        # Mirrors operators/sampling.py::split_dataset: same md5
+        # 60-bit bucket, same cumulative thresholds (inlined integers
+        # from the identical Python float fold).
+        "split_documents": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                       ::BIGINT AS b
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN b < {_sb[0]} THEN 'train'
+                        WHEN b < {_sb[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        # Mirrors operators/sampling.py::mix_datasets: per-language
+        # counts -> T = min(n/p) -> frac = least(1, T*p/n) -> 60-bit
+        # threshold, all in the same double-arithmetic order as the
+        # Python driver side, then the shared md5 gate.
+        "mix_documents_by_lang": """
+            WITH w AS (
+              SELECT lang, CAST(p AS DOUBLE) AS p
+              FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+                           ('de', 0.1), ('fr', 0.1)) AS t(lang, p)
+            ), cnt AS (
+              SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents d JOIN w ON d.lang = w.lang
+              GROUP BY 1
+            ), cap AS (
+              SELECT MIN(n / p) AS t FROM cnt JOIN w USING (lang)
+            ), thr AS (
+              SELECT lang,
+                     CAST(floor(LEAST(1.0, (SELECT t FROM cap) * p / n)
+                                * 1152921504606846976) AS BIGINT) AS bound
+              FROM cnt JOIN w USING (lang)
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))
+                    ::BIGINT < bound
+        """,
         "stratified_sample_documents": f"""
             SELECT doc_id, lang
             FROM documents

@@ -20,6 +20,8 @@ __all__ = [
     "stratified_sample",
     "stratified_fixed_sample",
     "weighted_sample",
+    "split_dataset",
+    "mix_datasets",
 ]
 
 
@@ -205,3 +207,106 @@ def weighted_sample(
             .drop("__ks_rn", "__ks_ekey")
         )
     return src.orderBy(F.col("__ks_ekey").desc()).limit(k).drop("__ks_ekey")
+
+
+def split_dataset(
+    df: DataFrame,
+    key: ColumnOrName,
+    splits: "dict[str, float]",
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible
+    alternative to ``randomSplit`` (which re-draws every run and
+    shifts with partitioning): each key hashes into one split, stably
+    across runs, partitionings, and engines, and consistently across
+    any table sharing the key (a document and its embeddings land in
+    the same split).
+
+    ``splits`` maps name → fraction (must sum to 1 within 1e-9;
+    insertion order fixes the hash-range layout, so changing only a
+    later split's fraction never reassigns rows between earlier ones —
+    growing val from 0.1 to 0.2 moves rows from test only). The last
+    split absorbs the rounding remainder of the hash range, so every
+    row is assigned — no NULLs, no lost float-edge rows.
+
+    Plan: one Project over the scan (an md5 + CASE chain). No shuffle,
+    no sampling state.
+    """
+    fracs = list(splits.items())
+    if len(fracs) < 2:
+        raise ValueError("need at least two splits")
+    for name, f in fracs:
+        if not 0.0 < f <= 1.0:
+            raise ValueError(f"split {name!r} fraction must be in (0, 1]")
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {total})")
+    h = _hash60(key, salt)
+    expr = F.lit(fracs[-1][0])
+    cum = 0.0
+    bounds = []
+    for name, f in fracs[:-1]:
+        cum += f
+        bounds.append((name, int(cum * (1 << 60))))
+    for name, bound in reversed(bounds):
+        expr = F.when(h < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn(out, expr)
+
+
+def mix_datasets(
+    df: DataFrame,
+    domain: ColumnOrName,
+    weights: "dict[str, float]",
+    key: ColumnOrName,
+    salt: str = "",
+) -> DataFrame:
+    """Domain-reweighted mixture at maximum volume — the training-mix
+    knob: given target proportions per domain (language, source,
+    quality bucket), keep the largest deterministic subset whose
+    composition matches the target.
+
+    The limiting domain is the one with the smallest ``n_d / p_d``
+    (it is kept whole); every other domain is hash-downsampled to
+    ``T·p_d / n_d`` where ``T = min_d(n_d / p_d)`` is the achievable
+    total. Domains absent from ``weights`` (or weighted 0) are
+    dropped. Selection uses the same md5 hash-gate as
+    :func:`stratified_sample` — stable across runs, partitionings,
+    and engines, and composable across tables sharing the key.
+
+    Plan: one map-side-combinable groupBy(domain).count() whose
+    driver payload is bounded by the domain count (the same
+    bounded-collect pattern as the k-means centroid sync), then one
+    Project (md5 + CASE) over the scan. The fractions are plain
+    double arithmetic on the counts, so an external oracle can
+    re-derive the exact thresholds.
+    """
+    for name, p in weights.items():
+        if p < 0:
+            raise ValueError(f"weight for domain {name!r} must be >= 0")
+    if sum(weights.values()) <= 0:
+        raise ValueError("weights must sum to > 0")
+    d = to_col(domain)
+    counts = {
+        r["__ks_dom__"]: r["n"]
+        for r in df.where(d.isin(*weights.keys()))
+        .groupBy(d.alias("__ks_dom__"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per listed domain
+    }
+    capacity = [
+        counts[name] / p
+        for name, p in weights.items()
+        if p > 0 and counts.get(name)
+    ]
+    if not capacity:
+        raise ValueError("no listed domain present in the data")
+    t = min(capacity)
+    fractions = {
+        name: min(1.0, t * p / counts[name])
+        for name, p in weights.items()
+        if p > 0 and counts.get(name)
+    }
+    return stratified_sample(
+        df, domain, fractions, key, default_fraction=0.0, salt=salt
+    )

@@ -249,3 +249,86 @@ def test_skew_report_identifies_hot_keys(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         skew_report(df, ["k"], top_k=0)
+
+
+def test_split_dataset_assigns_stably_and_locally(spark, sf_dir):
+    """Every row gets exactly one split, proportions track the
+    fractions, assignment is identical across calls and across tables
+    sharing the key, and growing a later split never reassigns rows
+    between earlier ones (the hash-range layout contract)."""
+    from kolang_spark.operators.sampling import split_dataset
+
+    dc = read_table(spark, sf_dir, "documents").select("doc_id")
+    out = split_dataset(dc, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r.doc_id: r.split for r in out.collect()}
+    n = len(rows)
+    assert n == dc.count()  # no NULLs, no lost rows
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert abs(c["train"] / n - 0.8) < 0.08
+    assert set(c) == {"train", "val", "test"}
+    again = {r.doc_id: r.split for r in
+             split_dataset(dc, "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == rows
+    # growing val (0.1 -> 0.15) at test's expense: train unchanged,
+    # moves flow only test -> val
+    grown = {r.doc_id: r.split for r in
+             split_dataset(dc, "doc_id",
+                           {"train": 0.8, "val": 0.15, "test": 0.05}).collect()}
+    for k, s in rows.items():
+        if s == "train":
+            assert grown[k] == "train"
+        elif s == "val":
+            assert grown[k] == "val"
+        else:
+            assert grown[k] in ("val", "test")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_dataset(dc, "doc_id", {"train": 1.0})
+    with _pytest.raises(ValueError):
+        split_dataset(dc, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_mix_datasets_hits_target_proportions(spark, sf_dir):
+    """The mixture matches the target proportions at max volume: the
+    limiting domain is kept whole, every other domain downsampled to
+    the exact computed fraction, unlisted domains dropped, and the
+    selection is deterministic."""
+    from collections import Counter
+
+    from kolang_spark.operators.sampling import mix_datasets
+
+    dc = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    weights = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+    out = mix_datasets(dc, "lang", weights, "doc_id")
+    got = [(r.doc_id, r.lang) for r in out.collect()]
+    langs = Counter(l for _, l in got)
+    assert set(langs) <= set(weights)
+    src = Counter(r.lang for r in dc.collect())
+    t = min(src[l] / p for l, p in weights.items())
+    # the limiting domain survives whole
+    limiting = min(weights, key=lambda l: src[l] / weights[l])
+    assert langs[limiting] == src[limiting]
+    # achieved proportions track the target (hash sampling is
+    # binomial around the exact fraction)
+    total = sum(langs.values())
+    for l, p in weights.items():
+        assert abs(langs[l] / total - p) < 0.07, (l, langs[l] / total, p)
+    # deterministic
+    again = [(r.doc_id, r.lang) for r in
+             mix_datasets(dc, "lang", weights, "doc_id").collect()]
+    assert sorted(again) == sorted(got)
+    # unlisted domain dropped entirely
+    sub = mix_datasets(dc, "lang", {"en": 0.7, "zh": 0.3}, "doc_id")
+    assert set(r.lang for r in sub.collect()) <= {"en", "zh"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mix_datasets(dc, "lang", {"en": -0.1}, "doc_id")
+    with _pytest.raises(ValueError):
+        mix_datasets(dc, "lang", {"nope": 1.0}, "doc_id")
