@@ -1172,6 +1172,30 @@ def _q_multimodal_blob_metadata(spark, sf_dir):
     return blob_metadata(packed.select("doc_id", "content"))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """REAL decode + exact-integer nearest-neighbor resize
+    (`kolang_spark/llm/multimodal.py::resize_image`): every doc gets a
+    valid synthetic P6 PPM, the Arrow stage decodes it and resamples
+    to 3×2 at cell centers, and EVERY resized byte is emitted as its
+    own row (posexplode). The oracle predicts each byte closed-form
+    from doc_id alone (source pixel (2d+1)·S//(2D) per axis over the
+    (id*7 + i*13) % 256 pixel stream), so a wrong decode offset,
+    sampling rule, or channel order hash-mismatches on 18 bytes per
+    document."""
+    from kolang_spark.llm.multimodal import resize_image, synth_ppm_blobs
+
+    dc = _t(spark, sf_dir, "documents")
+    out = resize_image(synth_ppm_blobs(dc.select("doc_id")), width=3, height=2)
+    return out.select(
+        "doc_id",
+        "format",
+        "src_width",
+        "src_height",
+        "n_channels",
+        F.posexplode("pixels").alias("idx", "value"),
+    )
+
+
 def _q_multimodal_decode(spark, sf_dir):
     """REAL image decode, oracle-backed: every row gets a valid binary
     P6 PPM built natively in Column expressions from its doc_id
@@ -2432,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     externally green — r8 window priority with the rest) ---
         "split_documents": _q_split_documents,
         "mix_documents_by_lang": _q_mix_documents_by_lang,
+        "multimodal_resize": _q_multimodal_resize,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -3472,6 +3497,33 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    substr(hex(encode(text)), 1, 8) AS header_hex
             FROM documents
+        """,
+        # Mirrors llm/multimodal.py::resize_image over synth_ppm_blobs:
+        # output order (r, c, ch) row-major over (2, 3, 3), source
+        # pixel (2d+1)*S // (2*D) per axis, byte value
+        # (id*7 + ((y*w + x)*3 + ch)*13) % 256 — every resized byte
+        # predicted closed-form from doc_id.
+        "multimodal_resize": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(4 + doc_id % 8 AS INT) AS w,
+                     CAST(4 + doc_id % 5 AS INT) AS h
+              FROM documents
+            ), px AS (
+              SELECT doc_id, w, h,
+                     unnest([{'idx': i,
+                              'value': CAST((doc_id*7
+                                 + ((((2*(i//9)+1)*h//4) * w
+                                     + ((2*((i%9)//3)+1)*w//6))*3
+                                    + i%3)*13) % 256 AS INT)}
+                             for i in range(0, 18)],
+                            recursive := true)
+              FROM dims
+            )
+            SELECT doc_id, 'ppm' AS format, w AS src_width,
+                   h AS src_height, 3 AS n_channels,
+                   CAST(idx AS INT) AS idx, value
+            FROM px
         """,
         # Predicts every statistic of the REAL PPM decode closed-form
         # from doc_id (synth_ppm_blobs layout: w=4+id%8, h=4+id%5,

@@ -64,6 +64,7 @@ from kolang_spark.llm.decontam import ngram_contamination  # noqa: F401
 from kolang_spark.llm.multimodal import (  # noqa: F401
     audio_frame_features,
     image_ahash,
+    resize_image,
 )
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401

@@ -1317,6 +1317,83 @@ def audio_frame_features(
     return src.mapInPandas(frame_batches, schema=_AUDIO_FRAME_SCHEMA)
 
 
+_RESIZE_SCHEMA = (
+    "doc_id long, format string, src_width int, src_height int, "
+    "width int, height int, n_channels int, pixels array<int>"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+) -> DataFrame:
+    """Decode + resize per image blob — the thumbnail/normalization
+    step before batched feature extraction, run inside the sanctioned
+    Arrow ``mapInPandas`` boundary (PPM/BMP/PNG/baseline-JPEG via the
+    same parsers as :func:`decode_image`).
+
+    Resize is **exact-integer nearest-neighbor at cell centers** —
+    source index ``(2·dst+1)·S // (2·D)`` per axis, the same
+    division-free rule :func:`image_ahash` uses — so every output byte
+    is reproducible by any engine (bilinear would add float rounding
+    for no benefit at thumbnail scale). The rule is defined for
+    upscales and images smaller than the target, and resizing to the
+    source dims is the identity. Channels pass through unchanged.
+
+    Output: one row per blob with source/target dims and the resized
+    pixel bytes row-major ``(y, x, channel)`` as ``array<int>``
+    (``height·width·n_channels`` values in 0..255). Undecodable blobs
+    yield ``format='unknown'`` with NULL dims/pixels.
+    """
+    if width < 1 or height < 1:
+        raise ValueError("width and height must be >= 1")
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys_base = 2 * np.arange(height) + 1
+        xs_base = 2 * np.arange(width) + 1
+        for pdf in batches:
+            n_rows = len(pdf)
+            fmt = np.empty(n_rows, dtype=object)
+            sw = np.full(n_rows, None, dtype=object)
+            sh = np.full(n_rows, None, dtype=object)
+            nc = np.full(n_rows, None, dtype=object)
+            px_out = np.full(n_rows, None, dtype=object)
+            for i, b in enumerate(pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                parsed = _parse_image(b)
+                if parsed is None:
+                    fmt[i] = "unknown"
+                    continue
+                kind, w, h, ch, px = parsed
+                fmt[i], sw[i], sh[i], nc[i] = kind, w, h, ch
+                arr = px.reshape(h, w, ch)
+                ys = ys_base * h // (2 * height)
+                xs = xs_base * w // (2 * width)
+                px_out[i] = [int(v) for v in arr[np.ix_(ys, xs)].reshape(-1)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": fmt,
+                    "src_width": sw,
+                    "src_height": sh,
+                    "width": np.where(
+                        np.array([f != "unknown" for f in fmt]), width, None
+                    ),
+                    "height": np.where(
+                        np.array([f != "unknown" for f in fmt]), height, None
+                    ),
+                    "n_channels": nc,
+                    "pixels": px_out,
+                }
+            )
+
+    return src.mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
+
+
 _AHASH_SCHEMA = "doc_id long, format string, width int, height int, ahash long"
 
 

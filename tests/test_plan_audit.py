@@ -34,6 +34,9 @@ PANDAS_ALLOWED = {
     # perceptual hashing decodes image bytes (same boundary); the
     # downstream Hamming band join is pure Column algebra
     "multimodal_ahash_pairs",
+    # decode + nearest-neighbor resample: same sanctioned media
+    # boundary as the decoders
+    "multimodal_resize",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The

@@ -467,3 +467,45 @@ def test_weighted_sample_equals_python_reference(spark):
     keys = {i: math.log(u(i)) / ((i % 10) + 1) for i in range(120)}
     expect = sorted(sorted(keys, key=lambda i: -keys[i])[:15])
     assert got == expect
+
+
+def test_resize_image_exact_nn_and_identity(spark):
+    """Nearest-neighbor resize against hand-computed cell-center
+    samples; identity at source dims; upscale defined; poison-blob
+    contract; channel order preserved."""
+    from kolang_spark.llm.multimodal import resize_image
+
+    # 4x2 RGB PPM: pixel (y,x) has r=10*y+x, g=100+10*y+x, b=200+10*y+x
+    px = bytes(
+        v
+        for y in range(2)
+        for x in range(4)
+        for v in (10 * y + x, 100 + 10 * y + x, 200 + 10 * y + x)
+    )
+    blob = b"P6\n4 2\n255\n" + px
+    rows = [(1, bytearray(blob)), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    # downscale to 2x1: ys = [(2*0+1)*2//2] = [1]; xs = [(2c+1)*4//4] = [1, 3]
+    out = {r.doc_id: r for r in resize_image(df, width=2, height=1).collect()}
+    r1 = out[1]
+    assert (r1.format, r1.src_width, r1.src_height) == ("ppm", 4, 2)
+    assert (r1.width, r1.height, r1.n_channels) == (2, 1, 3)
+    assert r1.pixels == [11, 111, 211, 13, 113, 213]  # (y=1,x=1), (y=1,x=3)
+    assert out[2].format == "unknown" and out[2].pixels is None
+
+    # identity: resize to source dims returns the original byte stream
+    ident = resize_image(df.where("doc_id = 1"), width=4, height=2).first()
+    assert ident.pixels == list(px)
+
+    # upscale height 2->3 at width 1: xs = [(2*0+1)*4//2] = [2];
+    # ys = [(2r+1)*2//6 for r in 0..2] = [0, 1, 1] -> center column,
+    # middle row repeated
+    up = resize_image(df.where("doc_id = 1"), width=1, height=3).first()
+    p = lambda y, x: list(px[(y * 4 + x) * 3 : (y * 4 + x) * 3 + 3])  # noqa: E731
+    assert up.pixels == p(0, 2) + p(1, 2) + p(1, 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resize_image(df, width=0, height=2)
