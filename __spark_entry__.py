@@ -2368,11 +2368,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window slots (percent_by_returnflag, exact_dedup_documents,
     fingerprint_documents, lang_id_documents, text_clean_documents,
     token_stats_documents, unpivot_lineitem). Round-8 obligation:
-    those 7 leftovers first, then the 6 late-r7 oracle-backed tail
+    those 7 leftovers first, then the 7 late-r7 oracle-backed tail
     debuts that have never been externally green (split_documents,
-    mix_documents_by_lang, hll_users_monthly, sketch_rollup_users,
-    ann_lsh_topk, multimodal_blob_embed_ann), then as many r6 greens
-    as fit; the remainder of the r6 greens take r9. Everything in the tail still
+    mix_documents_by_lang, multimodal_resize, hll_users_monthly,
+    sketch_rollup_users, ann_lsh_topk, multimodal_blob_embed_ann),
+    then as many r6 greens as fit; the remainder of the r6 greens
+    take r9. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
     tests/test_oracle_parity.py; exactly ONE rows-only query remains
     (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable;

@@ -916,7 +916,12 @@ def incremental_exact_dedup(
     )
     if bloom_path is not None:
         # freeze the novel set once: it feeds two writes, and the state
-        # append below must not be re-read by the bloom append's plan
+        # append below must not be re-read by the bloom append's plan.
+        # Write ORDER matters for crash safety: bloom bits first — a
+        # crash between the appends leaves bits without fingerprints
+        # (harmless false positives); the reverse would leave state
+        # fingerprints the bloom can't see (false negatives = missed
+        # duplicates forever).
         novel = novel.localCheckpoint(eager=True)
         from kolang_spark.operators.sketches import bloom_table as _bt
 
