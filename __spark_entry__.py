@@ -1986,8 +1986,9 @@ def _q_pca_embeddings(spark, sf_dir):
     from kolang_spark.llm import pca_fit, pca_project
     from kolang_spark.utils import ensure_min_parallelism
 
-    # full-rank projection is 64 dot products per row — spread a
-    # single-split parquet input across cores (no-op at scale)
+    # for the PROJECTION scan: 64 dot products per row must not run on
+    # one split (pca_fit guards its own moment pass internally; this
+    # wrapper covers the second, projection-side consumption of em)
     em = ensure_min_parallelism(
         _t(spark, sf_dir, "embeddings").where(F.col("embedding").isNotNull())
     )
@@ -2259,16 +2260,18 @@ def _q_incremental_exact_batches(spark, sf_dir):
     from kolang_spark.llm.dedup import incremental_exact_dedup
 
     base = tempfile.mkdtemp(prefix="ks_incr_ex_q_")
-    state = os.path.join(base, "state")
-    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    frozen = []
-    for batch_no, parity in ((1, 0), (2, 1)):
-        b = dc.where(F.col("doc_id") % 2 == parity)
-        m = incremental_exact_dedup(spark, b, state).select(
-            "doc_id", F.lit(batch_no).alias("batch"), "is_duplicate"
-        )
-        frozen.append(m.localCheckpoint(eager=True))
-    shutil.rmtree(base, ignore_errors=True)
+    try:
+        state = os.path.join(base, "state")
+        dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = dc.where(F.col("doc_id") % 2 == parity)
+            m = incremental_exact_dedup(spark, b, state).select(
+                "doc_id", F.lit(batch_no).alias("batch"), "is_duplicate"
+            )
+            frozen.append(m.localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return frozen[0].union(frozen[1])
 
 
@@ -2295,25 +2298,28 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     from kolang_spark.llm.dedup import incremental_minhash_dedup
 
     base = tempfile.mkdtemp(prefix="ks_incr_mh_q_")
-    state = os.path.join(base, "state")
-    # deterministic half-corpus (doc_id % 4 < 2): the replay semantics
-    # are fully exercised at half the banding cost — the op itself runs
-    # the full corpus in production
-    dc = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 4 < 2)
-        .select("doc_id", "text")
-    )
-    frozen = []
-    for batch_no, parity in ((1, 0), (2, 1)):
-        b = dc.where(F.col("doc_id") % 4 == parity)
-        m = incremental_minhash_dedup(spark, b, state).select(
-            "doc_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
+    try:
+        state = os.path.join(base, "state")
+        # deterministic half-corpus (doc_id % 4 < 2): the replay
+        # semantics are fully exercised at half the banding cost — the
+        # op itself runs the full corpus in production
+        dc = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 4 < 2)
+            .select("doc_id", "text")
         )
-        # freeze this batch's flags BEFORE the next call appends to the
-        # state (eager localCheckpoint: one job, no scratch read-back)
-        frozen.append(m.localCheckpoint(eager=True))
-    shutil.rmtree(base, ignore_errors=True)
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = dc.where(F.col("doc_id") % 4 == parity)
+            m = incremental_minhash_dedup(spark, b, state).select(
+                "doc_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
+            )
+            # freeze this batch's flags BEFORE the next call appends to
+            # the state (eager localCheckpoint: one job, no scratch
+            # read-back)
+            frozen.append(m.localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
     return frozen[0].union(frozen[1])
 
 

@@ -796,6 +796,35 @@ def embedding_near_dup_pairs(
     )
 
 
+def _bloom_meta_path(bloom_path: str) -> str:
+    # leading underscore: Spark's file listing skips _-prefixed files,
+    # so the meta can live inside the parquet dir without breaking reads
+    import os
+
+    return os.path.join(bloom_path, "_ks_bloom_meta.json")
+
+
+def _write_bloom_meta(bloom_path: str, n_bits: int, k: int) -> None:
+    import json
+
+    with open(_bloom_meta_path(bloom_path), "w") as f:
+        json.dump({"n_bits": n_bits, "k": k}, f)
+
+
+def _bloom_meta_matches(bloom_path: str, n_bits: int, k: int) -> bool:
+    import json
+    import os
+
+    if not os.path.exists(bloom_path):
+        return False
+    try:
+        with open(_bloom_meta_path(bloom_path)) as f:
+            meta = json.load(f)
+        return meta.get("n_bits") == n_bits and meta.get("k") == k
+    except (OSError, ValueError):
+        return False
+
+
 def incremental_exact_dedup(
     spark,
     new_df: DataFrame,
@@ -834,10 +863,15 @@ def incremental_exact_dedup(
     the billion-row state is *scanned but never shuffled*. False
     positives only cost a redundant join probe, never a wrong flag
     (the equi-join re-verifies every maybe); results are byte-equal to
-    the unfiltered path. A pre-existing bloom-less state upgrades
-    transparently (the filter is built once from the state, then
-    maintained incrementally). ``bloom_bits``/``bloom_k`` must stay
-    constant across batches of one state dir.
+    the unfiltered path. The sidecar is a *derived cache* with
+    self-healing semantics: its parameters are recorded in an in-dir
+    meta file, and any mismatch (different ``bloom_bits``/``bloom_k``,
+    foreign or half-written dir) triggers a rebuild from state; a
+    bloom-less run invalidates the sidecar (it could not keep it in
+    sync, and a stale sidecar would mean permanent false negatives);
+    and past 64 files the append-only bit table compacts back to its
+    ≤ ``bloom_bits``-row distinct form. Every crash window loses at
+    most the cache, never correctness.
     """
     import os
 
@@ -854,6 +888,14 @@ def incremental_exact_dedup(
 
     bloom_path = None
     if bloom_bits is None:
+        # the bloom sidecar is a CACHE derived from state; a bloom-less
+        # run appends fingerprints the sidecar would never see, so a
+        # surviving sidecar would later report them "certainly absent"
+        # — permanent false negatives. Invalidate it; the next
+        # bloom-enabled run rebuilds from state.
+        import shutil as _shutil
+
+        _shutil.rmtree(state_path.rstrip("/") + "_bloom", ignore_errors=True)
         pre = batch.join(
             state_flagged, batch["fingerprint"] == state["__fp__"], "left"
         ).drop("__fp__")
@@ -864,14 +906,20 @@ def incremental_exact_dedup(
         )
 
         bloom_path = state_path.rstrip("/") + "_bloom"
+        if not _bloom_meta_matches(bloom_path, bloom_bits, bloom_k):
+            # sidecar missing, param-mismatched, or meta-less (written
+            # by an older/foreign process): rebuild from state — the
+            # sidecar is derivable, so rebuilding is always correct
+            import shutil as _shutil
+
+            _shutil.rmtree(bloom_path, ignore_errors=True)
+            if os.path.exists(state_path):
+                bloom_table(
+                    state, "__fp__", n_bits=bloom_bits, k=bloom_k
+                ).write.mode("overwrite").parquet(bloom_path)
+                _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
         if os.path.exists(bloom_path):
             bloom = spark.read.parquet(bloom_path).distinct()
-        elif os.path.exists(state_path):
-            # legacy bloom-less state: build the filter once, persist,
-            # maintain incrementally from here on
-            bloom = bloom_table(state, "__fp__", n_bits=bloom_bits, k=bloom_k)
-            bloom.write.mode("overwrite").parquet(bloom_path)
-            bloom = spark.read.parquet(bloom_path)
         else:
             bloom = spark.createDataFrame([], "bit bigint")
         probe = bloom_might_contain(
@@ -928,8 +976,41 @@ def incremental_exact_dedup(
         _bt(novel, "fingerprint", n_bits=bloom_bits, k=bloom_k).write.mode(
             "append"
         ).parquet(bloom_path)
+        if not os.path.exists(_bloom_meta_path(bloom_path)):
+            _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
+        _maybe_compact_bloom(spark, bloom_path, bloom_bits, bloom_k)
     novel.write.mode("append").parquet(state_path)
     return marked
+
+
+def _maybe_compact_bloom(
+    spark, bloom_path: str, n_bits: int, k: int, max_files: int = 64
+) -> None:
+    """Keep the append-only bloom sidecar bounded: each batch appends
+    its novel bits, so without compaction the dir grows one file per
+    batch and O(k·accepted) rows — at exactly the extreme-state scale
+    the pre-filter targets. Past ``max_files`` parquet files, rewrite
+    to the ≤ ``n_bits``-row distinct bit table (tmp-dir + swap). A
+    crash mid-swap only loses the CACHE: the next bloom-enabled call
+    sees a missing/meta-less dir and rebuilds from state, so every
+    failure mode self-heals to correct behavior."""
+    import os
+    import shutil
+
+    try:
+        files = [
+            f for f in os.listdir(bloom_path) if f.endswith(".parquet")
+        ]
+    except OSError:
+        return
+    if len(files) <= max_files:
+        return
+    tmp = bloom_path + "__compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(bloom_path).distinct().write.parquet(tmp)
+    shutil.rmtree(bloom_path)
+    os.rename(tmp, bloom_path)
+    _write_bloom_meta(bloom_path, n_bits, k)
 
 
 def duplicate_spans(

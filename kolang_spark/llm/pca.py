@@ -178,6 +178,8 @@ def pca_project(
     is O(k·d + d) nodes with identical per-element arithmetic order,
     so results are bit-identical."""
     tmp = f"__ks_pca_cen_{out_col}__"
+    while tmp in df.columns:  # never clobber a real column of that name
+        tmp += "_"
     mean_arr = _arr_lit(model.mean)
     comp_lit = _arr_lit(model.components)
     cen = F.zip_with(

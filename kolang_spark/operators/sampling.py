@@ -294,18 +294,24 @@ def mix_datasets(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded: one row per listed domain
     }
-    capacity = [
-        counts[name] / p
-        for name, p in weights.items()
-        if p > 0 and counts.get(name)
+    missing = [
+        name for name, p in weights.items() if p > 0 and not counts.get(name)
     ]
+    if missing:
+        # a positively-weighted domain with zero rows makes the target
+        # composition unachievable at ANY volume — silently returning a
+        # different mixture would betray the documented contract
+        raise ValueError(
+            f"weighted domains absent from the data: {sorted(missing)}"
+        )
+    capacity = [counts[name] / p for name, p in weights.items() if p > 0]
     if not capacity:
         raise ValueError("no listed domain present in the data")
     t = min(capacity)
     fractions = {
         name: min(1.0, t * p / counts[name])
         for name, p in weights.items()
-        if p > 0 and counts.get(name)
+        if p > 0
     }
     return stratified_sample(
         df, domain, fractions, key, default_fraction=0.0, salt=salt

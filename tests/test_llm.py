@@ -1223,6 +1223,40 @@ def test_incremental_exact_dedup_bloom_prefilter(spark, tmp_path):
     assert got == ref2
     assert os.path.exists(up + "_bloom")
 
+    # STALENESS (review finding): a bloom-less run between bloom runs
+    # appends fingerprints the sidecar never saw — it must invalidate
+    # the cache, or a later bloom run would miss those duplicates
+    # forever
+    b3 = spark.createDataFrame([(20, "late arrival")],
+                               "doc_id long, text string")
+    incremental_exact_dedup(spark, b3, up).collect()  # no bloom knob
+    assert not os.path.exists(up + "_bloom")  # cache invalidated
+    b4 = spark.createDataFrame([(21, "LATE  arrival")],
+                               "doc_id long, text string")
+    got4 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b4, up, bloom_bits=256).collect()}
+    assert got4 == {21: True}  # rebuilt-from-state bloom sees doc 20
+
+    # parameter change: sidecar rebuilds (meta mismatch), flags stay
+    # correct
+    b5 = spark.createDataFrame([(22, "late ARRIVAL "), (23, "fresh")],
+                               "doc_id long, text string")
+    got5 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b5, up, bloom_bits=512,
+                                    bloom_k=2).collect()}
+    assert got5 == {22: True, 23: False}
+
+    # forced compaction keeps the bit table semantics intact
+    from kolang_spark.llm.dedup import _maybe_compact_bloom
+
+    bits_before = spark.read.parquet(up + "_bloom").distinct().count()
+    _maybe_compact_bloom(spark, up + "_bloom", 512, 2, max_files=0)
+    assert spark.read.parquet(up + "_bloom").distinct().count() == bits_before
+    got6 = {r.doc_id: r.is_duplicate for r in
+            incremental_exact_dedup(spark, b5, up, bloom_bits=512,
+                                    bloom_k=2).collect()}
+    assert got6 == {22: True, 23: True}  # both now duplicates of state
+
 
 def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
     """Cross-batch near-dup replay: batch 2 is flagged against batch

@@ -39,7 +39,20 @@ def test_external_window_composition():
     window = names[:50]
     missing = [n for n in window if n not in ORACLES]
     assert not missing, f"rows-only queries in the external window: {missing}"
-    assert len(names) == len(set(names))
+    # a duplicate key in the queries() dict LITERAL would silently
+    # overwrite an entry and shift position 50 — the built dict can't
+    # show it, so count the keys in the source text
+    import inspect
+    import re
+
+    import __spark_entry__ as mod
+
+    src = inspect.getsource(mod.queries)
+    literal_keys = re.findall(r'^\s{8}"([a-z0-9_]+)": _q_', src, re.M)
+    assert len(literal_keys) == len(set(literal_keys)), sorted(
+        k for k in set(literal_keys) if literal_keys.count(k) > 1
+    )
+    assert len(literal_keys) == len(names)
     # every oracle has a registered query and vice versa (dangling
     # oracle entries silently weaken the gate)
     assert not set(ORACLES) - set(QUERIES)

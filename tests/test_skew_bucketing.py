@@ -332,3 +332,8 @@ def test_mix_datasets_hits_target_proportions(spark, sf_dir):
         mix_datasets(dc, "lang", {"en": -0.1}, "doc_id")
     with _pytest.raises(ValueError):
         mix_datasets(dc, "lang", {"nope": 1.0}, "doc_id")
+    # a PARTIALLY absent weighted domain also raises (review finding:
+    # silently dropping it would return a mixture that cannot match
+    # the requested composition)
+    with _pytest.raises(ValueError, match="absent"):
+        mix_datasets(dc, "lang", {"en": 0.5, "nope": 0.5}, "doc_id")
