@@ -653,6 +653,12 @@ def hamming_pairs(
     the scale notes on :func:`simhash_hamming_pairs`. NULL signatures
     (e.g. undecodable blobs) are excluded.
 
+    Only the low ``bits`` of the signature are significant: the bands
+    partition them, and the exact verify counts ``bit_count(xor &
+    low-bits-mask)`` — stray high bits in a wider stored value can
+    neither create nor suppress a pair (property-tested against brute
+    force at arbitrary (bits, max_distance)).
+
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
     if max_distance < 0:
@@ -707,7 +713,9 @@ def hamming_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(xor).cast("long").alias("hamming"),
+            F.bit_count(xor.bitwiseAND(_band_mask(bits)))
+            .cast("long")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= max_distance)
     )

@@ -384,3 +384,73 @@ def test_standardize_zscore_matches_numpy(spark, vals):
         z = (arr - arr.mean()) / sd
         for i, expect in enumerate(z):
             assert got[i] == __import__("pytest").approx(expect, rel=1e-9, abs=1e-9)
+
+
+@given(
+    sigs=st.lists(
+        st.integers(-(1 << 63), (1 << 63) - 1), min_size=2, max_size=25
+    ),
+    bits_and_d=st.tuples(st.integers(1, 64), st.integers(0, 4)).filter(
+        lambda t: t[1] + 1 <= t[0]
+    ),
+)
+@settings(**_SETTINGS)
+def test_hamming_pairs_pigeonhole_complete(spark, sigs, bits_and_d):
+    """Pigeonhole completeness at ARBITRARY (bits, max_distance): the
+    banded join returns exactly the brute-force pair set, each pair
+    once — including full-width single-band layouts (the r7 mask-
+    overflow fix) and signatures with the sign bit set."""
+    from kolang_spark.llm.dedup import hamming_pairs
+
+    bits, d = bits_and_d
+    mask = (1 << bits) - 1
+    df = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, sig long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(df, "doc_id", "sig", bits, d).collect()
+    }
+    brute = {}
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            h = bin((sigs[a] ^ sigs[b]) & mask).count("1")
+            if h <= d:
+                brute[(a, b)] = h
+    assert got == brute
+
+
+@given(
+    fracs=st.lists(
+        st.floats(0.01, 1.0, allow_nan=False), min_size=2, max_size=6
+    ),
+    n=st.integers(20, 120),
+)
+@settings(**_SETTINGS)
+def test_split_dataset_total_and_local(spark, fracs, n):
+    """For ANY normalized fraction vector: every key is assigned to
+    exactly one split, and the assignment depends only on the key's
+    hash position — shrinking the LAST split (growing none) never
+    changes any non-last assignment."""
+    from kolang_spark.operators.sampling import split_dataset
+
+    total = sum(fracs)
+    fracs = [f / total for f in fracs]
+    names = [f"s{i}" for i in range(len(fracs))]
+    splits = dict(zip(names, fracs))
+    df = spark.range(n).withColumnRenamed("id", "k")
+    got = {r.k: r.split for r in split_dataset(df, "k", splits).collect()}
+    assert set(got) == set(range(n))  # total: every key assigned
+    assert set(got.values()) <= set(names)
+    # locality: moving mass from the last split into a NEW trailing
+    # split keeps every earlier assignment
+    half = fracs[-1] / 2
+    splits2 = dict(zip(names, fracs[:-1] + [half]))
+    splits2["s_new"] = fracs[-1] - half
+    # renormalize float dust so validation passes
+    drift = 1.0 - sum(splits2.values())
+    splits2["s_new"] += drift
+    got2 = {r.k: r.split for r in split_dataset(df, "k", splits2).collect()}
+    for k, s in got.items():
+        if s != names[-1]:
+            assert got2[k] == s
