@@ -454,3 +454,70 @@ def test_split_dataset_total_and_local(spark, fracs, n):
     for k, s in got.items():
         if s != names[-1]:
             assert got2[k] == s
+
+
+@given(
+    n=st.integers(30, 150),
+    wts=st.lists(st.floats(0.05, 1.0, allow_nan=False), min_size=2, max_size=4),
+    n_domains=st.integers(2, 4),
+)
+@settings(**_SETTINGS)
+def test_mix_datasets_exact_membership_model(spark, n, wts, n_domains):
+    """mix_datasets against an EXACT pure-Python model of the whole
+    chain: per-domain counts -> T = min(n/p) -> frac -> 60-bit md5
+    threshold -> membership. Catches any drift in the fraction
+    arithmetic or the hash gate, not just aggregate proportions."""
+    import hashlib
+
+    from kolang_spark.operators.sampling import mix_datasets
+
+    wts = wts[:n_domains]
+    doms = [f"d{i}" for i in range(len(wts))]
+    weights = dict(zip(doms, wts))
+    rows = [(k, doms[k % len(doms)]) for k in range(n)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    got = sorted(r.k for r in mix_datasets(df, "dom", weights, "k").collect())
+
+    counts: dict[str, int] = {}
+    for _, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    t = min(counts[d] / p for d, p in weights.items())
+    thr = {
+        d: int(min(1.0, t * p / counts[d]) * (1 << 60))
+        for d, p in weights.items()
+    }
+
+    def h60(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[17:32], 16)
+
+    want = sorted(k for k, d in rows if h60(k) < thr[d])
+    assert got == want
+
+
+@given(
+    src=st.tuples(st.integers(1, 9), st.integers(1, 9)),
+    dst=st.tuples(st.integers(1, 6), st.integers(1, 6)),
+    seed=st.integers(0, 10_000),
+)
+@settings(**_SETTINGS)
+def test_resize_image_matches_numpy_model(spark, src, dst, seed):
+    """resize_image over random source/target dims (down- AND upscale)
+    vs an independent numpy nearest-neighbor-at-cell-centers model of
+    the documented rule."""
+    import numpy as np
+
+    from kolang_spark.llm.multimodal import resize_image
+
+    (w, h), (tw, th) = src, dst
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=h * w * 3, dtype=np.uint8)
+    blob = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, content binary")
+    out = resize_image(df, width=tw, height=th).first()
+    assert (out.src_width, out.src_height) == (w, h)
+    arr = px.reshape(h, w, 3)
+    ys = (2 * np.arange(th) + 1) * h // (2 * th)
+    xs = (2 * np.arange(tw) + 1) * w // (2 * tw)
+    want = arr[np.ix_(ys, xs)].reshape(-1).tolist()
+    assert out.pixels == want
