@@ -521,3 +521,87 @@ def test_resize_image_matches_numpy_model(spark, src, dst, seed):
     xs = (2 * np.arange(tw) + 1) * w // (2 * tw)
     want = arr[np.ix_(ys, xs)].reshape(-1).tolist()
     assert out.pixels == want
+
+
+@given(
+    n=st.integers(5, 80),
+    k=st.integers(1, 12),
+    n_strata=st.integers(1, 4),
+    salt=st.sampled_from(["", "a", "v2"]),
+)
+@settings(**_SETTINGS)
+def test_stratified_fixed_sample_exact_membership_model(
+    spark, n, k, n_strata, salt
+):
+    """stratified_fixed_sample row-for-row against the documented
+    model: the k smallest md5 hashes of the key within each stratum."""
+    import hashlib
+
+    from kolang_spark.operators.sampling import stratified_fixed_sample
+
+    rows = [(i, f"s{i % n_strata}") for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    got = sorted(
+        (r.g, r.k)
+        for r in stratified_fixed_sample(df, "g", k, "k", salt=salt).collect()
+    )
+
+    def h60(key):
+        return int(
+            hashlib.md5((str(key) + salt).encode()).hexdigest()[17:32], 16
+        )
+
+    want = []
+    for s in {g for _, g in rows}:
+        members = sorted(
+            (h60(i), str(i), i) for i, g in rows if g == s
+        )
+        want += [(s, i) for _, _, i in members[:k]]
+    assert got == sorted(want)
+
+
+@given(
+    n=st.integers(5, 60),
+    k=st.integers(1, 10),
+    use_strata=st.booleans(),
+    salt=st.sampled_from(["", "b"]),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_exact_membership_model(spark, n, k, use_strata, salt):
+    """weighted_sample row-for-row against the documented A-Res model:
+    u = (hash60+0.5)/2^60, rank key ln(u)/w descending, top-k (per
+    stratum when given), NULL/non-positive weights excluded."""
+    import hashlib
+    import math
+
+    from kolang_spark.operators.sampling import weighted_sample
+
+    rows = [
+        (i, float(i % 7 + 1) if i % 11 else 0.0, f"g{i % 3}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k long, w double, g string")
+    got = sorted(
+        r.k
+        for r in weighted_sample(
+            df, "k", "w", k, strata="g" if use_strata else None, salt=salt
+        ).collect()
+    )
+
+    def ekey(key, w):
+        h = int(hashlib.md5((str(key) + salt).encode()).hexdigest()[17:32], 16)
+        return math.log((h + 0.5) / float(1 << 60)) / w
+
+    eligible = [(i, w, g) for i, w, g in rows if w > 0]
+    want = []
+    if use_strata:
+        for s in {g for _, _, g in eligible}:
+            members = sorted(
+                ((ekey(i, w), i) for i, w, g in eligible if g == s),
+                reverse=True,
+            )
+            want += [i for _, i in members[:k]]
+    else:
+        members = sorted(((ekey(i, w), i) for i, w, _ in eligible), reverse=True)
+        want = [i for _, i in members[:k]]
+    assert got == sorted(want)
