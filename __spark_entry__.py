@@ -1519,6 +1519,54 @@ def _q_upsert_partitions_orders(spark, sf_dir):
     )
 
 
+def _q_io_roundtrip_formats(spark, sf_dir):
+    """Interchange-format round trip (`kolang_spark/sources/io.py::
+    write_table` + `read_csv`/`read_json` + native ORC): orders lands
+    in CSV (header), JSON lines, and ORC, each is read back with an
+    explicit schema (the 100-TB rule — no inference pre-scan), and the
+    per-format aggregates must reproduce the source table exactly.
+    Proves byte-faithful value round-trips for the three
+    non-parquet interchange sinks the engine ships; the oracle
+    computes the same aggregates straight from orders, once per
+    format. Bounded 3-row collect before scratch cleanup."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.sources.io import read_csv, read_json, write_table
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    schema = "o_orderkey long, o_orderpriority string, cents long"
+    tmp = tempfile.mkdtemp(prefix="ks_io_fmt_q_")
+    try:
+        rows = []
+        for fmt in ("csv", "json", "orc"):
+            path = os.path.join(tmp, fmt)
+            write_table(od, path, format=fmt, mode="overwrite")
+            if fmt == "csv":
+                back = read_csv(spark, path, schema=schema)
+            elif fmt == "json":
+                back = read_json(spark, path, schema=schema)
+            else:
+                back = spark.read.schema(schema).orc(path)
+            r = back.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.count_distinct("o_orderpriority")
+                .cast("bigint")
+                .alias("n_prio"),
+            ).first()
+            rows.append((fmt, r.n_rows, r.sum_cents, r.n_prio))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "fmt string, n_rows bigint, sum_cents bigint, n_prio bigint"
+    )
+
+
 def _q_overwrite_partitions_idempotent(spark, sf_dir):
     """Dynamic partition-overwrite backfill, proven idempotent
     end-to-end (`kolang_spark/sources/io.py::overwrite_partitions`,
@@ -2464,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": _q_split_documents,
         "mix_documents_by_lang": _q_mix_documents_by_lang,
         "multimodal_resize": _q_multimodal_resize,
+        "io_roundtrip_formats": _q_io_roundtrip_formats,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4768,6 +4817,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors the CSV/JSON/ORC round trip: if any format dropped,
+        # mangled, or retyped a value, that format's aggregates would
+        # diverge from the source table.
+        "io_roundtrip_formats": """
+            SELECT fmt,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                     AS n_prio
+            FROM orders
+            CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS t(fmt)
+            GROUP BY fmt
         """,
         # Mirrors sources/io.py::overwrite_partitions over the
         # land + double-backfill replay: '2-HIGH'/'5-LOW' rows carry
