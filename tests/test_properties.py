@@ -605,3 +605,142 @@ def test_weighted_sample_exact_membership_model(spark, n, k, use_strata, salt):
         members = sorted(((ekey(i, w), i) for i, w, _ in eligible), reverse=True)
         want = [i for _, i in members[:k]]
     assert got == sorted(want)
+
+
+@given(
+    pts=st.lists(st.integers(0, 3000), min_size=1, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 1500)),
+        min_size=1,
+        max_size=15,
+    ),
+    end_inclusive=st.booleans(),
+    keyed=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_point_in_interval_join_exact_model(
+    spark, pts, ivs, end_inclusive, keyed
+):
+    """Bucketed point-in-interval join vs the naive model at random
+    epochs straddling bucket boundaries, both end semantics, keyed and
+    unkeyed — exactly once per containing pair, no boundary drift."""
+    from kolang_spark.operators.rangejoin import point_in_interval_join
+
+    p_rows = [(i, t, f"k{i % 2}") for i, t in enumerate(pts)]
+    i_rows = [(j, s, s + d, f"k{j % 2}") for j, (s, d) in enumerate(ivs)]
+    P = spark.createDataFrame(p_rows, "p_id long, pt long, pk string").select(
+        "p_id", F.timestamp_seconds("pt").alias("pt"), "pk"
+    )
+    I = spark.createDataFrame(
+        i_rows, "i_id long, s long, e long, ik string"
+    ).select(
+        "i_id",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+        "ik",
+    )
+    on = [("pk", "ik")] if keyed else None
+    got = sorted(
+        (r.p_id, r.i_id)
+        for r in point_in_interval_join(
+            P, I, "pt", "s", "e", on=on, bucket=600,
+            end_inclusive=end_inclusive,
+        ).collect()
+    )
+    want = sorted(
+        (pi, ii)
+        for pi, t, pk in p_rows
+        for ii, s, e, ik in i_rows
+        if s <= t and (t <= e if end_inclusive else t < e)
+        and (not keyed or pk == ik)
+    )
+    assert got == want
+
+
+@given(
+    lts=st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 1200)),
+        min_size=1,
+        max_size=12,
+    ),
+    rts=st.lists(
+        st.tuples(st.integers(0, 3000), st.integers(0, 1200)),
+        min_size=1,
+        max_size=12,
+    ),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_exact_model(spark, lts, rts):
+    """Bucketed overlap join vs the naive closed-interval model —
+    every overlapping pair exactly once (the first-shared-bucket rule
+    must neither duplicate nor drop boundary-touching pairs)."""
+    from kolang_spark.operators.rangejoin import interval_overlap_join
+
+    l_rows = [(i, s, s + d) for i, (s, d) in enumerate(lts)]
+    r_rows = [(j, s, s + d) for j, (s, d) in enumerate(rts)]
+    L = spark.createDataFrame(l_rows, "l_id long, ls long, le long").select(
+        "l_id",
+        F.timestamp_seconds("ls").alias("ls"),
+        F.timestamp_seconds("le").alias("le"),
+    )
+    R = spark.createDataFrame(r_rows, "r_id long, rs long, re long").select(
+        "r_id",
+        F.timestamp_seconds("rs").alias("rs"),
+        F.timestamp_seconds("re").alias("re"),
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in interval_overlap_join(
+            L, R, "ls", "le", "rs", "re", bucket=600
+        ).collect()
+    )
+    want = sorted(
+        (li, rj)
+        for li, ls, le in l_rows
+        for rj, rs, re in r_rows
+        if ls <= re and rs <= le
+    )
+    assert got == want
+
+
+@given(
+    lefts=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+    rights=st.lists(st.integers(0, 500), min_size=1, max_size=15),
+    tol=st.one_of(st.none(), st.integers(1, 200)),
+)
+@settings(**_SETTINGS)
+def test_as_of_join_exact_model(spark, lefts, rights, tol):
+    """Backward as-of join vs the naive model: latest right row
+    at-or-before each left ts (per key), voided when older than the
+    tolerance; ties at equal ts match."""
+    from kolang_spark.operators.asof import as_of_join
+
+    l_rows = [(i, f"k{i % 2}", t) for i, t in enumerate(lefts)]
+    r_rows = [(j, f"k{j % 2}", t, t * 10) for j, t in enumerate(rights)]
+    L = spark.createDataFrame(l_rows, "l_id long, k string, ts long").select(
+        "l_id", "k", F.timestamp_seconds("ts").alias("ts")
+    )
+    R = spark.createDataFrame(
+        r_rows, "r_id long, k string, ts long, payload long"
+    ).select(
+        "r_id", "k", F.timestamp_seconds("ts").alias("ts"), "payload"
+    )
+    tol_col = F.expr(f"INTERVAL {tol} SECOND") if tol is not None else None
+    out = as_of_join(
+        L, R.select("k", "ts", "payload"), on=["k"], tolerance=tol_col
+    )
+    got = {r.l_id: r.payload for r in out.collect()}
+    for li, lk, lt in l_rows:
+        cands = [
+            (rt, pay)
+            for _, rk, rt, pay in r_rows
+            if rk == lk and rt <= lt and (tol is None or rt >= lt - tol)
+        ]
+        if not cands:
+            assert got[li] is None, (li, got[li])
+            continue
+        best_ts = max(rt for rt, _ in cands)
+        valid = {pay for rt, pay in cands if rt == best_ts}
+        # latest ts wins; which row wins among equal-ts right rows is
+        # implementation-defined, so accept any tied payload
+        assert got[li] in valid, (li, got[li], valid)
