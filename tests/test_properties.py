@@ -744,3 +744,89 @@ def test_as_of_join_exact_model(spark, lefts, rights, tol):
         # latest ts wins; which row wins among equal-ts right rows is
         # implementation-defined, so accept any tied payload
         assert got[li] in valid, (li, got[li], valid)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-5000, 5000),  # epoch seconds (incl. pre-1970)
+            st.integers(-50, 50),
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    step_s=st.sampled_from([60, 3600]),
+    agg=st.sampled_from(["sum", "min", "max", "count"]),
+    fill=st.sampled_from(["forward", "zero", "null"]),
+)
+@settings(**_SETTINGS)
+def test_resample_fill_exact_model(spark, rows, step_s, agg, fill):
+    """resample_fill vs a naive Python model: floor-to-grid bucketing
+    (floored for negative epochs), per-key dense spine, exact
+    aggregates, and all three fill modes."""
+    from kolang_spark.operators.resample import resample_fill
+
+    df = spark.createDataFrame(rows, "t long, v long, k string").select(
+        F.timestamp_seconds("t").alias("t"), "v", "k"
+    )
+    step = {60: "1 minute", 3600: "1 hour"}[step_s]
+    got = {
+        (r.k, r.bucket_ts.timestamp(), r.is_filled): r.value
+        for r in resample_fill(
+            df, "t", "v", step=step, by=["k"], agg=agg, fill=fill
+        ).collect()
+    }
+
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for t, v, k in rows:
+        per[(k, t - t % step_s)].append(v)  # Python % floors like pmod
+    fns = {"sum": sum, "min": min, "max": max, "count": len}
+    want = {}
+    for k in {k for _, _, k in rows}:
+        bs = sorted(b for kk, b in per if kk == k)
+        last = None
+        for b in range(bs[0], bs[-1] + step_s, step_s):
+            if (k, b) in per:
+                val = fns[agg](per[(k, b)])
+                last = val
+                want[(k, float(b), False)] = val
+            else:
+                want[(k, float(b), True)] = (
+                    last if fill == "forward"
+                    else 0 if fill == "zero" else None
+                )
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=20,
+    ),
+    bits=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_morton_code_exact_model(spark, pts, bits):
+    """morton_code vs a pure-Python bit interleave (first column in
+    the least significant position of each bit group)."""
+    from kolang_spark.operators.layout import morton_code
+
+    df = spark.createDataFrame(
+        list(enumerate(pts)), "i long, p struct<x: long, y: long>"
+    ).select("i", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    got = {
+        r.i: r.z
+        for r in df.select(
+            "i", morton_code([F.col("x"), F.col("y")], bits).alias("z")
+        ).collect()
+    }
+    for i, (x, y) in enumerate(pts):
+        z = 0
+        for bit in range(bits):
+            z |= ((x >> bit) & 1) << (2 * bit)
+            z |= ((y >> bit) & 1) << (2 * bit + 1)
+        assert got[i] == z, (i, x, y, bits)
