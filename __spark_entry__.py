@@ -1172,6 +1172,46 @@ def _q_multimodal_blob_metadata(spark, sf_dir):
     return blob_metadata(packed.select("doc_id", "content"))
 
 
+def _q_html_extract_documents(spark, sf_dir):
+    """Web-corpus ingestion front door (`kolang_spark/llm/html.py`):
+    every document's text is HTML-escaped and wrapped into a full
+    synthetic page (title, style+script+noscript blocks, a comment,
+    headings, two hrefs in both quote styles) built natively in Column
+    expressions; `html_to_text` must strip the non-content blocks and
+    decode the entities back to the original words, and
+    `extract_links` must recover both deterministic hrefs. The oracle
+    predicts the extracted text closed-form from the raw text
+    (whitespace-collapse is the only legal difference) and the links
+    from doc_id — a wrong strip order, entity table, or block pattern
+    hash-mismatches on every row."""
+    from kolang_spark.llm import extract_links, html_to_text
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>D"), sid,
+        F.lit("</title><style>p{color:red}</style>"
+              "<script type=\"text/javascript\">var x='<p>no</p>';</script>"
+              "<noscript>enable js</noscript></head>"
+              "<body><!-- hidden\ncomment --><h1>Doc "), sid,
+        F.lit("</h1><p>"), esc,
+        F.lit("</p><a href=\"https://ex.com/"), sid,
+        F.lit("\">l1</a><a href='https://alt.org/"), sid,
+        F.lit("'>l2</a></body></html>"),
+    )
+    links = extract_links(html)
+    return dc.select(
+        "doc_id",
+        html_to_text(html).alias("text_out"),
+        F.size(links).alias("n_links"),
+        F.element_at(links, 1).alias("link_dq"),
+        F.element_at(links, 2).alias("link_sq"),
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """REAL decode + exact-integer nearest-neighbor resize
     (`kolang_spark/llm/multimodal.py::resize_image`): every doc gets a
@@ -2513,6 +2553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_documents_by_lang": _q_mix_documents_by_lang,
         "multimodal_resize": _q_multimodal_resize,
         "io_roundtrip_formats": _q_io_roundtrip_formats,
+        "html_extract_documents": _q_html_extract_documents,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4817,6 +4858,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors llm/html.py over the synthetic page wrap: the
+        # extracted text is predicted closed-form from the RAW text
+        # (title digits + headings + escaped-then-decoded body +
+        # anchor labels, whitespace-collapsed), links from doc_id.
+        "html_extract_documents": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     'D' || doc_id || ' Doc ' || doc_id || ' ' || text
+                       || ' l1 l2',
+                     '\s+', ' ', 'g')) AS text_out,
+                   CAST(2 AS INT) AS n_links,
+                   'https://ex.com/' || doc_id AS link_dq,
+                   'https://alt.org/' || doc_id AS link_sq
+            FROM documents
         """,
         # Mirrors the CSV/JSON/ORC round trip: if any format dropped,
         # mangled, or retyped a value, that format's aggregates would

@@ -66,6 +66,10 @@ from kolang_spark.llm.multimodal import (  # noqa: F401
     image_ahash,
     resize_image,
 )
+from kolang_spark.llm.html import (  # noqa: F401
+    extract_links,
+    html_to_text,
+)
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401

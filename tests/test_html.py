@@ -1,0 +1,68 @@
+"""HTML -> text extraction (llm/html.py): tag/block stripping, entity
+decode order, link harvesting — the web-corpus ingestion front door."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kolang_spark.llm import extract_links, html_to_text
+
+
+def _one(spark, s):
+    df = spark.createDataFrame([(s,)], "h string")
+    return df.select(html_to_text("h").alias("t")).first().t
+
+
+def test_html_to_text_strips_blocks_tags_comments(spark):
+    h = (
+        "<html><head><title>T</title>"
+        "<style>p { color: red }</style>"
+        "<SCRIPT type='x'>var a = '<div>not text</div>';</SCRIPT>"
+        "<noscript><p>enable js</p></noscript></head>"
+        "<body><!-- multi\nline\ncomment --><h1>Head</h1>"
+        "<p>one</p><p>two</p></body></html>"
+    )
+    assert _one(spark, h) == "T Head one two"
+
+
+def test_html_to_text_entity_decode_order(spark):
+    # &amp;lt; is the LITERAL text "&lt;" — decoding &amp; last keeps it
+    assert _one(spark, "a &lt;b&gt; &quot;c&quot; &#39;d&#39; &nbsp;e &amp; f &amp;lt;") \
+        == 'a <b> "c" \'d\' e & f &lt;'
+
+
+def test_html_to_text_plain_and_edge_inputs(spark):
+    assert _one(spark, "no markup   at  all") == "no markup at all"
+    assert _one(spark, "") == ""
+    assert _one(spark, "<p></p>") == ""
+    # unclosed script swallows to end (non-greedy needs a closer; the
+    # generic tag strip still removes the opener)
+    assert _one(spark, "before <script>var x=1; after") == "before var x=1; after"
+    df = spark.createDataFrame([(None,)], "h string")
+    assert df.select(html_to_text("h").alias("t")).first().t is None
+
+
+def test_html_to_text_escape_roundtrip(spark):
+    """Encoding arbitrary text into an HTML body and extracting must
+    recover it (modulo whitespace collapse)."""
+    raw = 'x < y & y > "z" \'w\'  \n tail'
+    df = spark.createDataFrame([(raw,)], "t string")
+    esc = F.col("t")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(F.lit("<body><p>"), esc, F.lit("</p></body>"))
+    got = df.select(html_to_text(html).alias("t2")).first().t2
+    assert got == 'x < y & y > "z" \'w\' tail'
+
+
+def test_extract_links_both_quote_styles(spark):
+    h = (
+        '<a href="https://a.com/1">x</a>'
+        "<A HREF='https://b.com/2'>y</A>"
+        '<link rel="x" href="https://c.com/3">'
+        "<a name='no-href'>z</a>"
+    )
+    df = spark.createDataFrame([(h,)], "h string")
+    links = df.select(extract_links("h").alias("l")).first().l
+    assert sorted(links) == [
+        "https://a.com/1", "https://b.com/2", "https://c.com/3"
+    ]
