@@ -1172,6 +1172,49 @@ def _q_multimodal_blob_metadata(spark, sf_dir):
     return blob_metadata(packed.select("doc_id", "content"))
 
 
+def _q_warc_parse_documents(spark, sf_dir):
+    """WARC container ingestion (`kolang_spark/sources/warc.py::
+    parse_warc` — the Common Crawl shard format): every document is
+    wrapped into a valid two-record WARC file (warcinfo + HTTP
+    response whose body is the document text) built natively in Column
+    expressions — Content-Length computed as the true octet length of
+    the UTF-8 payload — then the Arrow-stage byte walker parses it
+    back. The oracle predicts both records closed-form per doc_id,
+    including the full body text round trip, so a wrong header scan,
+    length slice, separator step, or HTTP unwrap hash-mismatches."""
+    from kolang_spark.sources.warc import parse_warc
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    http_len = F.octet_length(F.encode(http, "UTF-8")).cast("string")
+    sid = F.col("doc_id").cast("string")
+    warc_str = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 14"
+              "\r\n\r\nsoftware: ks\r\n\r\n\r\n"),
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://corpus.local/"), sid,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        http_len,
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    blobs = dc.select("doc_id", F.encode(warc_str, "UTF-8").alias("content"))
+    out = parse_warc(blobs)
+    return out.select(
+        "doc_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.octet_length("body").alias("body_n_bytes"),
+        F.decode("body", "UTF-8").alias("body_text"),
+    )
+
+
 def _q_html_extract_documents(spark, sf_dir):
     """Web-corpus ingestion front door (`kolang_spark/llm/html.py`):
     every document's text is HTML-escaped and wrapped into a full
@@ -2554,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "io_roundtrip_formats": _q_io_roundtrip_formats,
         "html_extract_documents": _q_html_extract_documents,
+        "warc_parse_documents": _q_warc_parse_documents,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4858,6 +4902,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors sources/warc.py over the two-record synthetic WARC:
+        # record 0 is the fixed warcinfo, record 1 the unwrapped HTTP
+        # response whose body is the document text verbatim.
+        "warc_parse_documents": """
+            SELECT doc_id, CAST(0 AS INT) AS record_idx,
+                   'warcinfo' AS warc_type,
+                   CAST(NULL AS VARCHAR) AS target_uri,
+                   CAST(NULL AS VARCHAR) AS warc_date,
+                   CAST(NULL AS INT) AS http_status,
+                   CAST(NULL AS VARCHAR) AS content_type,
+                   CAST(14 AS INT) AS body_n_bytes,
+                   'software: ks' || chr(13) || chr(10) AS body_text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT) AS record_idx,
+                   'response' AS warc_type,
+                   'https://corpus.local/' || doc_id AS target_uri,
+                   '2024-01-01T00:00:00Z' AS warc_date,
+                   CAST(200 AS INT) AS http_status,
+                   'text/plain' AS content_type,
+                   CAST(octet_length(encode(text)) AS INT) AS body_n_bytes,
+                   text AS body_text
+            FROM documents
         """,
         # Mirrors llm/html.py over the synthetic page wrap: the
         # extracted text is predicted closed-form from the RAW text

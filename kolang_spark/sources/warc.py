@@ -1,0 +1,140 @@
+"""WARC (Web ARChive) record parsing — the container format web-scale
+text corpora actually arrive in (Common Crawl ships WARC/WET shards).
+
+``parse_warc`` turns a blob column of WARC/1.x bytes (from
+:func:`kolang_spark.sources.io.read_blobs` or any binary source) into
+one row per record, with the HTTP envelope of ``response`` records
+unwrapped to status/content-type/body. The parser is a hand-rolled
+record walker over raw bytes — header block to ``\\r\\n\\r\\n``,
+``Content-Length`` payload slice, 4-byte record separator — run inside
+the sanctioned Arrow ``mapInPandas`` boundary (a byte-offset walk has
+no Catalyst expression), the same boundary contract as the image/audio
+decoders in :mod:`kolang_spark.llm.multimodal`.
+
+Scale posture mirrors ``read_blobs``: one task per shard file, so
+parallelism = shard count (Common Crawl segments ship ~1 GiB shards in
+the tens of thousands — ideal task shape); downstream text work should
+land the parsed records into parquet once and run from there.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["parse_warc", "parse_warc_bytes"]
+
+_SCHEMA = (
+    "doc_id long, record_idx int, warc_type string, target_uri string, "
+    "warc_date string, http_status int, content_type string, body binary"
+)
+
+
+def parse_warc_bytes(b: bytes) -> List[Tuple]:
+    """Parse one WARC file's bytes into record tuples (pure function —
+    unit-testable without Spark; the Arrow stage maps it per blob).
+
+    Per record: ``(record_idx, warc_type, target_uri, warc_date,
+    http_status, content_type, body)``. For ``response`` records whose
+    payload is an HTTP message, the envelope is unwrapped (status code,
+    ``Content-Type`` header, body after the blank line); other record
+    types carry the raw payload as ``body`` with NULL status/type.
+    Truncated or malformed trailing data ends the walk (records parsed
+    so far are kept); a blob that does not start with ``WARC/`` yields
+    no rows — the same poison-blob contract as the media decoders.
+    """
+    out: List[Tuple] = []
+    pos, n, idx = 0, len(b), 0
+    while pos < n:
+        if not b.startswith(b"WARC/", pos):
+            break
+        hdr_end = b.find(b"\r\n\r\n", pos)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in b[pos:hdr_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b""))
+        except ValueError:
+            break
+        payload_start = hdr_end + 4
+        if payload_start + clen > n:
+            break
+        payload = b[payload_start : payload_start + clen]
+        wtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        uri = headers.get(b"warc-target-uri")
+        date = headers.get(b"warc-date")
+        status: Optional[int] = None
+        ctype: Optional[str] = None
+        body = payload
+        if wtype == "response" and payload.startswith(b"HTTP/"):
+            http_end = payload.find(b"\r\n\r\n")
+            if http_end >= 0:
+                http_lines = payload[:http_end].split(b"\r\n")
+                parts = http_lines[0].split()
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                for line in http_lines[1:]:
+                    k, sep, v = line.partition(b":")
+                    if sep and k.strip().lower() == b"content-type":
+                        ctype = v.strip().decode("ascii", "replace")
+                body = payload[http_end + 4 :]
+        out.append(
+            (
+                idx,
+                wtype,
+                uri.decode("utf-8", "replace") if uri is not None else None,
+                date.decode("ascii", "replace") if date is not None else None,
+                status,
+                ctype,
+                body,
+            )
+        )
+        idx += 1
+        pos = payload_start + clen
+        # the record separator is exactly \r\n\r\n; tolerate its absence
+        # at EOF (truncated-but-complete final record)
+        if b.startswith(b"\r\n\r\n", pos):
+            pos += 4
+    return out
+
+
+def parse_warc(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a WARC blob column into records — see
+    :func:`parse_warc_bytes` for the per-blob contract. Output columns:
+    ``(id_col, record_idx, warc_type, target_uri, warc_date,
+    http_status, content_type, body)``."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                for rec in parse_warc_bytes(b):
+                    rows.append((doc_id, *rec))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "record_idx",
+                    "warc_type",
+                    "target_uri",
+                    "warc_date",
+                    "http_status",
+                    "content_type",
+                    "body",
+                ],
+            )
+
+    return src.mapInPandas(walk, schema=_SCHEMA)

@@ -37,6 +37,9 @@ PANDAS_ALLOWED = {
     # decode + nearest-neighbor resample: same sanctioned media
     # boundary as the decoders
     "multimodal_resize",
+    # WARC record walk: byte-offset parsing has no Catalyst
+    # expression — same sanctioned container-decode boundary
+    "warc_parse_documents",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The

@@ -1,0 +1,95 @@
+"""WARC record parsing (sources/warc.py): record walk, HTTP unwrap,
+poison/truncation contracts — pure-function tests plus the Spark
+Arrow-stage round trip."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kolang_spark.sources.warc import parse_warc, parse_warc_bytes
+
+
+def _rec(wtype, payload, uri=None, date=None, extra=b""):
+    h = b"WARC/1.0\r\nWARC-Type: " + wtype + b"\r\n"
+    if uri:
+        h += b"WARC-Target-URI: " + uri + b"\r\n"
+    if date:
+        h += b"WARC-Date: " + date + b"\r\n"
+    h += extra
+    h += b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+    return h + payload + b"\r\n\r\n"
+
+
+def _http(body, status=b"200 OK", ctype=b"text/html; charset=utf-8"):
+    return (
+        b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+        + b"\r\nServer: x\r\n\r\n" + body
+    )
+
+
+def test_parse_warc_bytes_full_file():
+    body = "café content".encode()
+    blob = (
+        _rec(b"warcinfo", b"software: test\r\n")
+        + _rec(b"response", _http(body),
+               uri=b"https://ex.com/a", date=b"2024-01-02T03:04:05Z")
+        + _rec(b"request", b"GET /a HTTP/1.1\r\n", uri=b"https://ex.com/a")
+    )
+    recs = parse_warc_bytes(blob)
+    assert [r[0] for r in recs] == [0, 1, 2]
+    assert [r[1] for r in recs] == ["warcinfo", "response", "request"]
+    wi, resp, req = recs
+    assert wi[2] is None and wi[4] is None and wi[6] == b"software: test\r\n"
+    assert resp[2] == "https://ex.com/a"
+    assert resp[3] == "2024-01-02T03:04:05Z"
+    assert resp[4] == 200
+    assert resp[5] == "text/html; charset=utf-8"
+    assert resp[6] == body
+    # request records keep the raw payload, no HTTP unwrap
+    assert req[4] is None and req[6].startswith(b"GET /a")
+
+
+def test_parse_warc_bytes_poison_and_truncation():
+    assert parse_warc_bytes(b"") == []
+    assert parse_warc_bytes(b"not a warc at all") == []
+    good = _rec(b"response", _http(b"ok"), uri=b"u")
+    # truncated second record: first survives
+    blob = good + _rec(b"response", _http(b"lost"), uri=b"v")[:-20]
+    recs = parse_warc_bytes(blob)
+    assert len(recs) == 2 or len(recs) == 1  # second may or may not fit
+    assert recs[0][6] == b"ok"
+    # bad content-length ends the walk cleanly
+    bad = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: nope\r\n\r\n"
+    assert parse_warc_bytes(bad) == []
+    # missing trailing separator on the final record is tolerated
+    assert len(parse_warc_bytes(good[:-4])) == 1
+
+
+def test_parse_warc_bytes_status_variants():
+    r404 = _rec(b"response", _http(b"gone", status=b"404 Not Found"),
+                uri=b"https://ex.com/x")
+    recs = parse_warc_bytes(r404)
+    assert recs[0][4] == 404
+    # non-HTTP response payload: raw body, NULL status
+    raw = _rec(b"response", b"not http bytes", uri=b"u")
+    recs = parse_warc_bytes(raw)
+    assert recs[0][4] is None and recs[0][6] == b"not http bytes"
+
+
+def test_parse_warc_spark_stage(spark):
+    b1 = _rec(b"response", _http(b"alpha"), uri=b"https://a/1",
+              date=b"2024-01-01T00:00:00Z")
+    b2 = (_rec(b"warcinfo", b"x: y\r\n")
+          + _rec(b"response", _http(b"beta", status=b"301 Moved"),
+                 uri=b"https://b/2"))
+    rows = [(1, bytearray(b1)), (2, bytearray(b2)), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = sorted(
+        ((r.doc_id, r.record_idx, r.warc_type, r.target_uri,
+          r.http_status, bytes(r.body) if r.body is not None else None)
+         for r in parse_warc(df).collect())
+    )
+    assert out == [
+        (1, 0, "response", "https://a/1", 200, b"alpha"),
+        (2, 0, "warcinfo", None, None, b"x: y\r\n"),
+        (2, 1, "response", "https://b/2", 301, b"beta"),
+    ]
