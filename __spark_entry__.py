@@ -1215,6 +1215,50 @@ def _q_warc_parse_documents(spark, sf_dir):
     )
 
 
+def _q_web_ingest_pipeline(spark, sf_dir):
+    """The Common-Crawl recipe end-to-end in one chain: WARC shard →
+    `parse_warc` (Arrow byte walk) → response filter → HTTP body →
+    `html_to_text` (Column regex algebra) → token stats. Each document
+    becomes a WARC response whose HTTP body is a full HTML page
+    wrapping the escaped text; the pipeline must hand back the
+    original words. The oracle predicts the extracted text and its
+    whitespace token count closed-form from the raw text — an error in
+    ANY stage (record walk, envelope unwrap, tag strip, entity decode)
+    breaks every row."""
+    from kolang_spark.llm import html_to_text
+    from kolang_spark.llm.textstats import token_count
+    from kolang_spark.sources.warc import parse_warc
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    sid = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><script>var x=1;</script></head><body><h1>Doc "),
+        sid, F.lit("</h1><p>"), esc, F.lit("</p></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), page
+    )
+    warc_str = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+              "https://corpus.local/"), sid,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(F.encode(http, "UTF-8")).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+    )
+    blobs = dc.select("doc_id", F.encode(warc_str, "UTF-8").alias("content"))
+    parsed = parse_warc(blobs).where(F.col("warc_type") == "response")
+    txt = html_to_text(F.decode("body", "UTF-8"))
+    return parsed.select(
+        "doc_id",
+        "target_uri",
+        txt.alias("text_out"),
+        token_count(txt).alias("n_tokens"),
+    )
+
+
 def _q_html_extract_documents(spark, sf_dir):
     """Web-corpus ingestion front door (`kolang_spark/llm/html.py`):
     every document's text is HTML-escaped and wrapped into a full
@@ -2500,17 +2544,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     simhash_hamming_pairs, topk_orders_per_priority,
     tumbling_events_hourly, union_customers_suppliers.
 
-    OUT: all 48 r6 window greens (fresh until r8; they rotate back
-    across rounds 8-9), plus 7 r5-stale leftovers that MUST take r8
-    window slots (percent_by_returnflag, exact_dedup_documents,
+    OUT: all 48 r6 window greens (fresh until r8) plus 7 r5-stale
+    leftovers (percent_by_returnflag, exact_dedup_documents,
     fingerprint_documents, lang_id_documents, text_clean_documents,
-    token_stats_documents, unpivot_lineitem). Round-8 obligation:
-    those 7 leftovers first, then the 7 late-r7 oracle-backed tail
-    debuts that have never been externally green (split_documents,
-    mix_documents_by_lang, multimodal_resize, hll_users_monthly,
-    sketch_rollup_users, ann_lsh_topk, multimodal_blob_embed_ann),
-    then as many r6 greens as fit; the remainder of the r6 greens
-    take r9. Everything in the tail still
+    token_stats_documents, unpivot_lineitem) and the late-r7 tail
+    debuts (split/mix/resize/io-formats/html/warc/web-ingest + the
+    four rows-only->oracle upgrades) — all r8 window candidates.
+
+    Round-8 (and every future) window recipe — COMPUTE it, don't
+    hand-pick (the r6 mistake): load CORRECTNESS_r0*.json, derive each
+    oracle-backed query's last external green, and fill the 50 slots
+    by priority: (1) queries whose last green would become 3+ rounds
+    old this round (hard cadence bound — for r8 that is the 7 r5
+    leftovers), (2) oldest-last-green first among the rest (for r8:
+    the 48 r6 greens; any that don't fit become r9's hard bound),
+    (3) never-externally-green debuts, (4) freshest greens. With 116
+    queries on a 50-slot window the 3-round cadence has capacity 150,
+    so the schedule stays feasible as long as each round packs by
+    staleness — tests/test_oracle_parity.py::
+    test_external_window_composition enforces the all-oracle-backed
+    invariant mechanically. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
     tests/test_oracle_parity.py; exactly ONE rows-only query remains
     (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable;
@@ -2598,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_roundtrip_formats": _q_io_roundtrip_formats,
         "html_extract_documents": _q_html_extract_documents,
         "warc_parse_documents": _q_warc_parse_documents,
+        "web_ingest_pipeline": _q_web_ingest_pipeline,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4902,6 +4956,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors the full WARC -> HTTP -> HTML -> text chain: the
+        # extracted text is 'Doc <id> ' + the raw text (escape/decode
+        # cancel), whitespace-collapsed; token count = whitespace
+        # split of that.
+        "web_ingest_pipeline": r"""
+            WITH x AS (
+              SELECT doc_id,
+                     'https://corpus.local/' || doc_id AS target_uri,
+                     trim(regexp_replace('Doc ' || doc_id || ' ' || text,
+                                         '\s+', ' ', 'g')) AS text_out
+              FROM documents
+            )
+            SELECT doc_id, target_uri, text_out,
+                   CASE WHEN text_out = '' THEN 0
+                        ELSE len(string_split(text_out, ' ')) END AS n_tokens
+            FROM x
         """,
         # Mirrors sources/warc.py over the two-record synthetic WARC:
         # record 0 is the fixed warcinfo, record 1 the unwrapped HTTP

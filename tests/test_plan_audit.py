@@ -40,6 +40,7 @@ PANDAS_ALLOWED = {
     # WARC record walk: byte-offset parsing has no Catalyst
     # expression — same sanctioned container-decode boundary
     "warc_parse_documents",
+    "web_ingest_pipeline",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
