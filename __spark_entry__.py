@@ -1215,6 +1215,21 @@ def _q_warc_parse_documents(spark, sf_dir):
     )
 
 
+def _q_assign_shards_documents(spark, sf_dir):
+    """Deterministic globally-shuffled shard layout
+    (`kolang_spark/llm/prep.py::assign_shards` — the training writer's
+    last step): every document gets (shard_id, pos_in_shard) as if the
+    corpus were shuffled by md5(doc_id) and cut into 64-row shards,
+    via the two-pass bucketed rank (no single-partition window over
+    data; the only global window runs over the ≤ n_buckets-row offset
+    table). The oracle replays the identical hash order with one
+    ROW_NUMBER."""
+    from kolang_spark.llm import assign_shards
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id")
+    return assign_shards(dc, examples_per_shard=64, n_buckets=64)
+
+
 def _q_web_ingest_pipeline(spark, sf_dir):
     """The Common-Crawl recipe end-to-end in one chain: WARC shard →
     `parse_warc` (Arrow byte walk) → response filter → HTTP body →
@@ -2652,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_documents": _q_html_extract_documents,
         "warc_parse_documents": _q_warc_parse_documents,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
+        "assign_shards_documents": _q_assign_shards_documents,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4956,6 +4972,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Mirrors llm/prep.py::assign_shards: the same md5 60-bit hash
+        # defines the shuffle order; one ROW_NUMBER replays the
+        # distributed two-pass rank.
+        "assign_shards_documents": """
+            WITH h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))
+                       ::BIGINT AS b
+              FROM documents
+            ), r AS (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (ORDER BY b, doc_id) - 1 AS rank
+              FROM h
+            )
+            SELECT doc_id,
+                   CAST(rank // 64 AS BIGINT) AS shard_id,
+                   CAST(rank % 64 AS BIGINT) AS pos_in_shard
+            FROM r
         """,
         # Mirrors the full WARC -> HTTP -> HTML -> text chain: the
         # extracted text is 'Doc <id> ' + the raw text (escape/decode

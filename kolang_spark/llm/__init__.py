@@ -72,7 +72,11 @@ from kolang_spark.llm.html import (  # noqa: F401
 )
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
-from kolang_spark.llm.prep import chunk_documents, pack_examples  # noqa: F401
+from kolang_spark.llm.prep import (  # noqa: F401
+    assign_shards,
+    chunk_documents,
+    pack_examples,
+)
 from kolang_spark.llm.quantize import (  # noqa: F401
     dequantize_embedding,
     quantize_embedding,

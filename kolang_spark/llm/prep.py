@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
@@ -150,4 +150,70 @@ def pack_examples(
         F.when(nonempty, last - first + 1).otherwise(F.lit(0)).cast("long").alias(
             "n_examples"
         ),
+    )
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    examples_per_shard: int = 1000,
+    salt: str = "",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic globally-shuffled shard layout — the training
+    writer's last step: every row gets ``(shard_id, pos_in_shard)`` as
+    if the whole dataset were shuffled by the md5 hash of
+    ``(id_col, salt)`` and cut into fixed ``examples_per_shard``
+    shards. Reproducible across runs, partitionings, and engines (no
+    ``rand()``, no ``monotonically_increasing_id``); a different
+    ``salt`` is an independent epoch-level reshuffle; downstream
+    writers emit one file per ``shard_id``
+    (``write_table(..., partition_by=['shard_id'])``) in parallel.
+
+    Scale shape: the global rank is the single-partition-window hazard,
+    so it runs the same two-pass bucketed rewrite as
+    :func:`pack_examples`: the hash's high bits define ``n_buckets``
+    ordered buckets, per-bucket counts make a tiny offset table
+    (broadcast back), and the within-bucket ``row_number`` runs over a
+    normal hashed shuffle. Ties are impossible: the order key is
+    ``(hash, id)`` and ids must be unique.
+    """
+    if examples_per_shard < 1:
+        raise ValueError("examples_per_shard must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    from kolang_spark.operators.sampling import _hash60
+
+    h = _hash60(id_col, salt)
+    shift = 60 - max(1, n_buckets - 1).bit_length()
+    src = df.withColumn("__ks_h__", h).withColumn(
+        "__ks_bkt__", F.shiftright(F.col("__ks_h__"), shift)
+    )
+    counts = src.groupBy("__ks_bkt__").agg(F.count(F.lit(1)).alias("__n__"))
+    w_off = (
+        Window.orderBy("__ks_bkt__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "__ks_bkt__",
+        (F.sum("__n__").over(w_off) - F.col("__n__")).alias("__off__"),
+    )
+    w_in = Window.partitionBy("__ks_bkt__").orderBy(
+        F.col("__ks_h__"), F.col(id_col)
+    )
+    rank = F.col("__off__") + F.row_number().over(w_in) - 1
+    return (
+        src.join(F.broadcast(offsets), "__ks_bkt__")
+        .withColumn("__ks_rank__", rank)
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("__ks_rank__") / examples_per_shard).cast("long"),
+        )
+        .withColumn(
+            "pos_in_shard",
+            F.pmod(F.col("__ks_rank__"), F.lit(examples_per_shard)).cast(
+                "long"
+            ),
+        )
+        .drop("__ks_h__", "__ks_bkt__", "__off__", "__ks_rank__")
     )

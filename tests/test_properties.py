@@ -830,3 +830,37 @@ def test_morton_code_exact_model(spark, pts, bits):
             z |= ((x >> bit) & 1) << (2 * bit)
             z |= ((y >> bit) & 1) << (2 * bit + 1)
         assert got[i] == z, (i, x, y, bits)
+
+
+@given(
+    ids=st.sets(st.integers(0, 100_000), min_size=1, max_size=40),
+    eps=st.integers(1, 10),
+    salt=st.sampled_from(["", "ep1"]),
+    n_buckets=st.sampled_from([1, 8, 1024]),
+)
+@settings(**_SETTINGS)
+def test_assign_shards_exact_model(spark, ids, eps, salt, n_buckets):
+    """assign_shards vs the naive model: global rank in (md5-hash, id)
+    order, shard = rank // eps, pos = rank % eps — exact for any
+    bucket count (bucketing is an implementation detail, never
+    visible in the result)."""
+    import hashlib
+
+    from kolang_spark.llm import assign_shards
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        (r.doc_id, r.shard_id, r.pos_in_shard)
+        for r in assign_shards(
+            df, examples_per_shard=eps, salt=salt, n_buckets=n_buckets
+        ).collect()
+    )
+
+    def h60(k):
+        return int(hashlib.md5((str(k) + salt).encode()).hexdigest()[17:32], 16)
+
+    order = sorted(ids, key=lambda i: (h60(i), i))
+    want = sorted(
+        (i, rank // eps, rank % eps) for rank, i in enumerate(order)
+    )
+    assert got == want
