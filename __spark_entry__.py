@@ -1215,6 +1215,45 @@ def _q_warc_parse_documents(spark, sf_dir):
     )
 
 
+def _q_canonical_urls(spark, sf_dir):
+    """URL canonicalization (`kolang_spark/llm/scrub.py::
+    canonicalize_url` — the crawl-frontier / URL-level dedup key):
+    four messy URL shapes are synthesized per document from doc_id
+    (case-mangled scheme+host, default ports, www, credentials,
+    fragments, leading/adjacent/trailing tracking params, trailing
+    slashes), canonicalized, and the oracle predicts each canonical
+    form closed-form — no regex replay, so an implementation change
+    that alters OUTPUTS is caught even if both engines' regexes agree."""
+    from kolang_spark.llm import canonicalize_url
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://WWW.Ex"), k, F.lit(".com:80/p"), sid,
+                     F.lit("/?utm_source=x&q="), sid, F.lit("#f")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://user:pw@Site"), k, F.lit(".ORG:443/A"),
+                     sid, F.lit("/")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://blog"), k, F.lit(".net/?utm_a=1&utm_b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://shop"), k, F.lit(".io/x"), sid,
+                     F.lit("?a=ref=1&ref=zz")),
+        )
+    )
+    return dc.select(
+        "doc_id", raw.alias("raw_url"), canonicalize_url(raw).alias("url")
+    )
+
+
 def _q_assign_shards_documents(spark, sf_dir):
     """Deterministic globally-shuffled shard layout
     (`kolang_spark/llm/prep.py::assign_shards` — the training writer's
@@ -2668,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_parse_documents": _q_warc_parse_documents,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
         "assign_shards_documents": _q_assign_shards_documents,
+        "canonical_urls": _q_canonical_urls,
         # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
         # DuckDB rebuilds the identical md5-plane buckets (and, for
         # the blob chain, the exact byte-fold features) and replays
@@ -4972,6 +5012,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM merged GROUP BY 1
+        """,
+        # Predicts llm/scrub.py::canonicalize_url closed-form for the
+        # four synthesized URL shapes — raw built the same way, the
+        # canonical form written out by hand (not a regex replay).
+        "canonical_urls": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'HTTP://WWW.Ex' || (doc_id % 7)
+                        || '.com:80/p' || doc_id || '/?utm_source=x&q='
+                        || doc_id || '#f'
+                     WHEN 1 THEN 'https://user:pw@Site' || (doc_id % 7)
+                        || '.ORG:443/A' || doc_id || '/'
+                     WHEN 2 THEN 'http://blog' || (doc_id % 7)
+                        || '.net/?utm_a=1&utm_b=2'
+                     ELSE 'https://shop' || (doc_id % 7) || '.io/x'
+                        || doc_id || '?a=ref=1&ref=zz'
+                   END AS raw_url,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'http://ex' || (doc_id % 7) || '.com/p'
+                        || doc_id || '?q=' || doc_id
+                     WHEN 1 THEN 'https://site' || (doc_id % 7)
+                        || '.org/A' || doc_id
+                     WHEN 2 THEN 'http://blog' || (doc_id % 7) || '.net'
+                     ELSE 'https://shop' || (doc_id % 7) || '.io/x'
+                        || doc_id || '?a=ref=1'
+                   END AS url
+            FROM documents
         """,
         # Mirrors llm/prep.py::assign_shards: the same md5 60-bit hash
         # defines the shuffle order; one ROW_NUMBER replays the

@@ -55,6 +55,7 @@ from kolang_spark.llm.textstats import (  # noqa: F401
     word_ngrams,
 )
 from kolang_spark.llm.scrub import (  # noqa: F401
+    canonicalize_url,
     extract_urls,
     pii_counts,
     redact_pii,

@@ -34,6 +34,7 @@ __all__ = [
     "pii_counts",
     "extract_urls",
     "url_domains",
+    "canonicalize_url",
 ]
 
 # Ordered: emails are redacted before ipv4/phones so the digit runs
@@ -125,3 +126,63 @@ def url_domains(col: ColumnOrName, strip_www: bool = True) -> Column:
         return host
 
     return F.transform(urls, domain_of)
+
+
+def canonicalize_url(col: ColumnOrName) -> Column:
+    """Canonical form of a URL column — THE dedup key for crawl
+    frontiers and URL-level corpus dedup (the same page arrives as
+    ``HTTP://WWW.Ex.com:80/a/?utm_source=x#frag`` and
+    ``http://ex.com/a``; exact dedup on the raw string misses it).
+
+    Normalization steps, each one Column expression:
+
+    1. scheme + host lowercased (path/query case preserved — paths are
+       case-sensitive);
+    2. ``user:pass@`` credentials dropped;
+    3. default ports stripped (``:80`` for http, ``:443`` for https);
+    4. leading ``www.`` dropped;
+    5. ``#fragment`` dropped (never sent to the server);
+    6. tracking params dropped (``utm_*``, ``fbclid``, ``gclid``,
+       ``ref``) with separator repair, empty ``?`` dropped;
+    7. trailing ``/`` dropped from non-root paths and from the bare
+       authority.
+
+    NULL in → NULL out; non-http(s) strings pass through unchanged
+    except whitespace trim (callers filter schemes upstream).
+    """
+    u = F.trim(str_to_column(col))
+    is_http = u.rlike(r"(?i)^https?://")
+    # 1-2: lowercase scheme+authority, drop credentials
+    scheme = F.lower(F.regexp_extract(u, r"(?i)^(https?)://", 1))
+    rest = F.regexp_replace(u, r"(?i)^https?://", "")
+    auth = F.element_at(F.split(F.split(rest, r"[/?#]").getItem(0), "@"), -1)
+    path = F.regexp_replace(rest, r"^[^/?#]*", "")
+    host = F.lower(auth)
+    # 3: default ports
+    host = F.when(
+        scheme == "http", F.regexp_replace(host, r":80$", "")
+    ).otherwise(F.regexp_replace(host, r":443$", ""))
+    # 4: www.
+    host = F.regexp_replace(host, r"^www\.", "")
+    # 5: fragment
+    path = F.regexp_replace(path, r"#.*$", "")
+    # 6: tracking params — each token must FOLLOW a '?'/'&' delimiter
+    # (so `?a=ref=1` is untouched; RE2 has no lookbehind, so the
+    # delimiter is captured and re-inserted — '$1' in Spark, '\\1' in
+    # an RE2 oracle), then separators are collapsed and dangling
+    # '?'/'&' stripped. Adjacent tracking params each match (nothing
+    # beyond the token is consumed), so any run of them collapses.
+    path = F.regexp_replace(
+        path, r"(?i)([?&])(utm_[a-z0-9_]*|fbclid|gclid|ref)=[^&#]*", "$1"
+    )
+    path = F.regexp_replace(path, r"&&+", "&")
+    path = F.regexp_replace(path, r"\?&+", "?")
+    path = F.regexp_replace(path, r"[?&]+$", "")
+    # 7: trailing slash of the path SEGMENT — both at end-of-URL and
+    # immediately before a surviving query ('/p/?q=1' → '/p?q=1')
+    path = F.regexp_replace(path, r"/\?", "?")
+    path = F.regexp_replace(path, r"^/$", "")
+    path = F.regexp_replace(path, r"/$", "")
+    return F.when(is_http, F.concat(scheme, F.lit("://"), host, path)).otherwise(
+        u
+    )

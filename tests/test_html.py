@@ -66,3 +66,31 @@ def test_extract_links_both_quote_styles(spark):
     assert sorted(links) == [
         "https://a.com/1", "https://b.com/2", "https://c.com/3"
     ]
+
+
+def test_canonicalize_url_cases(spark):
+    """The URL-dedup key: scheme/host case, credentials, default
+    ports, www, fragments, tracking params (incl. adjacent runs and
+    value-embedded lookalikes), trailing slashes; non-http passthrough;
+    NULL safety."""
+    from kolang_spark.llm import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.com:80/a/?utm_source=x#frag", "http://ex.com/a"),
+        ("https://Ex.COM:443/Path/Sub/", "https://ex.com/Path/Sub"),
+        ("https://user:pw@ex.com/x?a=1&utm_medium=m&b=2",
+         "https://ex.com/x?a=1&b=2"),
+        ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com"),
+        ("http://ex.com/p?utm_a=1&utm_b=2&c=3", "http://ex.com/p?c=3"),
+        ("http://ex.com/p?a=ref=1", "http://ex.com/p?a=ref=1"),
+        ("http://ex.com/p?ref=abc&fbclid=z&gclid=q", "http://ex.com/p"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # non-default port kept
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/", "https://ex.com"),
+        ("ftp://ex.com/x", "ftp://ex.com/x"),  # non-http passthrough
+        ("  http://A.com/B  ", "http://a.com/B"),  # path case preserved
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "u string")
+    got = [r.c for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
