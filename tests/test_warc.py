@@ -93,3 +93,44 @@ def test_parse_warc_spark_stage(spark):
         (2, 0, "warcinfo", None, None, b"x: y\r\n"),
         (2, 1, "response", "https://b/2", 301, b"beta"),
     ]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    bodies=st.lists(
+        st.binary(min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+    ),
+    plant=st.booleans(),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_parse_warc_bytes_adversarial_bodies(bodies, plant):
+    """The walk is driven by Content-Length, never by scanning for
+    markers — so bodies containing 'WARC/1.0', header-block
+    terminators, or record separators must neither split, hide, nor
+    corrupt records."""
+    if plant:
+        bodies = [
+            b"WARC/1.0\r\nWARC-Type: fake\r\n\r\n" + bodies[0],
+            *bodies[1:],
+            b"x\r\n\r\nWARC/1.0\r\n\r\n",
+        ]
+    blob = b"".join(
+        _rec(b"resource", body, uri=b"u%d" % i)
+        for i, body in enumerate(bodies)
+    )
+    recs = parse_warc_bytes(blob)
+    assert len(recs) == len(bodies)
+    for i, (rec, body) in enumerate(zip(recs, bodies)):
+        assert rec[0] == i
+        assert rec[1] == "resource"
+        assert rec[2] == "u%d" % i
+        assert rec[6] == body
