@@ -47,6 +47,7 @@ __all__ = [
     "moving_average",
     "moving_avg",
     "bin",
+    "quantiles",
     "sum_columns",
     "array_contains_column",
     "is_null_or_in",

@@ -87,7 +87,13 @@ def jalali_parts(col: ColumnOrName) -> Tuple[Column, Column, Column]:
     jalali_day_no = gregorian_day_no - 79
 
     great_cycles = F.floor(jalali_day_no / 12053)
-    rem = jalali_day_no % 12053
+    # pmod, not %: Spark's % follows the dividend's sign, and
+    # jalali_day_no is NEGATIVE for dates before 1600-03-20 (the
+    # algorithm's epoch) — a signed remainder fed garbage into the
+    # cycle decomposition for those dates. floor-division (F.floor of
+    # the true division) already pairs correctly with pmod; every
+    # later % operates on the now-non-negative remainder.
+    rem = F.pmod(jalali_day_no, F.lit(12053))
     jy = 979 + 33 * great_cycles + 4 * F.floor(rem / 1461)
     rem = rem % 1461
 
@@ -119,7 +125,10 @@ def gregorian_date(jy: ColumnOrName, jm: ColumnOrName, jd: ColumnOrName) -> Colu
     j_day_no = (
         365 * y
         + F.floor(y / 33) * 8
-        + F.floor((y % 33 + 3) / 4)
+        # pmod for the same pre-epoch reason as jalali_parts: y < 0
+        # for Jalali years before 979, where a signed % would skew
+        # the leap term
+        + F.floor((F.pmod(y, F.lit(33)) + 3) / 4)
         + month_offset
         + d
         - 1

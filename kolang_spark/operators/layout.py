@@ -86,7 +86,11 @@ def zorder_by(
     if missing:
         raise ValueError(f"unknown columns: {sorted(missing)}")
     coded = with_zorder_key(df, cols, bits, key_col="__ks_zorder__")
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        default_parts = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext — same guard as
+        default_parts = 200  # ensure_min_parallelism; shuffle default
+    parts = num_partitions or default_parts
     return (
         coded.repartitionByRange(parts, F.col("__ks_zorder__"))
         .sortWithinPartitions("__ks_zorder__")

@@ -78,8 +78,15 @@ def deterministic_sample(
 
 def _hash60(key: ColumnOrName, salt: str) -> Column:
     """60-bit md5 bucket of ``key`` (engine-portable; see
-    ``llm.textstats._token_hash60``)."""
-    c = to_col(key).cast("string")
+    ``llm.textstats._token_hash60``).
+
+    NULL keys hash like the empty string (one shared, deterministic
+    fate) rather than propagating NULL — a NULL hash made every
+    comparison downstream NULL, so ``deterministic_sample`` dropped
+    NULL-key rows even at fraction=1.0 and ``split_dataset`` piled
+    them all into its last split. Non-NULL keys are unaffected (and so
+    are every existing oracle/sample membership)."""
+    c = F.coalesce(to_col(key).cast("string"), F.lit(""))
     return F.conv(
         F.substring(F.md5(F.encode(F.concat(c, F.lit(salt)), "UTF-8")), 18, 15),
         16,
@@ -199,14 +206,27 @@ def weighted_sample(
     u = (_hash60(key, salt) + F.lit(0.5)) / F.lit(float(1 << 60))
     ekey = F.log(u) / w_col
     src = df.where(w_col.isNotNull() & (w_col > 0)).withColumn("__ks_ekey", ekey)
+    # secondary tie-break on the key: rows sharing (key, weight) share
+    # the rank key, and without a total order the cut at position k
+    # would pick arbitrarily per run/partitioning. With unique keys
+    # (the documented expectation) the order is total; among rows with
+    # EQUAL keys the pick remains arbitrary — those rows are
+    # indistinguishable to the sampler by construction.
+    tiebreak = to_col(key).cast("string")
     if strata is not None:
-        win = Window.partitionBy(to_col(strata)).orderBy(F.col("__ks_ekey").desc())
+        win = Window.partitionBy(to_col(strata)).orderBy(
+            F.col("__ks_ekey").desc(), tiebreak
+        )
         return (
             src.withColumn("__ks_rn", F.row_number().over(win))
             .where(F.col("__ks_rn") <= k)
             .drop("__ks_rn", "__ks_ekey")
         )
-    return src.orderBy(F.col("__ks_ekey").desc()).limit(k).drop("__ks_ekey")
+    return (
+        src.orderBy(F.col("__ks_ekey").desc(), tiebreak)
+        .limit(k)
+        .drop("__ks_ekey")
+    )
 
 
 def split_dataset(

@@ -23,7 +23,12 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from kolang_spark.utils import ColumnOrName, to_col, to_col_list
+from kolang_spark.utils import (
+    ColumnOrName,
+    broadcast_join_nullsafe,
+    to_col,
+    to_col_list,
+)
 
 __all__ = ["with_percent", "with_cumulative_sum"]
 
@@ -68,12 +73,17 @@ def with_cumulative_sum(
 ) -> DataFrame:
     """Distributed running total of ``col`` ordered by ``order_col``.
 
-    ``bucket`` must be a *coarsening function of* ``order_col`` (e.g.
-    ``F.date_trunc('month', order_col)`` for a date order) — it defines
-    the units of parallelism. Correctness requires only that equal
-    ``order_col`` values land in the same bucket, which any deterministic
-    function of ``order_col`` guarantees; RANGE-frame tie semantics are
-    then preserved exactly.
+    ``bucket`` must be a *monotone coarsening of* ``order_col`` (e.g.
+    ``F.date_trunc('month', order_col)`` for a date order, or the id
+    minus its remainder): equal ``order_col`` values must share a
+    bucket AND bucket values must sort in the same (ascending) order
+    as the ``order_col`` ranges they cover — the per-bucket offsets
+    are accumulated in bucket order, so a non-monotone bucketing (a
+    hash, say) would scramble the running totals. Any truncation/
+    floor-style function satisfies both; RANGE-frame tie semantics
+    are then preserved exactly. A NULL ``order_col`` yields the NULL
+    bucket, which sorts first — the same NULLS FIRST position the
+    plain window gives those rows.
 
     ``partition_by`` takes column *names* here (needed for the name-based
     equi-join of the offset table).
@@ -114,9 +124,12 @@ def with_cumulative_sum(
         ),
     )
 
+    # NULL-safe re-attach: a NULL bucket (NULL order_col) or NULL
+    # partition key is a real group; a plain equi-join would silently
+    # drop those rows — the trap broadcast_join_nullsafe exists for
     return (
-        tagged.join(
-            F.broadcast(offsets), on=[*part_names, "__ks_bucket__"], how="inner"
+        broadcast_join_nullsafe(
+            tagged, offsets, keys=[*part_names, "__ks_bucket__"]
         )
         .withColumn(out, within + F.col("__ks_offset__"))
         .drop("__ks_bucket__", "__ks_offset__")

@@ -46,9 +46,13 @@ def hll_sketch(col: ColumnOrName, lg_k: int = 12) -> Column:
     return F.hll_sketch_agg(to_col(col), lg_k)
 
 
-def hll_merge(sketch_col: ColumnOrName, lg_k: int = 12) -> Column:
+def hll_merge(sketch_col: ColumnOrName) -> Column:
     """Aggregate: merge previously-built sketches (union of the
-    underlying distinct sets — associative, loss-free at equal lg_k)."""
+    underlying distinct sets — associative, loss-free when every input
+    sketch shares one lg_k; mixed-precision inputs are REJECTED by the
+    underlying ``hll_union_agg(allowDifferentLgConfigK=False)`` rather
+    than silently downgraded, which is why this takes no lg_k knob:
+    precision is fixed at sketch-build time and the merge has no say)."""
     return F.hll_union_agg(to_col(sketch_col), False)
 
 
@@ -204,7 +208,7 @@ def sketch_rollup(
     fine = df.groupBy(*fine_keys).agg(hll_sketch(value, lg_k).alias("__ks_sketch__"))
     return (
         fine.groupBy(*coarse_keys)
-        .agg(hll_merge("__ks_sketch__", lg_k).alias("__ks_merged__"))
+        .agg(hll_merge("__ks_sketch__").alias("__ks_merged__"))
         .select(
             *coarse_keys,
             hll_estimate("__ks_merged__").alias("n_distinct_est"),

@@ -46,7 +46,15 @@ def add_trend_line(
     cache: bool = True,
 ) -> DataFrame:
     """Add ``{col}_trendline`` columns (degree-``degree`` polynomial fit
-    over days-since-start) and ``prediction_day`` forecast rows."""
+    over days-since-start) and ``prediction_day`` forecast rows.
+
+    ``cache=True`` persists the casted input for the three passes that
+    read it (bounds, moments, and the returned join). The cache block
+    stays registered after the call BY DESIGN — the returned plan still
+    reads it, so unpersisting here would forfeit the benefit exactly
+    where it matters; callers batch-processing many frames should pass
+    ``cache=False`` or ``df.unpersist()`` once the result is consumed.
+    """
     if degree < 1:
         raise ValueError("degree must be >= 1")
     if df.schema[date_col].dataType.simpleString() not in _DATE_TYPES:

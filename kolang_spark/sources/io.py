@@ -251,6 +251,23 @@ def read_json(
     return reader.json(path)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe through the JVM Hadoop
+    ``FileSystem`` API — works for ``s3a://``/``hdfs://``/``abfs://``
+    URIs where a driver-local ``os.path.exists`` is always False (the
+    trap that makes "create vs merge" branches write twice and fail).
+    Falls back to ``os.path.exists`` when the JVM gateway is not
+    reachable (Spark Connect) — correct there only for local paths,
+    which is all a Connect-local test touches."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(hconf).exists(jpath)
+    except Exception:
+        return os.path.exists(path)
+
+
 def read_blobs(
     spark: SparkSession,
     path: str,

@@ -52,7 +52,17 @@ def dedup_stream(
                 "min-order_col pick is not available under a watermark"
             )
         out = out.withWatermark(ts_col, watermark)
-        return out.dropDuplicates(["__ks_fp__"]).drop("__ks_fp__")
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+        # dropDuplicates only evicts state when the event-time column
+        # is part of the dedup subset — deduping on the fingerprint
+        # alone would grow one state row per distinct document forever
+        # (the bounded-state contract above would be false). The
+        # WithinWatermark variant evicts fingerprint state once it
+        # ages past the watermark, which is exactly the documented
+        # trade.
+        return out.dropDuplicatesWithinWatermark(["__ks_fp__"]).drop(
+            "__ks_fp__"
+        )
     if order_col is not None:
         w = Window.partitionBy("__ks_fp__").orderBy(order_col)
         return (

@@ -47,9 +47,12 @@ def interval_join(
     outer variants when watermarked).
 
     Output carries every left column plus the right columns, with the
-    right side's key and timestamp columns renamed to ``r_<name>`` (the
-    keys are equal by construction; the right timestamp is kept —
-    downstream lag/latency math needs it).
+    right side's key and timestamp columns renamed to ``r_<name>``.
+    For inner/left joins the ``r_<key>`` copies are dropped (equal to
+    the left keys wherever present). For right/full-outer joins the
+    key columns are COALESCED into the left-named keys first — a
+    right-only row's keys would otherwise be dropped with the
+    ``r_<key>`` copy, leaving the row with no key at all.
     """
     if not keys:
         raise ValueError("keys must name at least one join column")
@@ -72,4 +75,10 @@ def interval_join(
         & (rts >= lts + F.expr(f"INTERVAL {lower}"))
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
-    return l_.join(r_, cond, how).drop(*[f"r_{k}" for k in keys])
+    joined = l_.join(r_, cond, how)
+    if how.replace("_", "").lower() in ("rightouter", "right", "fullouter", "full", "outer"):
+        for k in keys:
+            joined = joined.withColumn(
+                k, F.coalesce(F.col(f"l.{k}"), F.col(f"r.r_{k}"))
+            )
+    return joined.drop(*[f"r_{k}" for k in keys])

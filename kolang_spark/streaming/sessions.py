@@ -41,9 +41,15 @@ def sessionize(
 
     Scale: state is hash-partitioned by key; no global ordering anywhere.
     """
+    if watermark is not None and not isinstance(ts, str):
+        # withWatermark takes a column NAME; a Column-valued ts must be
+        # materialized first (the old `else "ts"` fallback watermarked
+        # an unrelated column, or raised, whenever ts was an expression)
+        df = df.withColumn("__ks_ts__", to_col(ts))
+        ts = "__ks_ts__"
     ts_col = to_col(ts)
     if watermark is not None:
-        df = df.withWatermark(ts if isinstance(ts, str) else "ts", watermark)
+        df = df.withWatermark(ts, watermark)
 
     aggs = [F.count(F.lit(1)).alias("n_events")]
     if value is not None:

@@ -42,15 +42,17 @@ def upsert_sink(
     ``available_now=True`` drains the source and stops (the backfill
     mode); ``False`` runs continuously on the default trigger.
     """
-    import os
-
-    from kolang_spark.sources.io import upsert_partitioned
+    from kolang_spark.sources.io import path_exists, upsert_partitioned
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if not os.path.exists(path):
+        # Hadoop-FS probe, not os.path.exists: on an object-store path
+        # (s3a://...) the driver-local check is always False, so every
+        # batch would take the create branch and batch 1 would die on
+        # 'path already exists'
+        if not path_exists(spark, path):
             if order_col is not None:
                 from pyspark.sql import Window
 

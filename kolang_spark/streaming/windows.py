@@ -34,8 +34,14 @@ def _windowed(
     aggs: Optional[Dict[str, Column]],
     watermark: Optional[str],
 ) -> DataFrame:
+    if watermark is not None and not isinstance(ts, str):
+        # withWatermark takes a column NAME; materialize a Column-valued
+        # ts (the old `else "ts"` fallback watermarked an unrelated
+        # column, or raised, whenever ts was an expression)
+        df = df.withColumn("__ks_ts__", to_col(ts))
+        ts = "__ks_ts__"
     if watermark is not None:
-        df = df.withWatermark(ts if isinstance(ts, str) else "ts", watermark)
+        df = df.withWatermark(ts, watermark)
     if not aggs:
         aggs = {"n_events": F.count(F.lit(1))}
     win = (
@@ -44,15 +50,15 @@ def _windowed(
         else F.window(to_col(ts), duration, slide)
     )
     key_cols = [to_col(k) for k in keys]
-    return (
-        df.groupBy(win.alias("window"), *key_cols)
-        .agg(*[c.alias(n) for n, c in aggs.items()])
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            *[k if isinstance(k, str) else k for k in keys],
-            *aggs.keys(),
-        )
+    out = df.groupBy(win.alias("window"), *key_cols).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    # re-select by the aggregated frame's own column names — selecting
+    # the original key EXPRESSIONS would break for non-trivial Columns
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
     )
 
 
