@@ -927,6 +927,11 @@ def incremental_exact_dedup(
                 ).write.mode("overwrite").parquet(bloom_path)
                 _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
         if os.path.exists(bloom_path):
+            # compact BEFORE reading: compacting after the batch was
+            # flagged would delete files the returned DataFrame's lazy
+            # plan still references (FileNotFound on the caller's first
+            # action); up front, nothing holds the old file listing yet
+            _maybe_compact_bloom(spark, bloom_path, bloom_bits, bloom_k)
             bloom = spark.read.parquet(bloom_path).distinct()
         else:
             bloom = spark.createDataFrame([], "bit bigint")
@@ -986,7 +991,9 @@ def incremental_exact_dedup(
         ).parquet(bloom_path)
         if not os.path.exists(_bloom_meta_path(bloom_path)):
             _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
-        _maybe_compact_bloom(spark, bloom_path, bloom_bits, bloom_k)
+        # NOTE: compaction runs at the START of the next call (before
+        # the sidecar is read), never here — the returned `marked`
+        # plan still references the current bloom files
     novel.write.mode("append").parquet(state_path)
     return marked
 
@@ -998,10 +1005,12 @@ def _maybe_compact_bloom(
     its novel bits, so without compaction the dir grows one file per
     batch and O(k·accepted) rows — at exactly the extreme-state scale
     the pre-filter targets. Past ``max_files`` parquet files, rewrite
-    to the ≤ ``n_bits``-row distinct bit table (tmp-dir + swap). A
-    crash mid-swap only loses the CACHE: the next bloom-enabled call
-    sees a missing/meta-less dir and rebuilds from state, so every
-    failure mode self-heals to correct behavior."""
+    to the ≤ ``n_bits``-row distinct bit table (tmp-dir + swap). Runs
+    at the START of an ingest call, before the sidecar is read — never
+    after, when the just-returned DataFrame's plan still references
+    the old files. A crash mid-swap only loses the CACHE: the next
+    bloom-enabled call sees a missing/meta-less dir and rebuilds from
+    state, so every failure mode self-heals to correct behavior."""
     import os
     import shutil
 

@@ -1186,7 +1186,8 @@ def extract_features(
             if fake:
 
                 def vec(b: bytes):
-                    seed = int.from_bytes(hashlib.md5(bytes(b)).digest()[:8], "big")
+                    b = bytes(b) if b is not None else b""  # poison-blob
+                    seed = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
                     return np.random.default_rng(seed).random(dims).tolist()
 
             else:
@@ -1227,9 +1228,15 @@ def sample_frames(
         else (F.col(meta_col)["n_bytes"] % 10 + 1)
     )
     n_frames = (duration * fps).cast("int")
+    # sequence(0, -1) yields the DESCENDING array [0, -1] — a
+    # zero/negative frame count must produce no rows, not bogus
+    # negative frame indices
+    spine = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+        F.explode(spine).alias("frame_idx"),
     )
 
 

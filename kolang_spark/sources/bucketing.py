@@ -50,7 +50,15 @@ def assert_no_shuffle_join(joined: DataFrame) -> None:
     from kolang_spark.plans.audit import explain_str
 
     plan = explain_str(joined, mode="simple")
-    if "Exchange" in plan:
+    # match SHUFFLE exchanges only: a bare "Exchange" substring test
+    # also hits "BroadcastExchange", which involves no shuffle and is a
+    # perfectly good plan for a small bucketed side
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    if shuffles:
         raise AssertionError(
             "bucketed join still shuffles — bucket counts/keys mismatch?\n" + plan
         )

@@ -147,8 +147,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ).alias("ts_ms"),
         )
     if ts_type == "timestamp":
+        # integer div, not /1000: double division loses low bits past
+        # 2^53 µs — the same precision fix the bigint branch carries
         return df.withColumn(
-            "ts_ms", (F.unix_micros(F.col("ts")) / 1000).cast("long")
+            "ts_ms", F.expr("unix_micros(ts) div 1000")
         )
     # conf off and Spark refused / odd type: pyarrow fallback (small data only)
     import pyarrow.parquet as pq
@@ -158,7 +160,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     out = spark.createDataFrame(pdf)
     return out.withColumn(
-        "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+        "ts_ms", F.expr("unix_micros(cast(ts as timestamp)) div 1000")
     )
 
 
@@ -328,7 +330,9 @@ def write_table(
     writer = df.write.format(format).mode(mode).options(**options)
     if compression is not None:
         writer = writer.option("compression", compression)
-    if format == "csv":
+    if format == "csv" and "header" not in options:
+        # default only — a caller-supplied header=False (headerless
+        # shards for concatenation) must not be silently overridden
         writer = writer.option("header", True)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -514,7 +518,10 @@ def load_or_calculate_parquet(
         return os.path.join(path, *(f"{k}={v}" for k, v in combo.items()))
 
     def is_complete(p: str) -> bool:
-        return os.path.exists(os.path.join(p, "_SUCCESS"))
+        # Hadoop-FS probe, not os.path.exists: on object-store URIs the
+        # driver-local check is always False, which would silently void
+        # the memoization (every combo recomputed every call)
+        return path_exists(spark, os.path.join(p, "_SUCCESS"))
 
     def run_one(combo: Dict[str, Any]) -> None:
         p = combo_path(combo)

@@ -63,6 +63,12 @@ def parse_warc_bytes(b: bytes) -> List[Tuple]:
             clen = int(headers.get(b"content-length", b""))
         except ValueError:
             break
+        if clen < 0:
+            # adversarial/corrupt: a negative length would move the
+            # walk BACKWARDS (pos = payload_start + clen), re-parsing
+            # the same header forever — the one non-monotone step in
+            # the loop, so reject it outright
+            break
         payload_start = hdr_end + 4
         if payload_start + clen > n:
             break

@@ -124,3 +124,69 @@ def test_interval_join_outer_keeps_right_only_keys(spark):
     got = {r.v: r.k for r in out.where(F.col("v").isNotNull()).collect()}
     assert got[10] == 1
     assert got[20] == 2  # right-only row keeps its key (was NULL)
+
+
+def test_warc_negative_content_length_terminates():
+    """A corrupt/adversarial negative Content-Length must end the walk
+    (it used to move the cursor backwards and loop forever)."""
+    from kolang_spark.sources.warc import parse_warc_bytes
+
+    evil = b"WARC/1.0\r\nWARC-Type: x\r\nContent-Length: -33\r\n\r\n"
+    assert parse_warc_bytes(evil) == []
+    good = (b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 2"
+            b"\r\n\r\nok\r\n\r\n")
+    # a good record before the corrupt one survives
+    assert [r[6] for r in parse_warc_bytes(good + evil)] == [b"ok"]
+
+
+def test_sample_frames_zero_duration_yields_no_rows(spark):
+    from kolang_spark.llm.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 3), (3, -5)], "doc_id long, dur int"
+    )
+    out = sample_frames(df, id_col="doc_id", fps=1, duration_s_col="dur")
+    got = sorted((r.doc_id, r.frame_idx) for r in out.collect())
+    assert got == [(2, 0), (2, 1), (2, 2)]  # no bogus 0/-1 frames
+
+
+def test_write_table_csv_header_false_respected(spark, tmp_path):
+    from kolang_spark.sources.io import write_table
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    p = str(tmp_path / "noheader")
+    write_table(df, p, format="csv", mode="overwrite", header=False)
+    lines = [
+        line
+        for f in __import__("os").listdir(p)
+        if f.endswith(".csv")
+        for line in open(f"{p}/{f}").read().splitlines()
+    ]
+    assert lines == ["1,a"]  # no header row
+
+
+def test_extract_features_fake_handles_null_blob(spark):
+    from kolang_spark.llm.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x")), (2, None)], "doc_id long, content binary"
+    )
+    out = {r.doc_id: r.features
+           for r in extract_features(df, dims=4, fake=True).collect()}
+    assert len(out[1]) == 4 and len(out[2]) == 4  # no TypeError
+
+
+def test_assert_no_shuffle_join_allows_broadcast_exchange(spark):
+    from kolang_spark.sources.bucketing import assert_no_shuffle_join
+
+    big = spark.range(100).withColumnRenamed("id", "k")
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    joined = big.join(F.broadcast(small), "k")
+    assert_no_shuffle_join(joined)  # BroadcastExchange is not a shuffle
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        with pytest.raises(AssertionError):
+            assert_no_shuffle_join(big.join(small, "k"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
