@@ -2612,10 +2612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     old this round (hard cadence bound — for r8 that is the 7 r5
     leftovers), (2) oldest-last-green first among the rest (for r8:
     the 48 r6 greens; any that don't fit become r9's hard bound),
-    (3) never-externally-green debuts, (4) freshest greens. With 116
-    queries on a 50-slot window the 3-round cadence has capacity 150,
-    so the schedule stays feasible as long as each round packs by
-    staleness — tests/test_oracle_parity.py::
+    (3) never-externally-green debuts, (4) freshest greens.
+    scripts/next_window.py COMPUTES this ordering from the recorded
+    history — run it once the round's CORRECTNESS file lands and paste
+    the 50 names. With 119 queries on a 50-slot window the 3-round
+    cadence has capacity 150, so the schedule stays feasible as long
+    as each round packs by staleness — tests/test_oracle_parity.py::
     test_external_window_composition enforces the all-oracle-backed
     invariant mechanically. Everything in the tail still
     runs in bench.py and stays hash-checked every run by
