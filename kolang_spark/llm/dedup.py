@@ -806,31 +806,37 @@ def embedding_near_dup_pairs(
 
 def _bloom_meta_path(bloom_path: str) -> str:
     # leading underscore: Spark's file listing skips _-prefixed files,
-    # so the meta can live inside the parquet dir without breaking reads
-    import os
+    # so the meta can live inside the parquet dir without breaking
+    # reads. Plain '/' join, never os.path — the path may be a
+    # fully-qualified object-store URI.
+    return bloom_path.rstrip("/") + "/_ks_bloom_meta.json"
 
-    return os.path.join(bloom_path, "_ks_bloom_meta.json")
 
-
-def _write_bloom_meta(bloom_path: str, n_bits: int, k: int) -> None:
+def _write_bloom_meta(spark, bloom_path: str, n_bits: int, k: int) -> None:
     import json
 
-    with open(_bloom_meta_path(bloom_path), "w") as f:
-        json.dump({"n_bits": n_bits, "k": k}, f)
+    from kolang_spark.sources.io import fs_write_text
+
+    fs_write_text(
+        spark, _bloom_meta_path(bloom_path), json.dumps({"n_bits": n_bits, "k": k})
+    )
 
 
-def _bloom_meta_matches(bloom_path: str, n_bits: int, k: int) -> bool:
+def _bloom_meta_matches(spark, bloom_path: str, n_bits: int, k: int) -> bool:
     import json
-    import os
 
-    if not os.path.exists(bloom_path):
+    from kolang_spark.sources.io import fs_read_text, path_exists
+
+    if not path_exists(spark, bloom_path):
+        return False
+    raw = fs_read_text(spark, _bloom_meta_path(bloom_path))
+    if raw is None:
         return False
     try:
-        with open(_bloom_meta_path(bloom_path)) as f:
-            meta = json.load(f)
-        return meta.get("n_bits") == n_bits and meta.get("k") == k
-    except (OSError, ValueError):
+        meta = json.loads(raw)
+    except ValueError:
         return False
+    return meta.get("n_bits") == n_bits and meta.get("k") == k
 
 
 def incremental_exact_dedup(
@@ -880,13 +886,24 @@ def incremental_exact_dedup(
     and past 64 files the append-only bit table compacts back to its
     ≤ ``bloom_bits``-row distinct form. Every crash window loses at
     most the cache, never correctness.
-    """
-    import os
 
+    Caveat when ``bloom_bits`` is set: materialize the returned
+    DataFrame (any action, or ``localCheckpoint``) BEFORE the next
+    ingest call against the same state — the next call may compact the
+    sidecar, deleting files a still-lazy previous plan references
+    (see :func:`_maybe_compact_bloom`).
+
+    All state/sidecar file management routes through the Hadoop
+    ``FileSystem`` API (:func:`kolang_spark.sources.io.path_exists`
+    and friends), so ``state_path`` may be an object-store URI
+    (``s3a://``/``hdfs://``/``abfs://``) — the probes behave
+    identically to local paths.
+    """
     from kolang_spark.llm.textstats import doc_fingerprint
+    from kolang_spark.sources.io import fs_delete, path_exists
 
     batch = new_df.withColumn("fingerprint", doc_fingerprint(text_col))
-    if os.path.exists(state_path):
+    if path_exists(spark, state_path):
         state = spark.read.parquet(state_path).select(
             F.col("fingerprint").alias("__fp__")
         )
@@ -901,9 +918,7 @@ def incremental_exact_dedup(
         # surviving sidecar would later report them "certainly absent"
         # — permanent false negatives. Invalidate it; the next
         # bloom-enabled run rebuilds from state.
-        import shutil as _shutil
-
-        _shutil.rmtree(state_path.rstrip("/") + "_bloom", ignore_errors=True)
+        fs_delete(spark, state_path.rstrip("/") + "_bloom")
         pre = batch.join(
             state_flagged, batch["fingerprint"] == state["__fp__"], "left"
         ).drop("__fp__")
@@ -914,19 +929,17 @@ def incremental_exact_dedup(
         )
 
         bloom_path = state_path.rstrip("/") + "_bloom"
-        if not _bloom_meta_matches(bloom_path, bloom_bits, bloom_k):
+        if not _bloom_meta_matches(spark, bloom_path, bloom_bits, bloom_k):
             # sidecar missing, param-mismatched, or meta-less (written
             # by an older/foreign process): rebuild from state — the
             # sidecar is derivable, so rebuilding is always correct
-            import shutil as _shutil
-
-            _shutil.rmtree(bloom_path, ignore_errors=True)
-            if os.path.exists(state_path):
+            fs_delete(spark, bloom_path)
+            if path_exists(spark, state_path):
                 bloom_table(
                     state, "__fp__", n_bits=bloom_bits, k=bloom_k
                 ).write.mode("overwrite").parquet(bloom_path)
-                _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
-        if os.path.exists(bloom_path):
+                _write_bloom_meta(spark, bloom_path, bloom_bits, bloom_k)
+        if path_exists(spark, bloom_path):
             # compact BEFORE reading: compacting after the batch was
             # flagged would delete files the returned DataFrame's lazy
             # plan still references (FileNotFound on the caller's first
@@ -989,8 +1002,8 @@ def incremental_exact_dedup(
         _bt(novel, "fingerprint", n_bits=bloom_bits, k=bloom_k).write.mode(
             "append"
         ).parquet(bloom_path)
-        if not os.path.exists(_bloom_meta_path(bloom_path)):
-            _write_bloom_meta(bloom_path, bloom_bits, bloom_k)
+        if not path_exists(spark, _bloom_meta_path(bloom_path)):
+            _write_bloom_meta(spark, bloom_path, bloom_bits, bloom_k)
         # NOTE: compaction runs at the START of the next call (before
         # the sidecar is read), never here — the returned `marked`
         # plan still references the current bloom files
@@ -1008,26 +1021,26 @@ def _maybe_compact_bloom(
     to the ≤ ``n_bits``-row distinct bit table (tmp-dir + swap). Runs
     at the START of an ingest call, before the sidecar is read — never
     after, when the just-returned DataFrame's plan still references
-    the old files. A crash mid-swap only loses the CACHE: the next
-    bloom-enabled call sees a missing/meta-less dir and rebuilds from
-    state, so every failure mode self-heals to correct behavior."""
-    import os
-    import shutil
+    the old files. Corollary for callers: a batch's returned DataFrame
+    holds a lazy reference to the sidecar files that were live when it
+    was flagged — materialize it (any action, or ``localCheckpoint``)
+    before the NEXT ingest call when ``bloom_bits`` is set, or that
+    later call's compaction can delete files the stale plan still
+    points at (FileNotFound on the deferred action). A crash mid-swap
+    only loses the CACHE: the next bloom-enabled call sees a
+    missing/meta-less dir and rebuilds from state, so every failure
+    mode self-heals to correct behavior."""
+    from kolang_spark.sources.io import fs_delete, fs_list_files, fs_rename
 
-    try:
-        files = [
-            f for f in os.listdir(bloom_path) if f.endswith(".parquet")
-        ]
-    except OSError:
-        return
+    files = fs_list_files(spark, bloom_path, suffix=".parquet")
     if len(files) <= max_files:
         return
     tmp = bloom_path + "__compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs_delete(spark, tmp)
     spark.read.parquet(bloom_path).distinct().write.parquet(tmp)
-    shutil.rmtree(bloom_path)
-    os.rename(tmp, bloom_path)
-    _write_bloom_meta(bloom_path, n_bits, k)
+    fs_delete(spark, bloom_path)
+    fs_rename(spark, tmp, bloom_path)
+    _write_bloom_meta(spark, bloom_path, n_bits, k)
 
 
 def duplicate_spans(
@@ -1221,14 +1234,16 @@ def incremental_minhash_dedup(
     one band-partitioned window for the within-batch rule — both
     hash-partitioned, no broadcast assumption. State grows by ``bands``
     rows per accepted doc; compact it periodically with
-    :func:`kolang_spark.sources.io.compact_parquet`.
+    :func:`kolang_spark.sources.io.compact_parquet`. The state probe
+    routes through the Hadoop ``FileSystem`` API, so ``state_path``
+    may be an object-store URI (``s3a://``/``hdfs://``/``abfs://``).
     """
-    import os
+    from kolang_spark.sources.io import path_exists
 
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
-    if os.path.exists(state_path):
+    if path_exists(spark, state_path):
         state = spark.read.parquet(state_path).select(
             "band_id", F.col("band_key").alias("__sk__")
         )

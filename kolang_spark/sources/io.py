@@ -29,6 +29,12 @@ __all__ = [
     "overwrite_partitions",
     "compact_parquet",
     "upsert_partitioned",
+    "path_exists",
+    "fs_delete",
+    "fs_rename",
+    "fs_read_text",
+    "fs_write_text",
+    "fs_list_files",
 ]
 
 TABLE_NAMES = [
@@ -261,13 +267,175 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     Falls back to ``os.path.exists`` when the JVM gateway is not
     reachable (Spark Connect) — correct there only for local paths,
     which is all a Connect-local test touches."""
+    pair = _hadoop_fs(spark, path)
+    if pair is None:
+        return os.path.exists(path)
+    fs, jpath = pair
+    return bool(fs.exists(jpath))
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """``(FileSystem, Path)`` for ``path`` through the JVM gateway, or
+    ``None`` when the gateway is unreachable (Spark Connect). Callers
+    fall back to driver-local ``os``/``shutil`` equivalents — correct
+    there only for local paths, which is all a Connect-local test
+    touches. This is the single chokepoint every state-management file
+    op in the repo routes through, so object-store URIs
+    (``s3a://``/``hdfs://``/``abfs://``) behave identically to local
+    paths everywhere."""
     try:
         jvm = spark.sparkContext._jvm
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         jpath = jvm.org.apache.hadoop.fs.Path(path)
-        return jpath.getFileSystem(hconf).exists(jpath)
+        return jpath.getFileSystem(hconf), jpath
     except Exception:
-        return os.path.exists(path)
+        return None
+
+
+def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Filesystem-agnostic delete (file or directory tree) through the
+    Hadoop ``FileSystem`` API — the companion of :func:`path_exists`
+    for state/sidecar invalidation. Returns True when something was
+    deleted; missing paths are a no-op False (idempotent)."""
+    pair = _hadoop_fs(spark, path)
+    if pair is None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            return True
+        try:
+            os.remove(path)
+            return True
+        except OSError:
+            return False
+    fs, jpath = pair
+    try:
+        return bool(fs.delete(jpath, recursive))
+    except Exception:
+        return False
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Filesystem-agnostic rename. Hadoop semantics: fails (returns
+    False) when ``dst`` exists — delete it first for a swap. On object
+    stores rename is a copy, not atomic; callers that need a swap must
+    document the crash window (see :func:`compact_parquet`)."""
+    pair = _hadoop_fs(spark, src)
+    if pair is None:
+        try:
+            os.rename(src, dst)
+            return True
+        except OSError:
+            return False
+    fs, jsrc = pair
+    jdst = _hadoop_fs(spark, dst)[1]
+    try:
+        return bool(fs.rename(jsrc, jdst))
+    except Exception:
+        return False
+
+
+def fs_read_text(spark: SparkSession, path: str) -> Optional[str]:
+    """Read a small UTF-8 text file (sidecar meta, marker files)
+    through the Hadoop ``FileSystem`` API; ``None`` when the file is
+    missing or unreadable. Driver-side and unbounded — for O(KB)
+    metadata only, never data."""
+    pair = _hadoop_fs(spark, path)
+    if pair is None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                return f.read()
+        except OSError:
+            return None
+    fs, jpath = pair
+    try:
+        jvm = spark.sparkContext._jvm
+        stream = fs.open(jpath)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write (overwrite) a small UTF-8 text file through the Hadoop
+    ``FileSystem`` API. Parent directories are created as needed."""
+    pair = _hadoop_fs(spark, path)
+    if pair is None:
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(content)
+        return
+    fs, jpath = pair
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_list_files(
+    spark: SparkSession,
+    path: str,
+    suffix: Optional[str] = None,
+    recursive: bool = False,
+) -> List[tuple]:
+    """Filesystem-agnostic file listing: ``(full_path, size_bytes)``
+    pairs, optionally filtered by ``suffix`` and recursive. Empty list
+    when the path is missing. Driver-side — for directory-level state
+    management (compaction thresholds, file sizing), not data reads;
+    the listing cost is the same one every parquet scan already pays."""
+    pair = _hadoop_fs(spark, path)
+    out: List[tuple] = []
+    if pair is None:
+        if not os.path.exists(path):
+            return out
+        if recursive:
+            for dp, _, fnames in os.walk(path):
+                for f in fnames:
+                    if suffix is None or f.endswith(suffix):
+                        full = os.path.join(dp, f)
+                        out.append((full, os.path.getsize(full)))
+        else:
+            for f in os.listdir(path):
+                full = os.path.join(path, f)
+                if os.path.isfile(full) and (
+                    suffix is None or f.endswith(suffix)
+                ):
+                    out.append((full, os.path.getsize(full)))
+        return sorted(out)
+    fs, jpath = pair
+    try:
+        if recursive:
+            it = fs.listFiles(jpath, True)
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if suffix is None or name.endswith(suffix):
+                    out.append((st.getPath().toString(), int(st.getLen())))
+        else:
+            for st in fs.listStatus(jpath):
+                if not st.isFile():
+                    continue
+                name = st.getPath().getName()
+                if suffix is None or name.endswith(suffix):
+                    out.append((st.getPath().toString(), int(st.getLen())))
+    except Exception:
+        return []
+    return sorted(out)
 
 
 def read_blobs(
@@ -411,33 +579,35 @@ def compact_parquet(
     clustered layout is wanted.
 
     File sizing uses the *current* on-disk bytes (compression-aware),
-    summed via a local directory walk — for a local/NFS lake path. On
-    an object store, run the same logic with that store's lister and
-    pass the resulting partition count to ``df.repartition`` directly.
+    listed through the Hadoop ``FileSystem`` API — so ``s3a://``/
+    ``hdfs://``/``abfs://`` sink paths compact the same as local ones
+    (the long-lived incremental sinks this exists for live on object
+    stores). Note that on object stores the two swap renames are
+    copies, widening the documented non-atomic crash window.
     """
     if target_mb < 1:
         raise ValueError("target_mb must be >= 1")
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
+    files = fs_list_files(spark, path, suffix=".parquet", recursive=True)
     if len(files) <= min_files:
         return 0
-    total_bytes = sum(os.path.getsize(f) for f in files)
+    total_bytes = sum(sz for _, sz in files)
     n_out = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))  # ceil
     if n_out >= len(files):
         return 0  # already at/below target granularity
     tmp, bak = path.rstrip("/") + "__compact_tmp", path.rstrip("/") + "__compact_bak"
     # hive layout detection: partition columns appear as k=v directory
-    # segments between the root and the data files
-    part_cols: list[str] = []
-    probe = os.path.relpath(os.path.dirname(files[0]), path)
-    if probe != ".":
-        for seg in probe.split(os.sep):
-            if "=" in seg:
-                part_cols.append(seg.split("=", 1)[0])
+    # segments between the root and the data files. The listing returns
+    # fully-qualified URIs, so resolve the root the same way before
+    # taking the relative segments.
+    pair = _hadoop_fs(spark, path)
+    root = (
+        pair[0].makeQualified(pair[1]).toString() if pair is not None else path
+    ).rstrip("/")
+    first = files[0][0]
+    rel = first[len(root):].lstrip("/") if first.startswith(root) else first
+    part_cols: list[str] = [
+        seg.split("=", 1)[0] for seg in rel.split("/")[:-1] if "=" in seg
+    ]
     df = spark.read.parquet(path)
     if part_cols:
         # cluster by partition key so each partition directory compacts
@@ -446,17 +616,15 @@ def compact_parquet(
     else:
         writer = df.repartition(int(n_out)).write
     writer.parquet(tmp)
-    new_files = sum(
-        1
-        for dp, _, fs in os.walk(tmp)
-        for f in fs
-        if f.endswith(".parquet")
-    )
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    import shutil
-
-    shutil.rmtree(bak)
+    new_files = len(fs_list_files(spark, tmp, suffix=".parquet", recursive=True))
+    if not fs_rename(spark, path, bak):
+        raise RuntimeError(f"compact_parquet: rename {path} -> {bak} failed")
+    if not fs_rename(spark, tmp, path):
+        raise RuntimeError(
+            f"compact_parquet: rename {tmp} -> {path} failed; the original "
+            f"data is intact at {bak} — rename it back into place"
+        )
+    fs_delete(spark, bak)
     return new_files
 
 

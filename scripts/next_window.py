@@ -9,10 +9,12 @@ external green, and fill the 50 slots by priority:
 
 1. hard cadence bound — queries whose last green would become 3+
    rounds old after the next round;
-2. oldest last-green first among the remaining ever-green queries;
+2. stale greens — last green exactly two rounds back (they become
+   the hard bound next round);
 3. never-externally-green oracle-backed debuts;
-4. freshest greens (ties broken by current registry order, which the
-   driver uses as the window order anyway).
+4. freshest greens — green in the immediately preceding round (ties
+   broken by current registry order, which the driver uses as the
+   window order anyway).
 
 Usage: ``python scripts/next_window.py [next_round_number]`` — prints
 the 50 names in priority order plus the displaced set; paste the list
@@ -52,13 +54,19 @@ def main() -> None:
     backed = [q for q in queries if q in oracles]
 
     def prio(q):
+        # tiers follow the documented recipe: debuts sit BETWEEN stale
+        # greens and last-round's fresh greens — ranking them below ALL
+        # ever-greens would starve them forever (they never trip the
+        # tier-0 cadence bound, since `last` stays None), ADVICE r7.
         last = hist.get(q)
         if last is None:
             tier = 2  # never-green debuts
         elif next_round - last >= 3:
             tier = 0  # hard cadence bound
+        elif next_round - last == 2:
+            tier = 1  # stale greens (become the bound next round)
         else:
-            tier = 1
+            tier = 3  # fresh greens (green just last round)
         return (tier, last if last is not None else -1, order[q])
 
     ranked = sorted(backed, key=prio)

@@ -1,0 +1,204 @@
+"""Round-8 regression suite: every state-management file op must work
+through the Hadoop FileSystem API, not driver-local ``os``/``shutil``.
+
+The probes run against ``file:`` URIs — paths the JVM LocalFileSystem
+resolves but ``os.path.exists`` does NOT (``os.path.exists("file:/x")``
+is always False) — so a pass here proves the JVM route is taken, not
+the driver-local fallback. This is the sandbox stand-in for
+``s3a://``/``hdfs://`` state paths (VERDICT r7 "What's wrong" item 1).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kolang_spark.sources.io import (
+    compact_parquet,
+    fs_delete,
+    fs_list_files,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+    path_exists,
+)
+
+
+def _furi(p: str) -> str:
+    return "file:" + p
+
+
+def test_file_uri_invisible_to_os_path(tmp_path):
+    # the premise of this suite: os.path cannot see file: URIs, so any
+    # green test below must have gone through the JVM FileSystem
+    p = tmp_path / "x.txt"
+    p.write_text("hi")
+    assert os.path.exists(str(p))
+    assert not os.path.exists(_furi(str(p)))
+
+
+def test_path_exists_file_uri(spark, tmp_path):
+    p = tmp_path / "probe.txt"
+    assert not path_exists(spark, _furi(str(p)))
+    p.write_text("x")
+    assert path_exists(spark, _furi(str(p)))
+    assert path_exists(spark, _furi(str(tmp_path)))
+
+
+def test_fs_write_read_text_file_uri(spark, tmp_path):
+    p = _furi(str(tmp_path / "nested" / "meta.json"))
+    assert fs_read_text(spark, p) is None
+    fs_write_text(spark, p, '{"n_bits": 64, "k": 3}')
+    assert fs_read_text(spark, p) == '{"n_bits": 64, "k": 3}'
+    # overwrite, not append
+    fs_write_text(spark, p, "second")
+    assert fs_read_text(spark, p) == "second"
+
+
+def test_fs_delete_file_uri(spark, tmp_path):
+    d = tmp_path / "dir"
+    (d / "sub").mkdir(parents=True)
+    (d / "sub" / "f.txt").write_text("x")
+    assert fs_delete(spark, _furi(str(d)))
+    assert not d.exists()
+    # idempotent on missing paths
+    assert not fs_delete(spark, _furi(str(d)))
+
+
+def test_fs_rename_file_uri(spark, tmp_path):
+    src, dst = tmp_path / "a", tmp_path / "b"
+    src.mkdir()
+    (src / "f.txt").write_text("x")
+    assert fs_rename(spark, _furi(str(src)), _furi(str(dst)))
+    assert not src.exists() and (dst / "f.txt").read_text() == "x"
+    # Hadoop semantics: rename onto an existing dir nests/fails, never
+    # silently clobbers — we only require "not clobbered"
+    src.mkdir()
+    (src / "g.txt").write_text("y")
+    fs_rename(spark, _furi(str(src)), _furi(str(dst)))
+    assert (dst / "f.txt").exists()
+
+
+def test_fs_list_files_file_uri(spark, tmp_path):
+    d = tmp_path / "data"
+    (d / "k=1").mkdir(parents=True)
+    (d / "a.parquet").write_bytes(b"12345")
+    (d / "_meta.json").write_text("{}")
+    (d / "k=1" / "b.parquet").write_bytes(b"1234567")
+    assert fs_list_files(spark, _furi(str(tmp_path / "missing"))) == []
+    top = fs_list_files(spark, _furi(str(d)), suffix=".parquet")
+    assert [os.path.basename(p) for p, _ in top] == ["a.parquet"]
+    assert top[0][1] == 5
+    rec = fs_list_files(spark, _furi(str(d)), suffix=".parquet", recursive=True)
+    assert sorted(os.path.basename(p) for p, _ in rec) == [
+        "a.parquet",
+        "b.parquet",
+    ]
+    assert sum(sz for _, sz in rec) == 12
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("bloom_bits", [None, 256])
+def test_incremental_exact_dedup_file_uri_state(spark, tmp_path, bloom_bits):
+    """The flagship fix: state probed through a file:-URI path must be
+    SEEN on batch 2 (pre-fix, the os.path probe returned False for the
+    URI and every batch was all-novel)."""
+    from kolang_spark.llm.dedup import incremental_exact_dedup
+
+    state = _furi(str(tmp_path / "state"))
+    b1 = _docs(spark, [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])
+    r1 = incremental_exact_dedup(
+        spark, b1, state, bloom_bits=bloom_bits
+    ).select("doc_id", "is_duplicate").collect()
+    assert {r.doc_id: r.is_duplicate for r in r1} == {1: False, 2: False, 3: True}
+    # batch 2: doc 4 repeats batch-1 text -> must be flagged via state
+    b2 = _docs(spark, [(4, "alpha beta"), (5, "epsilon zeta")])
+    r2 = incremental_exact_dedup(
+        spark, b2, state, bloom_bits=bloom_bits
+    ).select("doc_id", "is_duplicate").collect()
+    assert {r.doc_id: r.is_duplicate for r in r2} == {4: True, 5: False}
+    if bloom_bits:
+        # sidecar + meta live next to the URI state path
+        assert path_exists(spark, state + "_bloom")
+        assert fs_read_text(
+            spark, state + "_bloom/_ks_bloom_meta.json"
+        ) is not None
+
+
+def test_incremental_exact_bloomless_invalidates_uri_sidecar(spark, tmp_path):
+    from kolang_spark.llm.dedup import incremental_exact_dedup
+
+    state = _furi(str(tmp_path / "state"))
+    b1 = _docs(spark, [(1, "a b"), (2, "c d")])
+    incremental_exact_dedup(spark, b1, state, bloom_bits=256).count()
+    assert path_exists(spark, state + "_bloom")
+    # a bloom-less run must invalidate the sidecar (stale bloom would
+    # mean permanent false negatives) — through the URI path
+    b2 = _docs(spark, [(3, "e f")])
+    incremental_exact_dedup(spark, b2, state, bloom_bits=None).count()
+    assert not path_exists(spark, state + "_bloom")
+
+
+def test_incremental_minhash_file_uri_state(spark, tmp_path):
+    from kolang_spark.llm.dedup import incremental_minhash_dedup
+
+    state = _furi(str(tmp_path / "mh_state"))
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b1 = _docs(spark, [(1, text), (2, "completely different words here entirely now")])
+    r1 = incremental_minhash_dedup(spark, b1, state)
+    assert {
+        r.doc_id: r.is_near_duplicate
+        for r in r1.select("doc_id", "is_near_duplicate").collect()
+    } == {1: False, 2: False}
+    b2 = _docs(spark, [(3, text)])
+    r2 = incremental_minhash_dedup(spark, b2, state)
+    assert r2.where("doc_id = 3").head().is_near_duplicate is True
+
+
+def test_bloom_compaction_file_uri(spark, tmp_path):
+    """Push the sidecar past the compaction threshold with file:-URI
+    paths: listing, delete, rename, and meta rewrite all through the
+    JVM route."""
+    from kolang_spark.llm.dedup import _maybe_compact_bloom, incremental_exact_dedup
+
+    state = _furi(str(tmp_path / "state"))
+    for i in range(3):
+        df = _docs(spark, [(10 * i + j, f"doc {i} {j} text") for j in range(3)])
+        incremental_exact_dedup(spark, df, state, bloom_bits=128).count()
+    bloom = state + "_bloom"
+    n_before = len(fs_list_files(spark, bloom, suffix=".parquet"))
+    assert n_before >= 3
+    rows_before = spark.read.parquet(bloom).distinct().count()
+    _maybe_compact_bloom(spark, bloom, 128, 3, max_files=1)
+    assert len(fs_list_files(spark, bloom, suffix=".parquet")) < n_before
+    assert spark.read.parquet(bloom).distinct().count() == rows_before
+    assert fs_read_text(spark, bloom + "/_ks_bloom_meta.json") is not None
+
+
+def test_compact_parquet_file_uri(spark, tmp_path):
+    d = str(tmp_path / "many")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(16).write.parquet(d)
+    before = spark.read.parquet(d).agg(F.sum("v")).head()[0]
+    n = compact_parquet(spark, _furi(d), target_mb=512, min_files=2)
+    assert 1 <= n < 16
+    assert spark.read.parquet(d).agg(F.sum("v")).head()[0] == before
+    assert len(fs_list_files(spark, _furi(d), suffix=".parquet")) == n
+
+
+def test_compact_parquet_file_uri_hive(spark, tmp_path):
+    d = str(tmp_path / "hive")
+    df = spark.range(400).withColumn("k", (F.col("id") % 2).cast("int"))
+    df.repartition(8).write.partitionBy("k").parquet(d)
+    compact_parquet(spark, _furi(d), target_mb=512, min_files=2)
+    back = spark.read.parquet(d)
+    assert back.count() == 400
+    # layout preserved: partition pruning still works
+    assert set(back.select("k").distinct().toPandas()["k"]) == {0, 1}
+    assert os.path.isdir(os.path.join(d, "k=0"))
