@@ -2563,129 +2563,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query keeps earning *external* green rows on a bounded cadence
     (last external green never older than two rounds).
 
-    Round-7 rotation — the window is rebuilt from the per-query
-    external-green history (computed from CORRECTNESS_r0*.json):
+    Round-8 rotation — COMPUTED by ``scripts/next_window.py 8`` (not
+    hand-picked; the r6 mistake), from the per-query external-green
+    history in CORRECTNESS_r0*.json:
 
-    IN, debuts (8 — oracle-backed, never yet externally green):
-    pca_embeddings (upgraded rows-only -> oracle-backed this round via
-    rotation/trace/orthonormality invariants, r6 verdict item 3),
-    vocabulary_documents + quantize_embeddings (late-r6 tail debuts,
-    r6 verdict item 1), incremental_exact_batches (r6 item 5),
-    read_blobs_metadata (r6 item 6), overwrite_partitions_idempotent
-    (r6 item 7), sessionize_stream_semantics (upgraded rows-only ->
-    oracle-backed late r6, never windowed), incremental_minhash_batches
-    (late-r6 debut, never windowed).
+    IN, hard cadence bound (7, last green r5): percent_by_returnflag,
+    exact_dedup_documents, fingerprint_documents, lang_id_documents,
+    text_clean_documents, token_stats_documents, unpivot_lineitem.
 
-    IN, rotate-backs last green r4 (18 — the r7 obligation, r6 verdict
-    item 2): median_acctbal_by_segment, cond_count_orders,
-    weighted_avg_discount, bin_part_sizes, str_array_roundtrip,
-    is_null_or_in, sum_columns_lineitem, array_contains,
-    persian_number, number_normalize_documents,
-    cumulative_orders_by_day, moving_average_revenue,
-    cube_percent_parts, asof_last_purchase, range_join_error_clicks,
-    hypertable_rollup_events, cosine_topk, skew_safe_distinct_users.
+    IN, stale greens (43 of the 48 r6 window greens — green again this
+    round keeps them inside the cadence; the 5 displaced by capacity
+    become r9's hard bound).
 
-    IN, rotate-backs last green r5 (24 of 31 — green again this round
-    keeps them inside the two-round cadence; the r6 greens stay fresh
-    until r8 and need no slot): add_trend_line_deg2, ann_ivf_topk,
-    count_distinct_with_nulls, cumulative_revenue_by_shipdate,
-    curation_pipeline, dedup_components, deterministic_sample_orders,
-    embedding_neardup_lsh, events_json_extract, ewma_users,
-    jaccard_pairs_documents, jalali_orders_by_month,
-    join_revenue_by_nation, minhash_pairs_documents, multimodal_decode,
-    multimodal_sample_frames, quality_documents, repetition_documents,
-    scale_percent_by_nation, session_count_by_user,
-    simhash_hamming_pairs, topk_orders_per_priority,
-    tumbling_events_hourly, union_customers_suppliers.
+    OUT: the 50 r7 window greens (fresh until r9), 5 displaced r6
+    greens (resample_events_hourly, lm_score_documents,
+    multimodal_audio_frames, pandas_bridge_region, bloom_users_events
+    — r9's hard bound), and the oracle-backed debuts (hll/sketch
+    upgrades, split/mix/resize/io-formats/html/warc/web-ingest/
+    shards/canonical-urls, ann_lsh_topk, multimodal_blob_embed_ann,
+    plus this round's new operators) — debuts now rank BETWEEN stale
+    and fresh greens in the tiering (ADVICE r7 fix), so they lead the
+    r9 window right after the hard bound instead of being starved.
 
-    OUT: all 48 r6 window greens (fresh until r8) plus 7 r5-stale
-    leftovers (percent_by_returnflag, exact_dedup_documents,
-    fingerprint_documents, lang_id_documents, text_clean_documents,
-    token_stats_documents, unpivot_lineitem) and the late-r7 tail
-    debuts (split/mix/resize/io-formats/html/warc/web-ingest + the
-    four rows-only->oracle upgrades) — all r8 window candidates.
-
-    Round-8 (and every future) window recipe — COMPUTE it, don't
-    hand-pick (the r6 mistake): load CORRECTNESS_r0*.json, derive each
-    oracle-backed query's last external green, and fill the 50 slots
-    by priority: (1) queries whose last green would become 3+ rounds
-    old this round (hard cadence bound — for r8 that is the 7 r5
-    leftovers), (2) oldest-last-green first among the rest (for r8:
-    the 48 r6 greens; any that don't fit become r9's hard bound),
-    (3) never-externally-green debuts, (4) freshest greens.
-    scripts/next_window.py COMPUTES this ordering from the recorded
-    history — run it once the round's CORRECTNESS file lands and paste
-    the 50 names. With 119 queries on a 50-slot window the 3-round
-    cadence has capacity 150, so the schedule stays feasible as long
-    as each round packs by staleness — tests/test_oracle_parity.py::
-    test_external_window_composition enforces the all-oracle-backed
-    invariant mechanically. Everything in the tail still
-    runs in bench.py and stays hash-checked every run by
-    tests/test_oracle_parity.py; exactly ONE rows-only query remains
-    (ann_ivf_kmeans_topk — Lloyd iterations aren't SQL-replayable;
-    its recall is pinned externally by ann_ivf_recall_planted).
-    Upgraded to oracle-backed this round: the HLL pair via
-    exact-count/accuracy/merge invariants (same pattern as
-    pca_embeddings), ann_lsh_topk via a full DuckDB replay of the
-    md5-plane buckets, and multimodal_blob_embed_ann via an exact
-    byte-fold feature replay from hex(encode(text))."""
+    Window recipe (every round): run ``scripts/next_window.py`` once
+    the round's CORRECTNESS file lands and paste the 50 names. Priority
+    tiers: (0) last green would turn 3+ rounds old (hard bound),
+    (1) last green exactly 2 rounds back, (2) never-externally-green
+    debuts, (3) fresh greens. With ~125 queries on a 50-slot window
+    the 3-round cadence has capacity 150, so the schedule stays
+    feasible as long as each round packs by staleness —
+    tests/test_oracle_parity.py::test_external_window_composition
+    enforces the all-oracle-backed invariant mechanically. Everything
+    in the tail still runs in bench.py and stays hash-checked every
+    run by tests/test_oracle_parity.py; exactly ONE rows-only query
+    remains (ann_ivf_kmeans_topk — its recall is pinned externally by
+    ann_ivf_recall_planted)."""
     return {
-        # --- positions 1-50: the external window, all oracle-backed.
-        # debuts (8): never yet externally green ---
-        "pca_embeddings": _q_pca_embeddings,
-        "vocabulary_documents": _q_vocabulary_documents,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "incremental_exact_batches": _q_incremental_exact_batches,
-        "read_blobs_metadata": _q_read_blobs_metadata,
-        "overwrite_partitions_idempotent": _q_overwrite_partitions_idempotent,
-        "sessionize_stream_semantics": _q_sessionize_stream_semantics,
-        "incremental_minhash_batches": _q_incremental_minhash_batches,
-        # rotate-backs, last green r4 (18) ---
-        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
-        "cond_count_orders": _q_cond_count_orders,
-        "weighted_avg_discount": _q_weighted_avg_discount,
-        "bin_part_sizes": _q_bin_part_sizes,
-        "str_array_roundtrip": _q_str_array_roundtrip,
-        "is_null_or_in": _q_is_null_or_in,
-        "sum_columns_lineitem": _q_sum_columns_lineitem,
-        "array_contains": _q_array_contains,
-        "persian_number": _q_persian_number,
-        "number_normalize_documents": _q_number_normalize_documents,
-        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
-        "moving_average_revenue": _q_moving_average_revenue,
-        "cube_percent_parts": _q_cube_percent_parts,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "range_join_error_clicks": _q_range_join_error_clicks,
-        "hypertable_rollup_events": _q_hypertable_rollup_events,
-        "cosine_topk": _q_cosine_topk,
-        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
-        # rotate-backs, last green r5 (24) ---
-        "add_trend_line_deg2": _q_add_trend_line_deg2,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "count_distinct_with_nulls": _q_count_distinct_with_nulls,
-        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
-        "curation_pipeline": _q_curation_pipeline,
-        "dedup_components": _q_dedup_components,
-        "deterministic_sample_orders": _q_deterministic_sample_orders,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "events_json_extract": _q_events_json_extract,
-        "ewma_users": _q_ewma_users,
-        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
-        "jalali_orders_by_month": _q_jalali_orders_by_month,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "minhash_pairs_documents": _q_minhash_pairs_documents,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_sample_frames": _q_multimodal_sample_frames,
-        "quality_documents": _q_quality_documents,
-        "repetition_documents": _q_repetition_documents,
-        "scale_percent_by_nation": _q_scale_percent_by_nation,
-        "session_count_by_user": _q_session_count_by_user,
-        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
-        "topk_orders_per_priority": _q_topk_orders_per_priority,
-        "tumbling_events_hourly": _q_tumbling_events_hourly,
-        "union_customers_suppliers": _q_union_customers_suppliers,
-        # --- tail: r5-stale leftovers (7) — FIRST PRIORITY for the
-        #     round-8 window ---
+        # --- positions 1-50: the external round-8 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py.
+        #     r5-stale leftovers (7, the hard cadence bound) ---
         "percent_by_returnflag": _q_percent_by_returnflag,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -2693,35 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_documents": _q_text_clean_documents,
         "token_stats_documents": _q_token_stats_documents,
         "unpivot_lineitem": _q_unpivot_lineitem,
-        # --- tail: upgraded rows-only -> oracle-backed this round via
-        #     exact-count + accuracy + merge-consistency invariants;
-        #     never externally green, so r8 window priority alongside
-        #     the 7 leftovers above ---
-        "hll_users_monthly": _q_hll_users_monthly,
-        "sketch_rollup_users": _q_sketch_rollup_users,
-        # --- tail: new-this-round operators (oracle-backed, never yet
-        #     externally green — r8 window priority with the rest) ---
-        "split_documents": _q_split_documents,
-        "mix_documents_by_lang": _q_mix_documents_by_lang,
-        "multimodal_resize": _q_multimodal_resize,
-        "io_roundtrip_formats": _q_io_roundtrip_formats,
-        "html_extract_documents": _q_html_extract_documents,
-        "warc_parse_documents": _q_warc_parse_documents,
-        "web_ingest_pipeline": _q_web_ingest_pipeline,
-        "assign_shards_documents": _q_assign_shards_documents,
-        "canonical_urls": _q_canonical_urls,
-        # ann_lsh_topk + multimodal_blob_embed_ann also upgraded r7:
-        # DuckDB rebuilds the identical md5-plane buckets (and, for
-        # the blob chain, the exact byte-fold features) and replays
-        # the in-bucket cosine rankings ---
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
-        # --- tail: the ONE remaining rows-only query (sampled-k-means
-        #     Lloyd iterations are not SQL-replayable; its recall is
-        #     pinned externally by ann_ivf_recall_planted) ---
-        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
-        # --- tail: r6 window greens (48) — fresh until r8; rotate
-        #     back across rounds 8-9 ---
+        # stale r6 greens (43 oldest by registry order) ---
         "pii_scrub_documents": _q_pii_scrub_documents,
         "contamination_documents": _q_contamination_documents,
         "skew_report_events": _q_skew_report_events,
@@ -2765,11 +2653,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        # --- tail: displaced r6 greens (5) — r9's hard cadence bound ---
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         "pandas_bridge_region": _q_pandas_bridge_region,
         "bloom_users_events": _q_bloom_users_events,
+        # --- tail: oracle-backed debuts, never externally green —
+        #     lead the r9 window after the hard bound (fixed tiering) ---
+        "hll_users_monthly": _q_hll_users_monthly,
+        "sketch_rollup_users": _q_sketch_rollup_users,
+        "split_documents": _q_split_documents,
+        "mix_documents_by_lang": _q_mix_documents_by_lang,
+        "multimodal_resize": _q_multimodal_resize,
+        "io_roundtrip_formats": _q_io_roundtrip_formats,
+        "html_extract_documents": _q_html_extract_documents,
+        "warc_parse_documents": _q_warc_parse_documents,
+        "web_ingest_pipeline": _q_web_ingest_pipeline,
+        "assign_shards_documents": _q_assign_shards_documents,
+        "canonical_urls": _q_canonical_urls,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        # --- tail: fresh r7 window greens (50) — stale at r9 ---
+        "pca_embeddings": _q_pca_embeddings,
+        "vocabulary_documents": _q_vocabulary_documents,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "incremental_exact_batches": _q_incremental_exact_batches,
+        "read_blobs_metadata": _q_read_blobs_metadata,
+        "overwrite_partitions_idempotent": _q_overwrite_partitions_idempotent,
+        "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+        "incremental_minhash_batches": _q_incremental_minhash_batches,
+        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
+        "cond_count_orders": _q_cond_count_orders,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "bin_part_sizes": _q_bin_part_sizes,
+        "str_array_roundtrip": _q_str_array_roundtrip,
+        "is_null_or_in": _q_is_null_or_in,
+        "sum_columns_lineitem": _q_sum_columns_lineitem,
+        "array_contains": _q_array_contains,
+        "persian_number": _q_persian_number,
+        "number_normalize_documents": _q_number_normalize_documents,
+        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
+        "moving_average_revenue": _q_moving_average_revenue,
+        "cube_percent_parts": _q_cube_percent_parts,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_error_clicks": _q_range_join_error_clicks,
+        "hypertable_rollup_events": _q_hypertable_rollup_events,
+        "cosine_topk": _q_cosine_topk,
+        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
+        "add_trend_line_deg2": _q_add_trend_line_deg2,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "count_distinct_with_nulls": _q_count_distinct_with_nulls,
+        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
+        "curation_pipeline": _q_curation_pipeline,
+        "dedup_components": _q_dedup_components,
+        "deterministic_sample_orders": _q_deterministic_sample_orders,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "events_json_extract": _q_events_json_extract,
+        "ewma_users": _q_ewma_users,
+        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
+        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "quality_documents": _q_quality_documents,
+        "repetition_documents": _q_repetition_documents,
+        "scale_percent_by_nation": _q_scale_percent_by_nation,
+        "session_count_by_user": _q_session_count_by_user,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "topk_orders_per_priority": _q_topk_orders_per_priority,
+        "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "union_customers_suppliers": _q_union_customers_suppliers,
+        # --- tail: the ONE rows-only query (sampled-k-means Lloyd
+        #     iterations; recall pinned externally by ann_ivf_recall_planted) ---
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
     }
 
 
