@@ -75,11 +75,14 @@ def html_to_text(col: ColumnOrName) -> Column:
 def extract_links(col: ColumnOrName) -> Column:
     """All ``href`` targets of a page as ``array<string>`` (both quote
     styles, case-insensitive attribute) — feeds the URL/domain stats
-    and crawl-frontier dedup chains. Order = document order; no
-    normalization (resolve/relativize downstream where the base URL is
-    known)."""
+    and crawl-frontier dedup chains. Order = document order even on
+    pages mixing quote styles: ONE alternation pattern scans the page
+    left to right (the old two-pass concat grouped all double-quoted
+    hrefs before all single-quoted ones — ADVICE r7), then the
+    surrounding quotes are stripped per element. No normalization
+    (resolve/relativize downstream where the base URL is known)."""
     c = to_col(col)
-    return F.concat(
-        F.regexp_extract_all(c, F.lit(r'(?i)href\s*=\s*"([^"]*)"'), F.lit(1)),
-        F.regexp_extract_all(c, F.lit(r"(?i)href\s*=\s*'([^']*)'"), F.lit(1)),
+    quoted = F.regexp_extract_all(
+        c, F.lit(r"""(?i)href\s*=\s*("[^"]*"|'[^']*')"""), F.lit(1)
     )
+    return F.transform(quoted, lambda s: s.substr(F.lit(2), F.length(s) - 2))

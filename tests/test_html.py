@@ -63,9 +63,31 @@ def test_extract_links_both_quote_styles(spark):
     )
     df = spark.createDataFrame([(h,)], "h string")
     links = df.select(extract_links("h").alias("l")).first().l
-    assert sorted(links) == [
+    # document order even across mixed quote styles (ADVICE r7): the
+    # single-quoted b.com link sits BETWEEN the two double-quoted ones
+    assert links == [
         "https://a.com/1", "https://b.com/2", "https://c.com/3"
     ]
+
+
+def test_extract_links_document_order_interleaved(spark):
+    h = (
+        "<a href='https://s1.org'>a</a>"
+        '<a href="https://d1.org">b</a>'
+        "<a href='https://s2.org'>c</a>"
+        '<a href="https://d2.org">d</a>'
+    )
+    df = spark.createDataFrame([(h,)], "h string")
+    links = df.select(extract_links("h").alias("l")).first().l
+    assert links == [
+        "https://s1.org", "https://d1.org", "https://s2.org", "https://d2.org"
+    ]
+    # empty href and no-href pages
+    df2 = spark.createDataFrame(
+        [('<a href="">e</a>',), ("<p>none</p>",)], "h string"
+    )
+    got = [r.l for r in df2.select(extract_links("h").alias("l")).collect()]
+    assert got == [[""], []]
 
 
 def test_canonicalize_url_cases(spark):
