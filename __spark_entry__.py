@@ -1221,6 +1221,74 @@ def _q_warc_parse_documents(spark, sf_dir):
     )
 
 
+def _q_warc_gzip_parse_documents(spark, sf_dir):
+    """Gzip-member WARC ingestion (`kolang_spark/sources/warc.py::
+    gunzip_members` + `parse_warc`) — the REAL Common Crawl shard
+    layout: ``.warc.gz`` files are concatenated gzip members, one per
+    record. Each document's two WARC records (warcinfo + HTTP response
+    carrying the text) are built in Column expressions, compressed
+    into SEPARATE gzip members by an Arrow-batched stage, and the
+    member train is handed to the parser, which must detect the gzip
+    magic, walk the members, and recover byte-identical records. The
+    oracle predicts both records closed-form per doc_id including the
+    full body round trip — identical to `warc_parse_documents`, so any
+    divergence isolates the gzip member walk."""
+    from kolang_spark.sources.warc import parse_warc
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    http_len = F.octet_length(F.encode(http, "UTF-8")).cast("string")
+    sid = F.col("doc_id").cast("string")
+    rec1 = F.encode(
+        F.lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 14"
+              "\r\n\r\nsoftware: ks\r\n\r\n\r\n"),
+        "UTF-8",
+    )
+    rec2 = F.encode(
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+                  "https://corpus.local/"), sid,
+            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+            http_len,
+            F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"),
+        ),
+        "UTF-8",
+    )
+
+    def _gz_series(s):
+        import zlib
+
+        def one(b: bytes) -> bytes:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            return co.compress(bytes(b)) + co.flush()
+
+        return s.map(one)
+
+    # no type hints on purpose: `from __future__ import annotations`
+    # makes a locally-imported pd unresolvable at decoration time
+    _gz_member = F.pandas_udf(_gz_series, "binary")
+
+    blobs = dc.select(
+        "doc_id",
+        F.concat(_gz_member(rec1), _gz_member(rec2)).alias("content"),
+    )
+    out = parse_warc(blobs)
+    return out.select(
+        "doc_id",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        "warc_date",
+        "http_status",
+        "content_type",
+        F.octet_length("body").alias("body_n_bytes"),
+        F.decode("body", "UTF-8").alias("body_text"),
+    )
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (`kolang_spark/llm/scrub.py::
     canonicalize_url` — the crawl-frontier / URL-level dedup key):
@@ -2681,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_roundtrip_formats": _q_io_roundtrip_formats,
         "html_extract_documents": _q_html_extract_documents,
         "warc_parse_documents": _q_warc_parse_documents,
+        "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
         "assign_shards_documents": _q_assign_shards_documents,
         "canonical_urls": _q_canonical_urls,
@@ -5052,6 +5121,29 @@ def oracle_sql() -> dict[str, str]:
         # record 0 is the fixed warcinfo, record 1 the unwrapped HTTP
         # response whose body is the document text verbatim.
         "warc_parse_documents": """
+            SELECT doc_id, CAST(0 AS INT) AS record_idx,
+                   'warcinfo' AS warc_type,
+                   CAST(NULL AS VARCHAR) AS target_uri,
+                   CAST(NULL AS VARCHAR) AS warc_date,
+                   CAST(NULL AS INT) AS http_status,
+                   CAST(NULL AS VARCHAR) AS content_type,
+                   CAST(14 AS INT) AS body_n_bytes,
+                   'software: ks' || chr(13) || chr(10) AS body_text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT) AS record_idx,
+                   'response' AS warc_type,
+                   'https://corpus.local/' || doc_id AS target_uri,
+                   '2024-01-01T00:00:00Z' AS warc_date,
+                   CAST(200 AS INT) AS http_status,
+                   'text/plain' AS content_type,
+                   CAST(octet_length(encode(text)) AS INT) AS body_n_bytes,
+                   text AS body_text
+            FROM documents
+        """,
+        # gzip-member variant: identical closed-form prediction —
+        # compression must be transparent to the parse
+        "warc_gzip_parse_documents": """
             SELECT doc_id, CAST(0 AS INT) AS record_idx,
                    'warcinfo' AS warc_type,
                    CAST(NULL AS VARCHAR) AS target_uri,

@@ -4,7 +4,10 @@ text corpora actually arrive in (Common Crawl ships WARC/WET shards).
 ``parse_warc`` turns a blob column of WARC/1.x bytes (from
 :func:`kolang_spark.sources.io.read_blobs` or any binary source) into
 one row per record, with the HTTP envelope of ``response`` records
-unwrapped to status/content-type/body. The parser is a hand-rolled
+unwrapped to status/content-type/body. Both raw and gzip shards parse:
+a blob starting with the gzip magic is decompressed as the
+concatenated per-record gzip members real ``.warc.gz`` Common Crawl
+shards use (``gunzip_members``). The parser is a hand-rolled
 record walker over raw bytes — header block to ``\\r\\n\\r\\n``,
 ``Content-Length`` payload slice, 4-byte record separator — run inside
 the sanctioned Arrow ``mapInPandas`` boundary (a byte-offset walk has
@@ -25,7 +28,40 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_warc", "parse_warc_bytes"]
+__all__ = ["parse_warc", "parse_warc_bytes", "gunzip_members"]
+
+
+def gunzip_members(b: bytes) -> bytes:
+    """Decompress a sequence of concatenated gzip members to one
+    contiguous byte string — the real Common Crawl shard layout is
+    ``.warc.gz`` with ONE gzip member per record, so a shard is a
+    member train, not a single stream (``gzip.decompress`` handles
+    that too, but we need the member walk to stop cleanly at a
+    truncated or corrupt member instead of raising).
+
+    stdlib ``zlib`` with ``wbits=47`` per member (auto-detect gzip/zlib
+    wrapper); a member that fails the CRC, is truncated, or is followed
+    by non-gzip garbage ends the walk — everything decompressed so far
+    is returned, mirroring the truncated-tail contract of
+    :func:`parse_warc_bytes`.
+    """
+    import zlib
+
+    out: List[bytes] = []
+    while b.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(47)
+        try:
+            chunk = d.decompress(b)
+        except zlib.error:
+            break
+        if not d.eof:
+            # truncated member: zlib consumed everything without
+            # reaching the gzip trailer — drop the partial payload
+            # (its CRC was never verified)
+            break
+        out.append(chunk)
+        b = d.unused_data
+    return b"".join(out)
 
 _SCHEMA = (
     "doc_id long, record_idx int, warc_type string, target_uri string, "
@@ -43,9 +79,19 @@ def parse_warc_bytes(b: bytes) -> List[Tuple]:
     ``Content-Type`` header, body after the blank line); other record
     types carry the raw payload as ``body`` with NULL status/type.
     Truncated or malformed trailing data ends the walk (records parsed
-    so far are kept); a blob that does not start with ``WARC/`` yields
-    no rows — the same poison-blob contract as the media decoders.
+    so far are kept); a blob that does not start with ``WARC/`` or the
+    gzip magic yields no rows — the same poison-blob contract as the
+    media decoders.
+
+    Gzip shards: a blob starting with the gzip magic (``1f 8b``) is
+    first run through :func:`gunzip_members` — real Common Crawl
+    ``.warc.gz`` shards are concatenated per-record gzip members, which
+    decompress to exactly the back-to-back record layout the walker
+    already handles. A truncated/corrupt member ends the member walk;
+    complete members before it still parse.
     """
+    if b.startswith(b"\x1f\x8b"):
+        b = gunzip_members(b)
     out: List[Tuple] = []
     pos, n, idx = 0, len(b), 0
     while pos < n:

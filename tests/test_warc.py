@@ -134,3 +134,92 @@ def test_parse_warc_bytes_adversarial_bodies(bodies, plant):
         assert rec[1] == "resource"
         assert rec[2] == "u%d" % i
         assert rec[6] == body
+
+
+# ---------------------------------------------------------------- gzip
+
+
+def _gz(b: bytes) -> bytes:
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(b) + co.flush()
+
+
+def test_gunzip_members_roundtrip():
+    from kolang_spark.sources.warc import gunzip_members
+
+    parts = [b"alpha", b"", b"beta" * 100, bytes(range(256))]
+    assert gunzip_members(b"".join(_gz(p) for p in parts)) == b"".join(parts)
+    assert gunzip_members(b"") == b""
+    assert gunzip_members(b"not gzip") == b""
+
+
+def test_gunzip_members_truncated_and_corrupt():
+    from kolang_spark.sources.warc import gunzip_members
+
+    good, tail = _gz(b"complete member"), _gz(b"never seen")
+    # truncated second member: everything before it survives
+    assert gunzip_members(good + tail[:-5]) == b"complete member"
+    # corrupt second member header/stream
+    assert gunzip_members(good + b"\x1f\x8b\xff\xffgarbage") == b"complete member"
+    # garbage (non-gzip) after a valid member ends the walk cleanly
+    assert gunzip_members(good + b"WARC/1.0 plain tail") == b"complete member"
+
+
+def test_parse_warc_bytes_gzip_members():
+    """Per-record gzip members — the real .warc.gz Common Crawl
+    layout — must parse identically to the uncompressed file."""
+    body = "gzip café body".encode()
+    recs_raw = [
+        _rec(b"warcinfo", b"software: test\r\n"),
+        _rec(b"response", _http(body),
+             uri=b"https://ex.com/gz", date=b"2024-02-03T04:05:06Z"),
+        _rec(b"resource", b"plain payload", uri=b"https://ex.com/r"),
+    ]
+    gz_blob = b"".join(_gz(r) for r in recs_raw)
+    assert gz_blob.startswith(b"\x1f\x8b")
+    got = parse_warc_bytes(gz_blob)
+    assert got == parse_warc_bytes(b"".join(recs_raw))
+    assert len(got) == 3 and got[1][4] == 200 and got[1][6] == body
+
+
+def test_parse_warc_bytes_gzip_single_member_whole_file():
+    """A whole-file single-member gzip (some tools write this) also
+    parses: one member containing every record."""
+    recs_raw = [_rec(b"resource", b"a"), _rec(b"resource", b"bb")]
+    got = parse_warc_bytes(_gz(b"".join(recs_raw)))
+    assert [r[6] for r in got] == [b"a", b"bb"]
+
+
+def test_parse_warc_bytes_gzip_truncated_member_keeps_prefix():
+    recs_raw = [
+        _rec(b"resource", b"first", uri=b"u0"),
+        _rec(b"resource", b"second", uri=b"u1"),
+    ]
+    blob = _gz(recs_raw[0]) + _gz(recs_raw[1])[:-6]
+    got = parse_warc_bytes(blob)
+    assert len(got) == 1 and got[0][6] == b"first"
+
+
+@given(
+    bodies=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=6),
+    cut=st.integers(min_value=0, max_value=30),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_parse_warc_bytes_gzip_property(bodies, cut):
+    """Gzip-member parse == uncompressed parse, and any truncation of
+    the member train yields a clean prefix of the records."""
+    recs_raw = [
+        _rec(b"resource", body, uri=b"u%d" % i)
+        for i, body in enumerate(bodies)
+    ]
+    gz_blob = b"".join(_gz(r) for r in recs_raw)
+    assert parse_warc_bytes(gz_blob) == parse_warc_bytes(b"".join(recs_raw))
+    truncated = parse_warc_bytes(gz_blob[: max(2, len(gz_blob) - cut)])
+    full = parse_warc_bytes(b"".join(recs_raw))
+    assert truncated == full[: len(truncated)]
