@@ -1289,6 +1289,54 @@ def _q_warc_gzip_parse_documents(spark, sf_dir):
     )
 
 
+_BPE_M, _BPE_W = 18, 300  # merge count / bounded word-table size for the
+# oracle pair — big enough to exercise multi-char merges, small enough
+# that the generated training-replay SQL stays readable
+
+
+def _q_bpe_merges_documents(spark, sf_dir):
+    """REAL BPE training (`kolang_spark/llm/bpe.py::bpe_train`): one
+    distributed word-count pass, then the driver-side merge loop over
+    the bounded top-300 word table (count desc, word asc cutoff; pair
+    ties break lexicographically). The oracle REPLAYS the entire
+    training loop in SQL — 18 generated argmax+apply iterations over
+    the same word table — so a wrong count, cutoff, tie-break, pair
+    extraction, or merge application diverges at the exact rank it
+    happens."""
+    from kolang_spark.llm.bpe import bpe_merges_df, bpe_train
+
+    dc = _t(spark, sf_dir, "documents")
+    merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
+    return bpe_merges_df(spark, merges).select(
+        F.col("rank").alias("mrank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+    )
+
+
+def _q_bpe_encode_documents(spark, sf_dir):
+    """REAL BPE application (`kolang_spark/llm/bpe.py::bpe_encode`):
+    merges trained on the corpus, then applied as pure Column algebra
+    (separator-string literal replaces, word-boundary-aware, rank
+    order, 3 fixpoint passes per rank — no UDF, whole-stage codegen).
+    The oracle replays training AND encoding (recursive CTE over the
+    merge ranks) and compares every document's full token sequence —
+    the strongest possible check: any divergence in either phase
+    breaks the hash on the affected docs."""
+    from kolang_spark.llm.bpe import bpe_encode, bpe_train
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
+    out = bpe_encode(ensure_min_parallelism(dc), merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.array_join("bpe_tokens", "|"), F.lit(""))
+        .alias("tokens_joined"),
+    )
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (`kolang_spark/llm/scrub.py::
     canonicalize_url` — the crawl-frontier / URL-level dedup key):
@@ -2750,6 +2798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_documents": _q_html_extract_documents,
         "warc_parse_documents": _q_warc_parse_documents,
         "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
+        "bpe_merges_documents": _q_bpe_merges_documents,
+        "bpe_encode_documents": _q_bpe_encode_documents,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
         "assign_shards_documents": _q_assign_shards_documents,
         "canonical_urls": _q_canonical_urls,
@@ -3006,6 +3056,52 @@ def _split_bounds(fracs: "list[float]") -> "list[int]":
         cum += f
         out.append(int(cum * (1 << 60)))
     return out
+
+
+def _bpe_train_cte(m: int, w: int) -> str:
+    """Generated SQL replay of bpe_train: the same bounded word table
+    (count desc, word asc LIMIT w), then m argmax+apply iterations.
+    CTEs are MATERIALIZED — each v{k} is referenced twice (pair counts
+    + next state), and DuckDB inlines CTEs by default, which would make
+    the plan tree exponential in m. Ends defining `merges`
+    (mrank, l, r)."""
+    parts = [f"""WITH RECURSIVE w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT regexp_replace(unnest(string_split_regex(trim(text), '\\s+')),
+                              '[' || chr(30) || chr(31) || ']', '', 'g') AS w
+        FROM documents) t
+      WHERE w <> ''
+      GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {w}
+    ), v0 AS MATERIALIZED (
+      SELECT chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS enc, cnt
+      FROM w0
+    )"""]
+    for k in range(m):
+        parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT pr, SUM(cnt) AS c FROM (
+        SELECT unnest([toks[i] || chr(31) || toks[i+1]
+                       for i in range(1, len(toks))]) AS pr, cnt
+        FROM (SELECT list_filter(string_split(enc, chr(31)),
+                                 x -> x <> '') AS toks, cnt FROM v{k})
+      ) GROUP BY pr
+    ), m{k} AS MATERIALIZED (
+      SELECT {k} AS mrank,
+             string_split(pr, chr(31))[1] AS l,
+             string_split(pr, chr(31))[2] AS r
+      FROM (SELECT pr FROM p{k} ORDER BY c DESC, pr ASC LIMIT 1)
+    ), v{k + 1} AS MATERIALIZED (
+      SELECT replace(replace(replace(v.enc, mm.pat, mm.rep),
+                             mm.pat, mm.rep), mm.pat, mm.rep) AS enc, v.cnt
+      FROM v{k} v CROSS JOIN (
+        SELECT chr(31)||l||chr(31)||r||chr(31) AS pat,
+               chr(31)||l||r||chr(31) AS rep FROM m{k}) mm
+    )""")
+    parts.append(
+        ", merges AS ("
+        + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(m))
+        + ")"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5163,6 +5259,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS body_n_bytes,
                    text AS body_text
             FROM documents
+        """,
+        # Full SQL replay of BPE training (generated argmax+apply
+        # chain — see _bpe_train_cte) and of the encode pipeline
+        # (recursive CTE over merge ranks). Training and encoding
+        # share one deterministic semantics: separator-string literal
+        # replaces, 3 fixpoint passes per rank.
+        "bpe_merges_documents": _bpe_train_cte(_BPE_M, _BPE_W) + """
+            SELECT mrank, l AS lhs, r AS rhs, l || r AS merged
+            FROM merges
+        """,
+        "bpe_encode_documents": _bpe_train_cte(_BPE_M, _BPE_W) + """
+            , enc0 AS (
+              SELECT doc_id,
+                replace(chr(31) || regexp_replace(regexp_replace(
+                    regexp_replace(trim(text),
+                      '[' || chr(30) || chr(31) || ']', '', 'g'),
+                    '\\s+', ' ', 'g'),
+                    '(.)', '\\1' || chr(31), 'g'),
+                  chr(31) || ' ' || chr(31),
+                  chr(31) || chr(30) || chr(31)) AS enc
+              FROM documents
+            ), encs AS (
+              SELECT doc_id, enc, 0 AS it FROM enc0
+              UNION ALL
+              SELECT e.doc_id,
+                     replace(replace(replace(e.enc, mm.pat, mm.rep),
+                             mm.pat, mm.rep), mm.pat, mm.rep) AS enc,
+                     e.it + 1
+              FROM encs e JOIN (
+                SELECT mrank, chr(31)||l||chr(31)||r||chr(31) AS pat,
+                       chr(31)||l||r||chr(31) AS rep
+                FROM merges) mm ON mm.mrank = e.it
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   coalesce(array_to_string(toks, '|'), '') AS tokens_joined
+            FROM (
+              SELECT doc_id, list_filter(string_split(enc, chr(31)),
+                             x -> x <> '' AND x <> chr(30)) AS toks
+              FROM encs WHERE it = """ + str(_BPE_M) + """)
         """,
         # Mirrors llm/html.py over the synthetic page wrap: the
         # extracted text is predicted closed-form from the RAW text

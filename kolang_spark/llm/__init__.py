@@ -71,6 +71,12 @@ from kolang_spark.llm.html import (  # noqa: F401
     extract_links,
     html_to_text,
 )
+from kolang_spark.llm.bpe import (  # noqa: F401
+    bpe_encode,
+    bpe_merges_df,
+    bpe_token_count,
+    bpe_train,
+)
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import (  # noqa: F401

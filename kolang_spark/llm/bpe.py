@@ -1,0 +1,192 @@
+"""Real byte-pair encoding: distributed merge TRAINING + pure-Column
+merge APPLICATION — replaces the chars/4-style
+:func:`kolang_spark.llm.textstats.bpe_token_estimate` heuristic
+wherever token budgets actually matter (packing, chunking, mixing).
+
+Design (Spark-first, oracle-replayable):
+
+- **Training** (:func:`bpe_train`) is the standard two-phase shape
+  every production BPE trainer uses (Sennrich et al. 2016,
+  subword-nmt): the corpus scan is distributed (one
+  ``explode``/``groupBy`` word-count aggregation — the only part that
+  touches 100 TB), then the merge loop runs driver-side over the
+  BOUNDED top-``max_words`` word-frequency table (a few thousand rows
+  — word types, not corpus tokens). Determinism: ties in pair
+  frequency break lexicographically, and the word-table cutoff orders
+  by (count desc, word asc), so the same corpus always yields the
+  same merge table.
+
+- **Application** (:func:`bpe_encode`) is pure Column algebra — no
+  UDF, no explode, fully inside whole-stage codegen. The token state
+  is a separator-delimited string (``\\x1f`` between tokens, ``\\x1e``
+  at word boundaries so merges can never cross words); applying merge
+  ``(l, r)`` is the literal string replace ``␟l␟r␟ → ␟lr␟``, run
+  ``FIXPOINT_PASSES`` times per rank (each pass is leftmost
+  non-overlapping, so bounded passes converge for the run lengths
+  real text has). Merges apply in rank order — the same in-order
+  sweep subword-nmt's ``apply_bpe`` performs. Every step is a literal
+  ``replace``, so a DuckDB oracle replays the whole pipeline —
+  training included — exactly.
+
+Not in scope: byte-level pre-tokenization (GPT-2-style) and
+end-of-word markers — both change the merge alphabet, neither changes
+the Spark shape. The separator chars are stripped from input text
+first, so adversarial documents cannot forge token boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kolang_spark.functions.core import ColumnOrName, to_col
+from kolang_spark.llm.textstats import tokenize
+
+__all__ = [
+    "bpe_train",
+    "bpe_encode",
+    "bpe_token_count",
+    "bpe_merges_df",
+    "FIXPOINT_PASSES",
+]
+
+SEP = "\x1f"  # unit separator: token boundary inside a word
+BOUND = "\x1e"  # record separator: word boundary — merges never cross
+FIXPOINT_PASSES = 3
+
+
+def _encode_word(word: str) -> str:
+    return SEP + SEP.join(word) + SEP
+
+
+def _apply_merge_str(enc: str, left: str, right: str) -> str:
+    """One merge rank applied to a separator-string: the exact
+    ``FIXPOINT_PASSES``-pass literal replace the Column/SQL sides run
+    (unconditional passes == early-exit-on-fixpoint, so the early exit
+    here is just a fast path)."""
+    pat = SEP + left + SEP + right + SEP
+    rep = SEP + left + right + SEP
+    for _ in range(FIXPOINT_PASSES):
+        nxt = enc.replace(pat, rep)
+        if nxt == enc:
+            break
+        enc = nxt
+    return enc
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    max_words: int = 2000,
+) -> List[Tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from a text column; returns
+    ``[(left, right), ...]`` in rank order.
+
+    Scale shape: ONE distributed pass builds the word-frequency table
+    (explode + map-side-combinable groupBy count); the driver collects
+    only the top ``max_words`` word TYPES (count desc, word asc — a
+    deterministic cutoff), which bounds driver memory at
+    O(max_words · avg_word_len) regardless of corpus size. The merge
+    loop then runs on that table alone — the standard trainer shape
+    (corpus token count never matters after the aggregation).
+
+    Words containing the internal separator bytes (``\\x1e``/``\\x1f``)
+    have them stripped first — they cannot occur in honest text and
+    would otherwise forge token boundaries.
+    """
+    if num_merges < 0:
+        raise ValueError("num_merges must be >= 0")
+    rows = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .select(F.regexp_replace("w", "[" + BOUND + SEP + "]", "").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("w").asc())
+        .limit(max_words)  # bounded collect: <= max_words word types
+        .collect()
+    )
+    vocab = {_encode_word(r["w"]): int(r["count"]) for r in rows}
+    merges: List[Tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for enc, cnt in vocab.items():
+            toks = [t for t in enc.split(SEP) if t]
+            for i in range(len(toks) - 1):
+                key = (toks[i], toks[i + 1])
+                pairs[key] = pairs.get(key, 0) + cnt
+        if not pairs:
+            break
+        # argmax with the SAME tie-break the SQL replay uses:
+        # ORDER BY count DESC, (l || SEP || r) ASC LIMIT 1 — UTF-8 byte
+        # order equals codepoint order, so Python str compare matches
+        # DuckDB's binary collation
+        (left, right), _ = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
+        )
+        merges.append((left, right))
+        nxt: dict = {}
+        for enc, cnt in vocab.items():
+            ne = _apply_merge_str(enc, left, right)
+            nxt[ne] = nxt.get(ne, 0) + cnt
+        vocab = nxt
+    return merges
+
+
+def bpe_merges_df(spark, merges: List[Tuple[str, str]]) -> DataFrame:
+    """The merge table as a DataFrame ``(rank, left, right, merged)``
+    — persist it next to the corpus so encode jobs don't retrain."""
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string, merged string",
+    )
+
+
+def _bpe_enc_col(col: ColumnOrName, merges: List[Tuple[str, str]]) -> Column:
+    """The separator-string encode pipeline as one Column expression:
+    normalize → char-split → word boundaries → merges in rank order
+    (``FIXPOINT_PASSES`` literal replaces per rank)."""
+    c = to_col(col)
+    t = F.regexp_replace(F.trim(c), "[" + BOUND + SEP + "]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    enc = F.concat(F.lit(SEP), F.regexp_replace(t, "(.)", "$1" + SEP))
+    enc = F.replace(enc, F.lit(SEP + " " + SEP), F.lit(SEP + BOUND + SEP))
+    for left, right in merges:
+        pat = F.lit(SEP + left + SEP + right + SEP)
+        rep = F.lit(SEP + left + right + SEP)
+        for _ in range(FIXPOINT_PASSES):
+            enc = F.replace(enc, pat, rep)
+    return enc
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a trained merge table: adds ``out_col``
+    (``array<string>`` of subword tokens, word-boundary-aware, merges
+    in rank order) — pure Column algebra, no UDF, no shuffle; the
+    expression stays inside whole-stage codegen, so this runs at scan
+    speed on 100 TB. Empty/whitespace-only text → empty array."""
+    enc = _bpe_enc_col(F.col(text_col), merges)
+    toks = F.filter(
+        F.split(enc, SEP), lambda x: (x != "") & (x != BOUND)
+    )
+    return df.withColumn(out_col, toks)
+
+
+def bpe_token_count(
+    col: ColumnOrName, merges: List[Tuple[str, str]]
+) -> Column:
+    """REAL subword token count under a trained merge table (the
+    number packing/chunking budgets should use, not the chars/4
+    estimate)."""
+    enc = _bpe_enc_col(col, merges)
+    return F.size(
+        F.filter(F.split(enc, SEP), lambda x: (x != "") & (x != BOUND))
+    ).cast("long")

@@ -42,7 +42,11 @@ def token_count(col: ColumnOrName, pattern: str = r"\s+") -> Column:
 def bpe_token_estimate(col: ColumnOrName) -> Column:
     """Crude BPE-style token estimate: count of word-piece matches
     (``\\w+`` runs split ~4 chars apiece) plus standalone punctuation.
-    Deterministic, JVM-side; a real tokenizer belongs in an Arrow UDF."""
+    Deterministic, JVM-side, and trainer-free — a quick screening
+    metric. When the budget actually matters (packing, chunking,
+    mixing), train real merges and count with
+    :func:`kolang_spark.llm.bpe.bpe_token_count` — equally JVM-side
+    (pure Column replaces), just requiring a trained merge table."""
     c = to_col(col)
     word_chars = F.length(F.regexp_replace(c, r"[^\w]", ""))
     punct = F.length(F.regexp_replace(c, r"[\w\s]", ""))

@@ -1,0 +1,172 @@
+"""Real BPE (llm/bpe.py): trainer determinism, classic-corpus merge
+sanity, and the exact-model property — the pure-Python replica of the
+documented separator-string semantics must match the Column pipeline
+byte-for-byte on arbitrary text (incl. the separator-byte and
+whitespace adversarial classes the real-data oracle never exercises).
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from kolang_spark.llm.bpe import (
+    BOUND,
+    FIXPOINT_PASSES,
+    SEP,
+    _apply_merge_str,
+    _encode_word,
+    bpe_encode,
+    bpe_merges_df,
+    bpe_token_count,
+    bpe_train,
+)
+
+
+def _encode_py(text: str, merges) -> list:
+    """Pure-Python replica of the documented encode semantics."""
+    import re
+
+    t = text.strip()
+    t = re.sub("[" + BOUND + SEP + "]", "", t)
+    t = re.sub(r"\s+", " ", t)
+    enc = SEP + "".join(ch + SEP for ch in t)
+    enc = enc.replace(SEP + " " + SEP, SEP + BOUND + SEP)
+    for left, right in merges:
+        pat = SEP + left + SEP + right + SEP
+        rep = SEP + left + right + SEP
+        for _ in range(FIXPOINT_PASSES):
+            enc = enc.replace(pat, rep)
+    return [x for x in enc.split(SEP) if x not in ("", BOUND)]
+
+
+def _train_df(spark, texts):
+    return spark.createDataFrame([Row(text=t) for t in texts], "text string")
+
+
+def test_train_classic_corpus(spark):
+    # "low lower lowest": 'l'+'o' then 'lo'+'w' dominate
+    df = _train_df(spark, ["low low low lower lowest"] * 2)
+    merges = bpe_train(df, num_merges=2, max_words=100)
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+
+
+def test_train_tiebreak_lexicographic(spark):
+    # 'ab' and 'cd' both occur twice -> (a,b) wins lexicographically
+    df = _train_df(spark, ["ab cd", "ab cd"])
+    merges = bpe_train(df, num_merges=1, max_words=100)
+    assert merges == [("a", "b")]
+
+
+def test_train_deterministic_and_bounded(spark):
+    texts = [f"alpha beta gamma{i % 3} delta" for i in range(50)]
+    df = _train_df(spark, texts)
+    m1 = bpe_train(df, num_merges=8, max_words=5)
+    m2 = bpe_train(df, num_merges=8, max_words=5)
+    assert m1 == m2 and len(m1) == 8
+
+
+def test_train_stops_when_no_pairs(spark):
+    # single-char words only -> no adjacent pairs, trainer stops early
+    df = _train_df(spark, ["a b c", "a b"])
+    assert bpe_train(df, num_merges=5, max_words=100) == []
+
+
+def test_encode_matches_training_vocab(spark):
+    df = _train_df(spark, ["low low low lower lowest"])
+    merges = bpe_train(df, num_merges=3, max_words=100)
+    out = bpe_encode(df, merges).head()
+    # after (l,o),(lo,w),(low, e?) merges, every 'low' is one token
+    assert out.bpe_tokens.count("low") >= 3
+
+
+def test_encode_word_boundaries_not_crossed(spark):
+    # merge (a,b) must not fire across the word gap in "xa bz"
+    df = _train_df(spark, ["xa bz ab"])
+    out = bpe_encode(df, [("a", "b")]).head()
+    assert out.bpe_tokens == ["x", "a", "b", "z", "ab"]
+
+
+def test_encode_empty_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [Row(text=""), Row(text="   "), Row(text="\t\n")], "text string"
+    )
+    rows = bpe_encode(df, [("a", "b")]).collect()
+    assert all(r.bpe_tokens == [] for r in rows)
+
+
+def test_token_count_matches_encode(spark):
+    df = _train_df(spark, ["low lower", "ab ab ab"])
+    merges = [("l", "o"), ("a", "b")]
+    got = df.select(
+        bpe_token_count("text", merges).alias("n")
+    ).collect()
+    exp = [len(_encode_py(t, merges)) for t in ["low lower", "ab ab ab"]]
+    assert [r.n for r in got] == exp
+
+
+def test_merges_df_schema(spark):
+    mdf = bpe_merges_df(spark, [("l", "o"), ("lo", "w")])
+    rows = mdf.collect()
+    assert [(r["rank"], r["left"], r["right"], r["merged"]) for r in rows] == [
+        (0, "l", "o", "lo"),
+        (1, "lo", "w", "low"),
+    ]
+
+
+def test_apply_merge_fixpoint_runs():
+    # aaaa with (a,a): pass1 -> aa,aa (leftmost non-overlap); stable
+    assert _apply_merge_str(_encode_word("aaaa"), "a", "a") == (
+        SEP + "aa" + SEP + "aa" + SEP
+    )
+    # aaa -> aa,a
+    assert _apply_merge_str(_encode_word("aaa"), "a", "a") == (
+        SEP + "aa" + SEP + "a" + SEP
+    )
+    # alternating chain abab fully merges within the pass budget
+    assert _apply_merge_str(_encode_word("abab"), "a", "b") == (
+        SEP + "ab" + SEP + "ab" + SEP
+    )
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c\t\x1e\x1f.é"),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    num_merges=st.integers(min_value=0, max_value=6),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_encode_exact_model_property(spark, texts, num_merges):
+    """Column pipeline == pure-Python replica on adversarial text
+    (separator bytes, whitespace runs, non-ASCII), with merges trained
+    on the same corpus — and reconstruction: tokens concatenated per
+    doc equal the normalized text minus spaces."""
+    import re
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, num_merges=num_merges, max_words=50)
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        exp = _encode_py(t, merges)
+        assert got[i] == exp, (t, merges)
+        norm = re.sub(
+            r"\s+", " ", re.sub("[" + BOUND + SEP + "]", "", t.strip())
+        )
+        assert "".join(got[i]) == norm.replace(" ", "")

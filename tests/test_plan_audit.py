@@ -40,6 +40,9 @@ PANDAS_ALLOWED = {
     # WARC record walk: byte-offset parsing has no Catalyst
     # expression — same sanctioned container-decode boundary
     "warc_parse_documents",
+    # gzip variant: member compression (test-data synthesis) AND the
+    # record walk are the same sanctioned boundary
+    "warc_gzip_parse_documents",
     "web_ingest_pipeline",
 }
 
