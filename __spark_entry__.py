@@ -1157,10 +1157,14 @@ def _q_ann_ivf_topk(spark, sf_dir):
 
 def _q_ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF ANN with sampled-k-means centroids (the production coarse
-    quantizer) instead of the stride subset. Deterministic (stride
-    seeds, fixed iterations, id tie-breaks) but the Lloyd iterations are
-    not practically SQL-expressible — rows-only check; recall quality is
-    covered by tests/test_llm.py."""
+    quantizer) instead of the stride subset. Oracle-backed since round
+    8: kmeans_centroids computes Lloyd means in FIXED POINT (integer
+    micro-unit sums -> shuffle-order-exact, dyadic-rational centroids),
+    so the DuckDB oracle replays every iteration exactly — seeds (k
+    smallest ids), unrolled d2 argmin with id tie-break, round/floor
+    mean quantization, empty-cell carryover — then the same IVF probe
+    replay as ann_ivf_topk. Recall quality additionally pinned by
+    ann_ivf_recall_planted."""
     from kolang_spark.llm import ivf_topk, kmeans_centroids
 
     em = _t(spark, sf_dir, "embeddings")
@@ -2723,9 +2727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_parity.py::test_external_window_composition
     enforces the all-oracle-backed invariant mechanically. Everything
     in the tail still runs in bench.py and stays hash-checked every
-    run by tests/test_oracle_parity.py; exactly ONE rows-only query
-    remains (ann_ivf_kmeans_topk — its recall is pinned externally by
-    ann_ivf_recall_planted)."""
+    run by tests/test_oracle_parity.py. As of round 8 every query is
+    oracle-backed — ZERO rows-only (ann_ivf_kmeans_topk was the last;
+    its fixed-point Lloyd means made the full replay possible)."""
     return {
         # --- positions 1-50: the external round-8 window, all
         #     oracle-backed, COMPUTED by scripts/next_window.py.
@@ -2856,8 +2860,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "union_customers_suppliers": _q_union_customers_suppliers,
-        # --- tail: the ONE rows-only query (sampled-k-means Lloyd
-        #     iterations; recall pinned externally by ann_ivf_recall_planted) ---
+        # --- tail: upgraded rows-only -> oracle-backed r8 (fixed-point
+        #     Lloyd means -> full SQL replay); recall also pinned by
+        #     ann_ivf_recall_planted ---
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
     }
 
@@ -3101,6 +3106,97 @@ def _bpe_train_cte(m: int, w: int) -> str:
         + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(m))
         + ")"
     )
+    return "".join(parts)
+
+
+def _kmeans_ivf_sql(k: int, dims: int, iters: int) -> str:
+    """Generated replay of kmeans_centroids + ivf_topk: per Lloyd
+    iteration an argmin-assignment CTE (unrolled left-assoc d2 — the
+    same addition order as the Spark expression, so doubles are
+    bit-identical), a fixed-point mean CTE (round(x*2^20) BIGINT sums,
+    floor(s/n + 0.5)/2^20 — the exact arithmetic kmeans_centroids
+    does), and an empty-cell carryover join. MATERIALIZED throughout
+    (each state is referenced twice; DuckDB would inline
+    exponentially). Ends with the ann_ivf_topk probe replay against
+    the final centroid table."""
+    scale = float(1 << 20)
+
+    def d2(v: str, g: str) -> str:
+        return "0.0 + " + " + ".join(
+            f"({v}[{i + 1}]-{g}[{i + 1}])*({v}[{i + 1}]-{g}[{i + 1}])"
+            for i in range(dims)
+        )
+
+    parts = [f"""WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
+             v AS g
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k})
+    )"""]
+    for it in range(iters):
+        parts.append(f""", a{it} AS MATERIALIZED (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2("e.v", "c.g")},
+                                           c.cent_id) AS rn
+        FROM e CROSS JOIN c{it} c) WHERE rn = 1
+    ), mn{it} AS MATERIALIZED (
+      SELECT cent_id, pos,
+             floor(CAST(SUM(xi) AS DOUBLE)/COUNT(*) + 0.5)/{scale!r} AS m
+      FROM (
+        SELECT cent_id,
+               unnest([{{'pos': i-1,
+                        'xi': CAST(round(v[i]*{scale!r}) AS BIGINT)}}
+                       for i in range(1, {dims + 1})], recursive := true)
+        FROM a{it})
+      GROUP BY cent_id, pos
+    ), c{it + 1} AS MATERIALIZED (
+      SELECT c.cent_id, coalesce(m.g2, c.g) AS g
+      FROM c{it} c LEFT JOIN (
+        SELECT cent_id, list(m ORDER BY pos) AS g2
+        FROM mn{it} GROUP BY cent_id) m
+      ON m.cent_id = c.cent_id
+    )""")
+    parts.append(f""", cents AS MATERIALIZED (
+      SELECT cent_id, g FROM c{iters}
+    ), assign AS (
+      SELECT vec_id, v, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+               list_dot_product(v, g)
+                 /(sqrt(list_dot_product(v, v))
+                   *sqrt(list_dot_product(g, g))) DESC,
+               cent_id) AS rn
+      FROM e CROSS JOIN cents
+    ), indexed AS (
+      SELECT vec_id, v, cent_id AS cell FROM assign WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, v FROM e WHERE vec_id % 100 = 0
+    ), qassign AS (
+      SELECT query_id, q.v, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               list_dot_product(q.v, g)
+                 /(sqrt(list_dot_product(q.v, q.v))
+                   *sqrt(list_dot_product(g, g))) DESC,
+               cent_id) AS rn
+      FROM q CROSS JOIN cents
+    ), probes AS (
+      SELECT query_id, v, cent_id AS cell FROM qassign WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, i.vec_id,
+             list_dot_product(p.v, i.v)
+               /(sqrt(list_dot_product(p.v, p.v))
+                 *sqrt(list_dot_product(i.v, i.v))) AS cos_raw
+      FROM indexed i JOIN probes p ON i.cell = p.cell
+    ), ranked AS (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+    FROM ranked WHERE rank <= 5""")
     return "".join(parts)
 
 
@@ -3880,6 +3976,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
         """,
+        # Full Lloyd replay (fixed-point means) + IVF probe replay —
+        # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
+        "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
         "multimodal_blob_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -18,6 +18,7 @@ order); no pandas UDF anywhere.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -245,6 +246,9 @@ def _kmeans_assign(pts: DataFrame, cent_df: DataFrame, dims: int) -> DataFrame:
     )
 
 
+_FP_SCALE = 1 << 20  # fixed-point mean quantum: 2^-20 (dyadic -> exact doubles)
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,
@@ -258,11 +262,21 @@ def kmeans_centroids(
     :func:`ivf_topk`'s ``centroids`` knob (the production-quality coarse
     quantizer the stride subset approximates).
 
-    Deterministic end to end: seeds are the stride subset
-    ``id % (N/k-ish stride) == 0``-style pick (here: the ``k`` smallest
-    ids of the ``id % sample_mod == 0`` sample), assignment ties break
-    on centroid id, and empty cells keep their previous centroid — same
-    inputs, same centroids, any cluster, any partitioning.
+    Deterministic end to end — INCLUDING the float means: seeds are
+    the stride subset ``id % (N/k-ish stride) == 0``-style pick (here:
+    the ``k`` smallest ids of the ``id % sample_mod == 0`` sample),
+    assignment ties break on centroid id, empty cells keep their
+    previous centroid, and each mean is computed in FIXED POINT —
+    per-element micro-units ``round(x · 2^20)`` summed as longs
+    (integer addition is order-exact, unlike float sums across
+    shuffles), then one double division + half-up rounding on the
+    driver, so the centroid is the dyadic rational
+    ``floor(Σxi/n + 0.5) / 2^20``. Same inputs → bit-identical
+    centroids on any cluster, any partitioning, any shuffle order —
+    which also makes the whole Lloyd loop SQL-replayable (the
+    ``ann_ivf_kmeans_topk`` DuckDB oracle replays every iteration).
+    The 2^-20 mean quantization (~1e-6) is orders of magnitude below
+    coarse-quantizer noise.
 
     Scale shape: each iteration assigns points via
     ``crossJoin(broadcast(centroid_table))`` with an unrolled O(dims)
@@ -309,11 +323,19 @@ def kmeans_centroids(
         means = (
             assigned.select("cent_id", F.posexplode("p_v").alias("pos", "x"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                # fixed-point mean: integer micro-unit sums are
+                # shuffle-order-exact where F.avg over doubles is not
+                F.sum(
+                    F.round(F.col("x") * F.lit(float(_FP_SCALE))).cast("long")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
         )
         got: dict = {}
         for r in means.collect():  # ≤ k·dims rows — same driver payload
-            got.setdefault(int(r.cent_id), [0.0] * dims)[int(r.pos)] = float(r.m)
+            m = math.floor(int(r.s) / int(r.n) + 0.5) / _FP_SCALE
+            got.setdefault(int(r.cent_id), [0.0] * dims)[int(r.pos)] = m
         # empty cells keep their previous centroid (deterministic; an
         # assigned cell always yields all `dims` positions)
         cent_rows = [(cid, got.get(cid, v)) for cid, v in cent_rows]
