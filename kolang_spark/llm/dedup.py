@@ -1238,6 +1238,32 @@ def incremental_minhash_dedup(
     routes through the Hadoop ``FileSystem`` API, so ``state_path``
     may be an object-store URI (``s3a://``/``hdfs://``/``abfs://``).
     """
+    marked, novel = _incremental_minhash_flagged(
+        spark, new_df, state_path, id_col, text_col, n, num_hashes, bands,
+        hash_fn,
+    )
+    novel.write.mode("append").parquet(state_path)
+    return marked
+
+
+def _incremental_minhash_flagged(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 6,
+    bands: int = 3,
+    hash_fn: str = "md5",
+):
+    """The flag computation of :func:`incremental_minhash_dedup`
+    WITHOUT the state append: returns ``(marked, novel)`` where
+    ``novel`` is the accepted docs' band-key frame the caller must
+    append to ``state_path`` itself. Exists so sinks can order their
+    writes for crash safety (materialize flags → write output → append
+    state; see :func:`kolang_spark.streaming.minhash_dedup_sink`) —
+    the plain operator appends state before returning."""
     from kolang_spark.sources.io import path_exists
 
     banded = _minhash_band_keys(
@@ -1286,5 +1312,4 @@ def incremental_minhash_dedup(
         .select("band_id", "band_key")
         .distinct()
     )
-    novel.write.mode("append").parquet(state_path)
-    return marked
+    return marked, novel

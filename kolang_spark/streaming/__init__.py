@@ -4,6 +4,9 @@ SURVEY §2.3 'Streaming')."""
 from kolang_spark.streaming.dedup import dedup_stream  # noqa: F401
 from kolang_spark.streaming.joins import interval_join  # noqa: F401
 from kolang_spark.streaming.sessions import sessionize  # noqa: F401
-from kolang_spark.streaming.sinks import upsert_sink  # noqa: F401
+from kolang_spark.streaming.sinks import (  # noqa: F401
+    minhash_dedup_sink,
+    upsert_sink,
+)
 from kolang_spark.streaming.stateful import ewma_batch, stateful_ewma  # noqa: F401
 from kolang_spark.streaming.windows import sliding, tumbling  # noqa: F401

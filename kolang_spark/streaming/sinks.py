@@ -21,7 +21,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
-__all__ = ["upsert_sink"]
+__all__ = ["upsert_sink", "minhash_dedup_sink"]
 
 
 def upsert_sink(
@@ -72,6 +72,79 @@ def upsert_sink(
                 partition_by=partition_by,
                 order_col=order_col,
             )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def minhash_dedup_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 6,
+    bands: int = 3,
+    keep_duplicates: bool = False,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Streaming NEAR-duplicate ingest: each micro-batch is flagged
+    against (and then extends) the persisted MinHash band-key state —
+    the ``foreachBatch`` wiring of
+    :func:`kolang_spark.llm.dedup.incremental_minhash_dedup`, closing
+    the loop the batch operator opened. Accepted docs (or all docs
+    with their ``is_near_duplicate`` flag when ``keep_duplicates``)
+    append to the parquet table at ``output_path``; band keys of
+    accepted docs append to ``state_path``. Both paths may be
+    object-store URIs (all probes go through the Hadoop FS API).
+    Returns the started ``StreamingQuery``.
+
+    Crash-safety write ORDER within a batch (the deliberate inverse of
+    the bloom sidecar's bits-first rule, because the failure costs
+    invert): (1) flags are materialized (``localCheckpoint``) while
+    the state is still pre-batch, (2) output appends, (3) state
+    appends. A crash before (3) means the replayed batch recomputes
+    the SAME flags (state unchanged) and may re-append output —
+    duplicate OUTPUT rows, removable downstream by doc_id. The reverse
+    order (state first) would make a replayed batch flag all its own
+    docs as duplicates — silent data LOSS in the output, which no
+    downstream step can repair. At-least-once output + never-lose is
+    the strongest contract a plain-parquet append sink can offer;
+    wrap ``output_path`` in a table format with atomic commits when
+    exactly-once matters.
+
+    Within-batch semantics, state growth, and the candidate-only
+    flagging caveat are the batch operator's (see its docstring).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from kolang_spark.llm.dedup import _incremental_minhash_flagged
+
+        spark = batch_df.sparkSession
+        marked, novel = _incremental_minhash_flagged(
+            spark, batch_df, state_path, id_col, text_col, n, num_hashes,
+            bands,
+        )
+        # (1) pin the flags before ANY write mutates what they read
+        marked = marked.localCheckpoint(eager=True)
+        out = (
+            marked
+            if keep_duplicates
+            else marked.where(~F.col("is_near_duplicate")).drop(
+                "is_near_duplicate"
+            )
+        )
+        # (2) output before (3) state — see docstring
+        out.write.mode("append").parquet(output_path)
+        novel.write.mode("append").parquet(state_path)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:

@@ -190,3 +190,87 @@ def test_upsert_sink_streaming_merge(spark, tmp_path):
     q2.awaitTermination(120)
     got2 = {r.id: r.v for r in spark.read.parquet(tbl).collect()}
     assert got2 == {1: 12, 2: 20, 3: 30, 4: 40}
+
+
+def test_minhash_dedup_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming near-dup ingest over two micro-batches == running the
+    batch operator twice on the same batches: same accepted set, same
+    persisted band-key state."""
+    from kolang_spark.llm.dedup import incremental_minhash_dedup
+    from kolang_spark.streaming import minhash_dedup_sink
+
+    t_a = "the quick brown fox jumps over the lazy dog today"
+    t_b = "completely different content with many unique words inside"
+    t_c = "a third document that shares nothing with the others at all"
+    b1 = [(1, t_a), (2, t_b), (3, t_a)]          # 3 near-dups 1 in-batch
+    b2 = [(4, t_a), (5, t_c)]                    # 4 near-dups state; 5 novel
+    schema = "doc_id long, text string"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = minhash_dedup_sink(
+        stream, state, out, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    accepted = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert accepted == [1, 2, 5]
+    # duplicates never enter the output and the flag column is dropped
+    assert "is_near_duplicate" not in spark.read.parquet(out).columns
+
+    # batch replay of the same two batches against a fresh state
+    state2 = str(tmp_path / "state2")
+    m1 = incremental_minhash_dedup(
+        spark, spark.createDataFrame(b1, schema), state2
+    )
+    batch_acc = [r.doc_id for r in m1.where("NOT is_near_duplicate").collect()]
+    m2 = incremental_minhash_dedup(
+        spark, spark.createDataFrame(b2, schema), state2
+    )
+    batch_acc += [r.doc_id for r in m2.where("NOT is_near_duplicate").collect()]
+    assert sorted(batch_acc) == accepted
+
+    # identical persisted state (band-key multisets)
+    s_stream = sorted(
+        (r.band_id, r.band_key) for r in spark.read.parquet(state).collect()
+    )
+    s_batch = sorted(
+        (r.band_id, r.band_key) for r in spark.read.parquet(state2).collect()
+    )
+    assert s_stream == s_batch
+
+
+def test_minhash_dedup_sink_keep_duplicates_flags(spark, tmp_path):
+    from kolang_spark.streaming import minhash_dedup_sink
+
+    t = "one single piece of text repeated across both documents here"
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(1, t), (2, t)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = minhash_dedup_sink(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "out"),
+        keep_duplicates=True,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.is_near_duplicate
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {1: False, 2: True}
