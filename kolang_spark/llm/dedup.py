@@ -887,11 +887,15 @@ def incremental_exact_dedup(
     ≤ ``bloom_bits``-row distinct form. Every crash window loses at
     most the cache, never correctness.
 
-    Caveat when ``bloom_bits`` is set: materialize the returned
-    DataFrame (any action, or ``localCheckpoint``) BEFORE the next
-    ingest call against the same state — the next call may compact the
-    sidecar, deleting files a still-lazy previous plan references
-    (see :func:`_maybe_compact_bloom`).
+    The returned frame is eagerly ``localCheckpoint``-ed: the flags
+    feed both the state append and the caller's first action, which
+    would otherwise each re-run the batch scan + state join + window
+    (and the whole bloom probe chain). This trades one batch-sized
+    write to executor-local storage for the recompute — the batch is
+    the small side by definition (the state is what's billion-row) —
+    and it also immunizes the returned frame against the next call's
+    sidecar compaction deleting files a lazy plan would still
+    reference (see :func:`_maybe_compact_bloom`).
 
     All state/sidecar file management routes through the Hadoop
     ``FileSystem`` API (:func:`kolang_spark.sources.io.path_exists`
@@ -983,6 +987,11 @@ def incremental_exact_dedup(
         )
         .drop("__seen__", "__rn__")
     )
+    # pin the flagged batch once: it feeds the novel-state write below
+    # AND the caller's first action, which would otherwise each re-run
+    # the batch scan + state join + window (and, with bloom, the whole
+    # probe chain)
+    marked = marked.localCheckpoint(eager=True)
     novel = (
         marked.where(~F.col("is_duplicate"))
         .select("fingerprint")
@@ -1269,6 +1278,14 @@ def _incremental_minhash_flagged(
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
+    # materialize the banded frame ONCE: it is referenced by both the
+    # flags plan and the novel-state plan, and each of the operator's
+    # two actions (state append + the caller's flag materialization)
+    # would otherwise re-run the shingle+minhash expression — the
+    # dominant per-row cost — up to 4x. The frame is small (`bands`
+    # short strings per doc, the text column dropped), so the eager
+    # checkpoint is one cheap job that halves the query's wall-clock.
+    banded = banded.localCheckpoint(eager=True)
     if path_exists(spark, state_path):
         state = spark.read.parquet(state_path).select(
             "band_id", F.col("band_key").alias("__sk__")
@@ -1296,6 +1313,10 @@ def _incremental_minhash_flagged(
             ).alias("is_near_duplicate")
         )
     )
+    # one row per doc, one boolean — also referenced by both return
+    # frames, so pin it too: the state join + band window then run
+    # exactly once per batch instead of once per downstream action
+    flags = flags.localCheckpoint(eager=True)
     # sentinel join-key name: a bare drop("id") would also remove the
     # caller's column when id_col == "id"
     keyed = flags.withColumnRenamed("id", "__ks_mid__")
