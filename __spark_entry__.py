@@ -700,6 +700,67 @@ def _q_dedup_stream_batch(spark, sf_dir):
     return out.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
 
 
+def _q_minhash_sink_stream_batch(spark, sf_dir):
+    """The streaming MinHash near-dup sink END TO END
+    (`kolang_spark/streaming/sinks.py::minhash_dedup_sink`): two file
+    micro-batches (even then odd doc_ids of the deterministic
+    half-corpus) flow through a real foreachBatch StreamingQuery with
+    per-run scratch state; the resulting output table must contain
+    exactly the docs the incremental accept rule admits — the oracle
+    replays banding, within-batch band-key-first-wins, and the
+    accepted-only state handoff between the batches in SQL (the same
+    replay as `incremental_minhash_batches`, selecting the accepted
+    set). File mtimes are pinned so the source always orders batch 1
+    before batch 2; the returned frame is frozen (localCheckpoint)
+    before the scratch dir is removed."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.streaming import minhash_dedup_sink
+
+    base = tempfile.mkdtemp(prefix="ks_mh_sink_q_")
+    try:
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        # a TENTH of the corpus (doc_id % 20 < 2): the streaming
+        # machinery, not the banding, dominates this query's cost, and
+        # the ingest semantics are fully exercised at any slice size —
+        # incremental_minhash_batches covers the operator at %4
+        dc = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 20 < 2)
+            .select("doc_id", "text")
+        )
+        f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
+        dc.where(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(f1)
+        dc.where(F.col("doc_id") % 20 == 1).coalesce(1).write.parquet(f2)
+        now = 1_700_000_000
+        for i, d in enumerate((f1, f2)):
+            for entry_name in os.listdir(d):
+                os.utime(os.path.join(d, entry_name), (now + i, now + i))
+            os.utime(d, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        q = minhash_dedup_sink(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "out"),
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_id", F.length("text").cast("int").alias("n_chars"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_sessionize_stream_semantics(spark, sf_dir):
     """Inactivity-gap sessionization (`kolang_spark/streaming/sessions
     .py::sessionize`, Spark `session_window` — the same call runs
@@ -2775,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_examples_documents": _q_pack_examples_documents,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
         "dedup_stream_batch": _q_dedup_stream_batch,
+        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
         "percent_partitioned": _q_percent_partitioned,
         "jalali_roundtrip": _q_jalali_roundtrip,
         "sliding_events": _q_sliding_events,
@@ -5000,6 +5062,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN flag1 f1 ON d.doc_id % 4 = 0 AND f1.doc_id = d.doc_id
             LEFT JOIN flag2 f2 ON d.doc_id % 4 = 1 AND f2.doc_id = d.doc_id
             WHERE d.doc_id % 4 < 2
+        """,
+        # The sink writes exactly the accepted set of the two-batch
+        # incremental replay above; n_chars pins the row content.
+        "minhash_sink_stream_batch": _minhash_banded_cte()
+        + """
+            , b1 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 20 = 0
+            ), b1m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b1
+            ), flag1 AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN fm < doc_id THEN 1 ELSE 0 END) AS f
+              FROM b1m GROUP BY doc_id
+            ), state1 AS (
+              SELECT DISTINCT b.band_id, b.band_key
+              FROM b1 b JOIN flag1 f1 USING (doc_id)
+              WHERE f1.f = 0
+            ), b2 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 20 = 1
+            ), b2m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b2
+            ), flag2 AS (
+              SELECT x.doc_id,
+                     MAX(CASE WHEN st.band_key IS NOT NULL
+                               OR x.fm < x.doc_id
+                              THEN 1 ELSE 0 END) AS f
+              FROM b2m x LEFT JOIN state1 st
+                ON x.band_id = st.band_id AND x.band_key = st.band_key
+              GROUP BY x.doc_id
+            ), flags AS (
+              SELECT doc_id, f FROM flag1
+              UNION ALL
+              SELECT doc_id, f FROM flag2
+            )
+            SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
+            FROM documents d LEFT JOIN flags fl ON fl.doc_id = d.doc_id
+            WHERE d.doc_id % 20 < 2 AND coalesce(fl.f, 0) = 0
         """,
         "multimodal_decode_wav": """
             WITH d AS (
