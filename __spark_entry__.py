@@ -2836,7 +2836,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_examples_documents": _q_pack_examples_documents,
         "multimodal_decode_wav": _q_multimodal_decode_wav,
         "dedup_stream_batch": _q_dedup_stream_batch,
-        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
         "percent_partitioned": _q_percent_partitioned,
         "jalali_roundtrip": _q_jalali_roundtrip,
         "sliding_events": _q_sliding_events,
@@ -2864,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_documents": _q_html_extract_documents,
         "warc_parse_documents": _q_warc_parse_documents,
         "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
+        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
         "bpe_merges_documents": _q_bpe_merges_documents,
         "bpe_encode_documents": _q_bpe_encode_documents,
         "web_ingest_pipeline": _q_web_ingest_pipeline,

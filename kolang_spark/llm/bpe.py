@@ -152,7 +152,12 @@ def _bpe_enc_col(col: ColumnOrName, merges: List[Tuple[str, str]]) -> Column:
     c = to_col(col)
     t = F.regexp_replace(F.trim(c), "[" + BOUND + SEP + "]", "")
     t = F.regexp_replace(t, r"\s+", " ")
-    enc = F.concat(F.lit(SEP), F.regexp_replace(t, "(.)", "$1" + SEP))
+    # (?s): Java's '.' excludes line terminators (U+0085/U+2028/U+2029)
+    # that \s+ does NOT collapse — without DOTALL those chars get no
+    # separator and fuse with the next char into one pseudo-token,
+    # diverging from the per-char trainer model and the RE2-based
+    # oracle (code-review r8)
+    enc = F.concat(F.lit(SEP), F.regexp_replace(t, "(?s)(.)", "$1" + SEP))
     enc = F.replace(enc, F.lit(SEP + " " + SEP), F.lit(SEP + BOUND + SEP))
     for left, right in merges:
         pat = F.lit(SEP + left + SEP + right + SEP)

@@ -1048,8 +1048,13 @@ def _maybe_compact_bloom(
     fs_delete(spark, tmp)
     spark.read.parquet(bloom_path).distinct().write.parquet(tmp)
     fs_delete(spark, bloom_path)
-    fs_rename(spark, tmp, bloom_path)
-    _write_bloom_meta(spark, bloom_path, n_bits, k)
+    if fs_rename(spark, tmp, bloom_path):
+        _write_bloom_meta(spark, bloom_path, n_bits, k)
+    # on rename failure: leave the path ABSENT rather than writing the
+    # meta into a data-less dir — a meta-only dir would pass the meta
+    # check and then crash every read forever; absent self-heals (the
+    # next call's meta-mismatch branch rebuilds from state, and the
+    # orphaned tmp is deleted at the next compaction)
 
 
 def duplicate_spans(

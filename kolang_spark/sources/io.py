@@ -329,9 +329,11 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
         except OSError:
             return False
     fs, jsrc = pair
-    jdst = _hadoop_fs(spark, dst)[1]
+    dpair = _hadoop_fs(spark, dst)
+    if dpair is None:  # unparseable dst → contract says False, not raise
+        return False
     try:
-        return bool(fs.rename(jsrc, jdst))
+        return bool(fs.rename(jsrc, dpair[1]))
     except Exception:
         return False
 
@@ -353,15 +355,12 @@ def fs_read_text(spark: SparkSession, path: str) -> Optional[str]:
         jvm = spark.sparkContext._jvm
         stream = fs.open(jpath)
         try:
-            reader = jvm.java.io.BufferedReader(
-                jvm.java.io.InputStreamReader(stream, "UTF-8")
-            )
-            lines = []
-            line = reader.readLine()
-            while line is not None:
-                lines.append(line)
-                line = reader.readLine()
-            return "\n".join(lines)
+            # exact bytes (commons-io ships with Spark), then one UTF-8
+            # decode — a readLine loop would normalize CRLF and drop a
+            # trailing newline, so content written by fs_write_text
+            # would not round-trip through the JVM route
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
         finally:
             stream.close()
     except Exception:

@@ -129,12 +129,15 @@ def minhash_dedup_sink(
         from kolang_spark.llm.dedup import _incremental_minhash_flagged
 
         spark = batch_df.sparkSession
+        # (1) the helper eagerly checkpoints the banded frame and the
+        # per-doc flags before returning, so the flags are already
+        # pinned against the state appends below — re-checkpointing
+        # `marked` here would only re-materialize the whole batch
+        # (text column included) for nothing
         marked, novel = _incremental_minhash_flagged(
             spark, batch_df, state_path, id_col, text_col, n, num_hashes,
             bands,
         )
-        # (1) pin the flags before ANY write mutates what they read
-        marked = marked.localCheckpoint(eager=True)
         out = (
             marked
             if keep_duplicates

@@ -54,6 +54,10 @@ def test_fs_write_read_text_file_uri(spark, tmp_path):
     # overwrite, not append
     fs_write_text(spark, p, "second")
     assert fs_read_text(spark, p) == "second"
+    # exact byte round trip through the JVM route: CRLF and trailing
+    # newlines must survive (a readLine-based reader would eat both)
+    fs_write_text(spark, p, "line1\r\nline2\n")
+    assert fs_read_text(spark, p) == "line1\r\nline2\n"
 
 
 def test_fs_delete_file_uri(spark, tmp_path):

@@ -192,6 +192,20 @@ def test_upsert_sink_streaming_merge(spark, tmp_path):
     assert got2 == {1: 12, 2: 20, 3: 30, 4: 40}
 
 
+def _pin_mtimes(*dirs):
+    """FileStreamSource orders files by modification time; parquet
+    writes landing in the same mtime tick could flip the micro-batch
+    order. Pin strictly increasing mtimes so batch order is the write
+    order, deterministically."""
+    import os
+
+    base = 1_700_000_000
+    for i, d in enumerate(dirs):
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (base + i, base + i))
+        os.utime(d, (base + i, base + i))
+
+
 def test_minhash_dedup_sink_stream_equals_batch(spark, tmp_path):
     """Streaming near-dup ingest over two micro-batches == running the
     batch operator twice on the same batches: same accepted set, same
@@ -210,6 +224,7 @@ def test_minhash_dedup_sink_stream_equals_batch(spark, tmp_path):
     src.mkdir()
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
     spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    _pin_mtimes(src / "f1", src / "f2")
 
     out = str(tmp_path / "out")
     state = str(tmp_path / "state")
