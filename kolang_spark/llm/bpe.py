@@ -49,7 +49,9 @@ __all__ = [
     "bpe_encode",
     "bpe_token_count",
     "bpe_merges_df",
+    "encode_text",
     "FIXPOINT_PASSES",
+    "COLUMN_ENGINE_MAX_MERGES",
 ]
 
 SEP = "\x1f"  # unit separator: token boundary inside a word
@@ -167,22 +169,86 @@ def _bpe_enc_col(col: ColumnOrName, merges: List[Tuple[str, str]]) -> Column:
     return enc
 
 
+def encode_text(
+    text: Optional[str], merges: List[Tuple[str, str]]
+) -> Optional[List[str]]:
+    """Pure-Python reference encode — the SAME semantics as the Column
+    pipeline, including the engines' ASCII whitespace rules (Spark
+    ``trim`` / DuckDB ``trim`` strip only spaces; Java/RE2 ``\\s`` is
+    ASCII — Python's Unicode-aware ``strip()``/``\\s`` would also eat
+    U+0085/U+2028, which the engines treat as ordinary characters).
+    Used by the Arrow engine of :func:`bpe_encode` and as the
+    exact-model oracle in tests. NULL in → NULL out (the Column
+    pipeline propagates NULL, so the Arrow engine must too)."""
+    import re
+
+    if text is None:
+        return None
+    t = text.strip(" ")
+    t = re.sub("[" + BOUND + SEP + "]", "", t)
+    t = re.sub(r"\s+", " ", t, flags=re.ASCII)
+    enc = SEP + "".join(ch + SEP for ch in t)
+    enc = enc.replace(SEP + " " + SEP, SEP + BOUND + SEP)
+    for left, right in merges:
+        enc = _apply_merge_str(enc, left, right)
+    return [x for x in enc.split(SEP) if x not in ("", BOUND)]
+
+
+#: above this merge count, bpe_encode(engine="auto") switches from the
+#: nested-replace Column expression to the Arrow batch path: each merge
+#: costs FIXPOINT_PASSES Catalyst nodes, and a real 32k-merge vocab
+#: would build a ~100k-node expression tree that analysis/codegen
+#: cannot digest. 64 merges ≈ 200 nodes — comfortably inside codegen.
+COLUMN_ENGINE_MAX_MERGES = 64
+
+
 def bpe_encode(
     df: DataFrame,
     merges: List[Tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply a trained merge table: adds ``out_col``
     (``array<string>`` of subword tokens, word-boundary-aware, merges
-    in rank order) — pure Column algebra, no UDF, no shuffle; the
-    expression stays inside whole-stage codegen, so this runs at scan
-    speed on 100 TB. Empty/whitespace-only text → empty array."""
-    enc = _bpe_enc_col(F.col(text_col), merges)
-    toks = F.filter(
-        F.split(enc, SEP), lambda x: (x != "") & (x != BOUND)
-    )
-    return df.withColumn(out_col, toks)
+    in rank order). Empty/whitespace-only text → empty array.
+
+    Engines (identical results, property-tested equal):
+
+    - ``"column"`` — pure Column algebra, no UDF, no shuffle, inside
+      whole-stage codegen; the right choice for small merge tables
+      (demo/analysis vocabularies, the oracle queries).
+    - ``"arrow"`` — one Arrow-batched pandas UDF applying the same
+      semantics in Python; the PRODUCTION path for real vocabularies
+      (32k+ merges), where the per-merge Catalyst nodes of the column
+      engine would blow up the expression tree. Still embarrassingly
+      parallel, no shuffle; the merge table ships once per executor in
+      the task closure (a few MB at tokenizer scale).
+    - ``"auto"`` (default) — ``column`` up to
+      ``COLUMN_ENGINE_MAX_MERGES`` merges, ``arrow`` beyond.
+    """
+    if engine not in ("auto", "column", "arrow"):
+        raise ValueError("engine must be 'auto', 'column', or 'arrow'")
+    if engine == "auto":
+        engine = (
+            "column" if len(merges) <= COLUMN_ENGINE_MAX_MERGES else "arrow"
+        )
+    if engine == "column":
+        enc = _bpe_enc_col(F.col(text_col), merges)
+        toks = F.filter(
+            F.split(enc, SEP), lambda x: (x != "") & (x != BOUND)
+        )
+        return df.withColumn(out_col, toks)
+
+    mlist = list(merges)
+
+    def _enc_series(s):
+        return s.map(lambda t: encode_text(t, mlist))
+
+    # no type hints on purpose: `from __future__ import annotations`
+    # makes locally-scoped pandas names unresolvable at decoration time
+    udf = F.pandas_udf(_enc_series, "array<string>")
+    return df.withColumn(out_col, udf(F.col(text_col)))
 
 
 def bpe_token_count(

@@ -12,6 +12,7 @@ from pyspark.sql import Row
 
 from kolang_spark.llm.bpe import (
     BOUND,
+    encode_text,
     FIXPOINT_PASSES,
     SEP,
     _apply_merge_str,
@@ -23,25 +24,7 @@ from kolang_spark.llm.bpe import (
 )
 
 
-def _encode_py(text: str, merges) -> list:
-    """Pure-Python replica of the documented encode semantics."""
-    import re
-
-    # engine semantics, NOT Python's: Spark trim / DuckDB trim strip
-    # only spaces, and Java/RE2 \s is ASCII — Python's Unicode-aware
-    # strip()/\s would also eat U+0085/U+2028, which the engines treat
-    # as ordinary characters (single subword tokens)
-    t = text.strip(" ")
-    t = re.sub("[" + BOUND + SEP + "]", "", t)
-    t = re.sub(r"\s+", " ", t, flags=re.ASCII)
-    enc = SEP + "".join(ch + SEP for ch in t)
-    enc = enc.replace(SEP + " " + SEP, SEP + BOUND + SEP)
-    for left, right in merges:
-        pat = SEP + left + SEP + right + SEP
-        rep = SEP + left + right + SEP
-        for _ in range(FIXPOINT_PASSES):
-            enc = enc.replace(pat, rep)
-    return [x for x in enc.split(SEP) if x not in ("", BOUND)]
+_encode_py = encode_text
 
 
 def _train_df(spark, texts):
@@ -177,3 +160,72 @@ def test_encode_exact_model_property(spark, texts, num_merges):
             flags=re.ASCII,
         )
         assert "".join(got[i]) == norm.replace(" ", "")
+
+
+def test_encode_engines_agree_and_null_propagates(spark):
+    from pyspark.sql import functions as F
+
+    texts = [
+        "low lower lowest",
+        "",
+        "  spaced   out  ",
+        None,
+        "x y \x85z",
+        "aaaa abab",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    merges = [("l", "o"), ("lo", "w"), ("a", "b"), ("ab", "ab")]
+    col = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(df, merges, engine="column").collect()
+    }
+    arr = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_encode(df, merges, engine="arrow").collect()
+    }
+    assert col == arr
+    assert col[3] is None  # NULL in -> NULL out, both engines
+    for i, t in enumerate(texts):
+        assert col[i] == encode_text(t, merges), (i, t)
+    # plan check: the column engine stays UDF-free, the arrow engine is
+    # a single ArrowEvalPython (never a row-at-a-time BatchEvalPython)
+    plan_col = bpe_encode(df, merges, engine="column")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_col and "BatchEvalPython" not in plan_col
+    plan_arr = bpe_encode(df, merges, engine="arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_arr and "BatchEvalPython" not in plan_arr
+
+
+def test_encode_auto_switches_engines(spark):
+    from kolang_spark.llm.bpe import COLUMN_ENGINE_MAX_MERGES
+
+    df = _train_df(spark, ["some words here"])
+    small = [("a", "b")]
+    # a merge table past the threshold: synthetic non-firing merges
+    big = [(f"q{i}", f"r{i}") for i in range(COLUMN_ENGINE_MAX_MERGES + 1)]
+    plan_small = bpe_encode(df, small)._jdf.queryExecution().executedPlan().toString()
+    plan_big = bpe_encode(df, big)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_big
+    # and the big table still yields the plain char split
+    assert bpe_encode(df, big).head().bpe_tokens == list("some") + list(
+        "words"
+    ) + list("here")
+
+
+def test_encode_arrow_large_vocab_smoke(spark):
+    """The production path: a merge table 4x past the column-engine
+    threshold trained on a repetitive corpus; reconstruction invariant
+    holds for every doc."""
+    texts = [
+        " ".join(f"w{j}vocabulary{(i + j) % 13}" for j in range(12))
+        for i in range(40)
+    ]
+    df = _train_df(spark, texts)
+    merges = bpe_train(df, num_merges=256, max_words=500)
+    assert len(merges) > 64
+    out = bpe_encode(df, merges)  # auto -> arrow
+    for r in out.collect():
+        assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
