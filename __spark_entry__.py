@@ -1402,6 +1402,35 @@ def _q_bpe_encode_documents(spark, sf_dir):
     )
 
 
+def _q_pack_examples_bpe(spark, sf_dir):
+    """Sequence packing driven by REAL BPE token counts — the
+    integration VERDICT r7 item 4 asked for: token budgets come from
+    `bpe_token_count` under corpus-trained merges (not the whitespace
+    or chars/4 estimate), then `pack_examples` computes stream offsets
+    and example spans through the two-pass bucketed prefix sum. The
+    oracle replays BOTH stages: the 18-iteration training loop + the
+    recursive-CTE encode for per-doc counts, then the packing
+    arithmetic over a plain SQL running sum."""
+    from kolang_spark.llm import pack_examples
+    from kolang_spark.llm.bpe import bpe_token_count, bpe_train
+
+    # deterministic half corpus: the train->count->pack integration is
+    # fully exercised at any slice; full-corpus BPE cost is already
+    # carried by bpe_encode_documents
+    dc = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
+    withn = ensure_min_parallelism(dc).withColumn(
+        "n_bpe", bpe_token_count("text", merges)
+    )
+    return pack_examples(
+        withn, tokens_col="n_bpe", example_tokens=256, bucket_size=100
+    )
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (`kolang_spark/llm/scrub.py::
     canonicalize_url` — the crawl-frontier / URL-level dedup key):
@@ -2866,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
         "bpe_merges_documents": _q_bpe_merges_documents,
         "bpe_encode_documents": _q_bpe_encode_documents,
+        "pack_examples_bpe": _q_pack_examples_bpe,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
         "assign_shards_documents": _q_assign_shards_documents,
         "canonical_urls": _q_canonical_urls,
@@ -5505,6 +5535,58 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, list_filter(string_split(enc, chr(31)),
                              x -> x <> '' AND x <> chr(30)) AS toks
               FROM encs WHERE it = """ + str(_BPE_M) + """)
+        """,
+        # BPE chain -> per-doc token counts -> the same packing
+        # arithmetic as pack_examples_documents (256-token examples)
+        "pack_examples_bpe": _bpe_train_cte(_BPE_M, _BPE_W).replace('FROM documents', 'FROM documents WHERE doc_id % 2 = 0') + """
+            , enc0 AS (
+              SELECT doc_id,
+                replace(chr(31) || regexp_replace(regexp_replace(
+                    regexp_replace(trim(text),
+                      '[' || chr(30) || chr(31) || ']', '', 'g'),
+                    '\\s+', ' ', 'g'),
+                    '(.)', '\\1' || chr(31), 'g'),
+                  chr(31) || ' ' || chr(31),
+                  chr(31) || chr(30) || chr(31)) AS enc
+              FROM documents WHERE doc_id % 2 = 0
+            ), encs AS (
+              SELECT doc_id, enc, 0 AS it FROM enc0
+              UNION ALL
+              SELECT e.doc_id,
+                     replace(replace(replace(e.enc, mm.pat, mm.rep),
+                             mm.pat, mm.rep), mm.pat, mm.rep) AS enc,
+                     e.it + 1
+              FROM encs e JOIN (
+                SELECT mrank, chr(31)||l||chr(31)||r||chr(31) AS pat,
+                       chr(31)||l||r||chr(31) AS rep
+                FROM merges) mm ON mm.mrank = e.it
+            ), t AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(enc, chr(31)),
+                          x -> x <> '' AND x <> chr(30))) AS BIGINT)
+                       AS n_tokens
+              FROM encs WHERE it = """ + str(_BPE_M) + """
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS token_offset,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - n_tokens) // 256 AS BIGINT)
+                   END AS first_example,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - 1) // 256 AS BIGINT)
+                   END AS last_example,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST((cum - 1) // 256
+                                   - (cum - n_tokens) // 256 + 1 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT)
+                   END AS n_examples
+            FROM c
         """,
         # Mirrors llm/html.py over the synthetic page wrap: the
         # extracted text is predicted closed-form from the RAW text
