@@ -1431,6 +1431,40 @@ def _q_pack_examples_bpe(spark, sf_dir):
     )
 
 
+def _q_incremental_embedding_batches(spark, sf_dir):
+    """Incremental-ingest NEAR-dup over EMBEDDINGS
+    (`kolang_spark/llm/dedup.py::incremental_embedding_dedup` — the
+    sign-LSH member of the incremental family): the embeddings table
+    splits into two ingest batches (even vec_ids, then odd); batch 1's
+    accepted band keys (two independent 8-plane sign signatures per
+    vector) persist to a per-run scratch state dir, and batch 2 is
+    flagged against that state without rescanning batch 1's vectors.
+    The oracle re-derives both batches' flags — the md5-derived plane
+    coefficients are inlined identically in both engines, so banding,
+    within-batch band-key-first-wins, and the accepted-only state
+    handoff replay exactly. Same freeze/cleanup discipline as
+    `incremental_minhash_batches`."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm.dedup import incremental_embedding_dedup
+
+    base = tempfile.mkdtemp(prefix="ks_incr_emb_q_")
+    try:
+        state = os.path.join(base, "state")
+        em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = em.where(F.col("vec_id") % 2 == parity)
+            m = incremental_embedding_dedup(spark, b, state).select(
+                "vec_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
+            )
+            frozen.append(m.localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return frozen[0].union(frozen[1])
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (`kolang_spark/llm/scrub.py::
     canonicalize_url` — the crawl-frontier / URL-level dedup key):
@@ -2896,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_documents": _q_bpe_merges_documents,
         "bpe_encode_documents": _q_bpe_encode_documents,
         "pack_examples_bpe": _q_pack_examples_bpe,
+        "incremental_embedding_batches": _q_incremental_embedding_batches,
         "web_ingest_pipeline": _q_web_ingest_pipeline,
         "assign_shards_documents": _q_assign_shards_documents,
         "canonical_urls": _q_canonical_urls,
@@ -3127,7 +3162,9 @@ _COS_EXPR = (
 )
 
 
-def _lsh_sig_sql(vec: str = "v", n_planes: int = 4, dims: int = 64) -> str:
+def _lsh_sig_sql(
+    vec: str = "v", n_planes: int = 4, dims: int = 64, plane_offset: int = 0
+) -> str:
     """DuckDB mirror of kolang_spark.llm.similarity.lsh_signature: the
     SAME Python-computed md5-derived plane coefficients are inlined as
     double literals, so both engines bucket identically (DuckDB lists
@@ -3137,7 +3174,7 @@ def _lsh_sig_sql(vec: str = "v", n_planes: int = 4, dims: int = 64) -> str:
     cases = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"{vec}[{d + 1}]*{_plane_component(p, d)!r}::DOUBLE"
+            f"{vec}[{d + 1}]*{_plane_component(plane_offset + p, d)!r}::DOUBLE"
             for d in range(dims)
         )
         cases.append(f"(CASE WHEN (0.0 + {terms}) >= 0 THEN {1 << p} ELSE 0 END)")
@@ -5137,6 +5174,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars
             FROM documents d LEFT JOIN flags fl ON fl.doc_id = d.doc_id
             WHERE d.doc_id % 20 < 2 AND coalesce(fl.f, 0) = 0
+        """,
+        # Sign-LSH banding (plane coefficients inlined via
+        # _lsh_sig_sql, one independent 8-plane family per band) +
+        # the same two-batch accept replay as the MinHash variant.
+        "incremental_embedding_batches": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
+            ), banded AS (
+              SELECT vec_id, 0 AS band_id,
+                     CAST({_lsh_sig_sql("v", 8, 64, plane_offset=0)} AS VARCHAR)
+                       AS band_key
+              FROM e
+              UNION ALL
+              SELECT vec_id, 1 AS band_id,
+                     CAST({_lsh_sig_sql("v", 8, 64, plane_offset=8)} AS VARCHAR)
+                       AS band_key
+              FROM e
+            ), b1 AS (
+              SELECT vec_id, band_id, band_key FROM banded
+              WHERE vec_id % 2 = 0
+            ), b1m AS (
+              SELECT vec_id, band_id, band_key,
+                     MIN(vec_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b1
+            ), flag1 AS (
+              SELECT vec_id,
+                     MAX(CASE WHEN fm < vec_id THEN 1 ELSE 0 END) AS f
+              FROM b1m GROUP BY vec_id
+            ), state1 AS (
+              SELECT DISTINCT b.band_id, b.band_key
+              FROM b1 b JOIN flag1 f1 USING (vec_id)
+              WHERE f1.f = 0
+            ), b2 AS (
+              SELECT vec_id, band_id, band_key FROM banded
+              WHERE vec_id % 2 = 1
+            ), b2m AS (
+              SELECT vec_id, band_id, band_key,
+                     MIN(vec_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b2
+            ), flag2 AS (
+              SELECT x.vec_id,
+                     MAX(CASE WHEN st.band_key IS NOT NULL
+                               OR x.fm < x.vec_id
+                              THEN 1 ELSE 0 END) AS f
+              FROM b2m x LEFT JOIN state1 st
+                ON x.band_id = st.band_id AND x.band_key = st.band_key
+              GROUP BY x.vec_id
+            )
+            SELECT em.vec_id,
+                   CASE WHEN em.vec_id % 2 = 0 THEN 1 ELSE 2 END AS batch,
+                   coalesce(CASE WHEN em.vec_id % 2 = 0
+                                 THEN f1.f ELSE f2.f END = 1,
+                            false) AS is_near_duplicate
+            FROM embeddings em
+            LEFT JOIN flag1 f1 ON em.vec_id % 2 = 0 AND f1.vec_id = em.vec_id
+            LEFT JOIN flag2 f2 ON em.vec_id % 2 = 1 AND f2.vec_id = em.vec_id
         """,
         "multimodal_decode_wav": """
             WITH d AS (

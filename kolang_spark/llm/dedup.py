@@ -26,6 +26,7 @@ __all__ = [
     "exact_dedup",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "incremental_embedding_dedup",
     "with_shingles",
     "jaccard_near_dup_pairs",
     "minhash_candidate_pairs",
@@ -1057,6 +1058,109 @@ def _maybe_compact_bloom(
     # orphaned tmp is deleted at the next compaction)
 
 
+def _embedding_band_keys(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    planes_per_band: int,
+    bands: int,
+) -> DataFrame:
+    """``(id, band_id, band_key)`` per vector — sign-LSH banding for
+    the incremental embedding dedup: band ``b`` is an INDEPENDENT
+    hyperplane family (``plane_offset = b·planes_per_band``), so a
+    candidate fires when any family's full sign signature collides —
+    the standard multi-table LSH construction. NULL embeddings get no
+    bands (always accepted, never persisted) rather than collapsing
+    into a spurious all-zero-sign bucket. One pass: an inline struct
+    array is exploded, the signature expressions evaluate once."""
+    from kolang_spark.llm.similarity import lsh_signature_hof
+
+    v = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            "__ks_v"
+        ),
+    ).where(F.col("__ks_v").isNotNull())
+    # signatures in their OWN projection, explode in the next: inside a
+    # generator's input, codegen cannot split the ~planes·dims-term
+    # sign expressions into sub-methods and the fused method blows the
+    # JVM 64 KB limit (failed compile + interpreted fallback, ~2 s
+    # wasted per action); as plain Project expressions they split fine
+    sigs = v.select(
+        "id",
+        *[
+            lsh_signature_hof(
+                "__ks_v",
+                planes_per_band,
+                dims,
+                plane_offset=b * planes_per_band,
+            )
+            .cast("string")
+            .alias(f"__ks_sig{b}")
+            for b in range(bands)
+        ],
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.col(f"__ks_sig{b}").alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sigs.select("id", F.explode(arr).alias("bk"))
+        .select("id", F.col("bk.band_id"), F.col("bk.band_key"))
+    )
+
+
+def incremental_embedding_dedup(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes_per_band: int = 8,
+    bands: int = 2,
+) -> DataFrame:
+    """NEAR-duplicate dedup for INCREMENTAL ingest over EMBEDDINGS —
+    the sign-LSH member of the incremental family
+    (:func:`incremental_exact_dedup` /
+    :func:`incremental_minhash_dedup`): each new batch's vectors are
+    checked against the persisted band keys of everything already
+    accepted, then the accepted vectors' band keys are persisted. A
+    batch scans only itself plus the compact state (``bands`` short
+    keys per accepted vector — never the vectors themselves).
+
+    Returns the batch with ``is_near_duplicate``: true when any of the
+    vector's ``bands`` independent ``planes_per_band``-bit sign
+    signatures collides with the state or with an earlier-``id_col``
+    vector in the batch (band-key-first-wins, the same conservative
+    within-batch rule as the MinHash variant). Like every LSH method
+    this flags *candidates* at the plane count's selectivity
+    (collision prob per band ``(1 − θ/π)^planes_per_band``); chain an
+    exact cosine verify against the flagged subset when precision
+    matters. NULL embeddings are always accepted and never persisted.
+
+    Scale shape: identical to the MinHash variant — one equi-join on
+    (band_id, band_key) against state, one band-partitioned window,
+    both hash-partitioned; state grows by ``bands`` rows per accepted
+    vector; ``state_path`` may be an object-store URI (Hadoop FS
+    probes).
+    """
+    banded = _embedding_band_keys(
+        new_df, id_col, vec_col, dims, planes_per_band, bands
+    )
+    marked, novel = _incremental_banded_flagged(
+        spark, new_df, banded, state_path, id_col, "is_near_duplicate"
+    )
+    novel.write.mode("append").parquet(state_path)
+    return marked
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1278,18 +1382,36 @@ def _incremental_minhash_flagged(
     writes for crash safety (materialize flags → write output → append
     state; see :func:`kolang_spark.streaming.minhash_dedup_sink`) —
     the plain operator appends state before returning."""
-    from kolang_spark.sources.io import path_exists
-
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
+    return _incremental_banded_flagged(
+        spark, new_df, banded, state_path, id_col, "is_near_duplicate"
+    )
+
+
+def _incremental_banded_flagged(
+    spark,
+    new_df: DataFrame,
+    banded: DataFrame,
+    state_path: str,
+    id_col: str,
+    flag_col: str,
+):
+    """The shared core of every banded incremental dedup: given the
+    batch's ``(id, band_id, band_key)`` frame (MinHash bands, sign-LSH
+    plane families, ...), flag each id seen-in-state OR
+    band-key-first-wins within the batch, and derive the accepted ids'
+    novel band keys for the caller's state append."""
+    from kolang_spark.sources.io import path_exists
+
     # materialize the banded frame ONCE: it is referenced by both the
     # flags plan and the novel-state plan, and each of the operator's
     # two actions (state append + the caller's flag materialization)
-    # would otherwise re-run the shingle+minhash expression — the
-    # dominant per-row cost — up to 4x. The frame is small (`bands`
-    # short strings per doc, the text column dropped), so the eager
-    # checkpoint is one cheap job that halves the query's wall-clock.
+    # would otherwise re-run the banding expression — the dominant
+    # per-row cost — up to 4x. The frame is small (a few short keys
+    # per doc, the payload columns dropped), so the eager checkpoint
+    # is one cheap job that halves the query's wall-clock.
     banded = banded.localCheckpoint(eager=True)
     if path_exists(spark, state_path):
         state = spark.read.parquet(state_path).select(
@@ -1315,7 +1437,7 @@ def _incremental_minhash_flagged(
                 F.max(F.coalesce(F.col("__seen__"), F.lit(False)).cast("int"))
                 + F.max((F.col("__first__") < F.col("id")).cast("int"))
                 > 0
-            ).alias("is_near_duplicate")
+            ).alias(flag_col)
         )
     )
     # one row per doc, one boolean — also referenced by both return
@@ -1328,12 +1450,12 @@ def _incremental_minhash_flagged(
     marked = new_df.join(
         keyed, new_df[id_col] == keyed["__ks_mid__"], "left"
     ).drop("__ks_mid__").withColumn(
-        "is_near_duplicate",
-        F.coalesce("is_near_duplicate", F.lit(False)),
+        flag_col,
+        F.coalesce(flag_col, F.lit(False)),
     )
     novel = (
         banded.join(
-            flags.where(F.col("is_near_duplicate")).select("id"), "id", "left_anti"
+            flags.where(F.col(flag_col)).select("id"), "id", "left_anti"
         )
         .select("band_id", "band_key")
         .distinct()

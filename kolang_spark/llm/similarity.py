@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from functools import lru_cache as _lru_cache
 from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -29,6 +30,7 @@ from kolang_spark.utils import ensure_min_parallelism
 __all__ = [
     "cosine",
     "brute_force_topk",
+    "lsh_signature_hof",
     "lsh_topk",
     "ivf_topk",
     "kmeans_centroids",
@@ -130,17 +132,58 @@ def _plane_component(plane: int, dim: int) -> float:
     return (h % 20011) / 10005.5 - 1.0
 
 
-def lsh_signature(vec: str, n_planes: int, dims: int) -> Column:
+@_lru_cache(maxsize=64)
+def lsh_signature(
+    vec: str, n_planes: int, dims: int, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane sign signature (int bucket id, ``n_planes``
     bits) over the array column named ``vec`` — one generated SQL
-    expression, plane coefficients inlined as literals."""
+    expression, plane coefficients inlined as literals.
+    ``plane_offset`` selects an independent plane family (plane ids
+    ``offset..offset+n_planes-1``) — the multi-table LSH lever used by
+    banded variants (each band = its own plane family).
+
+    Memoized: ``F.expr`` PARSES the ~n_planes·dims-term string through
+    the JVM SQL parser (~0.7 s at 8×64), and callers rebuild the same
+    signature for every batch/rep. An unresolved Column is immutable
+    and attachable to any DataFrame, so caching by the argument tuple
+    is safe and drops the repeat cost to zero."""
     plane_cases = []
     for p in range(n_planes):
         terms = " + ".join(
-            f"{vec}[{d}]*{_plane_component(p, d)!r}D" for d in range(dims)
+            f"{vec}[{d}]*{_plane_component(plane_offset + p, d)!r}D"
+            for d in range(dims)
         )
         plane_cases.append(f"(CASE WHEN (0.0D + {terms}) >= 0 THEN {1 << p} ELSE 0 END)")
     return F.expr(" + ".join(plane_cases))
+
+
+@_lru_cache(maxsize=64)
+def lsh_signature_hof(
+    vec: str, n_planes: int, dims: int, plane_offset: int = 0
+) -> Column:
+    """Same signature values as :func:`lsh_signature` (identical
+    left-to-right accumulation from 0.0, so doubles are bit-equal),
+    expressed as ``aggregate(zip_with(...))`` folds over coefficient
+    ARRAY LITERALS instead of an unrolled product chain. The HOF form
+    evaluates interpreted — slower per row — but its expression tree
+    is tiny, so many-plane banded variants (8+ planes × several
+    bands in one projection) cannot blow whole-stage codegen's 64 KB
+    method limit the way the unrolled chain does (failed compile +
+    interpreted fallback anyway, plus seconds of wasted compile per
+    action). Use the unrolled form for few planes in hot scoring
+    paths; this form when planes·bands·dims is large."""
+    cases = []
+    for p in range(n_planes):
+        coefs = ", ".join(
+            f"{_plane_component(plane_offset + p, d)!r}D" for d in range(dims)
+        )
+        dot = (
+            f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> x*c), "
+            f"0.0D, (a, x) -> a + x)"
+        )
+        cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return F.expr(" + ".join(cases))
 
 
 def lsh_topk(

@@ -206,3 +206,59 @@ def test_compact_parquet_file_uri_hive(spark, tmp_path):
     # layout preserved: partition pruning still works
     assert set(back.select("k").distinct().toPandas()["k"]) == {0, 1}
     assert os.path.isdir(os.path.join(d, "k=0"))
+
+
+def test_incremental_embedding_dedup_file_uri_state(spark, tmp_path):
+    """Sign-LSH incremental family member: identical vectors collide in
+    every band, so batch-2 repeats of batch-1 vectors must be flagged
+    via the file:-URI state (JVM probe route)."""
+    from pyspark.sql import Row
+
+    from kolang_spark.llm.dedup import incremental_embedding_dedup
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 17) % 200) - 100) / 50.0 for d in range(64)]
+
+    state = _furi(str(tmp_path / "emb_state"))
+    b1 = spark.createDataFrame(
+        [Row(vec_id=1, embedding=vec(1)), Row(vec_id=2, embedding=vec(2)),
+         Row(vec_id=3, embedding=vec(1))],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = {
+        r.vec_id: r.is_near_duplicate
+        for r in incremental_embedding_dedup(spark, b1, state).collect()
+    }
+    assert r1[1] is False and r1[2] is False and r1[3] is True
+    b2 = spark.createDataFrame(
+        [Row(vec_id=4, embedding=vec(2)), Row(vec_id=5, embedding=None)],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = {
+        r.vec_id: r.is_near_duplicate
+        for r in incremental_embedding_dedup(spark, b2, state).collect()
+    }
+    # 4 repeats batch-1's vec(2) -> flagged via state; NULL embedding
+    # has no signature -> always accepted, never persisted
+    assert r2 == {4: True, 5: False}
+    st = spark.read.parquet(state)
+    assert st.count() == 4  # 2 accepted vectors x 2 bands
+
+
+def test_lsh_signature_hof_equals_unrolled(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kolang_spark.llm.similarity import lsh_signature, lsh_signature_hof
+
+    rows = [
+        Row(v=[float(((s * 13 + d * 7) % 101) - 50) / 25.0 for d in range(64)])
+        for s in range(50)
+    ]
+    df = spark.createDataFrame(rows, "v array<double>")
+    for offset in (0, 8):
+        got = df.select(
+            lsh_signature("v", 8, 64, plane_offset=offset).alias("a"),
+            lsh_signature_hof("v", 8, 64, plane_offset=offset).alias("b"),
+        ).collect()
+        assert all(r.a == r.b for r in got), offset
