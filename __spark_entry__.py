@@ -3192,18 +3192,20 @@ def _split_bounds(fracs: "list[float]") -> "list[int]":
     return out
 
 
-def _bpe_train_cte(m: int, w: int) -> str:
+def _bpe_train_cte(m: int, w: int, where: str = "") -> str:
     """Generated SQL replay of bpe_train: the same bounded word table
     (count desc, word asc LIMIT w), then m argmax+apply iterations.
     CTEs are MATERIALIZED — each v{k} is referenced twice (pair counts
     + next state), and DuckDB inlines CTEs by default, which would make
-    the plan tree exponential in m. Ends defining `merges`
-    (mrank, l, r)."""
+    the plan tree exponential in m. ``where`` (e.g.
+    " WHERE doc_id %% 2 = 0") restricts the training corpus — a
+    parameter, not post-hoc text surgery on the generated SQL. Ends
+    defining `merges` (mrank, l, r)."""
     parts = [f"""WITH RECURSIVE w0 AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
         SELECT regexp_replace(unnest(string_split_regex(trim(text), '\\s+')),
                               '[' || chr(30) || chr(31) || ']', '', 'g') AS w
-        FROM documents) t
+        FROM documents{where}) t
       WHERE w <> ''
       GROUP BY w ORDER BY cnt DESC, w ASC LIMIT {w}
     ), v0 AS MATERIALIZED (
@@ -5182,6 +5184,8 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
               WHERE embedding IS NOT NULL
+                AND len(embedding) >= 64
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0
             ), banded AS (
               SELECT vec_id, 0 AS band_id,
                      CAST({_lsh_sig_sql("v", 8, 64, plane_offset=0)} AS VARCHAR)
@@ -5634,7 +5638,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BPE chain -> per-doc token counts -> the same packing
         # arithmetic as pack_examples_documents (256-token examples)
-        "pack_examples_bpe": _bpe_train_cte(_BPE_M, _BPE_W).replace('FROM documents', 'FROM documents WHERE doc_id % 2 = 0') + """
+        "pack_examples_bpe": _bpe_train_cte(_BPE_M, _BPE_W, where=" WHERE doc_id % 2 = 0") + """
             , enc0 AS (
               SELECT doc_id,
                 replace(chr(31) || regexp_replace(regexp_replace(

@@ -243,7 +243,38 @@ def bpe_encode(
     mlist = list(merges)
 
     def _enc_series(s):
-        return s.map(lambda t: encode_text(t, mlist))
+        # word-local + memoized: merges never cross the BOUND word
+        # separator, so per-word encoding concatenated equals the
+        # whole-document encode_text — but a naive per-document pass
+        # is O(num_merges · doc_len) str.replace scans (a 32k-merge
+        # vocab would scan a 4 KB doc ~100k times). Encoding per
+        # DISTINCT word makes scans proportional to word length and
+        # the Zipf head hits the cache (kept across Arrow batches —
+        # the closure lives for the Python worker's lifetime).
+        import functools
+        import re
+
+        @functools.lru_cache(maxsize=1 << 16)
+        def enc_word(w):
+            enc = _encode_word(w)
+            for left, right in mlist:
+                enc = _apply_merge_str(enc, left, right)
+            return tuple(x for x in enc.split(SEP) if x)
+
+        strip_re = re.compile("[" + BOUND + SEP + "]")
+        ws_re = re.compile(r"\s+", re.ASCII)
+
+        def one(t):
+            if t is None:
+                return None
+            t = ws_re.sub(" ", strip_re.sub("", t.strip(" ")))
+            out = []
+            for w in t.split(" "):
+                if w:
+                    out.extend(enc_word(w))
+            return out
+
+        return s.map(one)
 
     # no type hints on purpose: `from __future__ import annotations`
     # makes locally-scoped pandas names unresolvable at decoration time

@@ -1070,7 +1070,8 @@ def _embedding_band_keys(
     the incremental embedding dedup: band ``b`` is an INDEPENDENT
     hyperplane family (``plane_offset = b·planes_per_band``), so a
     candidate fires when any family's full sign signature collides —
-    the standard multi-table LSH construction. NULL embeddings get no
+    the standard multi-table LSH construction. Malformed embeddings —
+    NULL, shorter than ``dims``, or containing NULL elements — get no
     bands (always accepted, never persisted) rather than collapsing
     into a spurious all-zero-sign bucket. One pass: an inline struct
     array is exploded, the signature expressions evaluate once."""
@@ -1081,7 +1082,18 @@ def _embedding_band_keys(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
             "__ks_v"
         ),
-    ).where(F.col("__ks_v").isNotNull())
+    ).where(
+        # a malformed vector (NULL, short, or containing NULL elements)
+        # makes every plane's fold NULL -> every sign bit 0 -> ONE
+        # all-zero band bucket that would flag unrelated junk vectors
+        # as near-duplicates of each other and poison persistent state
+        # (code-review r8). No signature -> always accepted, never
+        # persisted — the same contract as short docs in the MinHash
+        # variant.
+        F.col("__ks_v").isNotNull()
+        & (F.size("__ks_v") >= dims)
+        & ~F.exists("__ks_v", lambda x: x.isNull())
+    )
     # signatures in their OWN projection, explode in the next: inside a
     # generator's input, codegen cannot split the ~planes·dims-term
     # sign expressions into sub-methods and the fused method blows the
@@ -1143,7 +1155,8 @@ def incremental_embedding_dedup(
     this flags *candidates* at the plane count's selectivity
     (collision prob per band ``(1 − θ/π)^planes_per_band``); chain an
     exact cosine verify against the flagged subset when precision
-    matters. NULL embeddings are always accepted and never persisted.
+    matters. Malformed embeddings (NULL, short, or containing NULL
+    elements) are always accepted and never persisted.
 
     Scale shape: identical to the MinHash variant — one equi-join on
     (band_id, band_key) against state, one band-partitioned window,

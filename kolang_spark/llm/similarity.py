@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from functools import lru_cache as _lru_cache
+import weakref
 from typing import Optional, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -132,7 +132,30 @@ def _plane_component(plane: int, dim: int) -> float:
     return (h % 20011) / 10005.5 - 1.0
 
 
-@_lru_cache(maxsize=64)
+
+# Parsed-signature cache, keyed by the ACTIVE SESSION then the argument
+# tuple: F.expr pays a ~0.7 s JVM parse for the unrolled 8x64-term
+# chains and callers rebuild identical signatures every batch/rep, but
+# a bare lru_cache would pin Column objects across session/backend
+# changes (a classic-PySpark Column wraps a py4j handle; handing it to
+# a later Spark Connect session — or a session whose gateway is gone —
+# fails). WeakKeyDictionary drops each session's entries when the
+# session is collected; with no active session the build is uncached.
+_SIG_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _sig_cached(build, key):
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return build()
+    per = _SIG_CACHE.setdefault(sess, {})
+    if key not in per:
+        per[key] = build()
+    return per[key]
+
+
 def lsh_signature(
     vec: str, n_planes: int, dims: int, plane_offset: int = 0
 ) -> Column:
@@ -143,22 +166,26 @@ def lsh_signature(
     ``offset..offset+n_planes-1``) — the multi-table LSH lever used by
     banded variants (each band = its own plane family).
 
-    Memoized: ``F.expr`` PARSES the ~n_planes·dims-term string through
-    the JVM SQL parser (~0.7 s at 8×64), and callers rebuild the same
-    signature for every batch/rep. An unresolved Column is immutable
-    and attachable to any DataFrame, so caching by the argument tuple
-    is safe and drops the repeat cost to zero."""
-    plane_cases = []
-    for p in range(n_planes):
-        terms = " + ".join(
-            f"{vec}[{d}]*{_plane_component(plane_offset + p, d)!r}D"
-            for d in range(dims)
-        )
-        plane_cases.append(f"(CASE WHEN (0.0D + {terms}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr(" + ".join(plane_cases))
+    Memoized per active session (see ``_SIG_CACHE``): an unresolved
+    Column is immutable and attachable to any DataFrame OF THE SAME
+    backend, so the cache drops the repeat parse cost to zero without
+    leaking Columns across session/backend boundaries."""
+
+    def build() -> Column:
+        plane_cases = []
+        for p in range(n_planes):
+            terms = " + ".join(
+                f"{vec}[{d}]*{_plane_component(plane_offset + p, d)!r}D"
+                for d in range(dims)
+            )
+            plane_cases.append(
+                f"(CASE WHEN (0.0D + {terms}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return F.expr(" + ".join(plane_cases))
+
+    return _sig_cached(build, ("unrolled", vec, n_planes, dims, plane_offset))
 
 
-@_lru_cache(maxsize=64)
 def lsh_signature_hof(
     vec: str, n_planes: int, dims: int, plane_offset: int = 0
 ) -> Column:
@@ -172,18 +199,24 @@ def lsh_signature_hof(
     method limit the way the unrolled chain does (failed compile +
     interpreted fallback anyway, plus seconds of wasted compile per
     action). Use the unrolled form for few planes in hot scoring
-    paths; this form when planes·bands·dims is large."""
-    cases = []
-    for p in range(n_planes):
-        coefs = ", ".join(
-            f"{_plane_component(plane_offset + p, d)!r}D" for d in range(dims)
-        )
-        dot = (
-            f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> x*c), "
-            f"0.0D, (a, x) -> a + x)"
-        )
-        cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr(" + ".join(cases))
+    paths; this form when planes·bands·dims is large. Memoized per
+    active session like :func:`lsh_signature`."""
+
+    def build() -> Column:
+        cases = []
+        for p in range(n_planes):
+            coefs = ", ".join(
+                f"{_plane_component(plane_offset + p, d)!r}D"
+                for d in range(dims)
+            )
+            dot = (
+                f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> x*c), "
+                f"0.0D, (a, x) -> a + x)"
+            )
+            cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+        return F.expr(" + ".join(cases))
+
+    return _sig_cached(build, ("hof", vec, n_planes, dims, plane_offset))
 
 
 def lsh_topk(

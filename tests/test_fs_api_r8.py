@@ -262,3 +262,47 @@ def test_lsh_signature_hof_equals_unrolled(spark):
             lsh_signature_hof("v", 8, 64, plane_offset=offset).alias("b"),
         ).collect()
         assert all(r.a == r.b for r in got), offset
+
+
+def test_incremental_embedding_malformed_vectors_get_no_bands(spark, tmp_path):
+    """NULL-element / short / empty embeddings must NOT collapse into
+    one all-zero-sign bucket (they'd flag unrelated junk as near-dups
+    and poison state): no signature -> always accepted, never
+    persisted."""
+    from pyspark.sql import Row
+
+    from kolang_spark.llm.dedup import incremental_embedding_dedup
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 17) % 200) - 100) / 50.0 for d in range(64)]
+
+    bad1 = vec(7)
+    bad1[3] = None  # NULL element
+    state = _furi(str(tmp_path / "emb_state"))
+    b1 = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=bad1),
+            Row(vec_id=2, embedding=[1.0, 2.0]),        # short
+            Row(vec_id=3, embedding=[]),                 # empty
+            Row(vec_id=4, embedding=vec(9)),             # healthy
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = {
+        r.vec_id: r.is_near_duplicate
+        for r in incremental_embedding_dedup(spark, b1, state).collect()
+    }
+    # pre-guard, 1/2/3 all landed in band_key '0' and 2,3 were flagged
+    assert r1 == {1: False, 2: False, 3: False, 4: False}
+    # only the healthy vector persisted (2 bands)
+    assert spark.read.parquet(state).count() == 2
+    # malformed repeats in batch 2 still are not flagged
+    b2 = spark.createDataFrame(
+        [Row(vec_id=5, embedding=bad1), Row(vec_id=6, embedding=[3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r2 = {
+        r.vec_id: r.is_near_duplicate
+        for r in incremental_embedding_dedup(spark, b2, state).collect()
+    }
+    assert r2 == {5: False, 6: False}

@@ -65,6 +65,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "pack_examples_documents",  # same two-pass prefix-sum rewrite: the
     # un-partitioned window runs over the per-bucket TOTALS table
     # (N/bucket_size rows), never over the documents themselves
+    "pack_examples_bpe",  # identical pack_examples call (real BPE
+    # counts swapped in upstream) — same bucket-totals-only window
     "assign_shards_documents",  # same rewrite: the global window runs
     # over the ≤ n_buckets-row per-bucket offset table only
 }
