@@ -1177,6 +1177,41 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def _q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (`llm/dedup.py::semantic_dedup`):
+    fixed-point k-means clustering, then cosine flagging WITHIN
+    clusters only (equi-join on the cluster id — the Σ|cluster|² trick
+    that makes semantic dedup tractable at 100 TB). The corpus plants
+    a perturbed copy of every 25th vector (cos ≈ 0.997) so the flags
+    are demonstrably non-trivial; the DuckDB oracle replays every
+    Lloyd iteration, the L2-argmin assignment, and the in-cluster flag
+    rule bit-for-bit (threshold 0.9 sits far from both the planted
+    ≈0.997 band and the organic ≤0.56 tail — no boundary flakes)."""
+    from kolang_spark.llm import semantic_dedup
+
+    em = _t(spark, sf_dir, "embeddings")
+    base = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    planted = em.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * F.lit(0.98) + F.lit(0.01),
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(
+        base.unionByName(planted), k=8, dims=64, iters=3, threshold=0.9
+    )
+    return out.select(
+        "vec_id",
+        "cent_id",
+        "is_semantic_dup",
+        F.round("dup_cos", 6).alias("dup_cos"),
+    )
+
+
 def _q_cosine_topk(spark, sf_dir):
     from kolang_spark.llm import brute_force_topk
 
@@ -2936,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": _q_canonical_urls,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3240,26 +3276,37 @@ def _bpe_train_cte(m: int, w: int, where: str = "") -> str:
     return "".join(parts)
 
 
-def _kmeans_ivf_sql(k: int, dims: int, iters: int) -> str:
-    """Generated replay of kmeans_centroids + ivf_topk: per Lloyd
-    iteration an argmin-assignment CTE (unrolled left-assoc d2 — the
-    same addition order as the Spark expression, so doubles are
-    bit-identical), a fixed-point mean CTE (round(x*2^20) BIGINT sums,
-    floor(s/n + 0.5)/2^20 — the exact arithmetic kmeans_centroids
-    does), and an empty-cell carryover join. MATERIALIZED throughout
-    (each state is referenced twice; DuckDB would inline
-    exponentially). Ends with the ann_ivf_topk probe replay against
-    the final centroid table."""
+def _unrolled_d2(v: str, g: str, dims: int) -> str:
+    """Unrolled left-assoc squared L2 distance — the same addition
+    order as `_kmeans_assign`'s Spark expression, so doubles are
+    bit-identical across engines."""
+    return "0.0 + " + " + ".join(
+        f"({v}[{i + 1}]-{g}[{i + 1}])*({v}[{i + 1}]-{g}[{i + 1}])"
+        for i in range(dims)
+    )
+
+
+def _kmeans_lloyd_cte(
+    k: int,
+    dims: int,
+    iters: int,
+    source: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> str:
+    """Generated replay of `kmeans_centroids` over ``source`` (a
+    ``vec_id, v`` SELECT): per Lloyd iteration an argmin-assignment
+    CTE (unrolled left-assoc d2), a fixed-point mean CTE
+    (round(x*2^20) BIGINT sums, floor(s/n + 0.5)/2^20 — the exact
+    arithmetic kmeans_centroids does), and an empty-cell carryover
+    join. MATERIALIZED throughout (each state is referenced twice;
+    DuckDB would inline exponentially). Ends after ``c{iters}`` (the
+    final centroid table) with the ``e`` points table still in scope."""
     scale = float(1 << 20)
 
     def d2(v: str, g: str) -> str:
-        return "0.0 + " + " + ".join(
-            f"({v}[{i + 1}]-{g}[{i + 1}])*({v}[{i + 1}]-{g}[{i + 1}])"
-            for i in range(dims)
-        )
+        return _unrolled_d2(v, g, dims)
 
     parts = [f"""WITH e AS MATERIALIZED (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      {source}
     ), c0 AS MATERIALIZED (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id,
              v AS g
@@ -3290,6 +3337,14 @@ def _kmeans_ivf_sql(k: int, dims: int, iters: int) -> str:
         FROM mn{it} GROUP BY cent_id) m
       ON m.cent_id = c.cent_id
     )""")
+    return "".join(parts)
+
+
+def _kmeans_ivf_sql(k: int, dims: int, iters: int) -> str:
+    """`_kmeans_lloyd_cte` + the ann_ivf_topk probe replay against the
+    final centroid table (cosine-argmax cell assignment, nprobe=2 query
+    fanout, in-cell exact ranking)."""
+    parts = [_kmeans_lloyd_cte(k, dims, iters)]
     parts.append(f""", cents AS MATERIALIZED (
       SELECT cent_id, g FROM c{iters}
     ), assign AS (
@@ -3329,6 +3384,59 @@ def _kmeans_ivf_sql(k: int, dims: int, iters: int) -> str:
     SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
     FROM ranked WHERE rank <= 5""")
     return "".join(parts)
+
+
+# semantic-dedup corpus: raw embeddings + a perturbed copy of every
+# 25th vector (0.98·v + 0.01 elementwise, cos ≈ 0.997 to its source) so
+# the operator demonstrably flags planted semantic duplicates. The
+# SAME arithmetic runs in Spark (_q_semantic_dedup_embeddings) —
+# (x·0.98)+0.01 left-assoc in double — so both engines see bit-identical
+# corpora.
+_SEMDEDUP_SRC = """SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[],
+                            x -> x * CAST(0.98 AS DOUBLE)
+                                 + CAST(0.01 AS DOUBLE))
+      FROM embeddings WHERE vec_id % 25 = 0"""
+
+
+def _semantic_dedup_sql(k: int, dims: int, iters: int, threshold: float) -> str:
+    """Replay of `llm/dedup.py::semantic_dedup` over the planted
+    corpus: the full fixed-point Lloyd loop (`_kmeans_lloyd_cte`), the
+    L2-argmin assignment (same unrolled addition order, cent_id
+    tie-break), then the in-cluster pairwise cosine flag rule —
+    smaller-id neighbor at cos >= threshold, max qualifying cos kept."""
+    dot = "0.0 + " + " + ".join(
+        f"a.v[{i + 1}]*b.v[{i + 1}]" for i in range(dims)
+    )
+    nrm = "sqrt(0.0 + " + " + ".join(
+        f"v[{i + 1}]*v[{i + 1}]" for i in range(dims)
+    ) + ")"
+    return (
+        _kmeans_lloyd_cte(k, dims, iters, source=_SEMDEDUP_SRC)
+        + f""", cents AS MATERIALIZED (
+      SELECT cent_id, g FROM c{iters}
+    ), asg AS MATERIALIZED (
+      SELECT vec_id, v, cent_id, {nrm} AS nrm FROM (
+        SELECT e.vec_id, e.v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_unrolled_d2("e.v", "c.g", dims)},
+                                           c.cent_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ), hits AS (
+      SELECT vec_id, MAX(cos) AS dup_cos FROM (
+        SELECT a.vec_id, ({dot})/(a.nrm*b.nrm) AS cos
+        FROM asg a JOIN asg b
+        ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id) t
+      WHERE cos >= CAST({float(threshold)!r} AS DOUBLE)
+      GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cent_id,
+           h.vec_id IS NOT NULL AS is_semantic_dup,
+           ROUND(h.dup_cos, 6) AS dup_cos
+    FROM asg a LEFT JOIN hits h ON a.vec_id = h.vec_id"""
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4110,6 +4218,7 @@ def oracle_sql() -> dict[str, str]:
         # Full Lloyd replay (fixed-point means) + IVF probe replay —
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 3, 0.9),
         "multimodal_blob_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

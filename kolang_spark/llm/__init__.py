@@ -25,6 +25,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     incremental_minhash_dedup,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_lsh,
+    semantic_dedup,
     jaccard_near_dup_pairs,
     minhash_candidate_pairs,
     hamming_pairs,

@@ -35,6 +35,7 @@ __all__ = [
     "hamming_pairs",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_lsh",
+    "semantic_dedup",
     "connected_components",
     "dedup_keep_list",
     "duplicate_spans",
@@ -323,6 +324,102 @@ def embedding_near_dup_pairs_lsh(
             pushdown_fence(cos).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int,
+    dims: int,
+    iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 1,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with k-means, then score
+    cosine similarity only WITHIN clusters and flag every document
+    that has a smaller-id in-cluster neighbor at ``cos >= threshold``.
+
+    This is the scale trick that makes semantic dedup tractable at
+    100 TB: the pairwise stage is an equi-join on the cluster id
+    (hash-partitioned, AQE-splittable — never an O(n²) cross product),
+    so total pair work is Σ|cluster|² instead of N². Size ``k``
+    proportionally to N (the paper uses 50k clusters at 100M+ docs) to
+    keep clusters a few thousand rows; ``sample_mod`` bounds the
+    k-means training sample independently of corpus size.
+
+    Deterministic end to end: :func:`~kolang_spark.llm.similarity.
+    kmeans_centroids` is fixed-point (integer micro-unit Lloyd means,
+    bit-identical on any shuffle order), assignment ties break on
+    centroid id, and the keep rule is first-wins by id — which makes
+    the whole operator SQL-replayable (the ``semantic_dedup_embeddings``
+    DuckDB oracle replays every Lloyd iteration, the L2-argmin
+    assignment, and the in-cluster flag rule).
+
+    Returns one row per input id: ``(id_col, cent_id,
+    is_semantic_dup, dup_cos)`` where ``dup_cos`` is the max cosine to
+    a smaller-id in-cluster neighbor at or above the threshold (NULL
+    for kept docs). Differences from the paper: the keep rule is
+    lowest-id (the paper keeps the item farthest from the centroid;
+    both keep exactly one representative per near-duplicate group
+    found in a cluster) — deterministic id order is what lets the
+    oracle replay the decision.
+    """
+    from kolang_spark.llm.similarity import (
+        _as_double,
+        _dot,
+        _kmeans_assign,
+        _norm,
+        kmeans_centroids,
+    )
+    from kolang_spark.utils import pushdown_fence
+
+    cents = kmeans_centroids(
+        df,
+        k,
+        dims,
+        iters=iters,
+        sample_mod=sample_mod,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    pts = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("p_id"), _as_double(F.col(vec_col)).alias("p_v")
+    )
+    # assignment is referenced three times below (both self-join sides
+    # + the final left join); pin it once so the broadcast argmin runs
+    # one time, not three
+    assigned = (
+        _kmeans_assign(pts, cents, dims)
+        .withColumn("nrm", _norm("p_v", dims))
+        .localCheckpoint(eager=False)
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _dot("a.p_v", "b.p_v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
+    hits = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("b.p_id") < F.col("a.p_id")),
+        )
+        .select(
+            F.col("a.p_id").alias("p_id"),
+            # fence: cos >= threshold must not be pushed below the
+            # equi-join into a per-side predicate (same hazard as
+            # embedding_near_dup_pairs)
+            pushdown_fence(cos).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+        .groupBy("p_id")
+        .agg(F.max("cos").alias("dup_cos"))
+    )
+    return assigned.join(hits, "p_id", "left").select(
+        F.col("p_id").alias(id_col),
+        "cent_id",
+        F.col("dup_cos").isNotNull().alias("is_semantic_dup"),
+        "dup_cos",
     )
 
 

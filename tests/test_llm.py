@@ -1304,3 +1304,56 @@ def test_incremental_minhash_dedup_across_batches(spark, tmp_path):
         for r in incremental_minhash_dedup(spark, b3, state).collect()
     }
     assert m3[20] is True  # doc 2's keys persisted in batch 1
+
+
+def test_semantic_dedup_flags_planted_within_cluster_only(spark):
+    """Two tight planted clusters far apart plus one planted duplicate
+    per cluster: the duplicate (larger id) is flagged against its
+    smaller-id source, sources/kept docs are not, and cross-cluster
+    high-cos pairs can never fire (the pairwise stage is an equi-join
+    on cent_id)."""
+    import math
+
+    from pyspark.sql import Row
+
+    from kolang_spark.llm.dedup import semantic_dedup
+
+    dims = 8
+
+    def unit(seed, flip):
+        v = [math.cos(seed + 0.1 * d) for d in range(dims)]
+        if flip:
+            v = [-x for x in v]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    # cluster A around unit(0.3): ids 0..4; B around -unit(0.3): 10..14.
+    # 0.2-seed spread keeps organic in-cluster cos <= 0.9965 (below the
+    # 0.999 threshold) while cross-cluster cos stays negative.
+    for i in range(5):
+        rows.append(Row(vec_id=i, embedding=unit(0.3 + 0.2 * i, False)))
+        rows.append(Row(vec_id=10 + i, embedding=unit(0.3 + 0.2 * i, True)))
+    # planted duplicates: exact copies with larger ids
+    rows.append(Row(vec_id=100, embedding=unit(0.3, False)))
+    rows.append(Row(vec_id=110, embedding=unit(0.3, True)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(df, k=2, dims=dims, iters=3, threshold=0.999)
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 12
+    assert got[100].is_semantic_dup and got[110].is_semantic_dup
+    assert all(not got[i].is_semantic_dup for i in list(range(5)) + list(range(10, 15)))
+    # the duplicate shares its source's cluster; dup_cos == 1 (exact copy)
+    assert got[100].cent_id == got[0].cent_id
+    assert got[110].cent_id == got[10].cent_id
+    assert abs(got[100].dup_cos - 1.0) < 1e-9
+    assert got[0].dup_cos is None
+    # opposite clusters actually separate
+    assert got[0].cent_id != got[10].cent_id
+
+    # determinism: bit-identical on re-run (fixed-point Lloyd means)
+    again = {r.vec_id: r for r in semantic_dedup(
+        df, k=2, dims=dims, iters=3, threshold=0.999).collect()}
+    assert {k: (v.cent_id, v.is_semantic_dup, v.dup_cos) for k, v in got.items()} == \
+        {k: (v.cent_id, v.is_semantic_dup, v.dup_cos) for k, v in again.items()}
