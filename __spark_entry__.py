@@ -2184,6 +2184,36 @@ def _q_lm_score_documents(spark, sf_dir):
     )
 
 
+def _q_quality_classifier_documents(spark, sf_dir):
+    """Distributed linear text classifier (`kolang_spark/llm/
+    classify.py`): Naive-Bayes log-odds weights TRAINED on the even
+    doc_id half (label: ``lang == 'en'``), then every document scored
+    against the weight table — the GPT-3/CCNet quality-filter shape as
+    two DataFrame passes (one hash aggregate to fit, one broadcast
+    join + aggregate to score; no model service, no UDF). Weights are
+    integer micro-nats, so per-document sums are exact longs and the
+    DuckDB oracle replays training AND inference bit-for-bit. (The
+    synthetic corpus draws every language's text from one shared
+    vocabulary, so the label is nearly text-independent here — real
+    separation on separable data is pinned by tests/test_classify.py;
+    this query's contract is the exact training+scoring replay.)"""
+    from kolang_spark.llm import linear_text_classifier, train_token_logodds
+
+    dc = _t(spark, sf_dir, "documents")
+    train = dc.where(F.col("doc_id") % 2 == 0).withColumn(
+        "__is_en__", F.col("lang") == "en"
+    )
+    w = train_token_logodds(train, "__is_en__")
+    out = linear_text_classifier(dc, w)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+        (F.col("score") > 0).alias("pred_en"),
+    )
+
+
 def _q_pack_examples_documents(spark, sf_dir):
     """Sequence packing for pretraining (`kolang_spark/llm/prep.py::
     pack_examples`): documents concatenated in doc_id order into one
@@ -2972,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "quality_classifier_documents": _q_quality_classifier_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4219,6 +4250,57 @@ def oracle_sql() -> dict[str, str]:
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 3, 0.9),
+        # NB training (even-doc_id half, label lang='en') + scoring,
+        # replayed with the same micro-nat fixed point as lm_score
+        "quality_classifier_documents": """
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t))) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tok2 AS (
+              SELECT doc_id, lang, term FROM tok WHERE term <> ''
+            ), counts AS (
+              SELECT term,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS p,
+                     CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n
+              FROM tok2 WHERE doc_id % 2 = 0 GROUP BY 1
+            ), consts AS (
+              SELECT CAST(SUM(p) AS BIGINT) AS tp,
+                     CAST(SUM(n) AS BIGINT) AS tn,
+                     COUNT(*) AS v FROM counts
+            ), w AS (
+              -- same association order as train_token_logodds:
+              -- (ln(p+a)-ln(tp+a*v)) - (ln(n+a)-ln(tn+a*v))
+              SELECT term,
+                     CAST(round((
+                       (ln(CAST(p AS DOUBLE) + 1.0)
+                        - ln(CAST(tp AS DOUBLE) + 1.0*CAST(v AS DOUBLE)))
+                       - (ln(CAST(n AS DOUBLE) + 1.0)
+                          - ln(CAST(tn AS DOUBLE) + 1.0*CAST(v AS DOUBLE)))
+                     ) * 1e6) AS BIGINT) AS w_micro
+              FROM counts CROSS JOIN consts
+            ), agg AS (
+              SELECT t.doc_id, COUNT(*) AS n_tokens,
+                     CAST(SUM(coalesce(w.w_micro, 0)) AS BIGINT) AS s
+              FROM tok2 t LEFT JOIN w USING (term) GROUP BY 1
+            ), sc AS (
+              SELECT doc_id, n_tokens,
+                     CAST(s AS DOUBLE)/(CAST(n_tokens AS DOUBLE)*1e6)
+                       + 0.0 AS score
+              FROM agg
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(sc.score, 6) AS score,
+                   ROUND(1.0/(1.0 + exp(-sc.score)), 6) AS prob,
+                   sc.score > 0 AS pred_en
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN sc ON sc.doc_id = d.doc_id
+        """,
         "multimodal_blob_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,

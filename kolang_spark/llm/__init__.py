@@ -79,6 +79,10 @@ from kolang_spark.llm.bpe import (  # noqa: F401
     bpe_token_count,
     bpe_train,
 )
+from kolang_spark.llm.classify import (  # noqa: F401
+    linear_text_classifier,
+    train_token_logodds,
+)
 from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import (  # noqa: F401
