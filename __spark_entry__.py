@@ -2214,6 +2214,44 @@ def _q_quality_classifier_documents(spark, sf_dir):
     )
 
 
+def _q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance log-ratios (`kolang_spark/llm/dsir.py::
+    dsir_logratios`, Xie et al. 2023): every document scored by how
+    much more likely its hashed uni+bigram features (10k md5 buckets)
+    are under the TARGET corpus (here: the even-doc_id English half —
+    a stand-in for curated data) than under the raw pool. Two count
+    passes + one broadcast-join scoring pass; per-feature log-ratio
+    contributions are micro-nat fixed-point, so the DuckDB oracle
+    replays both LMs and every score bit-for-bit."""
+    from kolang_spark.llm import dsir_logratios
+
+    dc = _t(spark, sf_dir, "documents")
+    target = dc.where((F.col("doc_id") % 2 == 0) & (F.col("lang") == "en"))
+    out = dsir_logratios(dc, target)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "logratio_micro",
+        F.round("avg_logratio", 6).alias("avg_logratio"),
+    )
+
+
+def _q_dsir_resample_documents(spark, sf_dir):
+    """DSIR Gumbel-top-k resample (`dsir.py::dsir_resample`): 100 docs
+    without replacement with P ∝ softmax(avg log-ratio / T), via one
+    md5-derived Gumbel key per doc + a distributed TakeOrdered — no
+    sequential draws, no shuffle beyond the top-k. Deterministic, so
+    the oracle re-derives the exact selected set and keys."""
+    from kolang_spark.llm import dsir_resample
+
+    dc = _t(spark, sf_dir, "documents")
+    target = dc.where((F.col("doc_id") % 2 == 0) & (F.col("lang") == "en"))
+    out = dsir_resample(dc, target, n=100)
+    return out.select(
+        "doc_id", "lang", F.round("dsir_key", 6).alias("dsir_key")
+    )
+
+
 def _q_pack_examples_documents(spark, sf_dir):
     """Sequence packing for pretraining (`kolang_spark/llm/prep.py::
     pack_examples`): documents concatenated in doc_id order into one
@@ -3003,6 +3041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "quality_classifier_documents": _q_quality_classifier_documents,
+        "dsir_weights_documents": _q_dsir_weights_documents,
+        "dsir_resample_documents": _q_dsir_resample_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3468,6 +3508,53 @@ def _semantic_dedup_sql(k: int, dims: int, iters: int, threshold: float) -> str:
            ROUND(h.dup_cos, 6) AS dup_cos
     FROM asg a LEFT JOIN hits h ON a.vec_id = h.vec_id"""
     )
+
+
+# DSIR replay: hashed uni+bigram features (10k md5 buckets), target =
+# even-doc_id English half, raw = all documents; per-feature micro-nat
+# log-ratio contributions — the same association order as
+# llm/dsir.py::dsir_logratios. Ends after `agg` (doc_id, n_feats, s).
+_DSIR_CTE = r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t)), t -> t <> '') AS w
+              FROM documents WHERE trim(text) <> ''
+            ), grams AS (
+              SELECT doc_id,
+                     unnest(w || [w[i] || ' ' || w[i+1]
+                                  for i in range(1, len(w))]) AS g
+              FROM toks
+            ), feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g), 18, 15))::BIGINT % 10000 AS bucket
+              FROM grams
+            ), ct AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM feats JOIN documents USING (doc_id)
+              WHERE doc_id % 2 = 0 AND lang = 'en' GROUP BY 1
+            ), cr AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM feats GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT coalesce(CAST(SUM(cnt) AS BIGINT), 0) FROM ct) AS tt,
+                     (SELECT coalesce(CAST(SUM(cnt) AS BIGINT), 0) FROM cr) AS tr
+            ), contrib AS (
+              SELECT f.doc_id,
+                     CAST(round((
+                       (ln(CAST(coalesce(ct.cnt, 0) AS DOUBLE) + 1.0)
+                        - ln(CAST(tt AS DOUBLE) + 1.0*10000.0))
+                       - (ln(CAST(coalesce(cr.cnt, 0) AS DOUBLE) + 1.0)
+                          - ln(CAST(tr AS DOUBLE) + 1.0*10000.0))
+                     ) * 1e6) AS BIGINT) AS c
+              FROM feats f LEFT JOIN ct USING (bucket)
+              LEFT JOIN cr USING (bucket) CROSS JOIN tot
+            ), agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+                     CAST(SUM(c) AS BIGINT) AS s
+              FROM contrib GROUP BY 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4250,6 +4337,34 @@ def oracle_sql() -> dict[str, str]:
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 3, 0.9),
+        "dsir_weights_documents": _DSIR_CTE + """
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+                   a.s AS logratio_micro,
+                   ROUND(CAST(a.s AS DOUBLE)
+                         / (CAST(a.n_feats AS DOUBLE)*1e6), 6) AS avg_logratio
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)
+        """,
+        # Gumbel-top-k replay: same md5 uniform -> gumbel key, same
+        # (key desc, doc_id) order, top 100
+        "dsir_resample_documents": _DSIR_CTE + """
+            , keyed AS (
+              SELECT doc_id,
+                     CAST(s AS DOUBLE)/(CAST(n_feats AS DOUBLE)*1e6) / 1.0
+                       + -ln(-ln(
+                           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 18, 15))::BIGINT AS DOUBLE)
+                            + 1.0) / 1152921504606846976.0)) AS k
+              FROM agg
+            ), top AS (
+              SELECT doc_id, k,
+                     ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+              FROM keyed
+            )
+            SELECT t.doc_id, d.lang, ROUND(t.k, 6) AS dsir_key
+            FROM top t JOIN documents d USING (doc_id) WHERE rn <= 100
+        """,
         # NB training (even-doc_id half, label lang='en') + scoring,
         # replayed with the same micro-nat fixed point as lm_score
         "quality_classifier_documents": """
