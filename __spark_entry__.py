@@ -2252,6 +2252,33 @@ def _q_dsir_resample_documents(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = [
+    (1, "spark join window"),
+    (2, "customer order line"),
+    (3, "fast slow filter scan"),
+    (4, "zzz-nomatch-term"),
+]
+
+
+def _q_bm25_topk_documents(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (`kolang_spark/llm/retrieval.py::
+    bm25_topk`) — the sparse lexical complement to the dense ANN
+    families: postings + df built in two hash aggregates, query terms
+    (with df attached on the small side) broadcast into the postings
+    join, per-(query, doc) micro-unit fixed-point sums, top-5 per query
+    via a query-partitioned window. The DuckDB oracle rebuilds the
+    index and replays every score bit-for-bit; the no-match query
+    yields zero rows by construction."""
+    from kolang_spark.llm import bm25_topk
+
+    dc = _t(spark, sf_dir, "documents")
+    qs = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    out = bm25_topk(dc, qs, k=5)
+    return out.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_pack_examples_documents(spark, sf_dir):
     """Sequence packing for pretraining (`kolang_spark/llm/prep.py::
     pack_examples`): documents concatenated in doc_id order into one
@@ -3043,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier_documents": _q_quality_classifier_documents,
         "dsir_weights_documents": _q_dsir_weights_documents,
         "dsir_resample_documents": _q_dsir_resample_documents,
+        "bm25_topk_documents": _q_bm25_topk_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3555,6 +3583,73 @@ _DSIR_CTE = r"""
                      CAST(SUM(c) AS BIGINT) AS s
               FROM contrib GROUP BY 1
             )"""
+
+
+def _bm25_sql(k: int, k1: float, b: float) -> str:
+    """Replay of `llm/retrieval.py::bm25_topk` over the literal
+    `_BM25_QUERIES`: postings/df/length tables, Lucene idf, per-term
+    micro-unit contributions in the SAME association order as the Spark
+    expression (constants emitted via repr so both engines hold the
+    identical doubles), top-k per query with the (score desc, doc_id)
+    tie-break."""
+    k1p1 = repr(float(k1) + 1.0)
+    k1r = repr(float(k1))
+    omb = repr(1.0 - float(b))
+    br = repr(float(b))
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t)), t -> t <> '')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY 1, 2
+            ), dl AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+              FROM toks GROUP BY 1
+            ), dft AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+            ), consts AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS tl FROM dl
+            ), q(query_id, qtext) AS (VALUES {vals}),
+            qterms AS (
+              SELECT DISTINCT query_id,
+                     unnest(list_filter(list_transform(
+                       string_split_regex(trim(qtext), '\\s+'),
+                       t -> lower(t)), t -> t <> '')) AS term
+              FROM q WHERE trim(qtext) <> ''
+            ), qt AS (
+              SELECT query_id, qterms.term, df FROM qterms JOIN dft USING (term)
+            ), contrib AS (
+              SELECT qt.query_id, tf.doc_id,
+                     CAST(round(
+                       ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                / (CAST(df AS DOUBLE) + 0.5))
+                       * ((CAST(tf AS DOUBLE) * {k1p1})
+                          / (CAST(tf AS DOUBLE)
+                             + {k1r} * ({omb} + ({br} * CAST(dl AS DOUBLE))
+                                        / (CAST(tl AS DOUBLE)
+                                           / CAST(n AS DOUBLE)))))
+                       * 1e6) AS BIGINT) AS c
+              FROM tf JOIN qt USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN consts
+            ), agg AS (
+              SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS s
+              FROM contrib GROUP BY 1, 2
+            ), ranked AS (
+              SELECT query_id, doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, doc_id) AS rank
+              FROM agg
+            )
+            SELECT query_id, doc_id,
+                   ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS score,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4337,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 3, 0.9),
+        "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "dsir_weights_documents": _DSIR_CTE + """
             SELECT d.doc_id,
                    CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,

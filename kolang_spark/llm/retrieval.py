@@ -1,0 +1,134 @@
+"""Distributed BM25 retrieval — the sparse lexical complement to the
+engine's dense ANN families (`llm/similarity.py`): score documents for
+a query set with Okapi BM25 (Robertson & Zaragoza 2009; the Lucene
+variant of the idf) and return the top-k per query.
+
+Scale shape: the "index" is two derived tables — per-document term
+frequencies (one explode + hash aggregate over the corpus) and
+per-term document frequencies (one more aggregate over that) — both
+map-side combinable. Scoring joins doc postings against the DISTINCT
+query terms (the query side is small by construction and rides a
+broadcast, so the corpus-sized postings table never shuffles for the
+join); the per-(query, doc) aggregate shuffles one reduced row per
+pair, and the top-k is a (query-partitioned) window — never global.
+Corpus constants (N, avgdl) ride a 1-row broadcast.
+
+Float determinism: per-term BM25 contributions are rounded to integer
+micro-units before the per-pair sum (the engine's standard fixed-point
+idiom), so scores are exact longs — order-independent under partial
+aggregation and bit-for-bit replayable by a SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kolang_spark.llm.textstats import tokenize
+
+__all__ = ["bm25_topk"]
+
+_MICRO = 1e6
+
+
+def _tok(text_col: str, lowercase: bool):
+    t = tokenize(F.col(text_col))
+    if lowercase:
+        t = F.transform(t, lambda x: F.lower(x))
+    return F.filter(t, lambda x: x != "")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents per query under Okapi BM25.
+
+    ``score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with the Lucene idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` (always ≥ 0). Query terms are
+    deduplicated (standard BM25 ignores query-side repetition).
+
+    Returns ``(query_id, doc_id, score, rank)`` with rank 1..k per
+    query, ties broken by ``doc_id``; a query whose terms match no
+    document yields no rows. ``score`` is exact micro-unit fixed point
+    divided back to double — deterministic on any partitioning.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    # postings: (term, doc, tf) + doc length
+    toks = docs.select(
+        F.col(id_col).alias("__d__"),
+        F.explode(_tok(text_col, lowercase)).alias("term"),
+    )
+    tf = toks.groupBy("__d__", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = toks.groupBy("__d__").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    consts = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("__n__"),
+        F.sum("dl").cast("long").alias("__tl__"),
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_tok(query_text_col, lowercase)).alias("term"),
+        )
+        .distinct()
+    )
+    # attach df to the SMALL side: broadcast the query terms into the
+    # vocabulary-sized df table (a semi-join-shaped probe — the
+    # vocabulary is never broadcast; at 100 TB it can be 100M+ terms),
+    # yielding a ≤|query-terms| frame that then rides the broadcast
+    # into the corpus-sized postings join
+    qt = df_t.join(F.broadcast(qterms), "term")
+
+    n_d = F.col("__n__").cast("double")
+    avgdl = F.col("__tl__").cast("double") / n_d
+    idf = F.log(
+        F.lit(1.0)
+        + (n_d - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tfd = F.col("tf").cast("double")
+    tfn = (tfd * F.lit(float(k1) + 1.0)) / (
+        tfd
+        + F.lit(float(k1))
+        * (F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl)
+    )
+    contrib = F.round(idf * tfn * F.lit(_MICRO)).cast("long")
+
+    # tf ⋈ dl is the one corpus×corpus join — an equi-join on the doc
+    # id, the natural co-partitioning (both sides are aggregates of the
+    # same explode; AQE coalesces the shared shuffle)
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "__d__")
+        .crossJoin(F.broadcast(consts))
+        .select("query_id", F.col("__d__"), contrib.alias("__c__"))
+        .groupBy("query_id", "__d__")
+        .agg(F.sum("__c__").cast("long").alias("__s__"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s__").desc(), F.col("__d__")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__d__").alias(id_col),
+            (F.col("__s__").cast("double") / F.lit(_MICRO)).alias("score"),
+            "rank",
+        )
+    )
