@@ -1202,7 +1202,7 @@ def _q_semantic_dedup_embeddings(spark, sf_dir):
         ).alias("embedding"),
     )
     out = semantic_dedup(
-        base.unionByName(planted), k=8, dims=64, iters=3, threshold=0.9
+        base.unionByName(planted), k=8, dims=64, iters=2, threshold=0.9
     )
     return out.select(
         "vec_id",
@@ -2252,6 +2252,26 @@ def _q_dsir_resample_documents(spark, sf_dir):
     )
 
 
+def _q_bigram_lm_score_documents(spark, sf_dir):
+    """Interpolated-bigram LM scoring (`kolang_spark/llm/lmscore.py::
+    bigram_lm_scores`) — the KenLM-style upgrade of the unigram
+    perplexity proxy: each position scored by
+    −ln(λ·P_bi(tok|prev) + (1−λ)·P_uni(tok)), BOS context for position
+    0, all three count tables self-estimated from the corpus in
+    map-side-combinable aggregates. Micro-nat fixed point per position
+    keeps the per-document sums exact; the DuckDB oracle replays the
+    counts, the interpolation, and every score bit-for-bit."""
+    from kolang_spark.llm import bigram_lm_scores
+
+    dc = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(dc)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_neg_logprob", 6).alias("avg_neg_logprob"),
+    )
+
+
 _BM25_QUERIES = [
     (1, "spark join window"),
     (2, "customer order line"),
@@ -3071,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_documents": _q_dsir_weights_documents,
         "dsir_resample_documents": _q_dsir_resample_documents,
         "bm25_topk_documents": _q_bm25_topk_documents,
+        "bigram_lm_score_documents": _q_bigram_lm_score_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3583,6 +3604,69 @@ _DSIR_CTE = r"""
                      CAST(SUM(c) AS BIGINT) AS s
               FROM contrib GROUP BY 1
             )"""
+
+
+def _bigram_lm_sql(lam: float, alpha: float) -> str:
+    """Replay of `llm/lmscore.py::bigram_lm_scores` (self-estimated):
+    positional (prev, cur) stream with the BOS sentinel, the three
+    count tables, and the interpolated per-position micro-nat
+    contribution in the Spark expression's association order. Constants
+    are emitted via repr so both engines hold identical doubles
+    (1−λ in particular is NOT 0.3 when λ=0.7)."""
+    lamr = repr(float(lam))
+    omlam = repr(1.0 - float(lam))
+    ar = repr(float(alpha))
+    return f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> lower(t)), t -> t <> '') AS w
+              FROM documents WHERE trim(text) <> ''
+            ), pairs AS (
+              SELECT doc_id,
+                     unnest([{{'prev': CASE WHEN i = 1 THEN chr(2)
+                                       ELSE w[i-1] END,
+                              'cur': w[i]}}
+                             for i in range(1, len(w)+1)],
+                            recursive := true)
+              FROM toks
+            ), bi AS (
+              SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+              FROM pairs GROUP BY 1, 2
+            ), ctx AS (
+              SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM bi GROUP BY 1
+            ), uni AS (
+              SELECT cur, CAST(COUNT(*) AS BIGINT) AS cu
+              FROM pairs GROUP BY 1
+            ), consts AS (
+              SELECT CAST(SUM(cu) AS BIGINT) AS total,
+                     COUNT(*) AS vocab FROM uni
+            ), contrib AS (
+              SELECT p.doc_id,
+                     CAST(round(-ln(
+                       {lamr} * ((CAST(coalesce(bi.cb, 0) AS DOUBLE) + {ar})
+                                 / (CAST(coalesce(ctx.cc, 0) AS DOUBLE)
+                                    + {ar}*CAST(vocab AS DOUBLE)))
+                       + {omlam} * ((CAST(coalesce(uni.cu, 0) AS DOUBLE) + {ar})
+                                    / (CAST(total AS DOUBLE)
+                                       + {ar}*CAST(vocab AS DOUBLE)))
+                     ) * 1e6) AS BIGINT) AS c
+              FROM pairs p LEFT JOIN bi USING (prev, cur)
+              LEFT JOIN ctx USING (prev) LEFT JOIN uni USING (cur)
+              CROSS JOIN consts
+            ), agg AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(c) AS BIGINT) AS s
+              FROM contrib GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   ROUND(CAST(a.s AS DOUBLE)
+                         / (CAST(a.n_tokens AS DOUBLE)*1e6), 6)
+                     AS avg_neg_logprob
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)"""
 
 
 def _bm25_sql(k: int, k1: float, b: float) -> str:
@@ -4431,8 +4515,9 @@ def oracle_sql() -> dict[str, str]:
         # Full Lloyd replay (fixed-point means) + IVF probe replay —
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
-        "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 3, 0.9),
+        "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 2, 0.9),
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
+        "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
         "dsir_weights_documents": _DSIR_CTE + """
             SELECT d.doc_id,
                    CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,

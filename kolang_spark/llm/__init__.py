@@ -84,7 +84,10 @@ from kolang_spark.llm.classify import (  # noqa: F401
     train_token_logodds,
 )
 from kolang_spark.llm.dsir import dsir_logratios, dsir_resample  # noqa: F401
-from kolang_spark.llm.lmscore import unigram_lm_scores  # noqa: F401
+from kolang_spark.llm.lmscore import (  # noqa: F401
+    bigram_lm_scores,
+    unigram_lm_scores,
+)
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
 from kolang_spark.llm.prep import (  # noqa: F401
     assign_shards,

@@ -30,7 +30,9 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["unigram_lm_scores"]
+__all__ = ["unigram_lm_scores", "bigram_lm_scores"]
+
+_BOS = "\x02"  # beginning-of-document context sentinel
 
 
 def unigram_lm_scores(
@@ -118,6 +120,120 @@ def unigram_lm_scores(
     # re-attach zero-token documents with NULL score (left anti would
     # cost a second scan of df; a left join from the id spine does it
     # in the same pass shape)
+    spine = df.select(F.col(id_col)).distinct()
+    return spine.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        "avg_neg_logprob",
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+    lm_df: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Interpolated-bigram LM scoring — the KenLM-style upgrade of
+    :func:`unigram_lm_scores`: each position is scored by
+    ``−ln(λ·P_bi(tok | prev) + (1−λ)·P_uni(tok))`` with
+    ``P_bi = (c(prev,tok) + α) / (c(prev·) + α·V)`` and the same
+    smoothed unigram as the base scorer. The first token's context is
+    a BOS sentinel (``c(BOS·)`` = document count), so every position
+    scores and an interpolated model never assigns zero mass.
+
+    Scale shape: three count tables (unigram, bigram, context totals),
+    each one map-side-combinable hash aggregate over the exploded
+    reference corpus; scoring is equi-joins of the positional bigram
+    stream against them (hash-partitioned on the gram — the bigram
+    table is only as large as the OBSERVED bigrams) plus one
+    per-document aggregate. No window, no UDF, no driver state.
+
+    Same fixed-point contract as the unigram scorer: per-position
+    ``−ln(P)`` is rounded to integer micro-nats before the per-document
+    sum, so scores are exact and SQL-replayable. Returns
+    ``(id_col, n_tokens, avg_neg_logprob)``; zero-token documents get
+    NULL scores. Lower = more typical.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+
+    def toks_of(c):
+        t = tokenize(c)
+        if lowercase:
+            t = F.transform(t, lambda x: F.lower(x))
+        return F.filter(t, lambda x: x != "")
+
+    def pair_stream(frame: DataFrame, with_id: bool) -> DataFrame:
+        """Positional (prev, cur) stream; position 0 gets the BOS
+        context. Built from one posexplode with the token array
+        carried alongside (``element_at(pos)`` for the predecessor) —
+        no self-join, no window."""
+        t = toks_of(F.col(text_col))
+        cols = [F.col(id_col)] if with_id else []
+        base = frame.select(*cols, t.alias("__t__"))
+        return base.select(
+            *[F.col(c) for c in ([id_col] if with_id else [])],
+            F.posexplode_outer("__t__").alias("__pos__", "__cur__"),
+            F.col("__t__").alias("__ta__"),
+        ).where(F.col("__cur__").isNotNull()).select(
+            *[F.col(c) for c in ([id_col] if with_id else [])],
+            F.when(F.col("__pos__") == 0, F.lit(_BOS))
+            .otherwise(F.element_at("__ta__", F.col("__pos__").cast("int")))
+            .alias("__prev__"),
+            "__cur__",
+        )
+
+    src = lm_df if lm_df is not None else df
+    lm_pairs = pair_stream(src, with_id=False)
+    bi = lm_pairs.groupBy("__prev__", "__cur__").agg(
+        F.count(F.lit(1)).cast("long").alias("__cb__")
+    )
+    ctx = bi.groupBy("__prev__").agg(F.sum("__cb__").cast("long").alias("__cc__"))
+    uni = lm_pairs.groupBy("__cur__").agg(
+        F.count(F.lit(1)).cast("long").alias("__cu__")
+    )
+    consts = uni.agg(
+        F.sum("__cu__").alias("__total__"), F.count(F.lit(1)).alias("__vocab__")
+    )
+
+    a = F.lit(float(alpha))
+    p_bi = (F.coalesce(F.col("__cb__"), F.lit(0)).cast("double") + a) / (
+        F.coalesce(F.col("__cc__"), F.lit(0)).cast("double")
+        + a * F.col("__vocab__").cast("double")
+    )
+    p_uni = (F.coalesce(F.col("__cu__"), F.lit(0)).cast("double") + a) / (
+        F.col("__total__").cast("double") + a * F.col("__vocab__").cast("double")
+    )
+    p = F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni
+    contrib = F.round(-F.log(p) * F.lit(1e6)).cast("long")
+
+    ex = pair_stream(df, with_id=True)
+    scored = (
+        ex.join(bi, ["__prev__", "__cur__"], "left")
+        .join(ctx, "__prev__", "left")
+        .join(uni, "__cur__", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(id_col, contrib.alias("__c__"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__c__").alias("__sum__"),
+        )
+    )
+    out = scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("__sum__").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1e6))
+        ).alias("avg_neg_logprob"),
+    )
     spine = df.select(F.col(id_col)).distinct()
     return spine.join(out, id_col, "left").select(
         id_col,

@@ -1357,3 +1357,62 @@ def test_semantic_dedup_flags_planted_within_cluster_only(spark):
         df, k=2, dims=dims, iters=3, threshold=0.999).collect()}
     assert {k: (v.cent_id, v.is_semantic_dup, v.dup_cos) for k, v in got.items()} == \
         {k: (v.cent_id, v.is_semantic_dup, v.dup_cos) for k, v in again.items()}
+
+
+def test_bigram_lm_scores_semantics_and_determinism(spark):
+    """Repeated-pattern docs score lower than gibberish; BOS handles
+    single-token docs; the micro-nat fixed point is repartition-exact;
+    zero-token docs get NULL."""
+    from kolang_spark.llm.lmscore import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat"),
+            (2, "qz zx vq jx wk"),  # unseen-elsewhere gibberish
+            (3, "the"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert got[4].n_tokens == 0 and got[4].avg_neg_logprob is None
+    assert got[3].n_tokens == 1
+    # the common bigrams ("the cat", "cat sat") make docs 0/1 more
+    # typical than the gibberish doc under the self-estimated LM
+    assert got[1].avg_neg_logprob < got[2].avg_neg_logprob
+    assert got[0].avg_neg_logprob < got[2].avg_neg_logprob
+
+    again = {r.doc_id: (r.n_tokens, r.avg_neg_logprob)
+             for r in bigram_lm_scores(df.repartition(7)).collect()}
+    assert again == {k: (v.n_tokens, v.avg_neg_logprob) for k, v in got.items()}
+
+
+def test_bigram_lm_scores_external_reference_corpus(spark):
+    """With lm_df, the counts come from the reference corpus only —
+    a doc matching the reference's bigrams scores lower than one that
+    shares no vocabulary."""
+    from kolang_spark.llm.lmscore import bigram_lm_scores
+
+    ref = spark.createDataFrame(
+        [(100, "good clean text here"), (101, "good clean text again")],
+        "doc_id long, text string",
+    )
+    df = spark.createDataFrame(
+        [(0, "good clean text"), (1, "xx yy zz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(df, lm_df=ref).collect()}
+    assert got[0].avg_neg_logprob < got[1].avg_neg_logprob
+
+
+def test_bigram_lm_scores_validation(spark):
+    from kolang_spark.llm.lmscore import bigram_lm_scores
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bigram_lm_scores(df, alpha=0.0)
+    with _pt.raises(ValueError):
+        bigram_lm_scores(df, lam=1.0)
