@@ -120,3 +120,41 @@ def test_bias_and_label_expression(spark, labeled):
     hi = linear_text_classifier(doc, w, bias=2.0).collect()[0]
     assert lo.score == -2.0 and hi.score == 2.0
     assert lo.prob < 0.5 < hi.prob
+
+
+def test_classifier_streaming_foreachbatch_equals_batch(spark, labeled, tmp_path):
+    """Scoring a document stream in a foreachBatch sink against a
+    static weight table produces exactly the batch result — per-batch
+    scoring is self-contained (weights static, per-doc aggregate within
+    the micro-batch), so stream == batch with no state."""
+    import os
+
+    w = train_token_logodds(labeled, "y").localCheckpoint(eager=True)
+    docs = spark.createDataFrame(
+        [(i, "apple iron banana" if i % 2 else "zinc copper the") for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "cls_src")
+    # two separate files -> two micro-batches with maxFilesPerTrigger=1
+    docs.where(F.col("doc_id") < 10).coalesce(1).write.parquet(os.path.join(src, "a"))
+    docs.where(F.col("doc_id") >= 10).coalesce(1).write.parquet(os.path.join(src, "b"))
+
+    out: list = []
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def score_batch(bdf, _bid):
+        out.extend(linear_text_classifier(bdf, w).collect())
+
+    q = stream.writeStream.foreachBatch(score_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    streamed = {(r.doc_id, r.n_tokens, r.score, r.prob) for r in out}
+    batch = {
+        (r.doc_id, r.n_tokens, r.score, r.prob)
+        for r in linear_text_classifier(docs, w).collect()
+    }
+    assert streamed == batch and len(streamed) == 20
