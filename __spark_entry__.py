@@ -2958,6 +2958,28 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_pagerank_purchases(spark, sf_dir):
+    """PageRank over the customer→supplier purchase graph
+    (`kolang_spark/operators/graph.py::pagerank`): edges are distinct
+    (customer, supplier) pairs from orders⋈lineitem (node ids prefixed
+    'c'/'s' so the two key spaces can't collide), 4 damped iterations
+    with uniform dangling-mass redistribution — suppliers have no
+    outgoing edges, so EVERY supplier is dangling and the
+    redistribution path is load-bearing, not decorative. Ranks are
+    integer fixed-point (1e-9 units of total mass): bit-identical
+    across shuffle orders and cluster sizes, and the oracle unrolls the
+    identical integer recurrence per iteration in SQL."""
+    from kolang_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(edges, iterations=4).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -3092,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_documents": _q_dsir_resample_documents,
         "bm25_topk_documents": _q_bm25_topk_documents,
         "bigram_lm_score_documents": _q_bigram_lm_score_documents,
+        "pagerank_purchases": _q_pagerank_purchases,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3734,6 +3757,56 @@ def _bm25_sql(k: int, k1: float, b: float) -> str:
                    ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS score,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= {k}"""
+
+
+def _pagerank_sql(
+    iters: int, scale: int = 10**9, num: int = 85, den: int = 100
+) -> str:
+    """Generated SQL replay of operators/graph.py::pagerank over the
+    customer→supplier purchase graph: the identical integer fixed-point
+    recurrence, unrolled one CTE trio (dangling scalar, in-flow sums,
+    next ranks) per iteration. State CTEs are MATERIALIZED — r{k} is
+    referenced twice per round (dangling + in-flow) and DuckDB inlines
+    CTEs by default, which would plan exponentially in `iters`. SUMs
+    are cast back to BIGINT before any further division (DuckDB SUM of
+    BIGINT yields HUGEINT). `//` (floor) matches Spark's `div`
+    (truncate) because every quantity is non-negative."""
+    tele_num = scale * (den - num)
+    parts = [f"""WITH edges AS MATERIALIZED (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), nodes AS MATERIALIZED (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src
+    ), ns AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+    ), r0 AS MATERIALIZED (
+      SELECT node, CAST({scale} // n AS BIGINT) AS r FROM nodes, ns
+    )"""]
+    for k in range(iters):
+        parts.append(f""", d{k} AS MATERIALIZED (
+      SELECT COALESCE(CAST(SUM(rk.r) AS BIGINT), 0) AS dang
+      FROM r{k} rk LEFT JOIN outdeg o ON rk.node = o.src
+      WHERE o.src IS NULL
+    ), i{k} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(rk.r // o.odeg) AS BIGINT) AS s
+      FROM edges e
+      JOIN r{k} rk ON e.src = rk.node
+      JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ), r{k + 1} AS MATERIALIZED (
+      SELECT nd.node,
+             CAST({tele_num} // ({den} * ns.n)
+                  + ({num} * (COALESCE(i.s, 0) + d.dang // ns.n)) // {den}
+               AS BIGINT) AS r
+      FROM nodes nd CROSS JOIN ns CROSS JOIN d{k} d
+      LEFT JOIN i{k} i ON nd.node = i.node
+    )""")
+    parts.append(
+        f"\n    SELECT node, r AS rank_fp FROM r{iters} ORDER BY node"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4518,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 2, 0.9),
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
+        "pagerank_purchases": _pagerank_sql(4),
         "dsir_weights_documents": _DSIR_CTE + """
             SELECT d.doc_id,
                    CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,

@@ -1,0 +1,142 @@
+"""Link-graph analytics: PageRank over an edge DataFrame.
+
+Web-scale corpus curation ranks hosts/pages by link authority (the
+Common Crawl → C4/RefinedWeb pipelines filter and weight by
+centrality); this module provides the iterative rank computation as a
+first-class distributed operator. No counterpart exists in the
+reference (`/root/reference/kolang` has no graph surface) — this is
+extension surface for the LLM-data mandate.
+
+Determinism contract: all rank arithmetic is **integer fixed-point**
+(BIGINT micro-units of total rank mass). Integer addition is exact and
+commutative, so the result is bit-identical regardless of shuffle
+order, partition count, or cluster size — and an SQL engine can replay
+every iteration exactly (the same trick that made k-means Lloyd means
+oracle-checkable, see `llm/similarity.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**9,
+    node_col: str = "node",
+    rank_col: str = "rank_fp",
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(node_col, rank_col)``
+    with ``rank_col`` the node's rank in integer micro-units of
+    ``scale`` (total mass ≈ ``scale``; divide by ``scale`` for the
+    conventional [0,1] rank).
+
+    Semantics (every step integer arithmetic on non-negative values,
+    ``//`` = floor division — the exact spec an oracle replays):
+
+    - nodes = distinct(src) ∪ distinct(dst); edges deduplicated
+      (parallel edges count once, the host-graph convention);
+      NULL endpoints dropped.
+    - r0[v] = scale // n
+    - per iteration, with d = damping_num/damping_den:
+        contrib[u]  = r[u] // outdeg[u]            (u with outdeg > 0)
+        in_sum[v]   = Σ contrib[u] over edges u→v
+        dangling    = Σ r[u] over u with outdeg = 0
+        r'[v] = (scale·(den−num)) // (den·n)
+                + (num · (in_sum[v] + dangling // n)) // den
+      Dangling mass is redistributed uniformly (the standard fix —
+      without it a sink node drains total mass every round).
+
+    Scale shape: the edge list joins its out-degrees ONCE up front and
+    is eagerly checkpointed (it never changes across iterations — the
+    expensive side of every join is scanned, not rebuilt). Each
+    iteration is exactly one shuffle join (ranks ⋈ edges on src), one
+    map-side-combinable groupBy (dst), and one left join back onto the
+    node spine; the rank frame (|V| rows, two columns) is
+    ``localCheckpoint``-ed per round so the plan stays O(1) deep
+    instead of O(iterations). The only driver sync per round is the
+    ONE-row dangling-mass scalar (bounded by construction — same
+    posture as the k-means centroid sync). No collect of node or edge
+    data, no cross join, no Python UDF.
+
+    Precision: with scale = 1e9 the quantization error per node per
+    round is < 1/scale of total mass — ranking order is unaffected for
+    any graph below ~1e8 nodes; raise ``scale`` (up to ~1e15 before
+    BIGINT overflow risk at num·(in+dang)) for larger graphs.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("need 0 < damping_num < damping_den")
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias(node_col))
+        .unionAll(e.select(F.col("dst").alias(node_col)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # bounded: one scalar, the node count
+    if n == 0:
+        return nodes.withColumn(rank_col, F.lit(0).cast("long"))
+
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges never change across iterations: attach out-degrees once and
+    # pin the frame so each round scans it instead of re-joining.
+    e_od = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
+    ranks = nodes.withColumn("r", F.lit(int(scale // n)).cast("long"))
+    # dangling spine: nodes with no outgoing edge (their mass has
+    # nowhere to flow and is redistributed uniformly each round).
+    dangling_nodes = nodes.join(
+        outdeg.select(F.col("src").alias(node_col)), node_col, "left_anti"
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        dang_row = (
+            dangling_nodes.join(ranks, node_col)
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .collect()  # bounded: exactly one row, one long
+        )
+        dangling = int(dang_row[0]["d"])
+        in_sum = (
+            e_od.join(ranks, e_od["src"] == ranks[node_col])
+            .select(
+                F.col("dst"),
+                F.expr("r div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("in_sum"))
+        )
+        uniform_dang = dangling // n
+        ranks = (
+            nodes.join(in_sum, nodes[node_col] == in_sum["dst"], "left")
+            .select(
+                nodes[node_col],
+                (
+                    F.lit(int(teleport))
+                    + F.expr(
+                        f"({damping_num} * (coalesce(in_sum, 0L)"
+                        f" + {uniform_dang}L)) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select(F.col(node_col), F.col("r").alias(rank_col))
