@@ -2958,6 +2958,28 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_dedup_keep_best_documents(spark, sf_dir):
+    """Quality-aware dedup resolution
+    (`kolang_spark/llm/dedup.py::dedup_keep_best`): MinHash candidate
+    pairs → connected components → keep the HIGHEST quality_score per
+    cluster (tie → min doc_id), the FineWeb keep-the-best policy
+    instead of dedup_keep_list's arbitrary min-id. The oracle rebuilds
+    the components with a recursive CTE and replays the same two-step
+    argmax (max score per component, then min id among the best)."""
+    from kolang_spark.llm import (
+        dedup_keep_best,
+        minhash_candidate_pairs,
+        quality_metrics,
+    )
+
+    dc = _t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+    score = quality_metrics(F.col("text"))["quality_score"]
+    return dedup_keep_best(
+        dc, pairs, score=score, score_col="quality_score"
+    ).orderBy("doc_id")
+
+
 def _q_pagerank_purchases(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph
     (`kolang_spark/operators/graph.py::pagerank`): edges are distinct
@@ -3115,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_documents": _q_bm25_topk_documents,
         "bigram_lm_score_documents": _q_bigram_lm_score_documents,
         "pagerank_purchases": _q_pagerank_purchases,
+        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4592,6 +4615,58 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
         "pagerank_purchases": _pagerank_sql(4),
+        "dedup_keep_best_documents": rf"""
+            WITH RECURSIVE pairs AS (
+              {_minhash_sql(6, 3)}
+            ), edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach AS (
+              SELECT a AS v, a AS lbl FROM edges
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+            ), comp AS (
+              SELECT v, MIN(lbl) AS component FROM reach GROUP BY v
+            ), m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                       '\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b'))
+                       AS n_stop,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                   CAST(
+                     (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 40 ELSE 0 END)
+                     + (CASE WHEN (n_chars - (n_tokens-1))*1.0/n_tokens
+                             BETWEEN 2 AND 12 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_punct*1.0/n_chars <= 0.2 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_stop*1.0/n_tokens >= 0.05 THEN 20 ELSE 0 END)
+                   AS BIGINT) AS quality_score
+              FROM m
+            ), labeled AS (
+              SELECT s.doc_id,
+                     COALESCE(c.component, s.doc_id) AS component,
+                     s.quality_score
+              FROM scored s LEFT JOIN comp c ON s.doc_id = c.v
+            ), best AS (
+              SELECT component, MAX(quality_score) AS b
+              FROM labeled GROUP BY component
+            ), winner AS (
+              SELECT l.component, MIN(l.doc_id) AS keep_id
+              FROM labeled l JOIN best
+                ON l.component = best.component
+               AND l.quality_score IS NOT DISTINCT FROM best.b
+              GROUP BY l.component
+            )
+            SELECT l.doc_id, l.component, l.quality_score,
+                   l.doc_id = w.keep_id AS keep
+            FROM labeled l JOIN winner w ON l.component = w.component
+            ORDER BY l.doc_id
+        """,
         "dsir_weights_documents": _DSIR_CTE + """
             SELECT d.doc_id,
                    CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,

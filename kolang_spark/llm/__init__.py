@@ -16,6 +16,7 @@ appears only where semantics require it (multimodal decode stubs).
 
 from kolang_spark.llm.dedup import (  # noqa: F401
     connected_components,
+    dedup_keep_best,
     dedup_keep_list,
     duplicate_spans,
     strip_duplicate_spans,

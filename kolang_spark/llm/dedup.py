@@ -37,6 +37,7 @@ __all__ = [
     "embedding_near_dup_pairs_lsh",
     "semantic_dedup",
     "connected_components",
+    "dedup_keep_best",
     "dedup_keep_list",
     "duplicate_spans",
     "strip_duplicate_spans",
@@ -646,6 +647,68 @@ def dedup_keep_list(
             F.coalesce("component", F.col("id")).alias("component"),
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: ColumnOrName,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    score_col: str = "score",
+    prefer: str = "max",
+) -> DataFrame:
+    """Quality-aware dedup resolution: candidate ``pairs`` → connected
+    components → keep the BEST-scoring row per cluster (the FineWeb/
+    RefinedWeb policy — retain the copy worth training on), not the
+    arbitrary minimum id that :func:`dedup_keep_list` keeps.
+
+    ``score`` is any Column over ``df`` (a quality composite, a length,
+    a recency timestamp); ``prefer='max'`` keeps the highest scorer,
+    ``'min'`` the lowest (e.g. earliest crawl date). Ties break to the
+    minimum id — deterministic across engines and shuffle orders. NULL
+    scores lose to any non-NULL score; a cluster that is ALL-NULL
+    falls back to minimum id among its rows.
+
+    Returns every ``df`` row id with its ``component`` (singletons keep
+    their own id), the evaluated ``score_col``, and a ``keep`` flag.
+
+    Scale shape: the iterative stage (connected components) carries
+    ids only; scoring/argmax is two map-side-combinable aggregates
+    (best score per component, then min id among the best) plus
+    component equi-joins — no window over data rows, no driver-side
+    loop over clusters.
+    """
+    if prefer not in ("max", "min"):
+        raise ValueError("prefer must be 'max' or 'min'")
+    s = F.col(score) if isinstance(score, str) else score
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        df.select(F.col(id_col).alias("id"), s.alias("_score"))
+        .join(comp, "id", "left")
+        .select(
+            F.col("id"),
+            F.coalesce("component", F.col("id")).alias("component"),
+            F.col("_score"),
+        )
+    )
+    agg = F.max if prefer == "max" else F.min
+    best = labeled.groupBy("component").agg(agg("_score").alias("_best"))
+    winner = (
+        labeled.join(best, "component")
+        # eqNullSafe: an all-NULL cluster has _best = NULL and must
+        # still elect a keeper (min id among its rows)
+        .where(F.col("_score").eqNullSafe(F.col("_best")))
+        .groupBy("component")
+        .agg(F.min("id").alias("_keep_id"))
+    )
+    return labeled.join(winner, "component").select(
+        F.col("id").alias(id_col),
+        F.col("component"),
+        F.col("_score").alias(score_col),
+        (F.col("id") == F.col("_keep_id")).alias("keep"),
     )
 
 
