@@ -2958,6 +2958,40 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_fix_mojibake_documents(spark, sf_dir):
+    """Mojibake detection + repair
+    (`kolang_spark/llm/scrub.py::fix_mojibake`/`mojibake_score`),
+    oracle-checked by the invariant pattern: the query CORRUPTS each
+    document deterministically (inject 'thé' + a curly-punctuation
+    suffix, then UTF-8→Latin-1 double-decode via
+    decode(encode(...), 'ISO-8859-1'); a second variant maps the C1
+    controls to their cp1252 visible stand-ins — the Windows display
+    flavor), repairs it, and emits flags the oracle predicts
+    closed-form: both flavors repair back to the pre-corruption text,
+    clean ASCII text is untouched, and the signature count equals
+    #('the' occurrences) + 3 suffix marks — all derivable in SQL from
+    the original parquet text."""
+    from kolang_spark.llm import fix_mojibake, mojibake_score
+    from kolang_spark.llm.scrub import _CP1252_BYTES, _CP1252_VISIBLE
+
+    dc = _t(spark, sf_dir, "documents")
+    expected = F.concat(
+        F.replace(F.col("text"), F.lit("the"), F.lit("thé")),
+        F.lit(" it’s fin—al…"),
+    )
+    corrupted = F.decode(F.encode(expected, "UTF-8"), "ISO-8859-1")
+    corrupted_cp = F.translate(corrupted, _CP1252_BYTES, _CP1252_VISIBLE)
+    return dc.select(
+        "doc_id",
+        mojibake_score(corrupted).alias("n_moji"),
+        (fix_mojibake(corrupted) == expected).alias("latin1_fixed"),
+        (fix_mojibake(corrupted_cp) == expected).alias("cp1252_fixed"),
+        (fix_mojibake(F.col("text")) == F.col("text")).alias(
+            "clean_unchanged"
+        ),
+    ).orderBy("doc_id")
+
+
 def _q_dedup_keep_best_documents(spark, sf_dir):
     """Quality-aware dedup resolution
     (`kolang_spark/llm/dedup.py::dedup_keep_best`): MinHash candidate
@@ -3138,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score_documents": _q_bigram_lm_score_documents,
         "pagerank_purchases": _q_pagerank_purchases,
         "dedup_keep_best_documents": _q_dedup_keep_best_documents,
+        "fix_mojibake_documents": _q_fix_mojibake_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4615,6 +4650,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
         "pagerank_purchases": _pagerank_sql(4),
+        # invariant oracle: corruption is synthesized IN the Spark
+        # query, so SQL only has to predict the flags and the signature
+        # count from the original text (one bigram per injected 'é',
+        # i.e. per 'the' substring, plus 3 for the ’ — … suffix marks)
+        "fix_mojibake_documents": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'the', '')))
+                        // 3 + 3 AS BIGINT) AS n_moji,
+                   true AS latin1_fixed,
+                   true AS cp1252_fixed,
+                   true AS clean_unchanged
+            FROM documents ORDER BY doc_id
+        """,
         "dedup_keep_best_documents": rf"""
             WITH RECURSIVE pairs AS (
               {_minhash_sql(6, 3)}

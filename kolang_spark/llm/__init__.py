@@ -60,6 +60,8 @@ from kolang_spark.llm.textstats import (  # noqa: F401
 from kolang_spark.llm.scrub import (  # noqa: F401
     canonicalize_url,
     extract_urls,
+    fix_mojibake,
+    mojibake_score,
     pii_counts,
     redact_pii,
     url_domains,

@@ -30,11 +30,14 @@ from kolang_spark.functions.core import ColumnOrName, str_to_column
 __all__ = [
     "PII_PATTERNS",
     "URL_PATTERN",
+    "MOJIBAKE_SIGNATURE",
     "redact_pii",
     "pii_counts",
     "extract_urls",
     "url_domains",
     "canonicalize_url",
+    "mojibake_score",
+    "fix_mojibake",
 ]
 
 # Ordered: emails are redacted before ipv4/phones so the digit runs
@@ -186,3 +189,84 @@ def canonicalize_url(col: ColumnOrName) -> Column:
     return F.when(is_http, F.concat(scheme, F.lit("://"), host, path)).otherwise(
         u
     )
+
+
+# ---------------------------------------------------------------------------
+# Mojibake (UTF-8/Latin-1 double-encoding) detection and repair
+# ---------------------------------------------------------------------------
+
+# Windows-1252 maps bytes 0x80-0x9F to visible punctuation (euro, curly
+# quotes, dashes, dagger, trademark, ...) where ISO-8859-1 has C1
+# control characters. Mojibake that traveled through cp1252 therefore
+# shows those VISIBLE characters; mapping them back to the raw byte
+# values first lets one ISO-8859-1 re-encode handle both flavors
+# (ftfy's "sloppy windows-1252" trick). Order matches bytes 0x80..0x9F;
+# undefined cp1252 bytes (0x81 8D 8F 90 9D) are omitted.
+_CP1252_VISIBLE = (
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+_CP1252_BYTES = (
+    "\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a"
+    "\x8b\x8c\x8e\x91\x92\x93\x94\x95\x96\x97"
+    "\x98\x99\x9a\x9b\x9c\x9e\x9f"
+)
+
+# A mojibake *signature*: a UTF-8 lead-byte character (U+00C2-U+00F4,
+# 'Â Ã Ä ... ô') immediately followed by something that decodes to a
+# UTF-8 continuation byte — either the raw range U+0080-U+00BF or one
+# of the cp1252 visible stand-ins. Correct text essentially never
+# contains these bigrams ('Ã©', 'â€™'); lone accented letters
+# ('café') don't match.
+MOJIBAKE_SIGNATURE = (
+    "[\u00c2-\u00f4][\u0080-\u00bf" + _CP1252_VISIBLE + "]"
+)
+
+
+def mojibake_score(col: ColumnOrName) -> Column:
+    """Count of mojibake signature bigrams (see
+    :data:`MOJIBAKE_SIGNATURE`) — 0 for clean text; each corrupted
+    non-ASCII character contributes at least 1. Pure Column regex (one
+    ``regexp_count``), rides the scan."""
+    return F.regexp_count(str_to_column(col), F.lit(MOJIBAKE_SIGNATURE)).cast(
+        "long"
+    )
+
+
+def fix_mojibake(col: ColumnOrName) -> Column:
+    """Repair UTF-8-bytes-read-as-Latin-1/cp1252 mojibake ('thÃ©' →
+    'thé', 'isnâ€™t' → 'isn’t') — the ftfy core transform as pure
+    Column algebra: map cp1252 visible stand-ins back to their byte
+    values (``translate``), re-encode as ISO-8859-1 (identity on
+    bytes), and decode as UTF-8.
+
+    Row-granular and conservative — a row is repaired only when ALL of:
+
+    - it contains a mojibake signature bigram (clean text, including
+      legitimately accented text like 'café', passes through untouched
+      and never pays the encode);
+    - after the cp1252 back-map it is entirely Latin-1 representable
+      (Spark 4's strict ``encode`` raises on unmappable characters —
+      rows mixing mojibake with e.g. CJK are left unchanged rather
+      than crashing the job);
+    - the recovered bytes are valid UTF-8 (``is_valid_utf8``) — a lone
+      'Ã' that never was a UTF-8 lead byte stays as-is instead of
+      becoming U+FFFD.
+
+    A doubly-mojibake'd string repairs one layer per call (compose
+    twice for two layers — matches ftfy's iterative behavior). NULL in
+    → NULL out. The whole expression is UDF-free whole-stage-codegen
+    Column algebra; the encode/decode pair only executes on rows whose
+    guard matched (nested CASE WHEN keeps it conditional)."""
+    c = str_to_column(col)
+    mapped = F.translate(c, _CP1252_VISIBLE, _CP1252_BYTES)
+    guard = c.rlike(MOJIBAKE_SIGNATURE) & mapped.rlike("^[\\x00-\\xff]*$")
+    recovered = F.encode(mapped, "ISO-8859-1")
+    # inner WHEN: encode/is_valid_utf8 evaluate ONLY under the outer
+    # guard (Latin-1-representable rows), so strict encode cannot raise
+    return F.when(
+        guard,
+        F.when(F.is_valid_utf8(recovered), F.decode(recovered, "UTF-8"))
+        .otherwise(c),
+    ).otherwise(c)

@@ -1,9 +1,17 @@
-"""Round-8 operator tests: quality-aware dedup keep-policy."""
+"""Round-8 operator tests: quality-aware dedup keep-policy, mojibake
+detection/repair."""
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.dedup import dedup_keep_best
+from kolang_spark.llm.scrub import (
+    _CP1252_BYTES,
+    _CP1252_VISIBLE,
+    fix_mojibake,
+    mojibake_score,
+)
 
 
 def _mk(spark, rows):
@@ -82,3 +90,91 @@ def test_score_as_column_expression(spark):
     )
     got = {r["doc_id"]: r for r in out.collect()}
     assert got[2]["keep"] is True and got[2]["n_chars"] == 18
+
+
+# ---------------------------------------------------------------------------
+# mojibake
+# ---------------------------------------------------------------------------
+
+def _moji_latin1(s: str) -> str:
+    """The corruption being repaired: UTF-8 bytes read back as Latin-1."""
+    return s.encode("utf-8").decode("latin-1")
+
+
+_TO_CP1252 = str.maketrans(_CP1252_BYTES, _CP1252_VISIBLE)
+
+
+def _moji_cp1252(s: str) -> str:
+    """Windows display flavor: C1 controls shown as cp1252 punctuation."""
+    return _moji_latin1(s).translate(_TO_CP1252)
+
+
+def _fix_many(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        fix_mojibake("t").alias("f"), mojibake_score("t").alias("n")
+    ).collect()
+    return [(r["f"], r["n"]) for r in rows]
+
+
+def test_repairs_both_flavors(spark):
+    orig = "thé café — it’s “fine”…"
+    got = _fix_many(spark, [_moji_latin1(orig), _moji_cp1252(orig)])
+    assert got[0][0] == orig and got[1][0] == orig
+    assert got[0][1] > 0 and got[1][1] > 0
+
+
+def test_clean_text_untouched_and_scores_zero(spark):
+    texts = ["plain ascii", "café naïve é", "", "Ã", "€5 price"]
+    got = _fix_many(spark, texts)
+    assert [f for f, _ in got] == texts  # no signature / invalid → as-is
+    assert all(n == 0 for _, n in got[:3])
+
+
+def test_cjk_rows_do_not_crash_the_guarded_encode(spark):
+    # strict encode would raise on 日本 if the guard ever evaluated it;
+    # mix CJK with a repairable row in ONE plan to prove conditionality
+    orig = "thé"
+    got = _fix_many(spark, ["日本語テキスト", _moji_latin1(orig),
+                            "mixed 日本 with thÃ©"])
+    assert got[0][0] == "日本語テキスト"
+    assert got[1][0] == orig
+    # mixed row HAS a signature but isn't Latin-1-representable → as-is
+    assert got[2][0] == "mixed 日本 with thÃ©"
+
+
+def test_double_mojibake_repairs_one_layer_per_call(spark):
+    orig = "é"
+    twice = _moji_latin1(_moji_latin1(orig))
+    df = spark.createDataFrame([(twice,)], "t string")
+    once = df.select(fix_mojibake("t").alias("f"))
+    again = once.select(fix_mojibake("f").alias("f"))
+    assert once.collect()[0]["f"] == _moji_latin1(orig)
+    assert again.collect()[0]["f"] == orig
+
+
+def test_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "t string")
+    r = df.select(fix_mojibake("t").alias("f"),
+                  mojibake_score("t").alias("n")).collect()[0]
+    assert r["f"] is None and r["n"] is None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            codec="latin-1", categories=("L", "N", "P", "Zs")
+        ),
+        min_size=1, max_size=40,
+    ).filter(lambda s: any(" " <= ch <= "ÿ" for ch in s)),
+)
+def test_exact_model_roundtrip_latin1_strings(spark_session_global2, s):
+    # any Latin-1 string with ≥1 high char: corrupt → repair == identity
+    got = _fix_many(spark_session_global2, [_moji_latin1(s), _moji_cp1252(s)])
+    assert got[0][0] == s and got[1][0] == s
+
+
+@pytest.fixture(scope="module")
+def spark_session_global2(spark):
+    return spark
