@@ -2958,6 +2958,29 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_dedup_lines_documents(spark, sf_dir):
+    """Corpus-wide keep-first line dedup
+    (`kolang_spark/llm/dedup.py::dedup_lines_global`): documents are
+    first re-shaped into 2-word lines (the synthetic corpus has a ~30
+    word vocabulary, so 2-word lines duplicate heavily across docs —
+    single-line docs would make the op a no-op), then every line that
+    repeats anywhere in the corpus survives only at its minimum
+    (doc_id, position) occurrence. The oracle rebuilds the same lines
+    with list_slice and replays keep-first as a ROW_NUMBER over
+    (trimmed line → doc_id, pos) and a string_agg re-assembly."""
+    from kolang_spark.llm import dedup_lines_global
+
+    dc = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(2)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * F.lit(2) + F.lit(1), 2), " "),
+    )
+    multi = dc.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return dedup_lines_global(multi).orderBy("doc_id")
+
+
 def _q_fix_mojibake_documents(spark, sf_dir):
     """Mojibake detection + repair
     (`kolang_spark/llm/scrub.py::fix_mojibake`/`mojibake_score`),
@@ -3173,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_purchases": _q_pagerank_purchases,
         "dedup_keep_best_documents": _q_dedup_keep_best_documents,
         "fix_mojibake_documents": _q_fix_mojibake_documents,
+        "dedup_lines_documents": _q_dedup_lines_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4662,6 +4686,46 @@ def oracle_sql() -> dict[str, str]:
                    true AS cp1252_fixed,
                    true AS clean_unchanged
             FROM documents ORDER BY doc_id
+        """,
+        "dedup_lines_documents": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), docs2 AS (
+              SELECT doc_id,
+                     [array_to_string(list_slice(w, i*2+1, i*2+2), ' ')
+                      for i in range((len(w)+1)//2)] AS lines
+              FROM words
+            ), exploded AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'line': lines[i+1]}
+                             for i in range(len(lines))],
+                            recursive := true)
+              FROM docs2
+            ), flagged AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM exploded
+            ), kept AS (
+              SELECT doc_id, pos, line FROM flagged
+              WHERE trim(line) = '' OR rn = 1
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS total FROM exploded GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text_deduped, '') AS text_deduped,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.total - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+            JOIN totals t ON d.doc_id = t.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_keep_best_documents": rf"""
             WITH RECURSIVE pairs AS (

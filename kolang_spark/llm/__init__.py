@@ -18,6 +18,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     connected_components,
     dedup_keep_best,
     dedup_keep_list,
+    dedup_lines_global,
     duplicate_spans,
     strip_duplicate_spans,
     exact_dedup,

@@ -39,6 +39,7 @@ __all__ = [
     "connected_components",
     "dedup_keep_best",
     "dedup_keep_list",
+    "dedup_lines_global",
     "duplicate_spans",
     "strip_duplicate_spans",
 ]
@@ -647,6 +648,97 @@ def dedup_keep_list(
             F.coalesce("component", F.col("id")).alias("component"),
         )
         .withColumn("keep", F.col(id_col) == F.col("component"))
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup, keep-first-occurrence (the
+    RefinedWeb/FineWeb line-dedup rule): every line that occurs more
+    than once anywhere in the corpus survives only at its first
+    occurrence — minimum ``(doc_id, position)`` — and is removed from
+    every other document. Complements
+    :func:`kolang_spark.llm.curate.remove_boilerplate_lines`, which
+    removes high-document-frequency lines from EVERY document
+    (including the first): boilerplate removal kills nav/footer noise,
+    keep-first preserves exactly one copy of each duplicated passage.
+
+    Lines are matched on their ``trim``-ed content via a 128-bit md5
+    key (collision-free in practice; the shuffle carries the 32-char
+    key, not the line, through the keeper aggregate). Whitespace-only
+    lines are never dedup candidates — they are document structure and
+    always kept. ``delim`` is a LITERAL separator (escaped before the
+    split) and is also used to re-join.
+
+    Returns one row per input row: ``(id_col, out_col, n_kept,
+    n_removed)`` with ``out_col`` (default ``{text_col}_deduped``) the
+    re-assembled text, line order preserved; a document whose every
+    line was removed comes back as ``''``.
+
+    Scale shape: one map-side-combinable ``min(struct(id, pos))`` per
+    line key, one equi-join of lines against keepers on the key, one
+    groupBy(doc) re-assembly — three shuffles total, no window over
+    data, no driver collect. The per-doc ``collect_list`` is bounded
+    by the document's own line count (already one row's payload).
+    """
+    import re as _re
+
+    out_col = out_col or f"{text_col}_deduped"
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim), -1)
+        ).alias("_pos", "_line"),
+    )
+    keyed = lines.withColumn("_key", F.md5(F.trim(F.col("_line")))).withColumn(
+        "_ws", F.trim(F.col("_line")) == ""
+    )
+    keeper = (
+        keyed.where(~F.col("_ws"))
+        .groupBy("_key")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_id").alias("k_id"), F.col("_pos").alias("k_pos")
+                )
+            ).alias("_k")
+        )
+    )
+    kept = keyed.join(keeper, "_key", "left").where(
+        F.col("_ws")
+        | (
+            (F.col("_id") == F.col("_k.k_id"))
+            & (F.col("_pos") == F.col("_k.k_pos"))
+        )
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            delim,
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_total"))
+    base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(rebuilt, "_id", "left")
+        .join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("_total", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
     )
 
 

@@ -178,3 +178,99 @@ def test_exact_model_roundtrip_latin1_strings(spark_session_global2, s):
 @pytest.fixture(scope="module")
 def spark_session_global2(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide keep-first line dedup
+# ---------------------------------------------------------------------------
+
+from kolang_spark.llm.dedup import dedup_lines_global  # noqa: E402
+
+
+def _lines_replica(docs, delim="\n"):
+    """Documented rule, verbatim: min (doc_id, pos) occurrence of each
+    trimmed line survives; whitespace-only lines always survive.
+    NOTE: Spark trim strips ONLY spaces — replica must use strip(' ')."""
+    occ = []
+    for did, text in docs:
+        for pos, line in enumerate(text.split(delim)):
+            occ.append((did, pos, line))
+    first = {}
+    for did, pos, line in sorted(occ):
+        k = line.strip(" ")
+        if k != "" and k not in first:
+            first[k] = (did, pos)
+    out = {}
+    for did, text in docs:
+        kept = [
+            line
+            for pos, line in enumerate(text.split(delim))
+            if line.strip(" ") == "" or first[line.strip(" ")] == (did, pos)
+        ]
+        total = len(text.split(delim))
+        out[did] = (delim.join(kept), len(kept), total - len(kept))
+    return out
+
+
+def _run_lines(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["text_deduped"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines_global(df).collect()
+    }
+
+
+def test_line_dedup_keep_first_matches_replica(spark):
+    docs = [
+        (1, "alpha\nbeta\ngamma"),
+        (2, "beta\ndelta\nalpha"),
+        (3, "  beta \n\nepsilon"),   # trimmed match; blank line survives
+        (4, ""),
+        (5, "alpha\nalpha"),          # loses both to doc 1
+        (0, "zeta\nbeta"),            # earliest id owns beta
+    ]
+    got = _run_lines(spark, docs)
+    assert got == _lines_replica(docs)
+    assert got[0] == ("zeta\nbeta", 2, 0)
+    assert got[2] == ("delta", 1, 2)
+    assert got[5] == ("", 0, 2)
+
+
+def test_line_dedup_every_doc_returned_once(spark):
+    docs = [(i, "same\nsame") for i in range(7)]
+    got = _run_lines(spark, docs)
+    assert sorted(got) == list(range(7))
+    assert got[0] == ("same", 1, 1)          # keeps ONE copy
+    assert all(got[i] == ("", 0, 2) for i in range(1, 7))
+
+
+def test_line_dedup_custom_literal_delim(spark):
+    # '|' is regex-special: the split must treat the delim literally
+    df = spark.createDataFrame(
+        [(1, "a|b"), (2, "b|c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup_lines_global(df, delim="|").collect()
+    }
+    assert got == {1: "a|b", 2: "c"}
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", " aa", "", "aa bb"]),
+            min_size=1, max_size=5,
+        ).map("\n".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_line_dedup_exact_model_random(spark_session_global3, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    assert _run_lines(spark_session_global3, docs) == _lines_replica(docs)
+
+
+@pytest.fixture(scope="module")
+def spark_session_global3(spark):
+    return spark
