@@ -2958,6 +2958,28 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_semantic_contamination_embeddings(spark, sf_dir):
+    """Embedding-space decontamination
+    (`kolang_spark/llm/decontam.py::semantic_contamination`): the
+    embeddings table splits into a small 'eval benchmark' slice
+    (vec_id % 50 = 0) and the training remainder; every training row
+    reports its max cosine against the eval set, how many eval vectors
+    clear the 0.30 threshold, and the contaminated flag. Deliberately
+    shuffle-free on the training side — the eval set is packed into one
+    broadcast array row and each training row folds over it in a single
+    Project. The oracle replays the full cross product with
+    list_dot_product (same left-associative fold → bit-identical
+    cosines) and aggregates per training row."""
+    from kolang_spark.llm import semantic_contamination
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.where(F.col("vec_id") % 50 == 0)
+    tr = e.where(F.col("vec_id") % 50 != 0)
+    return semantic_contamination(
+        tr, ev, id_col="vec_id", threshold=0.30
+    ).orderBy("vec_id")
+
+
 def _q_dedup_lines_documents(spark, sf_dir):
     """Corpus-wide keep-first line dedup
     (`kolang_spark/llm/dedup.py::dedup_lines_global`): documents are
@@ -3197,6 +3219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_documents": _q_dedup_keep_best_documents,
         "fix_mojibake_documents": _q_fix_mojibake_documents,
         "dedup_lines_documents": _q_dedup_lines_documents,
+        "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4686,6 +4709,24 @@ def oracle_sql() -> dict[str, str]:
                    true AS cp1252_fixed,
                    true AS clean_unchanged
             FROM documents ORDER BY doc_id
+        """,
+        "semantic_contamination_embeddings": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), b AS (
+              SELECT vec_id, v FROM e WHERE vec_id % 50 = 0
+            ), a AS (
+              SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0
+            ), pairs AS (
+              SELECT a.vec_id AS t_id, {_COS_EXPR} AS cos
+              FROM a JOIN b ON true
+            )
+            SELECT t_id AS vec_id,
+                   ROUND(MAX(cos), 6) AS max_cos,
+                   CAST(SUM(CASE WHEN cos >= 0.30 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_over,
+                   COALESCE(MAX(cos) >= 0.30, false) AS contaminated
+            FROM pairs GROUP BY t_id ORDER BY t_id
         """,
         "dedup_lines_documents": """
             WITH words AS (

@@ -67,7 +67,10 @@ from kolang_spark.llm.scrub import (  # noqa: F401
     redact_pii,
     url_domains,
 )
-from kolang_spark.llm.decontam import ngram_contamination  # noqa: F401
+from kolang_spark.llm.decontam import (  # noqa: F401
+    ngram_contamination,
+    semantic_contamination,
+)
 from kolang_spark.llm.multimodal import (  # noqa: F401
     audio_frame_features,
     image_ahash,

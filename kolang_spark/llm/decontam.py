@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.dedup import with_shingles
 
-__all__ = ["ngram_contamination"]
+__all__ = ["ngram_contamination", "semantic_contamination"]
 
 
 def ngram_contamination(
@@ -104,5 +104,81 @@ def ngram_contamination(
             "n_ngrams",
             "n_hits",
             (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_id_col: Optional[str] = None,
+    eval_vec_col: Optional[str] = None,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every training row whose
+    vector is ≥ ``threshold`` cosine-similar to ANY evaluation vector —
+    the semantic companion to :func:`ngram_contamination` (paraphrased
+    benchmark leakage has no 13-gram overlap but sits next to the eval
+    point in embedding space).
+
+    Returns one row per ``train`` row: ``(id_col, max_cos, n_over,
+    contaminated)`` — the maximum cosine against the eval set (rounded
+    to 6 dp for cross-engine comparison; the flag is computed on the
+    unrounded value), how many eval vectors clear the threshold, and
+    the flag. An empty eval set yields ``max_cos = NULL``, ``n_over =
+    0``, ``contaminated = false``.
+
+    Scale shape — deliberately SHUFFLE-FREE on the training side: the
+    eval set (benchmarks — thousands of vectors, not billions) is
+    collected into a single packed array-of-structs row and broadcast;
+    each training row computes its max/count over that array with
+    higher-order functions in one Project riding the corpus scan. No
+    explode, no groupBy, no window — the 100 TB side is touched exactly
+    once, partition layout preserved. Cost is |eval|·dims multiply-adds
+    per training row; for eval sets too big to broadcast (>~100k
+    vectors) pre-filter candidates with
+    :func:`kolang_spark.llm.similarity.lsh_topk` instead.
+
+    Determinism: each pairwise cosine is a fixed-order left-associative
+    fold (bit-identical across engines and shuffle orders); max/count
+    over them are order-independent.
+    """
+    from kolang_spark.llm.similarity import _as_double, _dot, _norm
+
+    eval_id_col = eval_id_col or id_col
+    eval_vec_col = eval_vec_col or vec_col
+    packed = (
+        eval_df.select(
+            F.col(eval_id_col).alias("e_id"),
+            _as_double(F.col(eval_vec_col)).alias("e_v"),
+        )
+        .withColumn("e_n", _norm(F.col("e_v")))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("e_id", "e_v", "e_n"))
+            ).alias("_evals")
+        )
+    )
+    t = train.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_tv")
+    ).withColumn("_tn", _norm(F.col("_tv")))
+    coss = F.transform(
+        F.col("_evals"),
+        lambda s: _dot(s["e_v"], F.col("_tv")) / (s["e_n"] * F.col("_tn")),
+    )
+    return (
+        t.join(F.broadcast(packed))
+        .withColumn("_cos", coss)
+        .select(
+            F.col(id_col),
+            F.round(F.array_max("_cos"), 6).alias("max_cos"),
+            F.size(F.filter("_cos", lambda c: c >= F.lit(threshold)))
+            .cast("long")
+            .alias("n_over"),
+            F.coalesce(
+                F.array_max("_cos") >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
         )
     )

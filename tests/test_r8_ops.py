@@ -274,3 +274,65 @@ def test_line_dedup_exact_model_random(spark_session_global3, texts):
 @pytest.fixture(scope="module")
 def spark_session_global3(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination
+# ---------------------------------------------------------------------------
+
+from kolang_spark.llm.decontam import semantic_contamination  # noqa: E402
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+
+
+def test_semantic_contamination_flags_close_vectors(spark):
+    ev = _vecs(spark, [(100, [1.0, 0.0]), (101, [0.0, 1.0])])
+    tr = _vecs(spark, [
+        (1, [2.0, 0.0]),      # cos 1.0 with eval 100
+        (2, [1.0, 1.0]),      # cos ~0.707 with both
+        (3, [-1.0, 0.0]),     # cos -1 / 0
+    ])
+    got = {r["doc_id"]: r for r in
+           semantic_contamination(tr, ev, threshold=0.9).collect()}
+    assert got[1]["contaminated"] is True and got[1]["n_over"] == 1
+    assert got[1]["max_cos"] == 1.0
+    assert got[2]["contaminated"] is False and got[2]["n_over"] == 0
+    assert abs(got[2]["max_cos"] - 0.707107) < 1e-6
+    assert got[3]["contaminated"] is False and got[3]["max_cos"] == 0.0
+
+
+def test_semantic_contamination_threshold_counts(spark):
+    ev = _vecs(spark, [(9, [1.0, 0.0]), (10, [0.6, 0.8])])
+    tr = _vecs(spark, [(1, [1.0, 0.0])])
+    got = semantic_contamination(tr, ev, threshold=0.5).collect()[0]
+    assert got["n_over"] == 2 and got["contaminated"] is True
+
+
+def test_semantic_contamination_empty_eval_set(spark):
+    ev = _vecs(spark, [])
+    tr = _vecs(spark, [(1, [1.0, 0.0])])
+    got = semantic_contamination(tr, ev).collect()[0]
+    assert got["max_cos"] is None
+    assert got["n_over"] == 0 and got["contaminated"] is False
+
+
+def test_semantic_contamination_train_side_never_shuffles(spark):
+    ev = _vecs(spark, [(9, [1.0, 0.0])])
+    tr = _vecs(spark, [(i, [float(i), 1.0]) for i in range(10)])
+    plan = semantic_contamination(tr, ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    import re as _re
+    # the TRAIN side must not shuffle: no hash/range exchange anywhere.
+    # The one allowed SinglePartition exchange is the EVAL pack (global
+    # collect_list of the small benchmark set — bounded by design).
+    hash_range = [
+        ln for ln in plan.splitlines()
+        if _re.search(r"\bExchange (hashpartitioning|rangepartitioning)", ln)
+    ]
+    assert not hash_range, hash_range
+    singles = plan.count("Exchange SinglePartition")
+    assert singles <= 1, plan
