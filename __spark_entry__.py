@@ -2958,6 +2958,23 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_mix_temperature_documents(spark, sf_dir):
+    """Temperature-scaled mixture (`kolang_spark/operators/sampling.py
+    ::mix_datasets_temperature`, XLM-R α-smoothing with α = 1/T):
+    T = 2 flattens language shares toward uniform — target share ∝
+    sqrt(n_lang). The weights stay UNNORMALIZED (the cap formula is
+    scale-invariant), so every threshold is a chain of per-domain
+    IEEE-exact ops (sqrt, divide, multiply, min — no cross-domain
+    float sum) and the oracle re-derives them bit-for-bit before
+    replaying the md5 gate."""
+    from kolang_spark.operators.sampling import mix_datasets_temperature
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mix_datasets_temperature(
+        dc, "lang", 2.0, "doc_id", domains=["en", "zh", "es", "de", "fr"]
+    )
+
+
 def _q_semantic_contamination_embeddings(spark, sf_dir):
     """Embedding-space decontamination
     (`kolang_spark/llm/decontam.py::semantic_contamination`): the
@@ -3220,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake_documents": _q_fix_mojibake_documents,
         "dedup_lines_documents": _q_dedup_lines_documents,
         "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
+        "mix_temperature_documents": _q_mix_temperature_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4709,6 +4727,28 @@ def oracle_sql() -> dict[str, str]:
                    true AS cp1252_fixed,
                    true AS clean_unchanged
             FROM documents ORDER BY doc_id
+        """,
+        # unnormalized sqrt(n) weights: thresholds are per-domain
+        # scalar chains + MIN — no cross-domain float sum to replay
+        "mix_temperature_documents": """
+            WITH cnt AS (
+              SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents
+              WHERE lang IN ('en', 'zh', 'es', 'de', 'fr')
+              GROUP BY 1
+            ), cap AS (
+              SELECT MIN(n / sqrt(n)) AS t FROM cnt
+            ), thr AS (
+              SELECT lang,
+                     CAST(floor(LEAST(1.0, (SELECT t FROM cap)
+                                           * sqrt(n) / n)
+                                * 1152921504606846976) AS BIGINT) AS bound
+              FROM cnt
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))
+                    ::BIGINT < bound
         """,
         "semantic_contamination_embeddings": f"""
             WITH e AS (

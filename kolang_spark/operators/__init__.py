@@ -7,6 +7,9 @@ from kolang_spark.operators.rangejoin import (  # noqa: F401
 )
 from kolang_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
+    mix_datasets,
+    mix_datasets_temperature,
+    split_dataset,
     stratified_fixed_sample,
     stratified_sample,
     top_k_per_group,

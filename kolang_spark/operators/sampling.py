@@ -22,6 +22,7 @@ __all__ = [
     "weighted_sample",
     "split_dataset",
     "mix_datasets",
+    "mix_datasets_temperature",
 ]
 
 
@@ -336,3 +337,63 @@ def mix_datasets(
     return stratified_sample(
         df, domain, fractions, key, default_fraction=0.0, salt=salt
     )
+
+
+def mix_datasets_temperature(
+    df: DataFrame,
+    domain: ColumnOrName,
+    temperature: float,
+    key: ColumnOrName,
+    domains: "Optional[list[str]]" = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture — the multilingual-pretraining
+    upsampling rule (XLM-R's α-smoothing with α = 1/T): target share
+    per domain ∝ ``n_d^(1/temperature)``. ``T = 1`` reproduces the
+    natural distribution (every row kept); larger ``T`` flattens the
+    mixture toward uniform (at ``T → ∞`` every domain contributes the
+    size of the smallest), boosting low-resource domains relative to
+    their raw counts.
+
+    Implementation detail with cross-engine consequences: the weights
+    are fed to :func:`mix_datasets` UNNORMALIZED (``n^(1/T)``, no
+    division by their sum). The cap formula ``t = min(n_d/p_d)``,
+    ``frac_d = t·p_d/n_d`` is invariant to any common scaling of the
+    weights, so skipping normalization removes the only cross-domain
+    floating-point SUM from the pipeline — every threshold is a chain
+    of per-domain IEEE-exact operations (pow, divide, multiply, min),
+    which an external SQL oracle reproduces bit-for-bit (``T = 2`` is
+    plain ``sqrt``).
+
+    ``domains`` limits the mixture (rows outside are dropped, matching
+    :func:`mix_datasets`); ``None`` discovers all non-NULL domains
+    with a bounded ``distinct().collect()`` (one row per domain —
+    domains are languages/sources, not data-scale). Selection is the
+    same md5 hash-gate: deterministic across runs, partitionings, and
+    engines.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    d = to_col(domain)
+    if domains is None:
+        domains = [
+            r["__ks_dom__"]
+            for r in df.select(d.alias("__ks_dom__"))
+            .where(d.isNotNull())
+            .distinct()
+            .collect()  # bounded: one row per distinct domain
+        ]
+    counts = {
+        r["__ks_dom__"]: r["n"]
+        for r in df.where(d.isin(*domains))
+        .groupBy(d.alias("__ks_dom__"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: one row per listed domain
+    }
+    missing = sorted(set(domains) - set(counts))
+    if missing:
+        raise ValueError(f"listed domains absent from the data: {missing}")
+    weights = {
+        name: counts[name] ** (1.0 / temperature) for name in domains
+    }
+    return mix_datasets(df, domain, weights, key, salt=salt)

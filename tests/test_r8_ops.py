@@ -336,3 +336,93 @@ def test_semantic_contamination_train_side_never_shuffles(spark):
     assert not hash_range, hash_range
     singles = plan.count("Exchange SinglePartition")
     assert singles <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixing
+# ---------------------------------------------------------------------------
+
+from kolang_spark.operators.sampling import (  # noqa: E402
+    mix_datasets_temperature,
+)
+
+
+def _mix_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, dom string")
+
+
+def test_mix_temperature_t1_keeps_everything(spark):
+    rows = [(k, "ab"[k % 2]) for k in range(40)]
+    got = mix_datasets_temperature(
+        _mix_df(spark, rows), "dom", 1.0, "k"
+    ).count()
+    assert got == 40
+
+
+def test_mix_temperature_invalid_args(spark):
+    df = _mix_df(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        mix_datasets_temperature(df, "dom", 0.0, "k")
+    with pytest.raises(ValueError):
+        mix_datasets_temperature(df, "dom", 2.0, "k", domains=["a", "zz"])
+
+
+def test_mix_temperature_discovery_equals_explicit(spark):
+    rows = [(k, "abc"[k % 3]) for k in range(60)]
+    df = _mix_df(spark, rows)
+    auto = sorted(r.k for r in
+                  mix_datasets_temperature(df, "dom", 2.0, "k").collect())
+    expl = sorted(r.k for r in
+                  mix_datasets_temperature(df, "dom", 2.0, "k",
+                                           domains=["a", "b", "c"]).collect())
+    assert auto == expl
+
+
+def test_pow_half_equals_sqrt_assumption():
+    # the oracle replays n**(1/2) as sqrt(n); pin the libm assumption
+    import math
+    for n in [1, 2, 3, 7, 10, 97, 500, 12345, 10**6, 10**9, 10**12]:
+        assert n ** 0.5 == math.sqrt(n), n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(20, 120),
+    n_domains=st.integers(2, 4),
+    temp=st.sampled_from([1.0, 2.0, 4.0, 100.0]),
+)
+def test_mix_temperature_exact_membership_model(
+    spark_session_global4, n, n_domains, temp
+):
+    """Exact pure-Python model of the whole chain: counts →
+    unnormalized n^(1/T) weights → cap → fractions → 60-bit md5 gate."""
+    import hashlib
+
+    doms = [f"d{i}" for i in range(n_domains)]
+    # skewed sizes: domain i gets rows where k % (i+2) == 0 pattern
+    rows = [(k, doms[min(n_domains - 1, k % (n_domains + 2))])
+            for k in range(n)]
+    df = _mix_df(spark_session_global4, rows)
+    got = sorted(
+        r.k for r in mix_datasets_temperature(
+            df, "dom", temp, "k", domains=doms
+        ).collect()
+    )
+    counts: dict = {}
+    for _, d in rows:
+        counts[d] = counts.get(d, 0) + 1
+    weights = {d: counts[d] ** (1.0 / temp) for d in doms}
+    t = min(counts[d] / p for d, p in weights.items())
+    thr = {d: int(min(1.0, t * p / counts[d]) * (1 << 60))
+           for d, p in weights.items()}
+
+    def h60(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[17:32], 16)
+
+    want = sorted(k for k, d in rows if h60(k) < thr[d])
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def spark_session_global4(spark):
+    return spark
