@@ -2958,6 +2958,49 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_blocked_domains_documents(spark, sf_dir):
+    """Domain-blocklist URL filtering (`kolang_spark/llm/scrub.py::
+    filter_blocked_domains`, the C4/UT1 curation filter): one URL per
+    doc is synthesized from doc_id across four host shapes — an exact
+    blocklist hit (case-mangled host), a SUBDOMAIN of a blocked domain
+    behind a port (suffix matching is the point of the operator), a
+    host that merely CONTAINS a blocked name as a substring
+    ('notbad{k}.com' must NOT match 'bad{k}.com'), and a NULL url. The
+    oracle predicts blocked_domain/is_blocked closed-form per doc_id
+    residue."""
+    from kolang_spark.llm import filter_blocked_domains
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 7).cast("string")
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("http://Bad"), k, F.lit(".com/x"), sid),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://ads.tracker"), k, F.lit(".net:443/p"), sid
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://notbad"), k, F.lit(".com/y"), sid),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    blocklist = [f"bad{i}.com" for i in range(7)] + [
+        f"tracker{i}.net" for i in range(7)
+    ]
+    out = filter_blocked_domains(
+        dc.withColumn("url", url), "url", blocklist
+    )
+    return out.select("doc_id", "blocked_domain", "is_blocked").orderBy(
+        "doc_id"
+    )
+
+
 def _q_mix_temperature_documents(spark, sf_dir):
     """Temperature-scaled mixture (`kolang_spark/operators/sampling.py
     ::mix_datasets_temperature`, XLM-R α-smoothing with α = 1/T):
@@ -3238,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_documents": _q_dedup_lines_documents,
         "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
         "mix_temperature_documents": _q_mix_temperature_documents,
+        "blocked_domains_documents": _q_blocked_domains_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4726,6 +4770,21 @@ def oracle_sql() -> dict[str, str]:
                    true AS latin1_fixed,
                    true AS cp1252_fixed,
                    true AS clean_unchanged
+            FROM documents ORDER BY doc_id
+        """,
+        # closed-form prediction: residue 0 → exact hit 'bad{k}.com',
+        # residue 1 → subdomain hit on 'tracker{k}.net' (most-specific
+        # match is the ENTRY, not the full host), residue 2 →
+        # 'notbad{k}.com' is a substring but NOT a DNS suffix → clean,
+        # residue 3 → NULL url → never blocked
+        "blocked_domains_documents": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                     WHEN 0 THEN 'bad' || (doc_id % 7) || '.com'
+                     WHEN 1 THEN 'tracker' || (doc_id % 7) || '.net'
+                     ELSE NULL
+                   END AS blocked_domain,
+                   (doc_id % 4) IN (0, 1) AS is_blocked
             FROM documents ORDER BY doc_id
         """,
         # unnormalized sqrt(n) weights: thresholds are per-domain

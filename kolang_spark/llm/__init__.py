@@ -61,6 +61,7 @@ from kolang_spark.llm.textstats import (  # noqa: F401
 from kolang_spark.llm.scrub import (  # noqa: F401
     canonicalize_url,
     extract_urls,
+    filter_blocked_domains,
     fix_mojibake,
     mojibake_score,
     pii_counts,

@@ -36,6 +36,7 @@ __all__ = [
     "extract_urls",
     "url_domains",
     "canonicalize_url",
+    "filter_blocked_domains",
     "mojibake_score",
     "fix_mojibake",
 ]
@@ -188,6 +189,92 @@ def canonicalize_url(col: ColumnOrName) -> Column:
     path = F.regexp_replace(path, r"/$", "")
     return F.when(is_http, F.concat(scheme, F.lit("://"), host, path)).otherwise(
         u
+    )
+
+
+def filter_blocked_domains(
+    df,
+    url_col: ColumnOrName,
+    blocklist,
+    domain_col: str = "domain",
+    max_entries: int = 1_000_000,
+):
+    """Domain-blocklist filtering — the C4/UT1-style URL filter every
+    crawl-curation pipeline runs: flag rows whose URL's host matches a
+    blocklist entry exactly OR is a subdomain of one
+    (``ads.example.com`` is blocked by ``example.com``).
+
+    ``blocklist`` is a DataFrame with a ``domain_col`` string column
+    (or a plain list of strings); entries are lower-cased, trimmed, and
+    de-duplicated. Returns ``df`` plus two columns: ``blocked_domain``
+    (the MOST SPECIFIC matching entry — longest suffix — or NULL) and
+    ``is_blocked``. Rows with NULL / non-URL values are never blocked.
+    Callers ``filter(~col('is_blocked'))`` to drop.
+
+    Scale shape — shuffle-free on the corpus side (the
+    remove_boilerplate_lines hot-map pattern): the blocklist collapses
+    to ONE ``map<domain,bool>`` row that rides a
+    ``crossJoin(broadcast(...))`` to every partition; each row probes
+    its ≤ #labels DNS suffixes against the map (O(1) hash probe each)
+    inside one Project over the scan. ``max_entries`` guards the
+    broadcast (default 1M ≈ the UT1 adult list's order of magnitude);
+    beyond that, pre-join the exploded suffixes against a blocklist
+    TABLE instead — the flag raises with that suggestion rather than
+    silently building a multi-GB map row.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if not isinstance(blocklist, _DF):
+        entries = sorted({str(x).strip().lower() for x in blocklist if x})
+        blocklist = df.sparkSession.createDataFrame(
+            [(e,) for e in entries] or [], f"{domain_col} string"
+        )
+    n = blocklist.count()  # bounded: blocklists are curated, not corpus
+    if n > max_entries:
+        raise ValueError(
+            f"blocklist has {n} entries > max_entries={max_entries}; "
+            "join exploded host suffixes against the blocklist table "
+            "instead of the broadcast-map path"
+        )
+    packed = (
+        blocklist.select(
+            F.lower(F.trim(F.col(domain_col))).alias("_d")
+        )
+        .where(F.col("_d") != "")
+        .distinct()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_d"), F.lit(True)))
+            ).alias("_blocked")
+        )
+    )
+    u = str_to_column(url_col)
+    rest = F.regexp_replace(u, r"(?i)^https?://", "")
+    auth = F.split(rest, r"[/:?#]").getItem(0)
+    host = F.lower(F.element_at(F.split(auth, "@"), -1))
+    labels = F.split(host, r"\.")
+    # suffixes, most specific first: full host, then each parent domain
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, i, F.size(labels) - i + 1), "."
+        ),
+    )
+    matched = F.filter(
+        suffixes, lambda s: F.try_element_at("_blocked", s).isNotNull()
+    )
+    return (
+        df.join(F.broadcast(packed))
+        .withColumn("_m", matched)
+        .withColumn(
+            "blocked_domain",
+            F.when(F.size("_m") > 0, F.element_at("_m", 1)),
+        )
+        # NULL url → NULL suffix array → coalesce to "not blocked"
+        .withColumn(
+            "is_blocked", F.coalesce(F.size("_m") > 0, F.lit(False))
+        )
+        .drop("_blocked", "_m")
     )
 
 

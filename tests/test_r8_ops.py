@@ -426,3 +426,86 @@ def test_mix_temperature_exact_membership_model(
 @pytest.fixture(scope="module")
 def spark_session_global4(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist filtering
+# ---------------------------------------------------------------------------
+
+from kolang_spark.llm.scrub import filter_blocked_domains  # noqa: E402
+
+
+def _urls(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "id long, url string"
+    )
+
+
+def test_blocklist_exact_subdomain_and_substring(spark):
+    df = _urls(spark, [
+        "http://bad.com/page",            # exact
+        "https://ads.Bad.COM:443/x",      # subdomain + case + port
+        "http://notbad.com/y",            # substring, NOT a suffix
+        "https://deep.a.b.bad.com/z",     # deep subdomain
+        "http://good.org/",
+        None,
+        "not a url at all",
+    ])
+    got = {r["id"]: (r["blocked_domain"], r["is_blocked"])
+           for r in filter_blocked_domains(df, "url", ["bad.com"]).collect()}
+    assert got[0] == ("bad.com", True)
+    assert got[1] == ("bad.com", True)
+    assert got[2] == (None, False)
+    assert got[3] == ("bad.com", True)
+    assert got[4] == (None, False)
+    assert got[5] == (None, False)
+    assert got[6] == (None, False)
+
+
+def test_blocklist_most_specific_entry_wins(spark):
+    df = _urls(spark, ["http://ads.example.com/x"])
+    got = filter_blocked_domains(
+        df, "url", ["example.com", "ads.example.com"]
+    ).collect()[0]
+    assert got["blocked_domain"] == "ads.example.com"
+
+
+def test_blocklist_dataframe_input_and_dedup(spark):
+    bl = spark.createDataFrame(
+        [("Bad.com ",), ("bad.com",), ("",), (None,)], "domain string"
+    )
+    df = _urls(spark, ["http://x.bad.com/1", "http://ok.net/2"])
+    got = {r["id"]: r["is_blocked"]
+           for r in filter_blocked_domains(df, "url", bl).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_blocklist_empty_blocks_nothing(spark):
+    df = _urls(spark, ["http://bad.com/x"])
+    got = filter_blocked_domains(df, "url", []).collect()[0]
+    assert got["is_blocked"] is False and got["blocked_domain"] is None
+
+
+def test_blocklist_max_entries_guard(spark):
+    df = _urls(spark, ["http://a.com/"])
+    with pytest.raises(ValueError, match="max_entries"):
+        filter_blocked_domains(
+            df, "url", ["d0.com", "d1.com", "d2.com"], max_entries=2
+        )
+
+
+def test_blocklist_corpus_side_never_shuffles(spark):
+    df = _urls(spark, [f"http://h{i}.com/x" for i in range(6)])
+    plan = (
+        filter_blocked_domains(df, "url", ["h1.com"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re as _re
+    # the blocklist's own distinct() may exchange on _d (bounded side);
+    # the CORPUS columns (id/url) must never appear under an Exchange
+    hash_range = [
+        ln for ln in plan.splitlines()
+        if _re.search(r"\bExchange (hashpartitioning|rangepartitioning)", ln)
+        and _re.search(r"\b(id|url)#", ln)
+    ]
+    assert not hash_range, hash_range
