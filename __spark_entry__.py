@@ -2958,6 +2958,42 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_minhash_recall_planted(spark, sf_dir):
+    """Planted-recall evidence for MinHash banding (the near-dup
+    analogue of `ann_recall_planted`): every third document gets a
+    planted near-duplicate (every 10th word dropped, id + 100000)
+    appended to the corpus; the query reports, per planted pair,
+    whether `minhash_candidate_pairs` surfaced it. The md5 minhash is
+    deterministic, so the oracle replays the identical planting +
+    banding and the found flags hash-match exactly — the external
+    record shows banding recall on known-similar pairs, not just
+    self-consistency."""
+    from kolang_spark.llm import minhash_candidate_pairs
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = dc.where(F.col("doc_id") % 3 == 0)
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    kept = F.filter(words, lambda x, i: (i + F.lit(1)) % 10 != 0)
+    planted = src.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(kept, " ").alias("text"),
+    )
+    pairs = minhash_candidate_pairs(
+        dc.unionAll(planted), num_hashes=6, bands=3
+    )
+    hits = pairs.where(F.col("id_b") == F.col("id_a") + 100000).select(
+        F.col("id_a").alias("doc_id"), F.lit(True).alias("_hit")
+    )
+    return (
+        src.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("_hit", F.lit(False)).alias("found")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_blocked_domains_documents(spark, sf_dir):
     """Domain-blocklist URL filtering (`kolang_spark/llm/scrub.py::
     filter_blocked_domains`, the C4/UT1 curation filter): one URL per
@@ -3138,7 +3174,12 @@ def _q_pagerank_purchases(spark, sf_dir):
         F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
     )
-    return pagerank(edges, iterations=4).orderBy("node")
+    # broadcast_ranks: |V| here is customers+suppliers (~1.6k at
+    # sf0.01) — the rank table broadcasts and the checkpointed edge
+    # frame is scanned in place instead of re-shuffled each round
+    return pagerank(edges, iterations=4, broadcast_ranks=True).orderBy(
+        "node"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3282,6 +3323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
         "mix_temperature_documents": _q_mix_temperature_documents,
         "blocked_domains_documents": _q_blocked_domains_documents,
+        "minhash_recall_planted": _q_minhash_recall_planted,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -3374,9 +3416,14 @@ def _jalali_cte(src_table: str, date_col: str, keep: str) -> str:
     """
 
 
-_SHINGLE_CTE = r"""
+def _shingle_cte(source: str = "documents") -> str:
+    """4-gram word-shingle CTE chain (words → sh). ``source`` is a
+    table name or parenthesized subquery exposing (doc_id, text) — a
+    parameter, not post-hoc text surgery on the generated SQL."""
+    return rf"""
     WITH words AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM {source}
     ), sh AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+4], ' ')
@@ -3384,6 +3431,9 @@ _SHINGLE_CTE = r"""
       FROM words
     )
 """
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -3471,7 +3521,9 @@ def _minhash_banded_cte(num_hashes: int = 6, bands: int = 3) -> str:
     )
 
 
-def _minhash_sql(num_hashes: int = 6, bands: int = 3) -> str:
+def _minhash_sql(
+    num_hashes: int = 6, bands: int = 3, source: str = "documents"
+) -> str:
     rows = num_hashes // bands
     mh = ",\n             ".join(
         f"list_min([md5('{i}:' || x) for x in s]) AS mh_{i}"
@@ -3485,7 +3537,7 @@ def _minhash_sql(num_hashes: int = 6, bands: int = 3) -> str:
         for b in range(bands)
     )
     return (
-        _SHINGLE_CTE
+        _shingle_cte(source)
         + f"""
     , sig AS (
       SELECT doc_id,
@@ -3924,6 +3976,21 @@ def _bm25_sql(k: int, k1: float, b: float) -> str:
                    ROUND(CAST(s AS DOUBLE) / 1e6, 6) AS score,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= {k}"""
+
+
+# corpus + planted near-dups (every 10th word dropped, id + 100000) —
+# the source subquery for the minhash_recall_planted oracle
+_PLANTED_NEARDUP_SRC = r"""(
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       array_to_string(
+                         [w[i] for i in range(1, len(w)+1) if i % 10 != 0],
+                         ' ') AS text
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS w
+                      FROM documents WHERE doc_id % 3 = 0)
+              )"""
 
 
 def _pagerank_sql(
@@ -4771,6 +4838,17 @@ def oracle_sql() -> dict[str, str]:
                    true AS cp1252_fixed,
                    true AS clean_unchanged
             FROM documents ORDER BY doc_id
+        """,
+        "minhash_recall_planted": f"""
+            WITH pairs AS (
+              {_minhash_sql(6, 3, source=_PLANTED_NEARDUP_SRC)}
+            )
+            SELECT d.doc_id, COALESCE(p.hit, false) AS found
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+            LEFT JOIN (SELECT id_a AS doc_id, true AS hit FROM pairs
+                       WHERE id_b = id_a + 100000) p
+              ON d.doc_id = p.doc_id
+            ORDER BY d.doc_id
         """,
         # closed-form prediction: residue 0 → exact hit 'bad{k}.com',
         # residue 1 → subdomain hit on 'tracker{k}.net' (most-specific

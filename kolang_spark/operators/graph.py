@@ -35,6 +35,7 @@ def pagerank(
     scale: int = 10**9,
     node_col: str = "node",
     rank_col: str = "rank_fp",
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node_col, rank_col)``
     with ``rank_col`` the node's rank in integer micro-units of
@@ -62,12 +63,22 @@ def pagerank(
     expensive side of every join is scanned, not rebuilt). Each
     iteration is exactly one shuffle join (ranks ⋈ edges on src), one
     map-side-combinable groupBy (dst), and one left join back onto the
-    node spine; the rank frame (|V| rows, two columns) is
-    ``localCheckpoint``-ed per round so the plan stays O(1) deep
-    instead of O(iterations). The only driver sync per round is the
-    ONE-row dangling-mass scalar (bounded by construction — same
-    posture as the k-means centroid sync). No collect of node or edge
-    data, no cross join, no Python UDF.
+    node spine; the rank frame (|V| rows) is ``localCheckpoint``-ed per
+    round so the plan stays O(1) deep instead of O(iterations). The
+    only per-round driver sync is the dangling-mass scalar, and it is
+    fused into the checkpoint's own action via ``DataFrame.observe``
+    (the connected_components trick) — ONE Spark job per iteration
+    total; round 0's dangling mass is pure arithmetic because initial
+    ranks are uniform. No collect of node or edge data, no cross join,
+    no Python UDF.
+
+    ``broadcast_ranks=True`` hints the per-iteration ranks ⋈ edges join
+    to broadcast the rank table, so the (checkpointed) edge frame is
+    scanned in place instead of re-shuffled every round — the right
+    call whenever |V| fits comfortably in executor memory (entity
+    graphs, host graphs up to ~10M nodes). Leave False for web-scale
+    vertex sets; AQE may still pick a broadcast at runtime when the
+    rank table is small enough.
 
     Precision: with scale = 1e9 the quantization error per node per
     round is < 1/scale of total mass — ranking order is unaffected for
@@ -84,38 +95,53 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # node spine with a has-outgoing flag, pinned once: the flag lets
+    # each round's dangling mass come out of the SAME action that
+    # checkpoints the new ranks (observe-fusion, the
+    # connected_components trick) instead of a separate collect job.
     nodes = (
         e.select(F.col("src").alias(node_col))
         .unionAll(e.select(F.col("dst").alias(node_col)))
         .distinct()
+        .join(
+            outdeg.select(
+                F.col("src").alias(node_col), F.lit(True).alias("_has_out")
+            ),
+            node_col,
+            "left",
+        )
+        .select(
+            node_col, F.coalesce("_has_out", F.lit(False)).alias("_has_out")
+        )
         .localCheckpoint(eager=True)
     )
     n = nodes.count()  # bounded: one scalar, the node count
     if n == 0:
-        return nodes.withColumn(rank_col, F.lit(0).cast("long"))
+        return nodes.select(
+            node_col, F.lit(0).cast("long").alias(rank_col)
+        )
+    # initial ranks are uniform, so the first round's dangling mass is
+    # pure arithmetic — no job needed
+    n_dangling = nodes.where(~F.col("_has_out")).count()
+    dangling = (scale // n) * n_dangling
 
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges never change across iterations: attach out-degrees once and
     # pin the frame so each round scans it instead of re-joining.
     e_od = e.join(outdeg, "src").localCheckpoint(eager=True)
 
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.withColumn("r", F.lit(int(scale // n)).cast("long"))
-    # dangling spine: nodes with no outgoing edge (their mass has
-    # nowhere to flow and is redistributed uniformly each round).
-    dangling_nodes = nodes.join(
-        outdeg.select(F.col("src").alias(node_col)), node_col, "left_anti"
-    ).localCheckpoint(eager=True)
+
+    try:
+        from pyspark.sql import Observation
+    except ImportError:  # pragma: no cover - Observation ships with 3.3+
+        Observation = None
 
     for _ in range(iterations):
-        dang_row = (
-            dangling_nodes.join(ranks, node_col)
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
-            .collect()  # bounded: exactly one row, one long
-        )
-        dangling = int(dang_row[0]["d"])
+        rside = F.broadcast(ranks) if broadcast_ranks else ranks
         in_sum = (
-            e_od.join(ranks, e_od["src"] == ranks[node_col])
+            e_od.join(rside, e_od["src"] == ranks[node_col])
             .select(
                 F.col("dst"),
                 F.expr("r div outdeg").alias("contrib"),
@@ -124,19 +150,39 @@ def pagerank(
             .agg(F.sum("contrib").alias("in_sum"))
         )
         uniform_dang = dangling // n
-        ranks = (
-            nodes.join(in_sum, nodes[node_col] == in_sum["dst"], "left")
-            .select(
-                nodes[node_col],
-                (
-                    F.lit(int(teleport))
-                    + F.expr(
-                        f"({damping_num} * (coalesce(in_sum, 0L)"
-                        f" + {uniform_dang}L)) div {damping_den}"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
+        nxt = nodes.join(
+            in_sum, nodes[node_col] == in_sum["dst"], "left"
+        ).select(
+            nodes[node_col],
+            F.col("_has_out"),
+            (
+                F.lit(int(teleport))
+                + F.expr(
+                    f"({damping_num} * (coalesce(in_sum, 0L)"
+                    f" + {uniform_dang}L)) div {damping_den}"
+                )
+            ).cast("long").alias("r"),
         )
+        # next round's dangling mass rides the checkpoint's own action:
+        # one Spark job per iteration, total
+        if Observation is not None:
+            obs = Observation()
+            nxt = nxt.observe(
+                obs,
+                F.sum(
+                    F.when(~F.col("_has_out"), F.col("r")).otherwise(
+                        F.lit(0)
+                    )
+                ).alias("dang"),
+            )
+            ranks = nxt.localCheckpoint(eager=True)
+            dangling = int(obs.get["dang"])
+        else:  # pragma: no cover - pre-3.3 fallback
+            ranks = nxt.localCheckpoint(eager=True)
+            dangling = int(
+                ranks.where(~F.col("_has_out"))
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+                .collect()[0]["d"]
+            )
 
     return ranks.select(F.col(node_col), F.col("r").alias(rank_col))

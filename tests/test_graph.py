@@ -86,6 +86,17 @@ def test_invalid_args(spark):
         pagerank(df, damping_num=100, damping_den=100)
 
 
+def test_broadcast_ranks_bit_identical(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {r["node"]: r["rank_fp"]
+             for r in pagerank(df, iterations=3).collect()}
+    bcast = {r["node"]: r["rank_fp"]
+             for r in pagerank(df, iterations=3,
+                               broadcast_ranks=True).collect()}
+    assert plain == bcast == _replica(edges, 3)
+
+
 def test_custom_columns_and_scale(spark):
     df = spark.createDataFrame(
         [("p1", "p2"), ("p2", "p1")], "from_url string, to_url string"
