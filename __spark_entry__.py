@@ -2958,6 +2958,38 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_fold_confusables_documents(spark, sf_dir):
+    """NFKC-lite confusable folding (`kolang_spark/llm/scrub.py::
+    fold_confusables`), invariant-oracle checked like fix_mojibake:
+    each document is deterministically 'dirtied' ('the' → fullwidth
+    'ｔｈｅ', a suffix with ligature + ellipsis + zero-width space
+    appended), folded, and compared against the closed-form expected
+    text (the fullwidth injection folds back to the original, the
+    suffix folds to ' fin...'). The oracle predicts the flags, the
+    +2 length delta, and the injected-fullwidth count from the
+    original parquet text."""
+    from kolang_spark.llm import fold_confusables
+
+    dc = _t(spark, sf_dir, "documents")
+    corrupted = F.concat(
+        F.replace(F.col("text"), F.lit("the"), F.lit("ｔｈｅ")),
+        F.lit(" ﬁn…​"),
+    )
+    expected = F.concat(F.col("text"), F.lit(" fin..."))
+    folded = fold_confusables(corrupted)
+    return dc.select(
+        "doc_id",
+        F.regexp_count(corrupted, F.lit("ｔｈｅ"))
+        .cast("long")
+        .alias("n_fullwidth"),
+        (folded == expected).alias("folded_ok"),
+        (F.length(folded) - F.length(corrupted))
+        .cast("long")
+        .alias("len_delta"),
+        (fold_confusables(folded) == folded).alias("idempotent"),
+    ).orderBy("doc_id")
+
+
 def _q_minhash_recall_planted(spark, sf_dir):
     """Planted-recall evidence for MinHash banding (the near-dup
     analogue of `ann_recall_planted`): every third document gets a
@@ -3324,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_temperature_documents": _q_mix_temperature_documents,
         "blocked_domains_documents": _q_blocked_domains_documents,
         "minhash_recall_planted": _q_minhash_recall_planted,
+        "fold_confusables_documents": _q_fold_confusables_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4837,6 +4870,19 @@ def oracle_sql() -> dict[str, str]:
                    true AS latin1_fixed,
                    true AS cp1252_fixed,
                    true AS clean_unchanged
+            FROM documents ORDER BY doc_id
+        """,
+        # invariant oracle (fix_mojibake pattern): corruption is
+        # synthesized in the Spark query; SQL predicts the flags, the
+        # +2 length delta (suffix ' ﬁn…ZWSP' 5 chars → ' fin...' 7),
+        # and the injected-fullwidth count from the original text
+        "fold_confusables_documents": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text, 'the', '')))
+                        // 3 AS BIGINT) AS n_fullwidth,
+                   true AS folded_ok,
+                   CAST(2 AS BIGINT) AS len_delta,
+                   true AS idempotent
             FROM documents ORDER BY doc_id
         """,
         "minhash_recall_planted": f"""

@@ -63,6 +63,7 @@ from kolang_spark.llm.scrub import (  # noqa: F401
     extract_urls,
     filter_blocked_domains,
     fix_mojibake,
+    fold_confusables,
     mojibake_score,
     pii_counts,
     redact_pii,

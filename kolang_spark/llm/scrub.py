@@ -37,6 +37,7 @@ __all__ = [
     "url_domains",
     "canonicalize_url",
     "filter_blocked_domains",
+    "fold_confusables",
     "mojibake_score",
     "fix_mojibake",
 ]
@@ -309,6 +310,58 @@ _CP1252_BYTES = (
 MOJIBAKE_SIGNATURE = (
     "[\u00c2-\u00f4][\u0080-\u00bf" + _CP1252_VISIBLE + "]"
 )
+
+
+# 1:1 foldings, applied with one translate(): fullwidth ASCII block
+# (U+FF01-U+FF5E → 0x21-0x7E), ideographic/no-break spaces → space,
+# curly single/double quotes → straight, dash family → '-',
+# fraction slash → '/'
+_FOLD_SRC = (
+    "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+    + "　 ‘’‚‛“”„‟"
+    + "‐‑‒–—―−⁄"
+)
+_FOLD_DST = (
+    "".join(chr(c) for c in range(0x21, 0x7F))
+    + "  ''''\"\"\"\""
+    + "-------/"
+)
+
+# removed entirely: zero-width space/joiners, BOM, soft hyphen
+_ZERO_WIDTH_RE = "[​‌‍﻿­]"
+
+# 1:n foldings (translate can't grow): common Latin ligatures, ellipsis
+_LIGATURES = [
+    ("ﬀ", "ff"), ("ﬁ", "fi"), ("ﬂ", "fl"),
+    ("ﬃ", "ffi"), ("ﬄ", "ffl"), ("Œ", "OE"),
+    ("œ", "oe"), ("…", "..."),
+]
+
+
+def fold_confusables(col: ColumnOrName) -> Column:
+    """NFKC-lite text normalization as pure Column algebra — the
+    canonical-form folding crawl pipelines apply before tokenizing and
+    fingerprinting (fullwidth '５ＧＢ' and halfwidth '5GB' must hash
+    the same):
+
+    - fullwidth ASCII block → ASCII; ideographic and no-break spaces →
+      plain space;
+    - curly quotes → straight, the dash family → '-', '…' → '...';
+    - Latin ligatures (ﬁ ﬂ ﬀ ﬃ ﬄ Œ œ) expanded;
+    - zero-width space/joiners, BOM, and soft hyphens removed.
+
+    One ``translate`` (all 1:1 maps), one ``regexp_replace`` (the
+    removals), and a short literal ``replace`` chain (1:n ligatures) —
+    a single Project riding the scan, replayable verbatim in any SQL
+    engine with translate/replace. Deliberately NOT full NFKC (no
+    decomposition tables); it covers the high-frequency confusables
+    that actually occur in web text. NULL in → NULL out.
+    """
+    out = F.translate(str_to_column(col), _FOLD_SRC, _FOLD_DST)
+    out = F.regexp_replace(out, _ZERO_WIDTH_RE, "")
+    for src_ch, dst in _LIGATURES:
+        out = F.replace(out, F.lit(src_ch), F.lit(dst))
+    return out
 
 
 def mojibake_score(col: ColumnOrName) -> Column:

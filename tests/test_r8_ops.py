@@ -429,6 +429,75 @@ def spark_session_global4(spark):
 
 
 # ---------------------------------------------------------------------------
+# confusable folding
+# ---------------------------------------------------------------------------
+
+from kolang_spark.llm.scrub import (  # noqa: E402
+    _FOLD_DST,
+    _FOLD_SRC,
+    _LIGATURES,
+    _ZERO_WIDTH_RE,
+    fold_confusables,
+)
+
+_FOLD_TBL = str.maketrans(_FOLD_SRC, _FOLD_DST)
+
+
+def _fold_replica(s):
+    import re
+    s = s.translate(_FOLD_TBL)
+    s = re.sub(_ZERO_WIDTH_RE, "", s)
+    for a, b in _LIGATURES:
+        s = s.replace(a, b)
+    return s
+
+
+def _fold_many(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [r["f"] for r in df.select(fold_confusables("t").alias("f")).collect()]
+
+
+def test_fold_confusables_known_cases(spark):
+    cases = {
+        "５ＧＢ　ﬁle": "5GB file",
+        "“smart” – ‘quotes’…": '"smart" - \'quotes\'...',
+        "zero​width­gone": "zerowidthgone",
+        "Ａ-Ｚａ-ｚ０-９！？": "A-Za-z0-9!?",
+        "plain ascii stays": "plain ascii stays",
+        "": "",
+    }
+    got = _fold_many(spark, list(cases))
+    assert got == [cases[k] for k in cases]
+
+
+def test_fold_confusables_null(spark):
+    df = spark.createDataFrame([(None,)], "t string")
+    assert df.select(fold_confusables("t").alias("f")).collect()[0]["f"] is None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    s=st.text(
+        alphabet=st.sampled_from(
+            list("ab 5…ﬁﬂ“”‘’–—　ＡＢｚ！​ ﻿")
+        ),
+        max_size=30,
+    ),
+)
+def test_fold_confusables_exact_model(spark_session_global5, s):
+    got = _fold_many(spark_session_global5, [s])[0]
+    want = _fold_replica(s)
+    assert got == want
+    # idempotence on the folded output
+    assert _fold_many(spark_session_global5, [got])[0] == got
+
+
+@pytest.fixture(scope="module")
+def spark_session_global5(spark):
+    return spark
+
+
+# ---------------------------------------------------------------------------
 # domain blocklist filtering
 # ---------------------------------------------------------------------------
 
