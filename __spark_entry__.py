@@ -2958,6 +2958,57 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_robots_documents(spark, sf_dir):
+    """robots.txt parsing + URL permission check
+    (`kolang_spark/sources/robots.py::parse_robots`/`robots_allowed`):
+    every document becomes a domain with a synthesized robots.txt
+    (comment, a '*' group with prefix/longest-match-Allow/wildcard/
+    $-anchored rules, an 'evilbot' group that must be IGNORED for
+    agent '*'), plus one URL whose path varies by doc_id % 6 across
+    the interesting cases — blocked prefix, longer Allow override,
+    no-match, $-anchor hit, $-anchor near-miss ('/tmp2'), wildcard
+    hit. The oracle predicts (crawl_allowed, matched_rule) closed-form
+    per residue."""
+    from kolang_spark.sources.robots import parse_robots, robots_allowed
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    content = (
+        "# generated\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /w*z\n"
+        "Disallow: /tmp$\n"
+        "\n"
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+    )
+    files = dc.select(
+        F.concat(F.lit("d"), sid, F.lit(".com")).alias("domain"),
+        F.lit(content).alias("robots_txt"),
+    )
+    rules = parse_robots(files)
+    r = F.col("doc_id") % 6
+    path = (
+        F.when(r == 0, F.lit("/private/x"))
+        .when(r == 1, F.lit("/private/ok/y"))
+        .when(r == 2, F.lit("/pub"))
+        .when(r == 3, F.lit("/tmp"))
+        .when(r == 4, F.lit("/tmp2"))
+        .otherwise(F.concat(F.lit("/w"), sid, F.lit("z")))
+    )
+    urls = dc.select(
+        "doc_id",
+        F.concat(F.lit("http://d"), sid, F.lit(".com"), path).alias("url"),
+    )
+    return (
+        robots_allowed(urls, rules)
+        .select("doc_id", "crawl_allowed", "matched_rule")
+        .orderBy("doc_id")
+    )
+
+
 def _q_fold_confusables_documents(spark, sf_dir):
     """NFKC-lite confusable folding (`kolang_spark/llm/scrub.py::
     fold_confusables`), invariant-oracle checked like fix_mojibake:
@@ -3357,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_domains_documents": _q_blocked_domains_documents,
         "minhash_recall_planted": _q_minhash_recall_planted,
         "fold_confusables_documents": _q_fold_confusables_documents,
+        "robots_documents": _q_robots_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4870,6 +4922,26 @@ def oracle_sql() -> dict[str, str]:
                    true AS latin1_fixed,
                    true AS cp1252_fixed,
                    true AS clean_unchanged
+            FROM documents ORDER BY doc_id
+        """,
+        # closed-form per doc_id % 6: blocked prefix / longer-Allow
+        # override / no match / $-anchor hit / $-anchor near-miss /
+        # wildcard hit (the evilbot group never applies to agent '*')
+        "robots_documents": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 1 THEN true
+                     WHEN 2 THEN true
+                     WHEN 4 THEN true
+                     ELSE false
+                   END AS crawl_allowed,
+                   CASE doc_id % 6
+                     WHEN 0 THEN '/private'
+                     WHEN 1 THEN '/private/ok'
+                     WHEN 3 THEN '/tmp$'
+                     WHEN 5 THEN '/w*z'
+                     ELSE NULL
+                   END AS matched_rule
             FROM documents ORDER BY doc_id
         """,
         # invariant oracle (fix_mojibake pattern): corruption is
