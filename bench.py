@@ -27,10 +27,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # best-of-2 records noisy — the third sample costs ~1 extra minute at
 # sf0.1 and removes most of the tail.
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-# Global wall budget: once exceeded, remaining queries run ONCE instead
-# of REPEATS times (every query still runs — coverage never shrinks,
-# only the noise-absorption does). Guards against an external runner's
-# time limit on a badly stalling host.
+# Global wall budget: once exceeded, remaining queries drop from
+# REPEATS to TWO runs — one warm-up + one timed (every query still
+# runs — coverage never shrinks, only the noise-absorption does).
+# Never one: a single cold run bakes plan compilation into the record
+# and inflated exactly the tail-position queries when the registry
+# outgrew the budget (observed r8: tail entries +30-300% vs their own
+# history on unchanged code). Guards against an external runner's time
+# limit on a badly stalling host.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
 # Drift canary (round-6 verdict item 4): this host's suite totals swing
 # ±30% on UNCHANGED code (BASELINE.md r4-r6 interleaved A/Bs), so raw
@@ -119,7 +123,7 @@ def main() -> None:
         reps = max(1, REPEATS)
         if time.perf_counter() - suite_t0 > BUDGET_S:
             budget_hit = True
-            reps = 1
+            reps = min(reps, 2)  # warm-up + timed, never cold-only
         for _ in range(reps):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
