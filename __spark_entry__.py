@@ -5601,9 +5601,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT regexp_replace(
                      lower(regexp_replace(
-                       regexp_extract(regexp_replace(url, '^https?://', ''),
-                                      '^[^/:?#]+'),
-                       '^.*@', '')),
+                       regexp_replace(
+                         regexp_extract(regexp_replace(url, '^https?://', ''),
+                                        '^[^/?#]+'),
+                         '^.*@', ''),
+                       ':[0-9]*$', '')),
                      '^www\\.', '') AS domain,
                    COUNT(*) AS n_docs
             FROM u

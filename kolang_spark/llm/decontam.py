@@ -164,9 +164,16 @@ def semantic_contamination(
     t = train.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_tv")
     ).withColumn("_tn", _norm(F.col("_tv")))
+    # zero-norm vectors (a common upstream-encoder failure artifact)
+    # have undefined cosine: score them 0 (never contaminating /
+    # contaminated) instead of dividing by zero, which crashes the
+    # whole corpus scan under Spark's default ANSI mode
     coss = F.transform(
         F.col("_evals"),
-        lambda s: _dot(s["e_v"], F.col("_tv")) / (s["e_n"] * F.col("_tn")),
+        lambda s: F.when(
+            (s["e_n"] > 0) & (F.col("_tn") > 0),
+            _dot(s["e_v"], F.col("_tv")) / (s["e_n"] * F.col("_tn")),
+        ).otherwise(F.lit(0.0)),
     )
     return (
         t.join(F.broadcast(packed))

@@ -280,6 +280,16 @@ def minhash_candidate_pairs(
     )
 
 
+def _safe_cos(dot, na, nb):
+    """cosine = dot/(na*nb) with a zero-norm guard: all-zero embeddings
+    (a common upstream-encoder failure artifact) have undefined cosine
+    — emit NULL so threshold comparisons treat them as never-similar,
+    instead of dividing by zero, which ABORTS the whole job under
+    Spark's default ANSI mode (review r8)."""
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
+
+
 def embedding_near_dup_pairs_lsh(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -314,7 +324,7 @@ def embedding_near_dup_pairs_lsh(
         .withColumn("bucket", lsh_signature("v", n_planes, dims))
     )
     a, b = v.alias("a"), v.alias("b")
-    cos = _dot("a.v", "b.v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _safe_cos(_dot("a.v", "b.v", dims), F.col("a.nrm"), F.col("b.nrm"))
     return (
         a.join(
             b,
@@ -399,7 +409,7 @@ def semantic_dedup(
         .localCheckpoint(eager=False)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _dot("a.p_v", "b.p_v", dims) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _safe_cos(_dot("a.p_v", "b.p_v", dims), F.col("a.nrm"), F.col("b.nrm"))
     hits = (
         a.join(
             b,
@@ -434,23 +444,13 @@ def _observation_changed(obs, timeout: float = 60.0) -> Optional[int]:
     materializes ``localCheckpoint`` outside a tracked SQL execution the
     metrics would never fire — return ``None`` after ``timeout`` so the
     caller falls back to an explicit count instead of hanging forever.
+    (Delegates to the generalized
+    :func:`kolang_spark.utils.observation_value`.)
     """
-    import threading
+    from kolang_spark.utils import observation_value
 
-    result: dict = {}
-
-    def _read() -> None:
-        try:
-            result["v"] = obs.get["changed"]
-        except Exception as exc:  # surfaced to caller as fallback
-            result["e"] = exc
-
-    t = threading.Thread(target=_read, daemon=True)
-    t.start()
-    t.join(timeout)
-    if "v" in result:
-        return int(result["v"] or 0)
-    return None
+    v = observation_value(obs, "changed", timeout)
+    return None if v is None else int(v or 0)
 
 
 def connected_components(
@@ -1036,7 +1036,7 @@ def embedding_near_dup_pairs(
     ).withColumn("nrm", _norm("v", dims))
     a, b = v.alias("a"), v.alias("b")
     dot = _dot("a.v", "b.v", dims)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = _safe_cos(dot, F.col("a.nrm"), F.col("b.nrm"))
     # two-stage filter: the multiplied form `dot ≥ t·|a||b|` prunes the
     # O(n²) candidate stream with one compare and no division; the exact
     # `cos ≥ t` re-check on the few survivors preserves boundary/NULL

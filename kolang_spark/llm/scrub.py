@@ -120,12 +120,15 @@ def url_domains(col: ColumnOrName, strip_www: bool = True) -> Column:
     urls = extract_urls(col)
 
     def domain_of(u: Column) -> Column:
-        # strip scheme, then cut at the first delimiter
+        # strip scheme, then cut the AUTHORITY at the first /?# — the
+        # ':' must NOT be a cut character here: in 'user:pass@host' it
+        # precedes the '@', and cutting on it first would leave the
+        # USERNAME as the host (a blocklist/stats bypass). Credentials
+        # are stripped at the last '@', then the ':port' suffix.
         rest = F.regexp_replace(u, r"^https?://", "")
-        auth = F.split(rest, r"[/:?#]").getItem(0)
-        # drop user@ credentials; element_at(-1) = after last '@'
+        auth = F.split(rest, r"[/?#]").getItem(0)
         host = F.element_at(F.split(auth, "@"), -1)
-        host = F.lower(host)
+        host = F.lower(F.regexp_replace(host, r":\d*$", ""))
         if strip_www:
             host = F.regexp_replace(host, r"^www\.", "")
         return host
@@ -183,11 +186,16 @@ def canonicalize_url(col: ColumnOrName) -> Column:
     path = F.regexp_replace(path, r"&&+", "&")
     path = F.regexp_replace(path, r"\?&+", "?")
     path = F.regexp_replace(path, r"[?&]+$", "")
-    # 7: trailing slash of the path SEGMENT — both at end-of-URL and
-    # immediately before a surviving query ('/p/?q=1' → '/p?q=1')
-    path = F.regexp_replace(path, r"/\?", "?")
-    path = F.regexp_replace(path, r"^/$", "")
-    path = F.regexp_replace(path, r"/$", "")
+    # 7: trailing slash of the path SEGMENT only — split at the first
+    # '?' so query-parameter VALUES are never touched ('?q=a/' and
+    # '?next=/?x' must survive verbatim; the old combined-string
+    # rewrites collapsed distinct pages onto one dedup key, review r8).
+    # Covers both end-of-URL ('/a/' → '/a', root '/' → '') and
+    # before-query ('/p/?q=1' → '/p?q=1') positions.
+    p_part = F.regexp_extract(path, r"^([^?]*)", 1)
+    q_part = F.regexp_replace(path, r"^[^?]*", "")
+    p_part = F.regexp_replace(p_part, r"/$", "")
+    path = F.concat(p_part, q_part)
     return F.when(is_http, F.concat(scheme, F.lit("://"), host, path)).otherwise(
         u
     )
@@ -251,8 +259,13 @@ def filter_blocked_domains(
     )
     u = str_to_column(url_col)
     rest = F.regexp_replace(u, r"(?i)^https?://", "")
-    auth = F.split(rest, r"[/:?#]").getItem(0)
-    host = F.lower(F.element_at(F.split(auth, "@"), -1))
+    # authority cut on [/?#] only — ':' would truncate at the password
+    # separator in 'user:pass@host' and leave the USERNAME as host,
+    # letting credential-bearing URLs bypass the blocklist entirely.
+    # Credentials strip at the last '@', then the ':port' suffix.
+    auth = F.split(rest, r"[/?#]").getItem(0)
+    host = F.element_at(F.split(auth, "@"), -1)
+    host = F.lower(F.regexp_replace(host, r":\d*$", ""))
     labels = F.split(host, r"\.")
     # suffixes, most specific first: full host, then each parent domain
     suffixes = F.transform(

@@ -77,7 +77,16 @@ def cosine(a: _Ref, b: _Ref, dims: Optional[int] = None) -> Column:
     recomputed per call — pairwise operators below precompute them once
     per vector instead.
     """
-    return _dot(a, b, dims) / (_norm(a, dims) * _norm(b, dims))
+    return _safe_div_cos(_dot(a, b, dims), _norm(a, dims), _norm(b, dims))
+
+
+def _safe_div_cos(dot: Column, na: Column, nb: Column) -> Column:
+    """dot/(na*nb) guarded against zero norms: all-zero vectors have
+    undefined cosine — emit NULL (ranks last under desc ordering, never
+    crosses a similarity threshold) instead of a division that ABORTS
+    the job under Spark's default ANSI mode (review r8)."""
+    denom = na * nb
+    return F.when(denom > 0, dot / denom)
 
 
 def _as_double(vec: Column) -> Column:
@@ -114,7 +123,9 @@ def brute_force_topk(
     scored = corpus.crossJoin(F.broadcast(qs)).select(
         "query_id",
         F.col("c_id").alias("vec_id"),
-        (_dot("q_v", "c_v", dims) / (F.col("q_n") * F.col("c_n"))).alias("cos"),
+        _safe_div_cos(
+            _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -282,7 +293,9 @@ def lsh_topk(
     scored = corpus.join(F.broadcast(qs), "bucket").select(
         "query_id",
         F.col("c_id").alias("vec_id"),
-        (_dot("q_v", "c_v", dims) / (F.col("q_n") * F.col("c_n"))).alias("cos"),
+        _safe_div_cos(
+            _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -477,7 +490,8 @@ def ivf_topk(
         """Rank centroids by cosine against ``vec``; keep the top ``n``
         as ``cell``. Tie-break on centroid id for cross-engine parity."""
         scored = side.join(F.broadcast(cents), how="cross").withColumn(
-            "cent_cos", _dot(vec, "g_v", dims) / (F.col(nrm) * F.col("g_n"))
+            "cent_cos",
+            _safe_div_cos(_dot(vec, "g_v", dims), F.col(nrm), F.col("g_n")),
         )
         w = Window.partitionBy(side.columns[0]).orderBy(
             F.col("cent_cos").desc(), F.col("cent_id")
@@ -508,7 +522,9 @@ def ivf_topk(
     scored = indexed.join(F.broadcast(probes), "cell").select(
         "query_id",
         F.col("c_id").alias("vec_id"),
-        (_dot("q_v", "c_v", dims) / (F.col("q_n") * F.col("c_n"))).alias("cos"),
+        _safe_div_cos(
+            _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

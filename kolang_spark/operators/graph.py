@@ -100,6 +100,12 @@ def pagerank(
     # each round's dangling mass come out of the SAME action that
     # checkpoints the new ranks (observe-fusion, the
     # connected_components trick) instead of a separate collect job.
+    try:
+        from pyspark.sql import Observation
+    except ImportError:  # pragma: no cover - Observation ships with 3.3+
+        Observation = None
+    from kolang_spark.utils import observation_value
+
     nodes = (
         e.select(F.col("src").alias(node_col))
         .unionAll(e.select(F.col("dst").alias(node_col)))
@@ -114,17 +120,34 @@ def pagerank(
         .select(
             node_col, F.coalesce("_has_out", F.lit(False)).alias("_has_out")
         )
-        .localCheckpoint(eager=True)
     )
-    n = nodes.count()  # bounded: one scalar, the node count
+    # node count + dangling count ride the spine checkpoint's own
+    # action (observe-fusion); fallback = two explicit counts on
+    # runtimes where checkpoint metrics never fire
+    n = n_dangling = None
+    if Observation is not None:
+        setup_obs = Observation()
+        nodes = nodes.observe(
+            setup_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("_has_out")).cast("long")).alias("nd"),
+        )
+        nodes = nodes.localCheckpoint(eager=True)
+        n = observation_value(setup_obs, "n", timeout=5.0)
+        n_dangling = observation_value(setup_obs, "nd", timeout=5.0)
+    else:  # pragma: no cover - pre-3.3 fallback
+        nodes = nodes.localCheckpoint(eager=True)
+    if n is None:
+        n = nodes.count()
     if n == 0:
         return nodes.select(
             node_col, F.lit(0).cast("long").alias(rank_col)
         )
-    # initial ranks are uniform, so the first round's dangling mass is
-    # pure arithmetic — no job needed
-    n_dangling = nodes.where(~F.col("_has_out")).count()
-    dangling = (scale // n) * n_dangling
+    if n_dangling is None:
+        n_dangling = nodes.where(~F.col("_has_out")).count()
+    # initial ranks are uniform, so round 0's dangling mass is pure
+    # arithmetic on those two counts
+    dangling = (scale // n) * int(n_dangling)
 
     # edges never change across iterations: attach out-degrees once and
     # pin the frame so each round scans it instead of re-joining.
@@ -132,11 +155,6 @@ def pagerank(
 
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.withColumn("r", F.lit(int(scale // n)).cast("long"))
-
-    try:
-        from pyspark.sql import Observation
-    except ImportError:  # pragma: no cover - Observation ships with 3.3+
-        Observation = None
 
     for _ in range(iterations):
         rside = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -164,7 +182,11 @@ def pagerank(
             ).cast("long").alias("r"),
         )
         # next round's dangling mass rides the checkpoint's own action:
-        # one Spark job per iteration, total
+        # one Spark job per iteration, total. The read is BOUNDED
+        # (observation_value) — on a runtime whose localCheckpoint runs
+        # outside a tracked SQL execution the metrics never fire, and
+        # the explicit aggregate below takes over instead of hanging.
+        d = None
         if Observation is not None:
             obs = Observation()
             nxt = nxt.observe(
@@ -176,13 +198,15 @@ def pagerank(
                 ).alias("dang"),
             )
             ranks = nxt.localCheckpoint(eager=True)
-            dangling = int(obs.get["dang"])
+            d = observation_value(obs, "dang", timeout=5.0)
         else:  # pragma: no cover - pre-3.3 fallback
             ranks = nxt.localCheckpoint(eager=True)
-            dangling = int(
+        if d is None:
+            d = (
                 ranks.where(~F.col("_has_out"))
                 .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
                 .collect()[0]["d"]
             )
+        dangling = int(d)
 
     return ranks.select(F.col(node_col), F.col("r").alias(rank_col))

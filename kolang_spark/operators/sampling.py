@@ -43,6 +43,13 @@ def top_k_per_group(
     local top-k before the final per-group pass, so the operator ships
     k·groups rows, not the whole table, through the last stage.
     """
+    if rank_col and rank_col in df.columns:
+        # a silent rename would produce two identically-named columns
+        # (AMBIGUOUS_REFERENCE downstream, duplicate parquet schema)
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists in the input; pass a "
+            "different rank_col (or rank_col=None to omit the rank)"
+        )
     orders = [
         c.asc() if ascending else c.desc() for c in to_col_list(order_by)
     ]

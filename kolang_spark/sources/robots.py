@@ -88,8 +88,15 @@ def parse_robots(
     rules = grouped.where(
         F.col("_dir").isin("allow", "disallow") & (F.col("_val") != "")
     )
+    # LEFT join from the agent groups: a group whose every rule was
+    # empty ('Disallow:' = disallow nothing) or that has no rules at
+    # all still EXISTS for agent resolution — it comes back as one
+    # marker row with NULL path/allow/rule_order. Without the marker,
+    # 'User-agent: googlebot\nDisallow:\n\nUser-agent: *\nDisallow: /'
+    # would wrongly send googlebot to the '*' group's blanket ban
+    # (review r8).
     return (
-        rules.join(agents, ["_key", "_grp"])
+        agents.join(rules, ["_key", "_grp"], "left")
         .select(
             F.col("_key").alias(key_col),
             F.explode("_ua").alias("agent"),
@@ -107,9 +114,9 @@ def _like_pattern(path: Column) -> Column:
     unless anchored. '*' and '$' are not LIKE-special, so they survive
     the escaping untouched for their own rewrites."""
     anchored = path.endswith("$")
-    body = F.when(anchored, F.expr("substring(path, 1, length(path) - 1)")).otherwise(
-        path
-    )
+    body = F.when(
+        anchored, path.substr(F.lit(1), F.length(path) - 1)
+    ).otherwise(path)
     esc = F.replace(body, F.lit("\\"), F.lit("\\\\"))
     esc = F.replace(esc, F.lit("%"), F.lit("\\%"))
     esc = F.replace(esc, F.lit("_"), F.lit("\\_"))
@@ -173,6 +180,11 @@ def robots_allowed(
     )
     host = F.regexp_replace(host, r":\d+$", "")
     path = F.regexp_replace(rest, r"^[^/?#]*", "")
+    # fragments are client-only (never sent to the server): strip them
+    # before matching, or '$'-anchored rules would miss '/page#sec'
+    # while blocking '/page' (review r8). The '?query' part stays —
+    # deployed robots patterns do match into the query string.
+    path = F.regexp_replace(path, "#.*$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     with_rules = urls.withColumn("_ukey", host).join(
         packed, F.col("_ukey") == F.col("_key"), "left"

@@ -199,3 +199,31 @@ def release_checkpoints(spark, rdd_ids) -> None:
                 m.apply(pid).unpersist(False)
     except Exception:
         pass
+
+
+def observation_value(obs, key: str, timeout: float = 60.0):
+    """Read one metric from a ``pyspark.sql.Observation`` with a
+    BOUNDED wait, or ``None`` if the metrics never arrive.
+
+    ``Observation.get`` blocks until the observed action's metrics
+    fire; on classic Spark the eager action has already run them, so
+    this returns instantly. On a runtime that materializes the action
+    outside a tracked SQL execution (the hazard documented at
+    ``llm/dedup.py::_observation_changed``) the metrics never fire —
+    after ``timeout`` seconds this returns ``None`` so the caller can
+    fall back to an explicit aggregate job instead of hanging forever.
+    """
+    import threading
+
+    result: dict = {}
+
+    def _read() -> None:
+        try:
+            result["v"] = obs.get[key]
+        except Exception as exc:  # surfaced to caller as fallback
+            result["e"] = exc
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    return result.get("v")
