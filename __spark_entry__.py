@@ -2958,6 +2958,53 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_incremental_lines_batches(spark, sf_dir):
+    """Incremental-ingest LINE dedup
+    (`kolang_spark/llm/dedup.py::incremental_line_dedup`): the 2-word-
+    line reshape of the corpus is ingested in two batches (even
+    doc_ids, then odd); batch 2's lines are checked against the
+    hashes batch 1 KEPT without rescanning batch 1's text. The oracle
+    replays both batches — within-batch keep-first by (doc_id, pos),
+    then batch 2 minus batch 1's kept-line set — entirely in SQL."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm import incremental_line_dedup
+
+    base = tempfile.mkdtemp(prefix="ks_incr_ln_q_")
+    try:
+        state = os.path.join(base, "state")
+        dc = _t(spark, sf_dir, "documents")
+        words = F.split(F.col("text"), " ")
+        n_lines = F.ceil(F.size(words) / F.lit(2)).cast("int")
+        lns = F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * F.lit(2) + F.lit(1), 2), " "
+            ),
+        )
+        multi = dc.select(
+            "doc_id", F.array_join(lns, "\n").alias("text")
+        )
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = multi.where(F.col("doc_id") % 2 == parity)
+            m = incremental_line_dedup(spark, b, state).select(
+                "doc_id",
+                F.lit(batch_no).alias("batch"),
+                "text_deduped",
+                "n_kept",
+                "n_removed",
+            )
+            # freeze before the next call grows the state (the rebuilt
+            # plan itself never re-reads state, but cheap insurance
+            # against future refactors)
+            frozen.append(m.localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return frozen[0].union(frozen[1]).orderBy("doc_id")
+
+
 def _q_robots_documents(spark, sf_dir):
     """robots.txt parsing + URL permission check
     (`kolang_spark/sources/robots.py::parse_robots`/`robots_allowed`):
@@ -3409,6 +3456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_recall_planted": _q_minhash_recall_planted,
         "fold_confusables_documents": _q_fold_confusables_documents,
         "robots_documents": _q_robots_documents,
+        "incremental_lines_batches": _q_incremental_lines_batches,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -5022,6 +5070,63 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_over,
                    COALESCE(MAX(cos) >= 0.30, false) AS contaminated
             FROM pairs GROUP BY t_id ORDER BY t_id
+        """,
+        "incremental_lines_batches": """
+            WITH words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), docs2 AS (
+              SELECT doc_id,
+                     [array_to_string(list_slice(w, i*2+1, i*2+2), ' ')
+                      for i in range((len(w)+1)//2)] AS lines
+              FROM words
+            ), exploded AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'line': lines[i+1]}
+                             for i in range(len(lines))],
+                            recursive := true)
+              FROM docs2
+            ), k1 AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM exploded WHERE doc_id % 2 = 0
+            ), kept1 AS (
+              SELECT doc_id, pos, line FROM k1
+              WHERE trim(line) = '' OR rn = 1
+            ), state1 AS (
+              SELECT DISTINCT trim(line) AS k FROM kept1
+              WHERE trim(line) <> ''
+            ), k2 AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM exploded WHERE doc_id % 2 = 1
+            ), kept2 AS (
+              SELECT doc_id, pos, line FROM k2
+              WHERE trim(line) = ''
+                 OR (rn = 1 AND trim(line) NOT IN (SELECT k FROM state1))
+            ), kept AS (
+              SELECT 1 AS batch, * FROM kept1
+              UNION ALL SELECT 2, * FROM kept2
+            ), rebuilt AS (
+              SELECT doc_id, batch,
+                     string_agg(line, chr(10) ORDER BY pos)
+                       AS text_deduped,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id, batch
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS total FROM exploded GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(1 + d.doc_id % 2 AS INT) AS batch,
+                   COALESCE(r.text_deduped, '') AS text_deduped,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.total - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM documents d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+            JOIN totals t ON d.doc_id = t.doc_id
+            ORDER BY d.doc_id
         """,
         "dedup_lines_documents": """
             WITH words AS (

@@ -23,6 +23,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     strip_duplicate_spans,
     exact_dedup,
     incremental_exact_dedup,
+    incremental_line_dedup,
     incremental_embedding_dedup,
     incremental_minhash_dedup,
     embedding_near_dup_pairs,

@@ -40,6 +40,7 @@ __all__ = [
     "dedup_keep_best",
     "dedup_keep_list",
     "dedup_lines_global",
+    "incremental_line_dedup",
     "duplicate_spans",
     "strip_duplicate_spans",
 ]
@@ -728,6 +729,115 @@ def dedup_lines_global(
     )
     totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_total"))
     base = df.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(rebuilt, "_id", "left")
+        .join(totals, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce("_n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("_total", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def incremental_line_dedup(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """:func:`dedup_lines_global` for INCREMENTAL ingest: each batch's
+    lines are checked against the hashes of every line KEPT by earlier
+    batches (parquet state, one 32-char md5 per distinct kept line —
+    never the line text), duplicated lines are removed (state hit →
+    every occurrence in the batch; novel line → every occurrence after
+    the batch's first by ``(id, pos)``), documents are re-assembled,
+    and the batch's novel line hashes are appended to the state.
+    Whitespace-only lines are structural and always survive.
+
+    Same contract as :func:`incremental_exact_dedup`: flags are pinned
+    (eager ``localCheckpoint``) BEFORE the state append, and the append
+    happens before return — a crashed-and-replayed batch can duplicate
+    output, never lose state; all path probes route through the Hadoop
+    ``FileSystem`` API so ``state_path`` may be an object-store URI.
+
+    Scale shape: the state join is a hash equi-join on the 32-char
+    key (the accumulated corpus TEXT is never rescanned); the
+    within-batch keep-first window partitions by line key over batch
+    lines only; re-assembly is the same per-doc groupBy as the batch
+    operator. Returns ``(id_col, out_col, n_kept, n_removed)``.
+    """
+    import re as _re
+
+    from kolang_spark.sources.io import path_exists
+
+    out_col = out_col or f"{text_col}_deduped"
+    lines = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(delim), -1)
+        ).alias("_pos", "_line"),
+    )
+    keyed = lines.withColumn("_key", F.md5(F.trim(F.col("_line")))).withColumn(
+        "_ws", F.trim(F.col("_line")) == ""
+    )
+    if path_exists(spark, state_path):
+        state = spark.read.parquet(state_path).select(
+            F.col("line_key").alias("__lk__")
+        )
+    else:
+        state = spark.createDataFrame([], "__lk__ string")
+    pre = keyed.join(
+        state.withColumn("__seen__", F.lit(True)),
+        keyed["_key"] == F.col("__lk__"),
+        "left",
+    ).drop("__lk__")
+    w = Window.partitionBy("_key").orderBy("_id", "_pos")
+    marked = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_keep",
+            F.col("_ws")
+            | (
+                (F.col("_rn") == 1)
+                & ~F.coalesce("__seen__", F.lit(False))
+            ),
+        )
+        .drop("__seen__", "_rn")
+    )
+    # pin flags BEFORE the state append: the write below and the
+    # caller's first action must agree, and the frame must not lazily
+    # re-read state the append is about to grow
+    marked = marked.localCheckpoint(eager=True)
+    novel = (
+        marked.where(F.col("_keep") & ~F.col("_ws"))
+        .select(F.col("_key").alias("line_key"))
+        .distinct()
+    )
+    novel.write.mode("append").parquet(state_path)
+
+    rebuilt = (
+        marked.where(F.col("_keep"))
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                delim,
+            ).alias(out_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    totals = marked.groupBy("_id").agg(F.count(F.lit(1)).alias("_total"))
+    base = new_df.select(F.col(id_col).alias("_id"))
     return (
         base.join(rebuilt, "_id", "left")
         .join(totals, "_id", "left")

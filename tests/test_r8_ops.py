@@ -277,6 +277,73 @@ def spark_session_global3(spark):
 
 
 # ---------------------------------------------------------------------------
+# incremental line dedup
+# ---------------------------------------------------------------------------
+
+import os  # noqa: E402
+import shutil  # noqa: E402
+import tempfile  # noqa: E402
+
+from kolang_spark.llm.dedup import incremental_line_dedup  # noqa: E402
+
+
+def _ingest_lines(spark, state, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = incremental_line_dedup(spark, df, state)
+    return {r["doc_id"]: (r["text_deduped"], r["n_kept"], r["n_removed"])
+            for r in out.collect()}
+
+
+def test_incremental_lines_cross_batch_state(spark):
+    base = tempfile.mkdtemp(prefix="ks_t_incr_ln_")
+    try:
+        state = os.path.join(base, "state")
+        b1 = _ingest_lines(spark, state, [
+            (1, "alpha\nbeta"), (2, "beta\ngamma"),
+        ])
+        assert b1[1] == ("alpha\nbeta", 2, 0)
+        assert b1[2] == ("gamma", 1, 1)  # beta kept by doc 1
+        # batch 2: alpha+gamma now in state; delta novel (kept once)
+        b2 = _ingest_lines(spark, state, [
+            (3, "alpha\ndelta\ngamma"), (4, "delta\n\nepsilon"),
+        ])
+        assert b2[3] == ("delta", 1, 2)
+        # doc 3 owns delta (earlier id); blank line survives in doc 4
+        assert b2[4] == ("\nepsilon", 2, 1)
+        # re-ingesting everything again: all content lines are state hits
+        b3 = _ingest_lines(spark, state, [(5, "alpha\ndelta\nepsilon")])
+        assert b3[5] == ("", 0, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_lines_state_path_via_hadoop_file_uri(spark):
+    # exercise the Hadoop FileSystem probe route (file: URI), not the
+    # os.path fallback — the object-store-correctness proof pattern
+    base = tempfile.mkdtemp(prefix="ks_t_incr_ln_uri_")
+    try:
+        state = "file://" + os.path.join(base, "state")
+        b1 = _ingest_lines(spark, state, [(1, "x\ny")])
+        assert b1[1] == ("x\ny", 2, 0)
+        b2 = _ingest_lines(spark, state, [(2, "y\nz")])
+        assert b2[2] == ("z", 1, 1)  # state hit through the URI path
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_incremental_lines_matches_batch_operator_on_one_batch(spark):
+    docs = [(1, "a\nb"), (2, "b\nc"), (3, "a\na")]
+    base = tempfile.mkdtemp(prefix="ks_t_incr_ln_eq_")
+    try:
+        state = os.path.join(base, "state")
+        inc = _ingest_lines(spark, state, docs)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    batch = _run_lines(spark, docs)
+    assert inc == batch  # empty state ≡ the batch keep-first operator
+
+
+# ---------------------------------------------------------------------------
 # semantic decontamination
 # ---------------------------------------------------------------------------
 
