@@ -3263,6 +3263,31 @@ def _q_fix_mojibake_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_pagerank_weighted_purchases(spark, sf_dir):
+    """WEIGHTED PageRank (`kolang_spark/operators/graph.py::pagerank`
+    with ``weight_col``): the same customer→supplier graph, but each
+    pair's edge carries its purchase count (one unit-weight row per
+    lineitem, summed by the operator) — rank flows proportionally to
+    how often a customer bought from a supplier, not just whether.
+    Same integer fixed-point recurrence; the oracle replays it with
+    the weighted contribution (r·w)//wsum per edge."""
+    from kolang_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        F.lit(1).alias("wt"),
+    )
+    return pagerank(
+        edges,
+        iterations=4,
+        weight_col="wt",
+        broadcast_ranks=True,
+    ).orderBy("node")
+
+
 def _q_dedup_keep_best_documents(spark, sf_dir):
     """Quality-aware dedup resolution
     (`kolang_spark/llm/dedup.py::dedup_keep_best`): MinHash candidate
@@ -3457,6 +3482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fold_confusables_documents": _q_fold_confusables_documents,
         "robots_documents": _q_robots_documents,
         "incremental_lines_batches": _q_incremental_lines_batches,
+        "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -4127,7 +4153,11 @@ _PLANTED_NEARDUP_SRC = r"""(
 
 
 def _pagerank_sql(
-    iters: int, scale: int = 10**9, num: int = 85, den: int = 100
+    iters: int,
+    scale: int = 10**9,
+    num: int = 85,
+    den: int = 100,
+    weighted: bool = False,
 ) -> str:
     """Generated SQL replay of operators/graph.py::pagerank over the
     customer→supplier purchase graph: the identical integer fixed-point
@@ -4139,13 +4169,28 @@ def _pagerank_sql(
     BIGINT yields HUGEINT). `//` (floor) matches Spark's `div`
     (truncate) because every quantity is non-negative."""
     tele_num = scale * (den - num)
-    parts = [f"""WITH edges AS MATERIALIZED (
+    if weighted:
+        # one base row per lineitem at weight 1 → summed weight =
+        # purchase count per (customer, supplier) pair, mirroring the
+        # operator's groupBy-sum of unit weights
+        edges_cte = """
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      GROUP BY src, dst"""
+        odeg_expr = "CAST(SUM(w) AS BIGINT)"
+        contrib_expr = "(rk.r * e.w) // o.odeg"
+    else:
+        edges_cte = """
       SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
-      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
+        odeg_expr = "CAST(COUNT(*) AS BIGINT)"
+        contrib_expr = "rk.r // o.odeg"
+    parts = [f"""WITH edges AS MATERIALIZED ({edges_cte}
     ), nodes AS MATERIALIZED (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), outdeg AS MATERIALIZED (
-      SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM edges GROUP BY src
+      SELECT src, {odeg_expr} AS odeg FROM edges GROUP BY src
     ), ns AS MATERIALIZED (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
     ), r0 AS MATERIALIZED (
@@ -4157,7 +4202,7 @@ def _pagerank_sql(
       FROM r{k} rk LEFT JOIN outdeg o ON rk.node = o.src
       WHERE o.src IS NULL
     ), i{k} AS MATERIALIZED (
-      SELECT e.dst AS node, CAST(SUM(rk.r // o.odeg) AS BIGINT) AS s
+      SELECT e.dst AS node, CAST(SUM({contrib_expr}) AS BIGINT) AS s
       FROM edges e
       JOIN r{k} rk ON e.src = rk.node
       JOIN outdeg o ON e.src = o.src
@@ -4959,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
         "pagerank_purchases": _pagerank_sql(4),
+        "pagerank_weighted_purchases": _pagerank_sql(4, weighted=True),
         # invariant oracle: corruption is synthesized IN the Spark
         # query, so SQL only has to predict the flags and the signature
         # count from the original text (one bigram per injected 'é',

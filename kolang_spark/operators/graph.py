@@ -36,6 +36,7 @@ def pagerank(
     node_col: str = "node",
     rank_col: str = "rank_fp",
     broadcast_ranks: bool = False,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node_col, rank_col)``
     with ``rank_col`` the node's rank in integer micro-units of
@@ -57,6 +58,15 @@ def pagerank(
                 + (num · (in_sum[v] + dangling // n)) // den
       Dangling mass is redistributed uniformly (the standard fix —
       without it a sink node drains total mass every round).
+
+    ``weight_col`` switches to WEIGHTED PageRank: parallel (src, dst)
+    edges sum their weights instead of collapsing to one, out-degree
+    becomes the per-source weight total, and each edge carries
+    ``contrib = (r[u] · w) // wsum[u]`` — rank flows proportionally to
+    edge weight (e.g. purchase counts, link frequencies). Weights are
+    cast to long; rows with NULL or non-positive weight are dropped.
+    Keep ``max(r) · max(w) < 2^63`` (≈ weights below ~4·10^9 at the
+    default scale) — the product is 64-bit.
 
     Scale shape: the edge list joins its out-degrees ONCE up front and
     is eagerly checkpointed (it never changes across iterations — the
@@ -90,12 +100,30 @@ def pagerank(
     if not (0 < damping_num < damping_den):
         raise ValueError("need 0 < damping_num < damping_den")
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
+            .withColumn("w", F.lit(1).cast("long"))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+            .where(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("w") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    # per-source weight total: with unit weights this IS the out-degree
+    outdeg = e.groupBy("src").agg(F.sum("w").alias("outdeg"))
     # node spine with a has-outgoing flag, pinned once: the flag lets
     # each round's dangling mass come out of the SAME action that
     # checkpoints the new ranks (observe-fusion, the
@@ -162,7 +190,7 @@ def pagerank(
             e_od.join(rside, e_od["src"] == ranks[node_col])
             .select(
                 F.col("dst"),
-                F.expr("r div outdeg").alias("contrib"),
+                F.expr("(r * w) div outdeg").alias("contrib"),
             )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("in_sum"))

@@ -86,6 +86,62 @@ def test_invalid_args(spark):
         pagerank(df, damping_num=100, damping_den=100)
 
 
+def _replica_weighted(edges_w, iterations, scale=SCALE, num=NUM, den=DEN):
+    """Weighted spec: parallel edges sum weights; contrib = r·w // wsum."""
+    agg = {}
+    for u, v, w in edges_w:
+        if u is None or v is None or w is None or w <= 0:
+            continue
+        agg[(u, v)] = agg.get((u, v), 0) + int(w)
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    wsum = {}
+    for (u, _), w in agg.items():
+        wsum[u] = wsum.get(u, 0) + w
+    r = {v: scale // n for v in nodes}
+    tele = (scale * (den - num)) // (den * n)
+    for _ in range(iterations):
+        dang = sum(r[v] for v in nodes if v not in wsum)
+        ins = {v: 0 for v in nodes}
+        for (u, v), w in agg.items():
+            ins[v] += (r[u] * w) // wsum[u]
+        r = {v: tele + (num * (ins[v] + dang // n)) // den for v in nodes}
+    return r
+
+
+def test_weighted_matches_replica_and_shifts_rank(spark):
+    edges = [("a", "x", 9), ("a", "y", 1), ("b", "x", 1), ("b", "y", 1),
+             ("a", "x", 1)]  # parallel edge weights SUM (a→x total 10)
+    df = spark.createDataFrame(edges, "src string, dst string, wt long")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(df, iterations=4, weight_col="wt").collect()}
+    assert got == _replica_weighted(edges, 4)
+    assert got["x"] > got["y"]  # weight concentration shifts rank
+
+
+def test_weighted_unit_weights_equal_unweighted(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    plain = {r["node"]: r["rank_fp"]
+             for r in pagerank(df, iterations=3).collect()}
+    wdf = df.withColumn("wt", F.lit(1))
+    weighted = {r["node"]: r["rank_fp"]
+                for r in pagerank(wdf, iterations=3,
+                                  weight_col="wt").collect()}
+    assert plain == weighted
+
+
+def test_weighted_drops_nonpositive_weights(spark):
+    edges = [("a", "b", 5), ("a", "c", 0), ("a", "d", -2), ("a", "e", None)]
+    df = spark.createDataFrame(edges, "src string, dst string, wt long")
+    got = {r["node"]: r["rank_fp"]
+           for r in pagerank(df, iterations=2, weight_col="wt").collect()}
+    assert set(got) == {"a", "b"}  # only the positive-weight edge counts
+    assert got == _replica_weighted(edges, 2)
+
+
 def test_broadcast_ranks_bit_identical(spark):
     edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "c")]
     df = spark.createDataFrame(edges, "src string, dst string")
