@@ -16,7 +16,7 @@ import os
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 import kolang_spark as ks
 from kolang_spark.sources.io import read_table
@@ -2958,6 +2958,100 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_web_curation_pipeline(spark, sf_dir):
+    """End-to-end web-curation funnel wiring the round-8 surface
+    together: robots.txt permission (`sources/robots.py`) → domain
+    blocklist (`llm/scrub.py::filter_blocked_domains`) → mojibake
+    repair + confusable folding (`fix_mojibake`/`fold_confusables`) →
+    quality gate (`textstats.quality_metrics`) → exact dedup on the
+    CLEANED text. Every document gets a synthesized URL (blocklisted
+    host on doc_id % 4 = 0, else its own domain with the six-shape
+    robots path) and a deterministically dirtied body; the oracle
+    predicts crawl_ok closed-form from the residues and recomputes
+    quality + canonical fingerprints over the same cleaned text
+    expression in SQL. keep_final = crawlable ∧ quality ∧ first
+    occurrence of the cleaned fingerprint."""
+    from kolang_spark.llm import (
+        filter_blocked_domains,
+        fix_mojibake,
+        fold_confusables,
+        quality_metrics,
+    )
+    from kolang_spark.llm.textstats import doc_fingerprint
+    from kolang_spark.sources.robots import parse_robots, robots_allowed
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 7).cast("string")
+    r6 = F.col("doc_id") % 6
+    path = (
+        F.when(r6 == 0, F.lit("/private/x"))
+        .when(r6 == 1, F.lit("/private/ok/y"))
+        .when(r6 == 2, F.lit("/pub"))
+        .when(r6 == 3, F.lit("/tmp"))
+        .when(r6 == 4, F.lit("/tmp2"))
+        .otherwise(F.concat(F.lit("/w"), sid, F.lit("z")))
+    )
+    host = F.when(
+        F.col("doc_id") % 4 == 0, F.concat(F.lit("bad"), k, F.lit(".com"))
+    ).otherwise(F.concat(F.lit("d"), sid, F.lit(".com")))
+    robots_content = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow: /w*z\n"
+        "Disallow: /tmp$\n"
+    )
+    files = dc.where(F.col("doc_id") % 4 != 0).select(
+        F.concat(F.lit("d"), sid, F.lit(".com")).alias("domain"),
+        F.lit(robots_content).alias("robots_txt"),
+    )
+    urls = dc.select(
+        "doc_id",
+        "text",
+        F.concat(F.lit("http://"), host, path).alias("url"),
+    )
+    staged = robots_allowed(urls, parse_robots(files))
+    staged = filter_blocked_domains(
+        staged, "url", [f"bad{i}.com" for i in range(7)]
+    )
+    corrupted = F.decode(
+        F.encode(
+            F.concat(
+                F.replace(F.col("text"), F.lit("the"), F.lit("thé")),
+                F.lit(" it’s fin—al…"),
+            ),
+            "UTF-8",
+        ),
+        "ISO-8859-1",
+    )
+    cleaned = fold_confusables(fix_mojibake(corrupted))
+    m = quality_metrics(cleaned)
+    staged = (
+        staged.withColumn(
+            "crawl_ok",
+            F.col("crawl_allowed") & ~F.col("is_blocked"),
+        )
+        .withColumn("quality_ok", m["quality_score"] >= 60)
+        .withColumn("_fp", doc_fingerprint(cleaned))
+    )
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    return (
+        staged.withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "crawl_ok",
+            "quality_ok",
+            (
+                F.col("crawl_ok")
+                & F.col("quality_ok")
+                & (F.col("_rn") == 1)
+            ).alias("keep_final"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_incremental_lines_batches(spark, sf_dir):
     """Incremental-ingest LINE dedup
     (`kolang_spark/llm/dedup.py::incremental_line_dedup`): the 2-word-
@@ -3483,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_documents": _q_robots_documents,
         "incremental_lines_batches": _q_incremental_lines_batches,
         "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
+        "web_curation_pipeline": _q_web_curation_pipeline,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -5116,6 +5211,50 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) AS n_over,
                    COALESCE(MAX(cos) >= 0.30, false) AS contaminated
             FROM pairs GROUP BY t_id ORDER BY t_id
+        """,
+        # crawl_ok closed-form from the URL residues (blocklisted host
+        # on %4=0; robots allows path residues 1/2/4 of %6); quality +
+        # fingerprint recomputed over the SAME cleaned-text expression
+        # (mojibake repair + folding turn the dirtied body back into
+        # replace(text,'the','thé') || ' it''s fin-al...')
+        "web_curation_pipeline": r"""
+            WITH cleaned AS (
+              SELECT doc_id,
+                     replace(text, 'the', 'thé') || ' it''s fin-al...' AS c
+              FROM documents
+            ), m AS (
+              SELECT doc_id, c,
+                     length(c) AS n_chars,
+                     len(string_split_regex(trim(c), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(c),
+                       '\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b'))
+                       AS n_stop,
+                     len(regexp_extract_all(c, '[^\w\s]')) AS n_punct
+              FROM cleaned
+            ), q AS (
+              SELECT doc_id, c,
+                   (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 40 ELSE 0 END)
+                   + (CASE WHEN (n_chars - (n_tokens-1))*1.0/n_tokens
+                           BETWEEN 2 AND 12 THEN 20 ELSE 0 END)
+                   + (CASE WHEN n_punct*1.0/n_chars <= 0.2 THEN 20 ELSE 0 END)
+                   + (CASE WHEN n_stop*1.0/n_tokens >= 0.05 THEN 20 ELSE 0 END)
+                     AS score
+              FROM m
+            ), rn AS (
+              SELECT doc_id, score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(trim(regexp_replace(lower(c),
+                                                            '\s+', ' ', 'g')))
+                       ORDER BY doc_id) AS rn
+              FROM q
+            )
+            SELECT doc_id,
+                   (doc_id % 4 <> 0) AND (doc_id % 6 IN (1, 2, 4))
+                     AS crawl_ok,
+                   score >= 60 AS quality_ok,
+                   ((doc_id % 4 <> 0) AND (doc_id % 6 IN (1, 2, 4))
+                    AND score >= 60 AND rn = 1) AS keep_final
+            FROM rn ORDER BY doc_id
         """,
         "incremental_lines_batches": """
             WITH words AS (
