@@ -3468,9 +3468,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
     (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With ~125 queries on a 50-slot window
-    the 3-round cadence has capacity 150, so the schedule stays
-    feasible as long as each round packs by staleness —
+    debuts, (3) fresh greens. With 145 queries on a 50-slot window the
+    3-round cadence has capacity 150 — nearly full: adding ~6 more
+    queries makes a strict 3-round cadence infeasible and
+    next_window.py will start printing its overdue warning; at that
+    point either accept a 4-round cadence for the cheapest
+    scan-riding queries or retire redundant ones —
     tests/test_oracle_parity.py::test_external_window_composition
     enforces the all-oracle-backed invariant mechanically. Everything
     in the tail still runs in bench.py and stays hash-checked every
