@@ -3468,7 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
     (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With 145 queries on a 50-slot window the
+    debuts, (3) fresh greens. With 144 queries on a 50-slot window the
     3-round cadence has capacity 150 — nearly full: adding ~6 more
     queries makes a strict 3-round cadence infeasible and
     next_window.py will start printing its overdue warning; at that
