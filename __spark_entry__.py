@@ -2184,6 +2184,24 @@ def _q_lm_score_documents(spark, sf_dir):
     )
 
 
+def _q_ccnet_buckets_documents(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing
+    (`kolang_spark/llm/lmscore.py::perplexity_buckets`, Wenzek et al.
+    2020): every document scored by the smoothed unigram LM, then
+    assigned an equi-depth tercile WITHIN its language — the classic
+    keep-head+middle quality gate before expensive filters. Boundaries
+    are exact interpolated per-language percentiles of the score
+    rounded to 6 decimals (identical inputs both engines — the proven
+    lm-score contract), assignment is the equi_depth_bin rule (1 +
+    boundaries strictly below); the oracle replays the LM, the
+    quantile_cont boundaries, and the bucket/label rule exactly."""
+    from kolang_spark.llm import perplexity_buckets
+
+    dc = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(dc, lang_col="lang")
+    return out.orderBy("doc_id")
+
+
 def _q_quality_classifier_documents(spark, sf_dir):
     """Distributed linear text classifier (`kolang_spark/llm/
     classify.py`): Naive-Bayes log-odds weights TRAINED on the even
@@ -3468,8 +3486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
     (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With 144 queries on a 50-slot window the
-    3-round cadence has capacity 150 — nearly full: adding ~6 more
+    debuts, (3) fresh greens. With 145 queries on a 50-slot window the
+    3-round cadence has capacity 150 — nearly full: adding ~5 more
     queries makes a strict 3-round cadence infeasible and
     next_window.py will start printing its overdue warning; at that
     point either accept a 4-round cadence for the cheapest
@@ -3581,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_lines_batches": _q_incremental_lines_batches,
         "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
         "web_curation_pipeline": _q_web_curation_pipeline,
+        "ccnet_buckets_documents": _q_ccnet_buckets_documents,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -7162,6 +7181,55 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN agg a ON a.doc_id = d.doc_id
             CROSS JOIN consts
+        """,
+        # same LM replay as lm_score_documents, then per-language
+        # quantile_cont terciles over the 6-dp-rounded score and the
+        # equi_depth_bin assignment rule (1 + boundaries strictly
+        # below); probs written as 1.0/3.0 and 2.0/3.0 so both engines
+        # interpolate at the identical double
+        "ccnet_buckets_documents": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t))) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), tok2 AS (
+              SELECT doc_id, tok FROM tok WHERE tok <> ''
+            ), counts AS (
+              SELECT tok, COUNT(*) AS cnt FROM tok2 GROUP BY 1
+            ), consts AS (
+              SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts
+            ), contrib AS (
+              SELECT t.doc_id,
+                     CAST(round(ln(c.cnt + 1.0) * 1e6) AS BIGINT) AS c
+              FROM tok2 t JOIN counts c USING (tok)
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_tokens, SUM(c) AS s
+              FROM contrib GROUP BY 1
+            ), scored AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                     ROUND(ln(consts.total + 1.0 * consts.vocab)
+                           - a.s / (a.n_tokens * 1e6), 6) AS score
+              FROM documents d
+              LEFT JOIN agg a ON a.doc_id = d.doc_id
+              CROSS JOIN consts
+            ), b AS (
+              SELECT lang,
+                     [quantile_cont(score, 1.0/3.0),
+                      quantile_cont(score, 2.0/3.0)] AS bs
+              FROM scored GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.n_tokens, s.score,
+                   CASE WHEN s.score IS NULL THEN NULL
+                        ELSE CAST(1 + len(list_filter(b.bs, x -> s.score > x))
+                                  AS INT) END AS bucket,
+                   CASE WHEN s.score IS NULL THEN NULL
+                        ELSE (['head','middle','tail'])[
+                          1 + len(list_filter(b.bs, x -> s.score > x))]
+                        END AS label
+            FROM scored s JOIN b USING (lang) ORDER BY s.doc_id
         """,
         # Mirrors llm/prep.py::pack_examples (example_tokens=256): same
         # whitespace token counts, plain running sum for the offsets,

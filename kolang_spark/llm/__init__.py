@@ -96,6 +96,7 @@ from kolang_spark.llm.classify import (  # noqa: F401
 from kolang_spark.llm.dsir import dsir_logratios, dsir_resample  # noqa: F401
 from kolang_spark.llm.lmscore import (  # noqa: F401
     bigram_lm_scores,
+    perplexity_buckets,
     unigram_lm_scores,
 )
 from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401

@@ -23,14 +23,14 @@ oracle reproduces the score bit-exactly.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["unigram_lm_scores", "bigram_lm_scores"]
+__all__ = ["unigram_lm_scores", "bigram_lm_scores", "perplexity_buckets"]
 
 _BOS = "\x02"  # beginning-of-document context sentinel
 
@@ -239,4 +239,82 @@ def bigram_lm_scores(
         id_col,
         F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
         "avg_neg_logprob",
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: Optional[str] = "lang",
+    n_buckets: int = 3,
+    labels: Optional[Sequence[str]] = ("head", "middle", "tail"),
+    lowercase: bool = True,
+    alpha: float = 1.0,
+    lm_df: Optional[DataFrame] = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document with the smoothed unigram LM and assign it an
+    equi-depth bucket WITHIN its language — bucket 1 (``head``) is the
+    most-typical third of that language, ``tail`` the most-surprising.
+    CCNet keeps head+middle (or reweights by bucket) as the cheap
+    quality gate before expensive downstream filters; this operator is
+    that stage as one composition of two already-proven pieces
+    (:func:`unigram_lm_scores` + ``operators.binning.equi_depth_bin``).
+
+    Bucket boundaries are exact interpolated per-language percentiles
+    of the score ROUNDED to ``round_to`` decimals (rounding first makes
+    the boundary inputs bit-identical across engines — the same
+    contract the lm-score oracle has proven since round 6); assignment
+    is "1 + boundaries strictly below" exactly like ``equi_depth_bin``.
+    Zero-token documents have NULL scores and get NULL bucket/label.
+
+    Scale shape: scoring is the unigram scorer's two hash aggregates +
+    one equi-join; the boundary table is |langs|·(n_buckets-1) values
+    computed by one percentile aggregation and broadcast back — the
+    detail rows never shuffle for assignment. ``lang_col=None``
+    buckets over the whole corpus instead of per language.
+
+    Returns ``(id_col[, lang_col], n_tokens, score, bucket, label)``
+    with ``score`` the rounded avg negative log-probability.
+    """
+    from kolang_spark.operators.binning import equi_depth_bin
+
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError("labels must have exactly n_buckets entries")
+    scores = unigram_lm_scores(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        lowercase=lowercase,
+        alpha=alpha,
+        lm_df=lm_df,
+    )
+    keep = [id_col] + ([lang_col] if lang_col else [])
+    base = df.select(*keep).join(scores, id_col)
+    base = base.withColumn(
+        "score", F.round(F.col("avg_neg_logprob"), round_to)
+    ).drop("avg_neg_logprob")
+    binned = equi_depth_bin(
+        base,
+        "score",
+        n_bins=n_buckets,
+        by=[lang_col] if lang_col else None,
+        out_col="bucket",
+    )
+    if labels is not None:
+        lab = F.element_at(
+            F.array(*[F.lit(x) for x in labels]), F.col("bucket")
+        )
+    else:
+        lab = F.col("bucket").cast("string")
+    return binned.select(
+        *keep,
+        "n_tokens",
+        "score",
+        "bucket",
+        F.when(F.col("bucket").isNull(), F.lit(None).cast("string"))
+        .otherwise(lab)
+        .alias("label"),
     )

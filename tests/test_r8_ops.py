@@ -645,3 +645,56 @@ def test_blocklist_corpus_side_never_shuffles(spark):
         and _re.search(r"\b(id|url)#", ln)
     ]
     assert not hash_range, hash_range
+
+
+# ---------------------------------------------------------------- CCNet
+# perplexity bucketing (lmscore.perplexity_buckets)
+
+
+def _ppl_docs(spark):
+    # lang 'a': doc 1-2 share 'x x x' (typical), doc 3 is rare tokens
+    # (surprising); lang 'b': three docs; doc 7 has no tokens at all
+    rows = [
+        (1, "x x x", "a"),
+        (2, "x x y", "a"),
+        (3, "q r s", "a"),
+        (4, "m m m", "b"),
+        (5, "m m n", "b"),
+        (6, "u v w", "b"),
+        (7, "   ", "a"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_perplexity_buckets_per_lang_terciles(spark):
+    from kolang_spark.llm import perplexity_buckets
+
+    out = perplexity_buckets(_ppl_docs(spark), lang_col="lang")
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 7
+    # per-lang: scores order doc1 < doc2 < doc3 (a), doc4 < doc5 < doc6
+    # (b) -> with terciles each scored doc gets its own bucket
+    for lo, mid, hi in [(1, 2, 3), (4, 5, 6)]:
+        assert got[lo]["bucket"] == 1 and got[lo]["label"] == "head"
+        assert got[mid]["bucket"] == 2 and got[mid]["label"] == "middle"
+        assert got[hi]["bucket"] == 3 and got[hi]["label"] == "tail"
+        assert got[lo]["score"] < got[mid]["score"] < got[hi]["score"]
+    # zero-token doc: NULL score, bucket, label; n_tokens 0
+    assert got[7]["n_tokens"] == 0
+    assert got[7]["score"] is None
+    assert got[7]["bucket"] is None and got[7]["label"] is None
+
+
+def test_perplexity_buckets_global_and_label_validation(spark):
+    import pytest as _pytest
+
+    from kolang_spark.llm import perplexity_buckets
+
+    df = _ppl_docs(spark).where("doc_id < 7")
+    out = perplexity_buckets(df, lang_col=None, n_buckets=2, labels=None)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # global halves: labels default to the bucket number as string
+    assert {got[i]["bucket"] for i in got} == {1, 2}
+    assert all(got[i]["label"] == str(got[i]["bucket"]) for i in got)
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(df, n_buckets=3, labels=("a", "b"))
