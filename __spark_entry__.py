@@ -761,6 +761,68 @@ def _q_minhash_sink_stream_batch(spark, sf_dir):
     return out
 
 
+def _q_lines_sink_stream_batch(spark, sf_dir):
+    """The streaming LINE-dedup sink END TO END
+    (`kolang_spark/streaming/sinks.py::line_dedup_sink`): the 2-word-
+    line reshape of a tenth of the corpus flows through a real
+    foreachBatch StreamingQuery as two file micro-batches (doc_id %
+    20 == 0, then == 1) with per-run scratch state; the output table
+    must hold exactly the rebuilt documents the incremental keep rule
+    admits — the oracle replays within-batch keep-first by (doc_id,
+    pos), then batch 2 minus batch 1's kept-line set, entirely in SQL
+    (the same replay as `incremental_lines_batches`, restricted to the
+    slice). File mtimes are pinned so the source orders batch 1 before
+    batch 2; the returned frame is frozen before the scratch dir is
+    removed."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.streaming import line_dedup_sink
+
+    base = tempfile.mkdtemp(prefix="ks_ln_sink_q_")
+    try:
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        dc = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 < 2)
+        words = F.split(F.col("text"), " ")
+        n_lines = F.ceil(F.size(words) / F.lit(2)).cast("int")
+        lns = F.transform(
+            F.sequence(F.lit(0), n_lines - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(words, i * F.lit(2) + F.lit(1), 2), " "
+            ),
+        )
+        multi = dc.select("doc_id", F.array_join(lns, "\n").alias("text"))
+        f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
+        multi.where(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(f1)
+        multi.where(F.col("doc_id") % 20 == 1).coalesce(1).write.parquet(f2)
+        now = 1_700_000_000
+        for i, d in enumerate((f1, f2)):
+            for entry_name in os.listdir(d):
+                os.utime(os.path.join(d, entry_name), (now + i, now + i))
+            os.utime(d, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        q = line_dedup_sink(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "out"),
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("doc_id", "text_deduped", "n_kept", "n_removed")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("doc_id")
+
+
 def _q_sessionize_stream_semantics(spark, sf_dir):
     """Inactivity-gap sessionization (`kolang_spark/streaming/sessions
     .py::sessionize`, Spark `session_window` — the same call runs
@@ -3486,8 +3548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
     (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With 145 queries on a 50-slot window the
-    3-round cadence has capacity 150 — nearly full: adding ~5 more
+    debuts, (3) fresh greens. With 146 queries on a 50-slot window the
+    3-round cadence has capacity 150 — nearly full: adding ~4 more
     queries makes a strict 3-round cadence infeasible and
     next_window.py will start printing its overdue warning; at that
     point either accept a 4-round cadence for the cheapest
@@ -3600,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
         "web_curation_pipeline": _q_web_curation_pipeline,
         "ccnet_buckets_documents": _q_ccnet_buckets_documents,
+        "lines_sink_stream_batch": _q_lines_sink_stream_batch,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -5331,6 +5394,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.total - COALESCE(r.n_kept, 0) AS BIGINT)
                      AS n_removed
             FROM documents d
+            LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+            JOIN totals t ON d.doc_id = t.doc_id
+            ORDER BY d.doc_id
+        """,
+        # the incremental_lines_batches replay restricted to the
+        # doc_id % 20 < 2 slice the sink query streams (batch 1 =
+        # residue 0, batch 2 = residue 1); the sink's output table
+        # holds both batches' rebuilt docs without a batch column
+        "lines_sink_stream_batch": """
+            WITH src AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 20 < 2
+            ), words AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM src
+            ), docs2 AS (
+              SELECT doc_id,
+                     [array_to_string(list_slice(w, i*2+1, i*2+2), ' ')
+                      for i in range((len(w)+1)//2)] AS lines
+              FROM words
+            ), exploded AS (
+              SELECT doc_id,
+                     unnest([{'pos': i, 'line': lines[i+1]}
+                             for i in range(len(lines))],
+                            recursive := true)
+              FROM docs2
+            ), k1 AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM exploded WHERE doc_id % 20 = 0
+            ), kept1 AS (
+              SELECT doc_id, pos, line FROM k1
+              WHERE trim(line) = '' OR rn = 1
+            ), state1 AS (
+              SELECT DISTINCT trim(line) AS k FROM kept1
+              WHERE trim(line) <> ''
+            ), k2 AS (
+              SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY trim(line)
+                                        ORDER BY doc_id, pos) AS rn
+              FROM exploded WHERE doc_id % 20 = 1
+            ), kept2 AS (
+              SELECT doc_id, pos, line FROM k2
+              WHERE trim(line) = ''
+                 OR (rn = 1 AND trim(line) NOT IN (SELECT k FROM state1))
+            ), kept AS (
+              SELECT * FROM kept1 UNION ALL SELECT * FROM kept2
+            ), rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos)
+                       AS text_deduped,
+                     COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, COUNT(*) AS total FROM exploded GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.text_deduped, '') AS text_deduped,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.total - COALESCE(r.n_kept, 0) AS BIGINT)
+                     AS n_removed
+            FROM src d
             LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
             JOIN totals t ON d.doc_id = t.doc_id
             ORDER BY d.doc_id

@@ -773,11 +773,32 @@ def incremental_line_dedup(
     lines only; re-assembly is the same per-doc groupBy as the batch
     operator. Returns ``(id_col, out_col, n_kept, n_removed)``.
     """
+    marked, novel = _incremental_lines_flagged(
+        spark, new_df, state_path, id_col, text_col, delim
+    )
+    novel.write.mode("append").parquet(state_path)
+    return _rebuild_deduped_lines(new_df, marked, id_col, text_col, delim, out_col)
+
+
+def _incremental_lines_flagged(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+    delim: str,
+):
+    """Shared core of :func:`incremental_line_dedup` and
+    :func:`kolang_spark.streaming.sinks.line_dedup_sink`: the batch's
+    per-line keep flags computed against the CURRENT state, plus the
+    batch's novel line keys — with NOTHING written, so each caller
+    controls its own crash-safety write order. ``marked`` is eagerly
+    ``localCheckpoint``-ed: the flags are pinned against whatever state
+    appends happen next and never lazily re-read the state."""
     import re as _re
 
     from kolang_spark.sources.io import path_exists
 
-    out_col = out_col or f"{text_col}_deduped"
     lines = new_df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
@@ -811,17 +832,30 @@ def incremental_line_dedup(
         )
         .drop("__seen__", "_rn")
     )
-    # pin flags BEFORE the state append: the write below and the
-    # caller's first action must agree, and the frame must not lazily
-    # re-read state the append is about to grow
+    # pin flags BEFORE any state append: the caller's writes and its
+    # first action on the returned frames must agree, and the frames
+    # must not lazily re-read state an append is about to grow
     marked = marked.localCheckpoint(eager=True)
     novel = (
         marked.where(F.col("_keep") & ~F.col("_ws"))
         .select(F.col("_key").alias("line_key"))
         .distinct()
     )
-    novel.write.mode("append").parquet(state_path)
+    return marked, novel
 
+
+def _rebuild_deduped_lines(
+    new_df: DataFrame,
+    marked: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim: str,
+    out_col: Optional[str],
+) -> DataFrame:
+    """Re-assemble per-document text from the kept lines of
+    ``_incremental_lines_flagged``'s ``marked`` frame →
+    ``(id_col, out_col, n_kept, n_removed)``."""
+    out_col = out_col or f"{text_col}_deduped"
     rebuilt = (
         marked.where(F.col("_keep"))
         .groupBy("_id")

@@ -21,7 +21,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
-__all__ = ["upsert_sink", "minhash_dedup_sink"]
+__all__ = ["upsert_sink", "minhash_dedup_sink", "line_dedup_sink"]
 
 
 def upsert_sink(
@@ -144,6 +144,72 @@ def minhash_dedup_sink(
             else marked.where(~F.col("is_near_duplicate")).drop(
                 "is_near_duplicate"
             )
+        )
+        # (2) output before (3) state — see docstring
+        out.write.mode("append").parquet(output_path)
+        novel.write.mode("append").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def line_dedup_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    out_col: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Streaming LINE-level dedup ingest (the RefinedWeb corpus-wide
+    keep-first rule, applied per micro-batch): each batch's lines are
+    checked against (and then extend) the persisted kept-line-hash
+    state — the ``foreachBatch`` wiring of
+    :func:`kolang_spark.llm.dedup.incremental_line_dedup`, completing
+    the streaming incremental-ingest family (exact → MinHash → lines).
+    Re-assembled documents ``(id_col, out_col, n_kept, n_removed)``
+    append to ``output_path``; the batch's novel line hashes append to
+    ``state_path``. Both paths may be object-store URIs (all probes go
+    through the Hadoop FS API). Returns the started
+    ``StreamingQuery``.
+
+    Crash-safety write ORDER within a batch (same rationale as
+    :func:`minhash_dedup_sink`): (1) per-line keep flags are
+    materialized while the state is still pre-batch, (2) rebuilt
+    documents append to the output, (3) novel line hashes append to
+    the state. A crash before (3) means the replayed batch recomputes
+    the SAME flags and may re-append output — duplicate OUTPUT rows,
+    removable downstream by ``id_col``. State-first would make a
+    replayed batch strip every line it had just recorded — silently
+    emptied documents no downstream step can repair.
+
+    Within-batch semantics (state hit removes every occurrence, novel
+    lines keep their first by ``(id, pos)``, whitespace-only lines
+    always survive) are the batch operator's — see its docstring.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from kolang_spark.llm.dedup import (
+            _incremental_lines_flagged,
+            _rebuild_deduped_lines,
+        )
+
+        spark = batch_df.sparkSession
+        # (1) flags pinned (eager localCheckpoint inside the helper)
+        marked, novel = _incremental_lines_flagged(
+            spark, batch_df, state_path, id_col, text_col, delim
+        )
+        out = _rebuild_deduped_lines(
+            batch_df, marked, id_col, text_col, delim, out_col
         )
         # (2) output before (3) state — see docstring
         out.write.mode("append").parquet(output_path)

@@ -289,3 +289,56 @@ def test_minhash_dedup_sink_keep_duplicates_flags(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert got == {1: False, 2: True}
+
+
+def test_line_dedup_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming line-dedup ingest over two micro-batches == running
+    the batch operator twice on the same batches: same rebuilt texts,
+    same persisted line-hash state."""
+    from kolang_spark.llm.dedup import incremental_line_dedup
+    from kolang_spark.streaming import line_dedup_sink
+
+    b1 = [(1, "alpha one\nshared line\nbeta two"),
+          (2, "shared line\ngamma three")]        # batch-internal dup
+    b2 = [(3, "shared line\ndelta four"),         # state hit
+          (4, "epsilon five\n\nzeta six")]        # ws line survives
+    schema = "doc_id long, text string"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    _pin_mtimes(src / "f1", src / "f2")
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = line_dedup_sink(stream, state, out, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.text_deduped, r.n_kept, r.n_removed)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] == ("alpha one\nshared line\nbeta two", 3, 0)
+    assert got[2] == ("gamma three", 1, 1)          # in-batch keep-first
+    assert got[3] == ("delta four", 1, 1)           # state hit removed
+    assert got[4] == ("epsilon five\n\nzeta six", 3, 0)  # ws structural
+
+    # batch replay of the same two batches against a fresh state
+    state2 = str(tmp_path / "state2")
+    rows = incremental_line_dedup(
+        spark, spark.createDataFrame(b1, schema), state2
+    ).collect()
+    rows += incremental_line_dedup(
+        spark, spark.createDataFrame(b2, schema), state2
+    ).collect()
+    batch_got = {r.doc_id: (r.text_deduped, r.n_kept, r.n_removed) for r in rows}
+    assert batch_got == got
+
+    # identical persisted state (kept-line-hash multisets)
+    s_stream = sorted(r.line_key for r in spark.read.parquet(state).collect())
+    s_batch = sorted(r.line_key for r in spark.read.parquet(state2).collect())
+    assert s_stream == s_batch
