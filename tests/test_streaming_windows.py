@@ -342,3 +342,92 @@ def test_line_dedup_sink_stream_equals_batch(spark, tmp_path):
     s_stream = sorted(r.line_key for r in spark.read.parquet(state).collect())
     s_batch = sorted(r.line_key for r in spark.read.parquet(state2).collect())
     assert s_stream == s_batch
+
+
+def test_line_dedup_crash_before_state_append_never_loses(spark, tmp_path):
+    """The sinks' documented crash contract, pinned mechanically: a
+    batch that crashes AFTER its output append but BEFORE its state
+    append recomputes the IDENTICAL keep flags on replay (duplicate
+    output rows at worst, zero loss). The negative control shows the
+    inverse order would lose data: once the state append lands, a
+    re-run of the same batch strips every line it had just recorded."""
+    from kolang_spark.llm.dedup import (
+        _incremental_lines_flagged,
+        incremental_line_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(1, "alpha one\nshared line")], schema)
+    incremental_line_dedup(spark, b1, state).collect()  # state = batch 1
+
+    b2 = spark.createDataFrame(
+        [(2, "shared line\nbeta two"), (3, "beta two\ngamma three")], schema
+    )
+    # crashed attempt: flags computed (and output written, conceptually)
+    # but the state append never happens
+    marked_crash, _novel = _incremental_lines_flagged(
+        spark, b2, state, "doc_id", "text", "\n"
+    )
+    crash_keeps = sorted(
+        (r["_id"], r["_pos"])
+        for r in marked_crash.where("_keep").collect()
+    )
+    # replay after the crash: the full operator (which DOES append
+    # state) must compute the same keep set — nothing lost
+    replay = incremental_line_dedup(spark, b2, state)
+    got = {r.doc_id: (r.text_deduped, r.n_kept) for r in replay.collect()}
+    assert got[2] == ("beta two", 1)        # 'shared line' was state-hit
+    assert got[3] == ("gamma three", 1)     # 'beta two' in-batch first won
+    replay_keeps = sorted(
+        (d, p)
+        for d, (txt, _k) in got.items()
+        for p, _ln in enumerate(txt.split("\n"))
+        if txt
+    )
+    assert len(crash_keeps) == sum(k for _t, k in got.values())
+    assert replay_keeps  # non-empty: the batch still produced output
+
+    # negative control — state-first ordering WOULD lose everything:
+    # now that the replay appended state, a third run of the same batch
+    # finds all its own lines in state and strips them
+    third = incremental_line_dedup(spark, b2, state)
+    assert {r.n_kept for r in third.collect()} == {0}
+
+
+def test_minhash_crash_before_state_append_never_loses(spark, tmp_path):
+    """Same contract for the MinHash sink core: flags recomputed after
+    a crash-before-state-append match the crashed attempt's accept
+    set; after state lands, a re-run flags everything near-duplicate."""
+    from kolang_spark.llm.dedup import (
+        _incremental_minhash_flagged,
+        incremental_minhash_dedup,
+    )
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    t_a = "the quick brown fox jumps over the lazy dog today"
+    t_b = "completely different content with many unique words inside"
+    incremental_minhash_dedup(
+        spark, spark.createDataFrame([(1, t_a)], schema), state
+    ).collect()
+
+    b2 = spark.createDataFrame([(2, t_a), (3, t_b)], schema)
+    marked_crash, _novel = _incremental_minhash_flagged(spark, b2, state)
+    crash_accepts = sorted(
+        r.doc_id for r in marked_crash.where("NOT is_near_duplicate").collect()
+    )
+    assert crash_accepts == [3]  # 2 is a state near-dup of 1
+    replay = incremental_minhash_dedup(spark, b2, state)
+    replay_accepts = sorted(
+        r.doc_id for r in replay.where("NOT is_near_duplicate").collect()
+    )
+    assert replay_accepts == crash_accepts  # identical flags — no loss
+
+    # negative control: state now contains doc 3's bands, so a re-run
+    # of the same batch flags 3 as its own duplicate — the loss mode
+    # the output-before-state ordering exists to prevent
+    third = incremental_minhash_dedup(spark, b2, state)
+    assert sorted(
+        r.doc_id for r in third.where("NOT is_near_duplicate").collect()
+    ) == []
