@@ -1562,6 +1562,59 @@ def _q_incremental_embedding_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_embedding_sink_stream_batch(spark, sf_dir):
+    """The streaming sign-LSH embedding dedup sink END TO END
+    (`kolang_spark/streaming/sinks.py::embedding_dedup_sink`): the
+    embeddings table flows through a real foreachBatch StreamingQuery
+    as two file micro-batches (even then odd vec_ids) with per-run
+    scratch state, ``keep_duplicates=True`` so every vector lands in
+    the output with its flag; the oracle replays banding (md5-derived
+    plane coefficients inlined identically in both engines),
+    within-batch band-key-first-wins, and the accepted-only state
+    handoff — the same replay as `incremental_embedding_batches`
+    without the batch column. File mtimes pinned; result frozen before
+    the scratch dir is removed."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.streaming import embedding_dedup_sink
+
+    base = tempfile.mkdtemp(prefix="ks_emb_sink_q_")
+    try:
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
+        em.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f1)
+        em.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f2)
+        now = 1_700_000_000
+        for i, d in enumerate((f1, f2)):
+            for entry_name in os.listdir(d):
+                os.utime(os.path.join(d, entry_name), (now + i, now + i))
+            os.utime(d, (now + i, now + i))
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        q = embedding_dedup_sink(
+            stream,
+            os.path.join(base, "state"),
+            os.path.join(base, "out"),
+            keep_duplicates=True,
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination(300)
+        out = (
+            spark.read.parquet(os.path.join(base, "out"))
+            .select("vec_id", "is_near_duplicate")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out.orderBy("vec_id")
+
+
 def _q_canonical_urls(spark, sf_dir):
     """URL canonicalization (`kolang_spark/llm/scrub.py::
     canonicalize_url` — the crawl-frontier / URL-level dedup key):
@@ -3548,8 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
     (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With 146 queries on a 50-slot window the
-    3-round cadence has capacity 150 — nearly full: adding ~4 more
+    debuts, (3) fresh greens. With 147 queries on a 50-slot window the
+    3-round cadence has capacity 150 — nearly full: adding ~3 more
     queries makes a strict 3-round cadence infeasible and
     next_window.py will start printing its overdue warning; at that
     point either accept a 4-round cadence for the cheapest
@@ -3663,6 +3716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation_pipeline": _q_web_curation_pipeline,
         "ccnet_buckets_documents": _q_ccnet_buckets_documents,
         "lines_sink_stream_batch": _q_lines_sink_stream_batch,
+        "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
         # --- tail: fresh r7 window greens (50) — stale at r9 ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
@@ -6759,6 +6813,68 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings em
             LEFT JOIN flag1 f1 ON em.vec_id % 2 = 0 AND f1.vec_id = em.vec_id
             LEFT JOIN flag2 f2 ON em.vec_id % 2 = 1 AND f2.vec_id = em.vec_id
+        """,
+        # the incremental_embedding_batches replay verbatim (the sink
+        # streams the same even/odd micro-batches), minus the batch
+        # column — the sink's keep_duplicates output is the full table
+        # with its flags
+        "embedding_sink_stream_batch": f"""
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(embedding) >= 64
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0
+            ), banded AS (
+              SELECT vec_id, 0 AS band_id,
+                     CAST({_lsh_sig_sql("v", 8, 64, plane_offset=0)} AS VARCHAR)
+                       AS band_key
+              FROM e
+              UNION ALL
+              SELECT vec_id, 1 AS band_id,
+                     CAST({_lsh_sig_sql("v", 8, 64, plane_offset=8)} AS VARCHAR)
+                       AS band_key
+              FROM e
+            ), b1 AS (
+              SELECT vec_id, band_id, band_key FROM banded
+              WHERE vec_id % 2 = 0
+            ), b1m AS (
+              SELECT vec_id, band_id, band_key,
+                     MIN(vec_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b1
+            ), flag1 AS (
+              SELECT vec_id,
+                     MAX(CASE WHEN fm < vec_id THEN 1 ELSE 0 END) AS f
+              FROM b1m GROUP BY vec_id
+            ), state1 AS (
+              SELECT DISTINCT b.band_id, b.band_key
+              FROM b1 b JOIN flag1 f1 USING (vec_id)
+              WHERE f1.f = 0
+            ), b2 AS (
+              SELECT vec_id, band_id, band_key FROM banded
+              WHERE vec_id % 2 = 1
+            ), b2m AS (
+              SELECT vec_id, band_id, band_key,
+                     MIN(vec_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b2
+            ), flag2 AS (
+              SELECT x.vec_id,
+                     MAX(CASE WHEN st.band_key IS NOT NULL
+                               OR x.fm < x.vec_id
+                              THEN 1 ELSE 0 END) AS f
+              FROM b2m x LEFT JOIN state1 st
+                ON x.band_id = st.band_id AND x.band_key = st.band_key
+              GROUP BY x.vec_id
+            )
+            SELECT em.vec_id,
+                   coalesce(CASE WHEN em.vec_id % 2 = 0
+                                 THEN f1.f ELSE f2.f END = 1,
+                            false) AS is_near_duplicate
+            FROM embeddings em
+            LEFT JOIN flag1 f1 ON em.vec_id % 2 = 0 AND f1.vec_id = em.vec_id
+            LEFT JOIN flag2 f2 ON em.vec_id % 2 = 1 AND f2.vec_id = em.vec_id
+            ORDER BY em.vec_id
         """,
         "multimodal_decode_wav": """
             WITH d AS (

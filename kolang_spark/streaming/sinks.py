@@ -21,7 +21,12 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
 
-__all__ = ["upsert_sink", "minhash_dedup_sink", "line_dedup_sink"]
+__all__ = [
+    "upsert_sink",
+    "minhash_dedup_sink",
+    "line_dedup_sink",
+    "embedding_dedup_sink",
+]
 
 
 def upsert_sink(
@@ -212,6 +217,73 @@ def line_dedup_sink(
             batch_df, marked, id_col, text_col, delim, out_col
         )
         # (2) output before (3) state — see docstring
+        out.write.mode("append").parquet(output_path)
+        novel.write.mode("append").parquet(state_path)
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_dedup_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    output_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    planes_per_band: int = 8,
+    bands: int = 2,
+    keep_duplicates: bool = False,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Streaming NEAR-dup ingest over EMBEDDINGS — the sign-LSH member
+    of the sink family (exact stream dedup → :func:`minhash_dedup_sink`
+    → :func:`line_dedup_sink` → this), the ``foreachBatch`` wiring of
+    :func:`kolang_spark.llm.dedup.incremental_embedding_dedup` for
+    vector streams (featurizer output, embedding services). Accepted
+    vectors (or all rows with their ``is_near_duplicate`` flag when
+    ``keep_duplicates``) append to ``output_path``; accepted vectors'
+    band keys append to ``state_path``. Both paths may be object-store
+    URIs. Returns the started ``StreamingQuery``.
+
+    Same crash-safety write order as the sibling sinks — (1) flags
+    pinned pre-state (the banded-core helper eagerly checkpoints
+    them), (2) output appends, (3) state appends — so a replayed batch
+    can duplicate output rows but never lose accepted vectors.
+    Within-batch semantics (band-key-first-wins, malformed embeddings
+    always accepted and never persisted) are the batch operator's.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from kolang_spark.llm.dedup import (
+            _embedding_band_keys,
+            _incremental_banded_flagged,
+        )
+
+        spark = batch_df.sparkSession
+        banded = _embedding_band_keys(
+            batch_df, id_col, vec_col, dims, planes_per_band, bands
+        )
+        # (1) flags pinned inside the helper, pre-state
+        marked, novel = _incremental_banded_flagged(
+            spark, batch_df, banded, state_path, id_col,
+            "is_near_duplicate",
+        )
+        out = (
+            marked
+            if keep_duplicates
+            else marked.where(~F.col("is_near_duplicate")).drop(
+                "is_near_duplicate"
+            )
+        )
+        # (2) output before (3) state — see minhash_dedup_sink
         out.write.mode("append").parquet(output_path)
         novel.write.mode("append").parquet(state_path)
 

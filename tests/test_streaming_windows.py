@@ -431,3 +431,62 @@ def test_minhash_crash_before_state_append_never_loses(spark, tmp_path):
     assert sorted(
         r.doc_id for r in third.where("NOT is_near_duplicate").collect()
     ) == []
+
+
+def test_embedding_dedup_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming sign-LSH embedding ingest over two micro-batches ==
+    the batch operator twice on the same batches: same flags, same
+    persisted band-key state."""
+    from kolang_spark.llm.dedup import incremental_embedding_dedup
+    from kolang_spark.streaming import embedding_dedup_sink
+
+    def vec(seed, flip=0.0):
+        return [float(((seed * 31 + k * 17) % 19) - 9) + flip for k in range(64)]
+
+    b1 = [(1, vec(1)), (2, vec(2))]
+    b2 = [(3, vec(1)), (4, vec(7))]        # 3 collides with state (≡ vec 1)
+    schema = "vec_id long, embedding array<double>"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    _pin_mtimes(src / "f1", src / "f2")
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = embedding_dedup_sink(
+        stream, state, out, keep_duplicates=True,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.vec_id: r.is_near_duplicate
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[1] is False and got[2] is False
+    assert got[3] is True            # identical vector -> state band hit
+    assert got[4] is False
+
+    # batch replay against a fresh state: identical flags and state
+    state2 = str(tmp_path / "state2")
+    m1 = incremental_embedding_dedup(
+        spark, spark.createDataFrame(b1, schema), state2
+    )
+    batch_got = {r.vec_id: r.is_near_duplicate for r in m1.collect()}
+    m2 = incremental_embedding_dedup(
+        spark, spark.createDataFrame(b2, schema), state2
+    )
+    batch_got.update({r.vec_id: r.is_near_duplicate for r in m2.collect()})
+    assert batch_got == got
+    s_stream = sorted(
+        (r.band_id, r.band_key) for r in spark.read.parquet(state).collect()
+    )
+    s_batch = sorted(
+        (r.band_id, r.band_key) for r in spark.read.parquet(state2).collect()
+    )
+    assert s_stream == s_batch
