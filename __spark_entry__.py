@@ -71,6 +71,33 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _pin_batch_mtimes(*dirs) -> None:
+    """FileStreamSource orders files by modification time; parquet
+    writes landing in the same mtime tick could flip the micro-batch
+    order. Pin strictly increasing mtimes so batch order is the write
+    order, deterministically (shared by every streaming-sink query)."""
+    now = 1_700_000_000
+    for i, d in enumerate(dirs):
+        for entry_name in os.listdir(d):
+            os.utime(os.path.join(d, entry_name), (now + i, now + i))
+        os.utime(d, (now + i, now + i))
+
+
+def _drain_stream(q, timeout_s: int = 300) -> None:
+    """Wait for an availableNow streaming sink to fully drain. A
+    timeout must fail LOUDLY — returning whatever partial output
+    landed would surface as a baffling oracle mismatch, and removing
+    the scratch dirs under a still-running query sprays background
+    task failures — so stop the query and raise instead."""
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise RuntimeError(
+                f"streaming sink did not drain within {timeout_s}s"
+            )
+    finally:
+        q.stop()  # no-op when already terminated; kills a hung query
+
+
 # ---------------------------------------------------------------- flagship
 
 
@@ -734,11 +761,7 @@ def _q_minhash_sink_stream_batch(spark, sf_dir):
         f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
         dc.where(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(f1)
         dc.where(F.col("doc_id") % 20 == 1).coalesce(1).write.parquet(f2)
-        now = 1_700_000_000
-        for i, d in enumerate((f1, f2)):
-            for entry_name in os.listdir(d):
-                os.utime(os.path.join(d, entry_name), (now + i, now + i))
-            os.utime(d, (now + i, now + i))
+        _pin_batch_mtimes(f1, f2)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -750,7 +773,7 @@ def _q_minhash_sink_stream_batch(spark, sf_dir):
             os.path.join(base, "out"),
             checkpoint=os.path.join(base, "ckpt"),
         )
-        q.awaitTermination(300)
+        _drain_stream(q)
         out = (
             spark.read.parquet(os.path.join(base, "out"))
             .select("doc_id", F.length("text").cast("int").alias("n_chars"))
@@ -796,11 +819,7 @@ def _q_lines_sink_stream_batch(spark, sf_dir):
         f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
         multi.where(F.col("doc_id") % 20 == 0).coalesce(1).write.parquet(f1)
         multi.where(F.col("doc_id") % 20 == 1).coalesce(1).write.parquet(f2)
-        now = 1_700_000_000
-        for i, d in enumerate((f1, f2)):
-            for entry_name in os.listdir(d):
-                os.utime(os.path.join(d, entry_name), (now + i, now + i))
-            os.utime(d, (now + i, now + i))
+        _pin_batch_mtimes(f1, f2)
         stream = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -812,7 +831,7 @@ def _q_lines_sink_stream_batch(spark, sf_dir):
             os.path.join(base, "out"),
             checkpoint=os.path.join(base, "ckpt"),
         )
-        q.awaitTermination(300)
+        _drain_stream(q)
         out = (
             spark.read.parquet(os.path.join(base, "out"))
             .select("doc_id", "text_deduped", "n_kept", "n_removed")
@@ -1587,11 +1606,7 @@ def _q_embedding_sink_stream_batch(spark, sf_dir):
         f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
         em.where(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(f1)
         em.where(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(f2)
-        now = 1_700_000_000
-        for i, d in enumerate((f1, f2)):
-            for entry_name in os.listdir(d):
-                os.utime(os.path.join(d, entry_name), (now + i, now + i))
-            os.utime(d, (now + i, now + i))
+        _pin_batch_mtimes(f1, f2)
         stream = (
             spark.readStream.schema("vec_id long, embedding array<float>")
             .option("maxFilesPerTrigger", 1)
@@ -1604,7 +1619,7 @@ def _q_embedding_sink_stream_batch(spark, sf_dir):
             keep_duplicates=True,
             checkpoint=os.path.join(base, "ckpt"),
         )
-        q.awaitTermination(300)
+        _drain_stream(q)
         out = (
             spark.read.parquet(os.path.join(base, "out"))
             .select("vec_id", "is_near_duplicate")
@@ -7469,7 +7484,10 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (['head','middle','tail'])[
                           1 + len(list_filter(b.bs, x -> s.score > x))]
                         END AS label
-            FROM scored s JOIN b USING (lang) ORDER BY s.doc_id
+            -- null-safe join: the Spark side keeps NULL-lang rows via
+            -- broadcast_join_nullsafe, so the oracle must too
+            FROM scored s JOIN b ON s.lang IS NOT DISTINCT FROM b.lang
+            ORDER BY s.doc_id
         """,
         # Mirrors llm/prep.py::pack_examples (example_tokens=256): same
         # whitespace token counts, plain running sum for the offsets,

@@ -787,6 +787,7 @@ def _incremental_lines_flagged(
     id_col: str,
     text_col: str,
     delim: str,
+    exclude_batch: Optional[int] = None,
 ):
     """Shared core of :func:`incremental_line_dedup` and
     :func:`kolang_spark.streaming.sinks.line_dedup_sink`: the batch's
@@ -794,7 +795,18 @@ def _incremental_lines_flagged(
     batch's novel line keys — with NOTHING written, so each caller
     controls its own crash-safety write order. ``marked`` is eagerly
     ``localCheckpoint``-ed: the flags are pinned against whatever state
-    appends happen next and never lazily re-read the state."""
+    appends happen next and never lazily re-read the state.
+
+    ``exclude_batch``: ignore state rows whose ``batch_id`` equals this
+    value (rows missing the column count as foreign). The streaming
+    sink passes its foreachBatch batch_id — stable across restart
+    replays — so a batch replayed AFTER its own state append recomputes
+    the IDENTICAL flags instead of finding its own keys in state and
+    gutting every document (replay idempotence for every crash window).
+    The state read is de-duplicated regardless: a crashed replay can
+    legitimately append the same keys twice, and duplicate state rows
+    must not double-join batch lines (that would inflate ``n_removed``).
+    """
     import re as _re
 
     from kolang_spark.sources.io import path_exists
@@ -809,9 +821,13 @@ def _incremental_lines_flagged(
         "_ws", F.trim(F.col("_line")) == ""
     )
     if path_exists(spark, state_path):
-        state = spark.read.parquet(state_path).select(
-            F.col("line_key").alias("__lk__")
-        )
+        raw = spark.read.parquet(state_path)
+        if exclude_batch is not None and "batch_id" in raw.columns:
+            raw = raw.where(
+                F.col("batch_id").isNull()
+                | (F.col("batch_id") != F.lit(int(exclude_batch)))
+            )
+        state = raw.select(F.col("line_key").alias("__lk__")).distinct()
     else:
         state = spark.createDataFrame([], "__lk__ string")
     pre = keyed.join(
@@ -1783,6 +1799,7 @@ def _incremental_minhash_flagged(
     num_hashes: int = 6,
     bands: int = 3,
     hash_fn: str = "md5",
+    exclude_batch: Optional[int] = None,
 ):
     """The flag computation of :func:`incremental_minhash_dedup`
     WITHOUT the state append: returns ``(marked, novel)`` where
@@ -1795,7 +1812,13 @@ def _incremental_minhash_flagged(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
     return _incremental_banded_flagged(
-        spark, new_df, banded, state_path, id_col, "is_near_duplicate"
+        spark,
+        new_df,
+        banded,
+        state_path,
+        id_col,
+        "is_near_duplicate",
+        exclude_batch=exclude_batch,
     )
 
 
@@ -1806,12 +1829,20 @@ def _incremental_banded_flagged(
     state_path: str,
     id_col: str,
     flag_col: str,
+    exclude_batch: Optional[int] = None,
 ):
     """The shared core of every banded incremental dedup: given the
     batch's ``(id, band_id, band_key)`` frame (MinHash bands, sign-LSH
     plane families, ...), flag each id seen-in-state OR
     band-key-first-wins within the batch, and derive the accepted ids'
-    novel band keys for the caller's state append."""
+    novel band keys for the caller's state append.
+
+    ``exclude_batch``: ignore state rows whose ``batch_id`` equals this
+    value (rows missing the column count as foreign) — the streaming
+    sinks pass their foreachBatch batch_id, stable across restart
+    replays, so a batch replayed AFTER its own state append recomputes
+    the IDENTICAL flags instead of flagging its own accepted docs as
+    duplicates (replay idempotence for every crash window)."""
     from kolang_spark.sources.io import path_exists
 
     # materialize the banded frame ONCE: it is referenced by both the
@@ -1823,9 +1854,18 @@ def _incremental_banded_flagged(
     # is one cheap job that halves the query's wall-clock.
     banded = banded.localCheckpoint(eager=True)
     if path_exists(spark, state_path):
-        state = spark.read.parquet(state_path).select(
+        raw = spark.read.parquet(state_path)
+        if exclude_batch is not None and "batch_id" in raw.columns:
+            raw = raw.where(
+                F.col("batch_id").isNull()
+                | (F.col("batch_id") != F.lit(int(exclude_batch)))
+            )
+        # distinct: a crashed replay may have appended the same keys
+        # twice; duplicates are flag-harmless (the groupBy/max absorbs
+        # them) but double-join rows for nothing
+        state = raw.select(
             "band_id", F.col("band_key").alias("__sk__")
-        )
+        ).distinct()
     else:
         state = spark.createDataFrame([], "band_id int, __sk__ string")
 

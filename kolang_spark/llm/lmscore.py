@@ -23,7 +23,7 @@ oracle reproduces the score bit-exactly.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -242,13 +242,16 @@ def bigram_lm_scores(
     )
 
 
+_DEFAULT_LABELS = object()  # sentinel: head/middle/tail iff n_buckets == 3
+
+
 def perplexity_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: Optional[str] = "lang",
     n_buckets: int = 3,
-    labels: Optional[Sequence[str]] = ("head", "middle", "tail"),
+    labels=_DEFAULT_LABELS,
     lowercase: bool = True,
     alpha: float = 1.0,
     lm_df: Optional[DataFrame] = None,
@@ -277,10 +280,18 @@ def perplexity_buckets(
     buckets over the whole corpus instead of per language.
 
     Returns ``(id_col[, lang_col], n_tokens, score, bucket, label)``
-    with ``score`` the rounded avg negative log-probability.
+    with ``score`` the rounded avg negative log-probability. Labels
+    default to head/middle/tail for terciles and to the bucket number
+    as a string for any other ``n_buckets`` (pass an explicit
+    ``labels`` sequence, or ``None`` for numeric, to override).
     """
     from kolang_spark.operators.binning import equi_depth_bin
 
+    if labels is _DEFAULT_LABELS:
+        # head/middle/tail only makes sense for terciles; any other
+        # n_buckets falls back to numeric labels instead of forcing
+        # every caller of e.g. n_buckets=5 to also pass labels=None
+        labels = ("head", "middle", "tail") if n_buckets == 3 else None
     if labels is not None and len(labels) != n_buckets:
         raise ValueError("labels must have exactly n_buckets entries")
     scores = unigram_lm_scores(

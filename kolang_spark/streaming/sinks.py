@@ -114,14 +114,16 @@ def minhash_dedup_sink(
     the bloom sidecar's bits-first rule, because the failure costs
     invert): (1) flags are materialized (``localCheckpoint``) while
     the state is still pre-batch, (2) output appends, (3) state
-    appends. A crash before (3) means the replayed batch recomputes
-    the SAME flags (state unchanged) and may re-append output —
-    duplicate OUTPUT rows, removable downstream by doc_id. The reverse
-    order (state first) would make a replayed batch flag all its own
-    docs as duplicates — silent data LOSS in the output, which no
-    downstream step can repair. At-least-once output + never-lose is
-    the strongest contract a plain-parquet append sink can offer;
-    wrap ``output_path`` in a table format with atomic commits when
+    appends. State rows are stamped with the foreachBatch ``batch_id``
+    (stable across restart replays) and the flag computation ignores
+    the replaying batch's OWN rows, so a replay recomputes IDENTICAL
+    flags in every crash window — before (3), the state is unchanged;
+    after (3) but before the streaming checkpoint commit, the batch's
+    own keys are excluded. Either way the only artifact is duplicate
+    IDENTICAL output rows, removable downstream by doc_id; accepted
+    docs are never lost. At-least-once output + never-lose is the
+    strongest contract a plain-parquet append sink can offer; wrap
+    ``output_path`` in a table format with atomic commits when
     exactly-once matters.
 
     Within-batch semantics, state growth, and the candidate-only
@@ -138,10 +140,14 @@ def minhash_dedup_sink(
         # per-doc flags before returning, so the flags are already
         # pinned against the state appends below — re-checkpointing
         # `marked` here would only re-materialize the whole batch
-        # (text column included) for nothing
+        # (text column included) for nothing. exclude_batch makes a
+        # replayed batch ignore its OWN prior state append (batch_id is
+        # stable across restart replays), so flags are identical in
+        # EVERY crash window — including a crash after the state append
+        # but before the streaming checkpoint commit.
         marked, novel = _incremental_minhash_flagged(
             spark, batch_df, state_path, id_col, text_col, n, num_hashes,
-            bands,
+            bands, exclude_batch=batch_id,
         )
         out = (
             marked
@@ -152,7 +158,9 @@ def minhash_dedup_sink(
         )
         # (2) output before (3) state — see docstring
         out.write.mode("append").parquet(output_path)
-        novel.write.mode("append").parquet(state_path)
+        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_path)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:
@@ -189,11 +197,13 @@ def line_dedup_sink(
     :func:`minhash_dedup_sink`): (1) per-line keep flags are
     materialized while the state is still pre-batch, (2) rebuilt
     documents append to the output, (3) novel line hashes append to
-    the state. A crash before (3) means the replayed batch recomputes
-    the SAME flags and may re-append output — duplicate OUTPUT rows,
-    removable downstream by ``id_col``. State-first would make a
-    replayed batch strip every line it had just recorded — silently
-    emptied documents no downstream step can repair.
+    the state, stamped with the foreachBatch ``batch_id``. Because the
+    flag computation ignores the replaying batch's OWN state rows
+    (``batch_id`` is stable across restart replays), a replay rebuilds
+    IDENTICAL documents in every crash window — duplicate output rows
+    removable downstream by ``id_col``, never the silently-emptied
+    documents a state-first order (or an unstamped state) would
+    produce.
 
     Within-batch semantics (state hit removes every occurrence, novel
     lines keep their first by ``(id, pos)``, whitespace-only lines
@@ -209,16 +219,24 @@ def line_dedup_sink(
         )
 
         spark = batch_df.sparkSession
-        # (1) flags pinned (eager localCheckpoint inside the helper)
+        # (1) flags pinned (eager localCheckpoint inside the helper);
+        # exclude_batch makes a replayed batch ignore its OWN prior
+        # state append (batch_id is stable across restart replays), so
+        # the rebuilt documents are IDENTICAL in every crash window —
+        # without it, a crash after the state append but before the
+        # streaming checkpoint commit would gut every doc on replay
         marked, novel = _incremental_lines_flagged(
-            spark, batch_df, state_path, id_col, text_col, delim
+            spark, batch_df, state_path, id_col, text_col, delim,
+            exclude_batch=batch_id,
         )
         out = _rebuild_deduped_lines(
             batch_df, marked, id_col, text_col, delim, out_col
         )
         # (2) output before (3) state — see docstring
         out.write.mode("append").parquet(output_path)
-        novel.write.mode("append").parquet(state_path)
+        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_path)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:
@@ -253,10 +271,13 @@ def embedding_dedup_sink(
 
     Same crash-safety write order as the sibling sinks — (1) flags
     pinned pre-state (the banded-core helper eagerly checkpoints
-    them), (2) output appends, (3) state appends — so a replayed batch
-    can duplicate output rows but never lose accepted vectors.
-    Within-batch semantics (band-key-first-wins, malformed embeddings
-    always accepted and never persisted) are the batch operator's.
+    them), (2) output appends, (3) state appends stamped with the
+    foreachBatch ``batch_id`` — and the flag computation ignores the
+    replaying batch's OWN state rows, so a replay recomputes identical
+    flags in every crash window: duplicate output rows at worst, never
+    a lost or flag-inverted accepted vector. Within-batch semantics
+    (band-key-first-wins, malformed embeddings always accepted and
+    never persisted) are the batch operator's.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -271,10 +292,14 @@ def embedding_dedup_sink(
         banded = _embedding_band_keys(
             batch_df, id_col, vec_col, dims, planes_per_band, bands
         )
-        # (1) flags pinned inside the helper, pre-state
+        # (1) flags pinned inside the helper, pre-state; exclude_batch
+        # makes a replayed batch ignore its OWN prior state append
+        # (batch_id is stable across restart replays) — without it a
+        # crash after the state append would invert every accepted
+        # vector's flag on replay
         marked, novel = _incremental_banded_flagged(
             spark, batch_df, banded, state_path, id_col,
-            "is_near_duplicate",
+            "is_near_duplicate", exclude_batch=batch_id,
         )
         out = (
             marked
@@ -285,7 +310,9 @@ def embedding_dedup_sink(
         )
         # (2) output before (3) state — see minhash_dedup_sink
         out.write.mode("append").parquet(output_path)
-        novel.write.mode("append").parquet(state_path)
+        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_path)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:

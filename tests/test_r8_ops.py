@@ -691,9 +691,10 @@ def test_perplexity_buckets_global_and_label_validation(spark):
     from kolang_spark.llm import perplexity_buckets
 
     df = _ppl_docs(spark).where("doc_id < 7")
-    out = perplexity_buckets(df, lang_col=None, n_buckets=2, labels=None)
+    # non-tercile n_buckets with the DEFAULT labels must not raise:
+    # head/middle/tail only applies to terciles, others go numeric
+    out = perplexity_buckets(df, lang_col=None, n_buckets=2)
     got = {r["doc_id"]: r for r in out.collect()}
-    # global halves: labels default to the bucket number as string
     assert {got[i]["bucket"] for i in got} == {1, 2}
     assert all(got[i]["label"] == str(got[i]["bucket"]) for i in got)
     with _pytest.raises(ValueError, match="labels"):

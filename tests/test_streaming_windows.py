@@ -379,14 +379,7 @@ def test_line_dedup_crash_before_state_append_never_loses(spark, tmp_path):
     got = {r.doc_id: (r.text_deduped, r.n_kept) for r in replay.collect()}
     assert got[2] == ("beta two", 1)        # 'shared line' was state-hit
     assert got[3] == ("gamma three", 1)     # 'beta two' in-batch first won
-    replay_keeps = sorted(
-        (d, p)
-        for d, (txt, _k) in got.items()
-        for p, _ln in enumerate(txt.split("\n"))
-        if txt
-    )
     assert len(crash_keeps) == sum(k for _t, k in got.values())
-    assert replay_keeps  # non-empty: the batch still produced output
 
     # negative control — state-first ordering WOULD lose everything:
     # now that the replay appended state, a third run of the same batch
@@ -490,3 +483,51 @@ def test_embedding_dedup_sink_stream_equals_batch(spark, tmp_path):
         (r.band_id, r.band_key) for r in spark.read.parquet(state2).collect()
     )
     assert s_stream == s_batch
+
+
+def test_sink_replay_after_state_append_is_flag_idempotent(spark, tmp_path):
+    """The OTHER crash window — after the state append but before the
+    streaming checkpoint commit: because sink state rows carry the
+    (replay-stable) foreachBatch batch_id and the flag computation
+    excludes the replaying batch's own rows, the replay recomputes
+    identical flags instead of gutting its own documents. The negative
+    control (no exclusion) shows exactly the gutting this prevents."""
+    from pyspark.sql import functions as F
+
+    from kolang_spark.llm.dedup import _incremental_lines_flagged
+
+    schema = "doc_id long, text string"
+    state = str(tmp_path / "state")
+    b = spark.createDataFrame(
+        [(1, "alpha one\nbeta two"), (2, "beta two\ngamma three")], schema
+    )
+    # batch 7's first attempt: flags computed, OUTPUT written
+    # (conceptually), state appended WITH the batch stamp — then crash
+    marked1, novel1 = _incremental_lines_flagged(
+        spark, b, state, "doc_id", "text", "\n", exclude_batch=7
+    )
+    keeps1 = sorted(
+        (r["_id"], r["_pos"]) for r in marked1.where("_keep").collect()
+    )
+    novel1.withColumn("batch_id", F.lit(7)).write.mode("append").parquet(state)
+
+    # replay of batch 7: own state rows excluded -> identical flags
+    marked2, novel2 = _incremental_lines_flagged(
+        spark, b, state, "doc_id", "text", "\n", exclude_batch=7
+    )
+    keeps2 = sorted(
+        (r["_id"], r["_pos"]) for r in marked2.where("_keep").collect()
+    )
+    assert keeps2 == keeps1
+    # and the re-appended novel keys are the same set (state gains
+    # duplicates, which the de-duplicated state read tolerates)
+    assert sorted(r.line_key for r in novel2.collect()) == sorted(
+        r.line_key for r in novel1.collect()
+    )
+
+    # negative control: a DIFFERENT batch (or an unstamped replay)
+    # sees batch 7's keys and strips every non-whitespace line
+    marked3, _ = _incremental_lines_flagged(
+        spark, b, state, "doc_id", "text", "\n", exclude_batch=8
+    )
+    assert marked3.where("_keep AND NOT _ws").count() == 0
