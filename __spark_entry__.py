@@ -3615,8 +3615,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 3+ rounds old (hard bound),
-    (1) last green exactly 2 rounds back, (2) never-externally-green
-    debuts, (3) fresh greens. With 147 queries on a 50-slot window the
+    (1) never-externally-green debuts, (2) last green exactly 2 rounds
+    back, (3) fresh greens. Debuts preempt gap-2 greens (r8 ordering
+    fix): at ~150 queries the two most-recent green cohorts alone fill
+    every window, so debuts ranked below them starve forever; a
+    displaced gap-2 green becomes next round's guaranteed hard bound,
+    so the <=3-round cadence survives (simulation-proven in
+    tests/test_oracle_parity.py). With 147 queries on a 50-slot window the
     3-round cadence has capacity 150 — nearly full: adding ~3 more
     queries makes a strict 3-round cadence infeasible and
     next_window.py will start printing its overdue warning; at that

@@ -9,12 +9,24 @@ external green, and fill the 50 slots by priority:
 
 1. hard cadence bound — queries whose last green would become 3+
    rounds old after the next round;
-2. stale greens — last green exactly two rounds back (they become
+2. never-externally-green oracle-backed debuts;
+3. stale greens — last green exactly two rounds back (they become
    the hard bound next round);
-3. never-externally-green oracle-backed debuts;
 4. freshest greens — green in the immediately preceding round (ties
    broken by current registry order, which the driver uses as the
    window order anyway).
+
+Why debuts preempt gap-2 greens (r8 ordering fix): with ~150 queries
+the two most-recent 50-green cohorts alone fill every window (5
+displaced hard-bounds + 50 gap-2 greens > 50 slots, every round), so
+a debut ranked below gap-2 greens never enters — the starvation
+ADVICE r7 flagged, just via tier 1 instead of tier 3. Ranking debuts
+ABOVE gap-2 greens is safe: a displaced gap-2 green becomes next
+round's hard bound and gets a guaranteed slot, so no ever-green
+query's gap ever exceeds 3 (the documented cadence) as long as the
+hard bound itself fits — which the overdue WARNING below checks.
+``tests/test_oracle_parity.py::test_next_window_simulation`` proves
+both properties by simulating the rotation to steady state.
 
 Usage: ``python scripts/next_window.py [next_round_number]`` — prints
 the 50 names in priority order plus the displaced set; paste the list
@@ -35,6 +47,33 @@ import __spark_entry__ as entry  # noqa: E402
 WINDOW = 50
 
 
+def rank(backed, hist, next_round):
+    """Priority order for the next round's window (pure — also driven
+    by the rotation-simulation test). ``backed`` is the oracle-backed
+    query list in registry order; ``hist`` maps query → last external
+    green round."""
+    order = {q: i for i, q in enumerate(backed)}
+
+    def prio(q):
+        # tiers follow the documented recipe: debuts preempt gap-2
+        # greens (see module docstring — below them, the two 50-green
+        # cohorts fill every window at ~150 queries and debuts starve
+        # forever; a displaced gap-2 green is next round's guaranteed
+        # hard bound, so the <=3-round cadence survives the preemption)
+        last = hist.get(q)
+        if last is None:
+            tier = 1  # never-green debuts
+        elif next_round - last >= 3:
+            tier = 0  # hard cadence bound
+        elif next_round - last == 2:
+            tier = 2  # stale greens (become the bound next round)
+        else:
+            tier = 3  # fresh greens (green just last round)
+        return (tier, last if last is not None else -1, order[q])
+
+    return sorted(backed, key=prio)
+
+
 def main() -> None:
     hist = {}
     rounds = []
@@ -50,26 +89,9 @@ def main() -> None:
 
     queries = list(entry.queries())
     oracles = set(entry.oracle_sql())
-    order = {q: i for i, q in enumerate(queries)}
     backed = [q for q in queries if q in oracles]
 
-    def prio(q):
-        # tiers follow the documented recipe: debuts sit BETWEEN stale
-        # greens and last-round's fresh greens — ranking them below ALL
-        # ever-greens would starve them forever (they never trip the
-        # tier-0 cadence bound, since `last` stays None), ADVICE r7.
-        last = hist.get(q)
-        if last is None:
-            tier = 2  # never-green debuts
-        elif next_round - last >= 3:
-            tier = 0  # hard cadence bound
-        elif next_round - last == 2:
-            tier = 1  # stale greens (become the bound next round)
-        else:
-            tier = 3  # fresh greens (green just last round)
-        return (tier, last if last is not None else -1, order[q])
-
-    ranked = sorted(backed, key=prio)
+    ranked = rank(backed, hist, next_round)
     window, tail = ranked[:WINDOW], ranked[WINDOW:]
     print(f"# next window (round {next_round}), priority order:")
     for q in window:

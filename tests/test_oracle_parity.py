@@ -56,3 +56,64 @@ def test_external_window_composition():
     # every oracle has a registered query and vice versa (dangling
     # oracle entries silently weaken the gate)
     assert not set(ORACLES) - set(QUERIES)
+
+
+def test_next_window_simulation():
+    """The rotation scheduler's two load-bearing properties, proven by
+    simulating rounds ahead from the recorded history (plus the
+    assumption that the CURRENT first-50 window goes green this round):
+
+    1. no starvation — every oracle-backed debut earns an external
+       green within two simulated rounds;
+    2. cadence — once green, no query's last external green ever ages
+       past the 3-round bound (tier-0 queries always fit, i.e. the
+       scheduler's own overdue warning never fires).
+
+    Guards the r8 tiering fix (debuts preempt gap-2 greens): below
+    them, the two most-recent 50-green cohorts fill every window at
+    ~150 queries and debuts starve forever.
+    """
+    import glob
+    import importlib.util
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "next_window", os.path.join(root, "scripts", "next_window.py")
+    )
+    nw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(nw)
+
+    backed = [q for q in QUERIES if q in ORACLES]
+    hist = {}
+    last_round = 0
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        r = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        last_round = max(last_round, r)
+        for k, v in json.load(open(p)).items():
+            if v.get("hash_match"):
+                hist[k] = max(hist.get(k, 0), r)
+    # the current round's record (not yet on disk while building):
+    # assume the pinned first-50 window goes green, as every round
+    # since r7 has
+    this_round = last_round + 1
+    for q in list(QUERIES)[:50]:
+        hist[q] = this_round
+
+    for rnd in range(this_round + 1, this_round + 13):
+        window = nw.rank(backed, hist, rnd)[: nw.WINDOW]
+        overdue_missed = [
+            q
+            for q in backed
+            if q not in window
+            and hist.get(q) is not None
+            and rnd - hist[q] >= 3
+        ]
+        assert not overdue_missed, (rnd, overdue_missed)
+        for q in window:
+            hist[q] = rnd
+        if rnd >= this_round + 2:
+            never = [q for q in backed if hist.get(q) is None]
+            assert not never, (rnd, never)
