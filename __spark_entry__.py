@@ -1201,6 +1201,21 @@ def _q_jaccard_pairs_documents(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_containment_pairs_documents(spark, sf_dir):
+    """Asymmetric n-gram containment pairs — the copy-with-additions
+    detector Jaccard misses (kolang_spark.llm.dedup.containment_pairs)."""
+    from kolang_spark.llm import containment_pairs
+
+    dc = _t(spark, sf_dir, "documents")
+    out = containment_pairs(dc, threshold=0.6)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        "contained_id",
+    )
+
+
 def _q_minhash_pairs_documents(spark, sf_dir):
     from kolang_spark.llm import minhash_candidate_pairs
 
@@ -3775,6 +3790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json_extract,
         "ewma_users": _q_ewma_users,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
+        "containment_pairs_documents": _q_containment_pairs_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5075,6 +5091,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c*1.0/(sa.n_sh + sb.n_sh - c) >= 0.5
+        """,
+        "containment_pairs_documents": _SHINGLE_CTE
+        + r"""
+            , sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(c*1.0/least(sa.n_sh, sb.n_sh), 6) AS containment,
+                   CASE WHEN sb.n_sh < sa.n_sh THEN id_b ELSE id_a END
+                     AS contained_id
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
         """,
         "minhash_pairs_documents": _minhash_sql(6, 3),
         "dedup_components": f"""

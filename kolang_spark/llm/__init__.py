@@ -30,6 +30,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     embedding_near_dup_pairs_lsh,
     semantic_dedup,
     jaccard_near_dup_pairs,
+    containment_pairs,
     minhash_candidate_pairs,
     hamming_pairs,
     simhash_hamming_pairs,

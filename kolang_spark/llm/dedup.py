@@ -29,6 +29,7 @@ __all__ = [
     "incremental_embedding_dedup",
     "with_shingles",
     "jaccard_near_dup_pairs",
+    "containment_pairs",
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
     "simhash_hamming_pairs",
@@ -150,6 +151,74 @@ def jaccard_near_dup_pairs(
     return inter.select("id_a", "id_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram *containment*
+    (Broder 1997): ``C = |A∩B| / min(|A|, |B|)``.
+
+    Jaccard misses the copy-with-additions case — a short document
+    quoted verbatim inside a much longer one has ``|∩|/|∪| ≈
+    |A|/|B| → 0`` even though A is a perfect subset. Containment
+    normalizes by the *smaller* shingle set, so a wrapped quote, a
+    boilerplate-padded mirror, or a page re-published with an appended
+    comment thread all score ≈ 1.0 regardless of the size ratio.
+
+    Same scalable inverted-index shape as
+    :func:`jaccard_near_dup_pairs` (shingle-key equi-join, never a
+    cross product; ``max_df`` drops stop-shingles before the join to
+    bound skew at corpus scale). Only the final per-pair measure
+    differs, plus one extra output column:
+
+    Returns ``(id_a, id_b, containment, contained_id)`` with
+    ``id_a < id_b``; ``contained_id`` is the doc with the smaller
+    shingle set (the one *being contained*; ``id_a`` on ties) — the
+    natural removal candidate for a keep-the-superset policy.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    # identical explode/carry-the-size strategy as jaccard_near_dup_pairs
+    # (see the comments there for why explode_outer + null filter)
+    ex = sh.select(
+        F.col(id_col).alias("id"),
+        F.size("shingles").alias("n_sh"),
+        F.explode_outer("shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_cnt"))
+            .where(F.col("df_cnt") > max_df)
+            .select("shingle")
+        )
+        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    cont = F.col("n_common") / F.least("n_a", "n_b")
+    contained = F.when(F.col("n_b") < F.col("n_a"), F.col("id_b")).otherwise(
+        F.col("id_a")
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        cont.alias("containment"),
+        contained.alias("contained_id"),
+    ).where(F.col("containment") >= threshold)
 
 
 def _minhash_signature(

@@ -9,6 +9,7 @@ from kolang_spark.llm import (
     exact_dedup,
     embedding_near_dup_pairs,
     jaccard_near_dup_pairs,
+    containment_pairs,
     lang_id,
     lsh_topk,
     minhash_candidate_pairs,
@@ -125,6 +126,47 @@ def test_minhash_recovers_jaccard_pairs(spark, docs):
     assert true_pairs, "fixture should contain planted near-dups"
     recall = len(true_pairs & cand) / len(true_pairs)
     assert recall >= 0.9, f"minhash recall too low: {recall}"
+
+
+def test_containment_catches_wrapped_subset(spark):
+    # doc 1 is quoted verbatim inside doc 2 (boilerplate-padded mirror):
+    # Jaccard collapses toward |A|/|B| but containment is exactly 1.0
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    padding = " ".join(f"pad{i} filler{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " " + padding),
+            (3, "entirely different unrelated words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b, r.containment, r.contained_id) for r in rows] == [
+        (1, 2, 1.0, 1)
+    ]
+    # the same pair is invisible to symmetric Jaccard at any usable cut
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_near_dup_pairs(df, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.25
+
+
+def test_containment_tie_prefers_id_a(spark):
+    t = "one two three four five six seven eight"
+    df = spark.createDataFrame([(7, t), (9, t)], ["doc_id", "text"])
+    rows = containment_pairs(df, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.containment, r.contained_id) == (7, 9, 1.0, 7)
+
+
+def test_containment_threshold_and_max_df(spark, docs):
+    full = containment_pairs(docs, threshold=0.9).count()
+    loose = containment_pairs(docs, threshold=0.5).count()
+    capped = containment_pairs(docs, threshold=0.9, max_df=50).count()
+    assert loose >= full >= capped >= 0
 
 
 def test_max_df_stop_shingles(spark, docs):
