@@ -1216,6 +1216,21 @@ def _q_containment_pairs_documents(spark, sf_dir):
     )
 
 
+def _q_ngram_novelty_documents(spark, sf_dir):
+    """Cross-document n-gram novelty — the boilerplate/templated-content
+    signal (kolang_spark.llm.terms.ngram_novelty)."""
+    from kolang_spark.llm import ngram_novelty
+
+    dc = _t(spark, sf_dir, "documents")
+    out = ngram_novelty(dc)
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round("novelty", 6).alias("novelty"),
+    )
+
+
 def _q_minhash_pairs_documents(spark, sf_dir):
     from kolang_spark.llm import minhash_candidate_pairs
 
@@ -3791,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_users": _q_ewma_users,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "containment_pairs_documents": _q_containment_pairs_documents,
+        "ngram_novelty_documents": _q_ngram_novelty_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5110,6 +5126,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
+        """,
+        "ngram_novelty_documents": _SHINGLE_CTE
+        + r"""
+            , ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            dfreq AS (SELECT shingle, COUNT(*) AS dfc FROM ex GROUP BY 1),
+            per_doc AS (
+              SELECT e.doc_id,
+                     COUNT(*) AS n_sh,
+                     SUM(CASE WHEN f.dfc = 1 THEN 1 ELSE 0 END) AS n_nov
+              FROM ex e JOIN dfreq f USING (shingle)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(p.n_nov, 0) AS BIGINT) AS n_novel,
+                   ROUND(p.n_nov * 1.0 / p.n_sh, 6) AS novelty
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "minhash_pairs_documents": _minhash_sql(6, 3),
         "dedup_components": f"""

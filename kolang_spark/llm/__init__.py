@@ -111,4 +111,8 @@ from kolang_spark.llm.quantize import (  # noqa: F401
     dequantize_embedding,
     quantize_embedding,
 )
-from kolang_spark.llm.terms import tfidf_top_terms, vocabulary  # noqa: F401
+from kolang_spark.llm.terms import (  # noqa: F401
+    ngram_novelty,
+    tfidf_top_terms,
+    vocabulary,
+)

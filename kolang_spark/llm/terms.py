@@ -14,9 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kolang_spark.llm.textstats import tokenize
+from kolang_spark.llm.textstats import tokenize, word_ngrams
 
-__all__ = ["tfidf_top_terms", "vocabulary"]
+__all__ = ["tfidf_top_terms", "vocabulary", "ngram_novelty"]
 
 
 def tfidf_top_terms(
@@ -118,3 +118,71 @@ def vocabulary(
     if min_df > 1:
         stats = stats.where(F.col("df_term") >= min_df)
     return stats.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(max_size)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document n-gram novelty per document: the fraction of a
+    document's *distinct* word-``n``-gram shingles that occur in no
+    other document.
+
+    The within-document repetition signals
+    (:func:`kolang_spark.llm.textstats.repetition_metrics`) can't see
+    a page that is internally varied but assembled from corpus-wide
+    boilerplate — product listings, legal footers, templated news
+    wire. Low novelty (most shingles shared with other docs) flags
+    exactly that; it is the document-level inverse of the
+    "duplicated n-gram fraction" family of Gopher/FineWeb filters.
+
+    Scale shape: shingle → explode → one map-side-combinable document
+    frequency aggregate → one equi-join back on the shingle → per-doc
+    counts. Hot shingles make big df counts, never big join fanout
+    (the df side is one row per distinct shingle). No window, no UDF,
+    no driver collect.
+
+    Returns ``(id_col, n_shingles, n_novel, novelty)``; documents
+    shorter than ``n`` words have no shingles and get
+    ``(0, 0, NULL)``.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    tok = "__ks_tokens"
+    ex = (
+        df.select(F.col(id_col), tokenize(F.col(text_col)).alias(tok))
+        .select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(word_ngrams(F.col(tok), n))
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+    )
+    # each doc contributes a distinct shingle once, so COUNT == doc freq
+    dfreq = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("__df_cnt")
+    )
+    per_doc = (
+        ex.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("__df_cnt") == 1).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    # left join keeps sub-n-word documents (no shingles at all)
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0).cast("long")).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+    )

@@ -169,6 +169,34 @@ def test_containment_threshold_and_max_df(spark, docs):
     assert loose >= full >= capped >= 0
 
 
+def test_ngram_novelty_counts(spark):
+    from kolang_spark.llm import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),   # shingles: "a b c d e", "b c d e f"
+            (2, "a b c d e x"),   # shares "a b c d e" with doc 1
+            (3, "too short"),     # < 5 words -> no shingles
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in ngram_novelty(df).collect()}
+    assert (rows[1].n_shingles, rows[1].n_novel, rows[1].novelty) == (2, 1, 0.5)
+    assert (rows[2].n_shingles, rows[2].n_novel, rows[2].novelty) == (2, 1, 0.5)
+    assert (rows[3].n_shingles, rows[3].n_novel, rows[3].novelty) == (0, 0, None)
+
+
+def test_ngram_novelty_bounds_on_documents(spark, docs):
+    from kolang_spark.llm import ngram_novelty
+
+    rows = ngram_novelty(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        if r.n_shingles:
+            assert abs(r.novelty - r.n_novel / r.n_shingles) < 1e-12
+
+
 def test_max_df_stop_shingles(spark, docs):
     full = jaccard_near_dup_pairs(docs, threshold=0.9).count()
     capped = jaccard_near_dup_pairs(docs, threshold=0.9, max_df=50).count()
