@@ -1216,6 +1216,24 @@ def _q_containment_pairs_documents(spark, sf_dir):
     )
 
 
+def _q_edit_distance_pairs_documents(spark, sf_dir):
+    """PassJoin edit-distance similarity join over 25-char titles, with
+    planted 1-deletion mutants so the external record exercises dist=1
+    pairs, not just identical-prefix dist=0
+    (kolang_spark.llm.dedup.edit_distance_pairs)."""
+    from kolang_spark.llm import edit_distance_pairs
+
+    dc = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 25).alias("title")
+    )
+    mut = dc.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.expr("substring(title, 2)").alias("title"),
+    )
+    base = dc.unionByName(mut)
+    return edit_distance_pairs(base, text_col="title", max_dist=1)
+
+
 def _q_ngram_novelty_documents(spark, sf_dir):
     """Cross-document n-gram novelty — the boilerplate/templated-content
     signal (kolang_spark.llm.terms.ngram_novelty)."""
@@ -3807,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "containment_pairs_documents": _q_containment_pairs_documents,
         "ngram_novelty_documents": _q_ngram_novelty_documents,
+        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5126,6 +5145,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
+        """,
+        "edit_distance_pairs_documents": r"""
+            -- brute force with the length-band prefilter: an
+            -- INDEPENDENT algorithm (no chunking, no candidate keys),
+            -- so it cross-checks PassJoin's 100%-recall claim
+            WITH t0 AS (
+              SELECT doc_id, substr(text, 1, 25) AS title FROM documents
+            ), mut AS (
+              SELECT doc_id + 10000000 AS doc_id, substr(title, 2) AS title
+              FROM t0 WHERE doc_id % 7 = 0
+            ), s AS (
+              SELECT * FROM t0 UNION ALL SELECT * FROM mut
+            ), f AS (
+              SELECT doc_id, title FROM s WHERE len(title) >= 2
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+            FROM f a JOIN f b
+              ON a.doc_id < b.doc_id
+             AND abs(len(a.title) - len(b.title)) <= 1
+            WHERE levenshtein(a.title, b.title) <= 1
         """,
         "ngram_novelty_documents": _SHINGLE_CTE
         + r"""

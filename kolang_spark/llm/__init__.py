@@ -31,6 +31,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     semantic_dedup,
     jaccard_near_dup_pairs,
     containment_pairs,
+    edit_distance_pairs,
     minhash_candidate_pairs,
     hamming_pairs,
     simhash_hamming_pairs,

@@ -30,6 +30,7 @@ __all__ = [
     "with_shingles",
     "jaccard_near_dup_pairs",
     "containment_pairs",
+    "edit_distance_pairs",
     "minhash_candidate_pairs",
     "simhash_near_dup_pairs",
     "simhash_hamming_pairs",
@@ -219,6 +220,136 @@ def containment_pairs(
         cont.alias("containment"),
         contained.alias("contained_id"),
     ).where(F.col("containment") >= threshold)
+
+
+def _chunk_geometry(l: Column, i: int, n_chunks: int) -> tuple:
+    """(start, length) of 0-based chunk ``i`` when a string of length
+    ``l`` is split into ``n_chunks`` contiguous chunks, the first
+    ``l mod n_chunks`` of them one char longer — the PassJoin
+    partition rule. Pure integer Column algebra."""
+    base = F.floor(l / n_chunks).cast("int")
+    rem = (l % n_chunks).cast("int")
+    start = F.lit(i) * base + F.least(F.lit(i), rem)
+    length = base + (F.lit(i) < rem).cast("int")
+    return start, length
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 1,
+    min_len: Optional[int] = None,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — the
+    short-string near-dup join (titles, product names, user handles,
+    URLs) where shingle/MinHash methods have nothing to shingle.
+
+    PassJoin (Li, Deng, Feng 2011), as an equi-join: split every
+    string into ``max_dist+1`` contiguous chunks; if ``ed(s, t) ≤
+    max_dist`` then (pigeonhole — fewer edits than chunks) at least
+    one chunk of ``s`` survives *untouched* in ``t``, verbatim, with
+    its position shifted at most ``max_dist``. So index each string's
+    ``d+1`` chunks keyed ``(len(s), i, chunk)`` and probe each
+    string's substrings at the d+1 chunk slots of every candidate
+    length ``len(t)±d``, shifted ±d — a bounded constant fanout of
+    ``(d+1)·(2d+1)²`` keys per row, never a cross product. Survivors
+    are verified with the engine's banded ``levenshtein(…, threshold)``
+    (early-exit DP). Both the candidate set and the verify step are
+    exact: recall is 100% by the pigeonhole argument, no tuning knob.
+
+    ``min_len`` (default ``max_dist+1``) drops shorter strings from
+    pairing: below d+1 chars the chunks go empty and the pigeonhole
+    breaks — and a corpus's empty/near-empty strings would pair
+    all-against-all anyway, which is a data bug, not a dedup result.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    d = int(max_dist)
+    if not 1 <= d <= 3:
+        raise ValueError("max_dist must be in [1, 3] (chunk fanout is (d+1)(2d+1)^2)")
+    if min_len is None:
+        min_len = d + 1
+    if min_len < d + 1:
+        raise ValueError(f"min_len must be >= max_dist+1 = {d + 1}")
+    n_chunks = d + 1
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("t")
+    ).where(F.length("t") >= min_len)
+    tlen = F.length("t").cast("int")
+
+    # index side: the d+1 chunks of each string, keyed by its length
+    idx_elems = []
+    for i in range(n_chunks):
+        st, ln = _chunk_geometry(tlen, i, n_chunks)
+        idx_elems.append(
+            F.struct(
+                tlen.alias("l"),
+                F.lit(i).alias("i"),
+                F.substring(F.col("t"), st + 1, ln).alias("sub"),
+            )
+        )
+    idx = base.select(
+        F.col("id"), F.col("t"), F.explode(F.array(*idx_elems)).alias("k")
+    ).select("id", "t", "k.l", "k.i", "k.sub")
+
+    # probe side: substrings at every candidate (length, chunk, shift)
+    probe_elems = []
+    for dl in range(-d, d + 1):
+        cand_l = tlen + dl  # length of the *indexed* string this key targets
+        for i in range(n_chunks):
+            st, ln = _chunk_geometry(cand_l, i, n_chunks)
+            for shift in range(-d, d + 1):
+                pos = st + shift
+                sub = F.when(
+                    (cand_l >= min_len) & (pos >= 0) & (pos + ln <= tlen),
+                    F.substring(F.col("t"), pos + 1, ln),
+                )
+                probe_elems.append(
+                    F.struct(
+                        cand_l.alias("l"), F.lit(i).alias("i"), sub.alias("sub")
+                    )
+                )
+    probe = (
+        base.select(
+            F.col("id"),
+            F.col("t"),
+            # shifts often collide (same substring) — dedupe before the
+            # explode so the join fanout is the distinct-key count
+            F.explode(F.array_distinct(F.array(*probe_elems))).alias("k"),
+        )
+        .select("id", "t", "k.l", "k.i", "k.sub")
+        .where(F.col("sub").isNotNull())
+    )
+
+    a, b = idx.alias("a"), probe.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.l") == F.col("b.l"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.t"))
+            .otherwise(F.col("b.t"))
+            .alias("t_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.t"))
+            .otherwise(F.col("a.t"))
+            .alias("t_b"),
+        )
+        .distinct()
+    )
+    # banded verify: levenshtein(threshold=d) early-exits the DP and
+    # returns -1 past the band
+    dist = F.levenshtein("t_a", "t_b", d)
+    return cand.select("id_a", "id_b", dist.alias("dist")).where(
+        F.col("dist") >= 0
+    )
 
 
 def _minhash_signature(

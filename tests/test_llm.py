@@ -1486,3 +1486,88 @@ def test_bigram_lm_scores_validation(spark):
         bigram_lm_scores(df, alpha=0.0)
     with _pt.raises(ValueError):
         bigram_lm_scores(df, lam=1.0)
+
+
+def _lev(a: str, b: str) -> int:
+    # reference DP, test-local
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_basic(spark):
+    from kolang_spark.llm import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine"),
+            (2, "spark enginz"),   # 1 substitution from doc 1
+            (3, "spark enginee"),  # 1 insertion from doc 1
+            (4, "entirely other"),
+            (5, "spark enGinz"),   # 2 edits from doc 1, 1 from doc 2
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 5): 1}
+    got2 = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=2).collect()
+    }
+    assert got2[(1, 5)] == 2 and got2[(2, 3)] == 2 and (1, 4) not in got2
+
+
+def test_edit_distance_pairs_min_len_guard(spark):
+    from kolang_spark.llm import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "ab"), (4, "ab")], ["doc_id", "text"]
+    )
+    # default min_len = d+1 = 2 drops the single-char rows
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=1).collect()
+    }
+    assert got == {(3, 4): 0}
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=1, min_len=1)
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=0)
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_edit_distance_pairs_matches_brute_force(spark, d):
+    """PassJoin recall is 100% by the pigeonhole argument — prove the
+    implementation against a reference DP over an adversarial corpus
+    (tiny alphabet => dense near-collisions, mixed lengths)."""
+    import itertools
+    import random
+
+    rng = random.Random(42 + d)
+    texts = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(d + 1, 9)))
+        for _ in range(40)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from kolang_spark.llm import edit_distance_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, max_dist=d).collect()
+    }
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        dist = _lev(ta, tb)
+        if dist <= d:
+            want[(ia, ib)] = dist
+    assert got == want
