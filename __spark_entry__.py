@@ -1927,6 +1927,77 @@ def _q_multimodal_decode_jpeg(spark, sf_dir):
     )
 
 
+def _q_cms_sink_stream_batch(spark, sf_dir):
+    """The streaming CMS frequency-sketch sink END TO END
+    (`kolang_spark/streaming/sinks.py::cms_sink`): a slice of event
+    user_ids flows through a real foreachBatch StreamingQuery as two
+    file micro-batches (even then odd event_ids), each folding its
+    partial 3x64 sketch into per-batch state partitions; the merged
+    state's estimates must equal the direct one-shot sketch of the
+    union — which the oracle rebuilds counter-for-counter in SQL
+    (md5-derived buckets are engine-deterministic). Exactly-once by
+    construction: a replayed batch REPLACES its own state partition.
+    File mtimes are pinned so the source orders batch 1 before 2; the
+    returned frame is frozen before the scratch dir is removed."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.operators import cms_estimate
+    from kolang_spark.streaming import cms_sink, cms_state
+
+    base = tempfile.mkdtemp(prefix="ks_cms_sink_q_")
+    try:
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        ev = (
+            _t(spark, sf_dir, "events")
+            .where(F.col("event_id") % 10 < 4)
+            .select("event_id", "user_id")
+        )
+        f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
+        ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f1)
+        ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f2)
+        _pin_batch_mtimes(f1, f2)
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        state = os.path.join(base, "state")
+        q = cms_sink(
+            stream,
+            state,
+            "user_id",
+            depth=3,
+            width=64,
+            checkpoint=os.path.join(base, "ckpt"),
+        )
+        _drain_stream(q)
+        merged = cms_state(spark, state)
+        est = cms_estimate(
+            merged, ev.select("user_id").distinct(), "user_id",
+            depth=3, width=64,
+        )
+        true = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("true_count")
+        )
+        out = (
+            est.join(true, est["item"] == true["user_id"])
+            .select(
+                F.col("user_id"),
+                F.col("est_count"),
+                F.col("true_count"),
+                (F.col("est_count") >= F.col("true_count")).alias(
+                    "never_undercounts"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_cms_user_counts_events(spark, sf_dir):
     """Count-min sketch frequency estimation
     (`kolang_spark/operators/sketches.py::cms_table`/`cms_estimate`):
@@ -3699,6 +3770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "cms_user_counts_events": _q_cms_user_counts_events,
+        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
         "quantiles_events": _q_quantiles_events,
         "boilerplate_lines_documents": _q_boilerplate_lines_documents,
         "chunk_documents": _q_chunk_documents,
@@ -7059,6 +7131,46 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts_events": """
             WITH base AS (
               SELECT user_id FROM events
+            ), js AS (
+              SELECT unnest([0, 1, 2]) AS j
+            ), pairs AS (
+              SELECT b.user_id, js.j,
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(b.user_id AS VARCHAR)), 18, 15))::BIGINT % 64
+                       AS bucket
+              FROM base b, js
+            ), cms AS (
+              SELECT j, bucket, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+            ), items AS (
+              SELECT DISTINCT user_id FROM base
+            ), ipairs AS (
+              SELECT i.user_id, js.j,
+                     ('0x' || substr(md5(CAST(js.j AS VARCHAR) || '::'
+                        || CAST(i.user_id AS VARCHAR)), 18, 15))::BIGINT % 64
+                       AS bucket
+              FROM items i, js
+            ), est AS (
+              SELECT ip.user_id,
+                     MIN(coalesce(c.cnt, 0)) AS est_count
+              FROM ipairs ip LEFT JOIN cms c
+                ON c.j = ip.j AND c.bucket = ip.bucket
+              GROUP BY 1
+            ), tru AS (
+              SELECT user_id, COUNT(*) AS true_count FROM base GROUP BY 1
+            )
+            SELECT e.user_id,
+                   CAST(e.est_count AS BIGINT) AS est_count,
+                   CAST(t.true_count AS BIGINT) AS true_count,
+                   e.est_count >= t.true_count AS never_undercounts
+            FROM est e JOIN tru t USING (user_id)
+        """,
+        # The stream-merged sketch must equal the direct sketch of the
+        # union, so the oracle is the SAME counter rebuild as
+        # cms_user_counts_events restricted to the slice — the split
+        # into micro-batches is invisible to a correctly merged CMS.
+        "cms_sink_stream_batch": """
+            WITH base AS (
+              SELECT user_id FROM events WHERE event_id % 10 < 4
             ), js AS (
               SELECT unnest([0, 1, 2]) AS j
             ), pairs AS (

@@ -5,6 +5,8 @@ from kolang_spark.streaming.dedup import dedup_stream  # noqa: F401
 from kolang_spark.streaming.joins import interval_join  # noqa: F401
 from kolang_spark.streaming.sessions import sessionize  # noqa: F401
 from kolang_spark.streaming.sinks import (  # noqa: F401
+    cms_sink,
+    cms_state,
     embedding_dedup_sink,
     line_dedup_sink,
     minhash_dedup_sink,

@@ -26,6 +26,8 @@ __all__ = [
     "minhash_dedup_sink",
     "line_dedup_sink",
     "embedding_dedup_sink",
+    "cms_sink",
+    "cms_state",
 ]
 
 
@@ -320,3 +322,71 @@ def embedding_dedup_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cms_sink(
+    stream_df: DataFrame,
+    state_path: str,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+    weight: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    available_now: bool = True,
+):
+    """Streaming frequency-sketch ingest: fold each micro-batch into a
+    persisted count-min sketch — heavy hitters / per-key rates over an
+    unbounded stream in ``depth × width`` longs of state, no per-key
+    state growth ever.
+
+    State layout is one hive partition per ``batch_id``, holding that
+    batch's partial ``(row, bucket, cnt)`` sketch (bounded: ≤
+    depth×width rows per batch regardless of batch size). Each batch
+    writes with dynamic partition OVERWRITE scoped to its own
+    partition, so a crash-replayed batch REPLACES its previous partial
+    instead of appending next to it: merged counters are
+    **exactly-once**. The dedup sinks settle for at-least-once because
+    duplicate output rows are removable downstream by id — a replayed
+    COUNT would be silently absorbed into the sum, unremovable, so
+    this sink must be (and is) idempotent per batch.
+
+    Readers call :func:`cms_state` for the merged counters (CMS merge
+    = counter sum — Cormode–Muthukrishnan) and feed them to
+    :func:`kolang_spark.operators.sketches.cms_estimate` with the same
+    depth/width/salt. Returns the started ``StreamingQuery``.
+    """
+    from kolang_spark.operators.sketches import cms_table
+    from kolang_spark.sources.io import overwrite_partitions
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = cms_table(
+            batch_df, col, depth=depth, width=width, weight=weight, salt=salt
+        )
+        overwrite_partitions(
+            sk.withColumn("batch_id", F.lit(int(batch_id))),
+            state_path,
+            partition_by=["batch_id"],
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def cms_state(spark, state_path: str) -> DataFrame:
+    """Merged counters of a :func:`cms_sink` state dir: the per-batch
+    partial sketches summed into one ``(row, bucket, cnt)`` table —
+    drop-in for :func:`kolang_spark.operators.sketches.cms_estimate`.
+    Raises the reader's normal PATH_NOT_FOUND if no batch has landed
+    yet (the sink creates the dir on the first non-empty batch)."""
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

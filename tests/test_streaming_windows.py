@@ -531,3 +531,72 @@ def test_sink_replay_after_state_append_is_flag_idempotent(spark, tmp_path):
         spark, b, state, "doc_id", "text", "\n", exclude_batch=8
     )
     assert marked3.where("_keep AND NOT _ws").count() == 0
+
+
+def test_cms_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming CMS ingest over two micro-batches == one batch sketch
+    of the concatenated data: counter-for-counter identical state, and
+    estimates from the merged state dominate the exact counts."""
+    from kolang_spark.operators.sketches import cms_estimate, cms_table
+    from kolang_spark.streaming import cms_sink, cms_state
+
+    b1 = [(i, f"u{i % 3}") for i in range(30)]
+    b2 = [(i, f"u{i % 5}") for i in range(40)]
+    schema = "id long, user string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(str(src / "f2"))
+    _pin_mtimes(src / "f1", src / "f2")
+
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = cms_sink(
+        stream, state, "user", depth=3, width=64,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    merged = cms_state(spark, state)
+    both = spark.createDataFrame(b1 + b2, schema)
+    direct = cms_table(both, "user", depth=3, width=64)
+    got = sorted((r.row, r.bucket, r.cnt) for r in merged.collect())
+    want = sorted((r.row, r.bucket, r.cnt) for r in direct.collect())
+    assert got == want
+
+    exact = {r.user: r.c for r in both.groupBy("user").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    est = {
+        r.item: r.est_count
+        for r in cms_estimate(
+            merged, both.select("user"), "user", depth=3, width=64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert e >= exact[k]  # CMS overestimates only
+
+
+def test_cms_sink_replay_is_idempotent(spark, tmp_path):
+    """A crash-replayed batch must REPLACE its own state partition, not
+    append a second copy — exercise the sink's write primitive twice
+    with the same batch_id and prove the merged counters are unchanged."""
+    from kolang_spark.operators.sketches import cms_table
+    from kolang_spark.sources.io import overwrite_partitions
+    from kolang_spark.streaming import cms_state
+
+    df = spark.createDataFrame([(i, f"u{i % 4}") for i in range(20)],
+                               "id long, user string")
+    state = str(tmp_path / "state")
+    sk = cms_table(df, "user", depth=3, width=32).withColumn(
+        "batch_id", F.lit(7)
+    )
+    overwrite_partitions(sk, state, partition_by=["batch_id"])
+    once = sorted((r.row, r.bucket, r.cnt)
+                  for r in cms_state(spark, state).collect())
+    overwrite_partitions(sk, state, partition_by=["batch_id"])  # the replay
+    twice = sorted((r.row, r.bucket, r.cnt)
+                   for r in cms_state(spark, state).collect())
+    assert once == twice
