@@ -1331,7 +1331,11 @@ def _q_semantic_dedup_embeddings(spark, sf_dir):
         ).alias("embedding"),
     )
     out = semantic_dedup(
-        base.unionByName(planted), k=8, dims=64, iters=2, threshold=0.9
+        base.unionByName(planted), k=8, dims=64, iters=2, threshold=0.9,
+        # k=8 would cap the pairwise stage at 8 tasks; slice the pair
+        # space so the cosine work uses the whole machine (results are
+        # bit-identical — see the operator docstring)
+        pair_salts=8,
     )
     return out.select(
         "vec_id",

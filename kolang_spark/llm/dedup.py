@@ -549,6 +549,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int = 1,
+    pair_salts: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with k-means, then score
@@ -579,6 +580,18 @@ def semantic_dedup(
     both keep exactly one representative per near-duplicate group
     found in a cluster) — deterministic id order is what lets the
     oracle replay the decision.
+
+    ``pair_salts``: the pairwise join hash-partitions on ``cent_id``,
+    so its parallelism is at most ``k`` tasks — fine at the paper's
+    k=50k, but with k ≪ cores (small corpora, coarse clusterings) the
+    dot-product work serializes onto k cores. ``pair_salts=S`` splits
+    the pair space S ways per cluster: the smaller-id side keeps one
+    deterministic slice (``xxhash64(id) mod S``), the other side is
+    replicated to all S slices, and the join key becomes ``(cent_id,
+    slice)`` — every pair still produced exactly once, results
+    bit-identical (slicing only re-partitions the pair space), wall
+    time ÷ min(S·k / cores, S). Costs an S× replication shuffle of the
+    assigned frame; leave at 1 when k alone saturates the cluster.
     """
     from kolang_spark.llm.similarity import (
         _as_double,
@@ -609,14 +622,31 @@ def semantic_dedup(
         .withColumn("nrm", _norm("p_v", dims))
         .localCheckpoint(eager=False)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
+    if pair_salts < 1:
+        raise ValueError("pair_salts must be >= 1")
+    if pair_salts > 1:
+        s_lit = F.lit(int(pair_salts))
+        a_side = assigned.withColumn(
+            "slice",
+            F.explode(F.array(*[F.lit(s) for s in range(pair_salts)])),
+        )
+        b_side = assigned.withColumn(
+            "slice", F.pmod(F.xxhash64("p_id"), s_lit).cast("int")
+        )
+        join_cond = (
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("b.p_id") < F.col("a.p_id"))
+        )
+    else:
+        a_side, b_side = assigned, assigned
+        join_cond = (F.col("a.cent_id") == F.col("b.cent_id")) & (
+            F.col("b.p_id") < F.col("a.p_id")
+        )
+    a, b = a_side.alias("a"), b_side.alias("b")
     cos = _safe_cos(_dot("a.p_v", "b.p_v", dims), F.col("a.nrm"), F.col("b.nrm"))
     hits = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("b.p_id") < F.col("a.p_id")),
-        )
+        a.join(b, join_cond)
         .select(
             F.col("a.p_id").alias("p_id"),
             # fence: cos >= threshold must not be pushed below the

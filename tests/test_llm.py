@@ -1422,6 +1422,21 @@ def test_semantic_dedup_flags_planted_within_cluster_only(spark):
     # opposite clusters actually separate
     assert got[0].cent_id != got[10].cent_id
 
+    # pair_salts only re-partitions the pair space: results bit-identical
+    salted = semantic_dedup(
+        df, k=2, dims=dims, iters=3, threshold=0.999, pair_salts=4
+    )
+    got_s = {
+        r.vec_id: (r.cent_id, r.is_semantic_dup, r.dup_cos)
+        for r in salted.collect()
+    }
+    assert got_s == {
+        r.vec_id: (r.cent_id, r.is_semantic_dup, r.dup_cos)
+        for r in got.values()
+    }
+    with pytest.raises(ValueError):
+        semantic_dedup(df, k=2, dims=dims, pair_salts=0)
+
     # determinism: bit-identical on re-run (fixed-point Lloyd means)
     again = {r.vec_id: r for r in semantic_dedup(
         df, k=2, dims=dims, iters=3, threshold=0.999).collect()}
