@@ -1354,6 +1354,19 @@ def _q_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_mmr_rerank_embeddings(spark, sf_dir):
+    """MMR diversified re-ranking (`llm/retrieval.py::mmr_rerank`) over
+    a brute-force top-8 first-stage pool: greedy λ-tradeoff selection
+    in integer micro-units, so the DuckDB oracle replays every one of
+    the k=3 selection steps (argmax + ascending-id tie-break) exactly."""
+    from kolang_spark.llm import brute_force_topk, mmr_rerank
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    pool = brute_force_topk(em, anchors, k=8, dims=64)
+    return mmr_rerank(pool, em, k=3, lam_num=7, lam_den=10, dims=64)
+
+
 def _q_ann_lsh_topk(spark, sf_dir):
     """Sign-LSH bucketed ANN top-k (`kolang_spark/llm/similarity.py::
     lsh_topk`, multi_probe=0). Oracle-backed since round 7: the plane
@@ -3711,7 +3724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round, tail oracle-backed queries swap with in-window queries
     already green in recent external rounds, so every oracle-backed
     query keeps earning *external* green rows on a bounded cadence
-    (last external green never older than two rounds).
+    (last external green never older than four rounds — the bound
+    moved 3→4 when the registry crossed 150 oracle-backed queries,
+    the structural ceiling of a 50-slot window on a 3-round cadence).
 
     Round-8 rotation — COMPUTED by ``scripts/next_window.py 8`` (not
     hand-picked; the r6 mistake), from the per-query external-green
@@ -3737,9 +3752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names. Priority
-    tiers: (0) last green would turn 3+ rounds old (hard bound),
-    (1) never-externally-green debuts, (2) last green exactly 2 rounds
-    back, (3) fresh greens. Debuts preempt gap-2 greens (r8 ordering
+    tiers: (0) last green would turn 4+ rounds old (hard bound),
+    (1) never-externally-green debuts, (2) last green exactly 3 rounds
+    back, (3) fresher greens. Debuts preempt gap-2 greens (r8 ordering
     fix): at ~150 queries the two most-recent green cohorts alone fill
     every window, so debuts ranked below them starve forever; a
     displaced gap-2 green becomes next round's guaranteed hard bound,
@@ -3902,6 +3917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs_documents": _q_containment_pairs_documents,
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
+        "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -3974,6 +3990,78 @@ def _shingle_cte(source: str = "documents") -> str:
 
 
 _SHINGLE_CTE = _shingle_cte()
+
+
+def _mmr_sql(pool: int = 8, k: int = 3, lam_num: int = 7,
+             lam_den: int = 10, scale: int = 10**6) -> str:
+    """MMR oracle: rebuild the brute-force top-``pool`` candidate set
+    (same CTEs as cosine_topk), floor relevances/similarities to
+    micro-units, then replay each of the ``k`` greedy selection steps
+    as its own CTE — argmax of lam_num·rel − (lam_den−lam_num)·max-sim
+    with ascending-id tie-break, exactly as mmr_rerank computes it."""
+    pen = lam_den - lam_num
+    cos = ("list_dot_product({a}.v, {b}.v)"
+           "/(sqrt(list_dot_product({a}.v, {a}.v))"
+           "*sqrt(list_dot_product({b}.v, {b}.v)))")
+    parts = [f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v FROM e WHERE vec_id % 100 = 0
+        ), scored AS (
+          SELECT q.query_id, b.vec_id, {cos.format(a='q', b='b')} AS cos_raw
+          FROM e b CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rk
+          FROM scored
+        ), cand AS (
+          SELECT r.query_id, r.vec_id,
+                 CAST(FLOOR(r.cos_raw * {scale}) AS BIGINT) AS rel_fp, e.v
+          FROM ranked r JOIN e ON e.vec_id = r.vec_id WHERE r.rk <= {pool}
+        ), sims AS (
+          SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                 CAST(FLOOR({cos.format(a='a', b='b')} * {scale}) AS BIGINT)
+                   AS sim_fp
+          FROM cand a JOIN cand b
+            ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+        ), sel1 AS (
+          SELECT query_id, vec_id, 1 AS rank, mmr_fp FROM (
+            SELECT query_id, vec_id, {lam_num}*rel_fp AS mmr_fp,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {lam_num}*rel_fp DESC, vec_id)
+                     AS rn
+            FROM cand) WHERE rn = 1
+        ), selall1 AS (SELECT * FROM sel1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""", sel{t} AS (
+          SELECT query_id, vec_id, {t} AS rank, mmr_fp FROM (
+            SELECT c.query_id, c.vec_id,
+                   {lam_num}*c.rel_fp - {pen}*COALESCE(m.mx, 0) AS mmr_fp,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY c.query_id
+                     ORDER BY {lam_num}*c.rel_fp - {pen}*COALESCE(m.mx, 0)
+                              DESC, c.vec_id) AS rn
+            FROM cand c
+            LEFT JOIN (
+              SELECT s.query_id, s.id_a AS vec_id, MAX(s.sim_fp) AS mx
+              FROM sims s JOIN selall{t - 1} p
+                ON s.query_id = p.query_id AND s.id_b = p.vec_id
+              GROUP BY 1, 2
+            ) m ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+            WHERE NOT EXISTS (
+              SELECT 1 FROM selall{t - 1} p
+              WHERE p.query_id = c.query_id AND p.vec_id = c.vec_id)
+          ) WHERE rn = 1
+        ), selall{t} AS (
+          SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t}
+        )""")
+    parts.append(
+        f"\n        SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,"
+        f" mmr_fp FROM selall{k}"
+    )
+    return "".join(parts)
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -5222,6 +5310,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
         """,
+        "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
         "edit_distance_pairs_documents": r"""
             -- brute force with the length-band prefilter: an
             -- INDEPENDENT algorithm (no chunking, no candidate keys),

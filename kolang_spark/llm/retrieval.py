@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "mmr_rerank"]
 
 _MICRO = 1e6
 
@@ -131,4 +131,145 @@ def bm25_topk(
             (F.col("__s__").cast("double") / F.lit(_MICRO)).alias("score"),
             "rank",
         )
+    )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    dims: "int | None" = None,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cos",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): from each query's candidate pool, greedily select ``k``
+    results maximizing ``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` —
+    relevance traded against redundancy with what's already picked.
+    The standard diversifier between a first-stage retriever (dense
+    ANN / BM25, both in this engine) and an LLM context window: top-k
+    by raw cosine hands the model five paraphrases of one passage;
+    MMR hands it five *different* relevant passages.
+
+    Greedy selection is inherently sequential in ``k``, so the shape
+    is ``k`` bounded DataFrame steps (the Lloyd-iteration idiom — the
+    rank frame is ``localCheckpoint``-ed per step to keep the plan
+    O(1) deep): each step anti-joins the already-selected set, takes
+    per-candidate ``max sim`` to the selected set via one equi-join on
+    the query id, and picks the per-query argmax with a bounded
+    window. All frames are (n_queries × pool)-sized — never
+    corpus-sized; the corpus appears only in the one up-front vector
+    join. Candidate pools should be first-stage top-N (N ≲ 100), so
+    the within-query sims table is N² per query, built once.
+
+    Determinism: λ is the integer ratio ``lam_num/lam_den`` and
+    relevances/similarities are floored to integer micro-units of
+    ``scale``, so every selection (ties by ascending id) and every
+    returned score is exact integer arithmetic — SQL-replayable.
+    Score contract: ``mmr_fp = lam_num·rel_fp − (lam_den−lam_num)·
+    max_sim_fp`` (scaled by ``lam_den``; monotone in the paper's λ
+    formula), with ``max_sim_fp = 0`` for the first pick.
+
+    Returns ``(query_id_col, id_col, rank, mmr_fp)``, rank 1..k per
+    query (fewer when the pool is smaller than ``k``).
+    """
+    from kolang_spark.llm.similarity import _as_double, _dot, _norm, _safe_div_cos
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0 < lam_num <= lam_den:
+        raise ValueError("need 0 < lam_num <= lam_den")
+
+    vecs = vectors.select(
+        F.col(id_col).alias("__d_id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm("__v", dims))
+    cand = (
+        candidates.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(id_col).alias("d_id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+        )
+        .join(vecs, F.col("d_id") == F.col("__d_id"))
+        .select(
+            "q_id",
+            "d_id",
+            F.floor(F.col("__rel") * scale).cast("long").alias("rel_fp"),
+            "__v",
+            "__n",
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    sim = _safe_div_cos(
+        _dot("a.__v", "b.__v", dims), F.col("a.__n"), F.col("b.__n")
+    )
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id"))
+            & (F.col("a.d_id") != F.col("b.d_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.d_id").alias("id_a"),
+            F.col("b.d_id").alias("id_b"),
+            F.floor(sim * scale).cast("long").alias("sim_fp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    penalty = lam_den - lam_num
+    selected = None
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("mmr_fp").desc(), F.col("d_id").asc()
+    )
+    for t in range(1, k + 1):
+        if selected is None:
+            scored = cand.select(
+                "q_id", "d_id", (F.lit(lam_num) * F.col("rel_fp")).alias("mmr_fp")
+            )
+        else:
+            # anti-join the already-selected docs of the same query
+            remaining = cand.join(
+                selected.select("q_id", "d_id"), ["q_id", "d_id"], "left_anti"
+            )
+            msim = (
+                sims.join(
+                    selected.select(
+                        "q_id", F.col("d_id").alias("id_b")
+                    ),
+                    ["q_id", "id_b"],
+                )
+                .groupBy("q_id", F.col("id_a").alias("d_id"))
+                .agg(F.max("sim_fp").alias("__mx"))
+            )
+            scored = remaining.join(msim, ["q_id", "d_id"], "left").select(
+                "q_id",
+                "d_id",
+                (
+                    F.lit(lam_num) * F.col("rel_fp")
+                    - F.lit(penalty) * F.coalesce("__mx", F.lit(0))
+                ).alias("mmr_fp"),
+            )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("q_id", "d_id", F.lit(t).alias("rank"), "mmr_fp")
+        )
+        selected = (
+            pick
+            if selected is None
+            else selected.unionByName(pick)
+        ).localCheckpoint(eager=True)
+
+    return selected.select(
+        F.col("q_id").alias(query_id_col),
+        F.col("d_id").alias(id_col),
+        "rank",
+        "mmr_fp",
     )

@@ -7,10 +7,13 @@ the window is now derived, not curated): load every
 ``CORRECTNESS_r*.json``, derive each oracle-backed query's last
 external green, and fill the 50 slots by priority:
 
-1. hard cadence bound — queries whose last green would become 3+
-   rounds old after the next round;
+1. hard cadence bound — queries whose last green would become 4+
+   rounds old after the next round (the cadence moved from 3 to 4
+   when the registry crossed 150 oracle-backed queries: a 50-slot
+   window bounds a c-round cadence at 50·c queries, so 3 rounds
+   capped out at 150 — 4 gives headroom to 200);
 2. never-externally-green oracle-backed debuts;
-3. stale greens — last green exactly two rounds back (they become
+3. stale greens — last green exactly three rounds back (they become
    the hard bound next round);
 4. freshest greens — green in the immediately preceding round (ties
    broken by current registry order, which the driver uses as the
@@ -23,7 +26,7 @@ a debut ranked below gap-2 greens never enters — the starvation
 ADVICE r7 flagged, just via tier 1 instead of tier 3. Ranking debuts
 ABOVE gap-2 greens is safe: a displaced gap-2 green becomes next
 round's hard bound and gets a guaranteed slot, so no ever-green
-query's gap ever exceeds 3 (the documented cadence) as long as the
+query's gap ever exceeds 4 (the documented cadence) as long as the
 hard bound itself fits — which the overdue WARNING below checks.
 ``tests/test_oracle_parity.py::test_next_window_simulation`` proves
 both properties by simulating the rotation to steady state.
@@ -59,13 +62,13 @@ def rank(backed, hist, next_round):
         # greens (see module docstring — below them, the two 50-green
         # cohorts fill every window at ~150 queries and debuts starve
         # forever; a displaced gap-2 green is next round's guaranteed
-        # hard bound, so the <=3-round cadence survives the preemption)
+        # hard bound, so the <=4-round cadence survives the preemption)
         last = hist.get(q)
         if last is None:
             tier = 1  # never-green debuts
-        elif next_round - last >= 3:
+        elif next_round - last >= 4:
             tier = 0  # hard cadence bound
-        elif next_round - last == 2:
+        elif next_round - last == 3:
             tier = 2  # stale greens (become the bound next round)
         else:
             tier = 3  # fresh greens (green just last round)

@@ -66,8 +66,10 @@ def test_next_window_simulation():
     1. no starvation — every oracle-backed debut earns an external
        green within two simulated rounds;
     2. cadence — once green, no query's last external green ever ages
-       past the 3-round bound (tier-0 queries always fit, i.e. the
-       scheduler's own overdue warning never fires).
+       past the 4-round bound (tier-0 queries always fit, i.e. the
+       scheduler's own overdue warning never fires). The bound moved
+       3→4 with >150 oracle-backed queries: a 50-slot window caps a
+       c-round cadence at 50·c queries, so 3 rounds saturated at 150.
 
     Guards the r8 tiering fix (debuts preempt gap-2 greens): below
     them, the two most-recent 50-green cohorts fill every window at
@@ -109,7 +111,7 @@ def test_next_window_simulation():
             for q in backed
             if q not in window
             and hist.get(q) is not None
-            and rnd - hist[q] >= 3
+            and rnd - hist[q] >= 4
         ]
         assert not overdue_missed, (rnd, overdue_missed)
         for q in window:

@@ -115,3 +115,84 @@ def test_bm25_validates_k(spark, corpus):
     docs, queries = corpus
     with pytest.raises(ValueError):
         bm25_topk(docs, queries, k=0)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """The defining MMR behavior: a near-copy of the top hit is
+    demoted below a less-relevant-but-different candidate."""
+    from kolang_spark.llm import mmr_rerank
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),    # c1: matches the query
+            (2, [1.0, 0.25, 0.0, 0.0]),   # c2: near-copy of c1
+            (3, [0.0, 0.0, 1.0, 0.5]),    # c3: different direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(100, 1, 0.99), (100, 2, 0.98), (100, 3, 0.70)],
+        "query_id long, vec_id long, cos double",
+    )
+    # pure relevance order would be [1, 2, 3]; with lambda=1/2 the
+    # near-copy's sim(c2,c1)~0.97 penalty pushes it below c3
+    out = mmr_rerank(cands, vecs, k=3, lam_num=1, lam_den=2, dims=4)
+    order = [r.vec_id for r in out.orderBy("rank").collect()]
+    assert order == [1, 3, 2]
+    # lambda=1 degenerates to pure relevance ranking
+    out_rel = mmr_rerank(cands, vecs, k=3, lam_num=1, lam_den=1, dims=4)
+    assert [r.vec_id for r in out_rel.orderBy("rank").collect()] == [1, 2, 3]
+
+
+def test_mmr_rerank_matches_reference_greedy(spark):
+    """Replay the greedy selection in pure Python with the identical
+    fixed-point arithmetic over a multi-query random pool."""
+    import math
+    import random
+
+    from kolang_spark.llm import mmr_rerank
+
+    rng = random.Random(7)
+    dims, scale = 4, 10**6
+    vec = {i: [rng.choice([0.0, 0.25, 0.5, 1.0]) for _ in range(dims)]
+           for i in range(12)}
+    rows = [(i, vec[i]) for i in vec]
+    vdf = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cands = []
+    for q in (0, 1):
+        for i in range(12):
+            cands.append((q, i, round(rng.uniform(-0.5, 1.0), 3)))
+    cdf = spark.createDataFrame(cands, "query_id long, vec_id long, cos double")
+
+    k, lam_num, lam_den = 5, 7, 10
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.mmr_fp)
+        for r in mmr_rerank(cdf, vdf, k=k, lam_num=lam_num,
+                            lam_den=lam_den, dims=dims).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vec[a], vec[b]))
+        na = math.sqrt(sum(x * x for x in vec[a]))
+        nb = math.sqrt(sum(x * x for x in vec[b]))
+        return d / (na * nb) if na and nb else None
+
+    want = {}
+    for q in (0, 1):
+        pool = {i: math.floor(r * scale) for (qq, i, r) in cands if qq == q}
+        sel = []
+        for t in range(1, k + 1):
+            best = None
+            for i, rel_fp in pool.items():
+                if i in sel:
+                    continue
+                mx = max(
+                    (math.floor(cos(i, s) * scale) for s in sel), default=0
+                )
+                score = lam_num * rel_fp - (lam_den - lam_num) * mx
+                key = (-score, i)
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            sel.append(best[1])
+            want[(q, t)] = (best[1], best[2])
+    assert got == want
