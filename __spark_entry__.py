@@ -1234,6 +1234,17 @@ def _q_edit_distance_pairs_documents(spark, sf_dir):
     return edit_distance_pairs(base, text_col="title", max_dist=1)
 
 
+def _q_cdc_chunks_documents(spark, sf_dir):
+    """Content-defined chunking (`llm/dedup.py::cdc_chunks`): rolling-
+    hash boundaries + per-chunk md5 over every document — the DuckDB
+    oracle replays every boundary decision and chunk hash bit-for-bit
+    (integer-only rolling hash over hex-decoded bytes)."""
+    from kolang_spark.llm import cdc_chunks
+
+    dc = _t(spark, sf_dir, "documents")
+    return cdc_chunks(dc, window=8, mask_bits=6)
+
+
 def _q_ngram_novelty_documents(spark, sf_dir):
     """Cross-document n-gram novelty — the boilerplate/templated-content
     signal (kolang_spark.llm.terms.ngram_novelty)."""
@@ -3918,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
+        "cdc_chunks_documents": _q_cdc_chunks_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -3990,6 +4002,52 @@ def _shingle_cte(source: str = "documents") -> str:
 
 
 _SHINGLE_CTE = _shingle_cte()
+
+
+def _cdc_sql(window: int = 8, mask_bits: int = 6, base: int = 257,
+             mod: int = (1 << 31) - 1) -> str:
+    """CDC oracle: identical rolling hash over hex-decoded bytes. The
+    Spark side folds (acc·base + byte) mod m over the trailing window;
+    by modular identity that equals Σ byte[t]·base^(i−t) mod m, so the
+    oracle inlines the 8 precomputed powers and takes one list_sum —
+    each term < 2^39, the sum < 2^42, comfortably BIGINT."""
+    div = 1 << mask_bits
+    powers = [pow(base, window - 1 - j, mod) for j in range(window)]
+    terms = " + ".join(
+        f"CAST('0x' || substr(hx, (i - {window - 1} + {j})*2 - 1, 2) AS BIGINT)"
+        f" * {p}"
+        for j, p in enumerate(powers)
+    )
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, upper(hex(encode(text))) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ), cutl AS (
+          SELECT doc_id, hx, n,
+                 [0] || [c for c in
+                         [i for i in range({window}, n + 1)
+                          if (({terms}) % {mod}) % {div} = 0]
+                         if c < n] || [n] AS bounds
+          FROM raw WHERE n > 0
+        ), ch AS (
+          SELECT doc_id,
+                 unnest([{{'chunk_idx': k,
+                           'start_byte': bounds[k + 1],
+                           'n_bytes': bounds[k + 2] - bounds[k + 1],
+                           'chunk_hash': md5(substr(hx,
+                                bounds[k + 1]*2 + 1,
+                                (bounds[k + 2] - bounds[k + 1])*2))}}
+                         for k in range(0, len(bounds) - 1)]) AS c
+          FROM cutl
+        )
+        SELECT doc_id,
+               CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(c.start_byte AS INTEGER) AS start_byte,
+               CAST(c.n_bytes AS INTEGER) AS n_bytes,
+               c.chunk_hash AS chunk_hash
+        FROM ch WHERE c.n_bytes > 0
+    """
 
 
 def _mmr_sql(pool: int = 8, k: int = 3, lam_num: int = 7,
@@ -5311,6 +5369,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
         """,
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
+        "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
         "edit_distance_pairs_documents": r"""
             -- brute force with the length-band prefilter: an
             -- INDEPENDENT algorithm (no chunking, no candidate keys),

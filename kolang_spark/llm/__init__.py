@@ -32,6 +32,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     jaccard_near_dup_pairs,
     containment_pairs,
     edit_distance_pairs,
+    cdc_chunks,
     minhash_candidate_pairs,
     hamming_pairs,
     simhash_hamming_pairs,

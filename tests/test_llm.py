@@ -1586,3 +1586,55 @@ def test_edit_distance_pairs_matches_brute_force(spark, d):
         if dist <= d:
             want[(ia, ib)] = dist
     assert got == want
+
+
+def test_cdc_chunks_partition_and_shift_resistance(spark):
+    from kolang_spark.llm import cdc_chunks
+
+    import hashlib
+    import random
+
+    rng = random.Random(11)
+    body = "".join(rng.choice("abcdefgh ") for _ in range(800))
+    df = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "PREFIX-INSERTED-" + body),  # shifted copy
+            (3, ""),                          # empty -> no rows
+            (4, "tiny"),                      # shorter than the window
+        ],
+        ["doc_id", "text"],
+    )
+    rows = cdc_chunks(df, window=8, mask_bits=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    # sub-window doc = one whole-doc chunk
+    assert [(c.start_byte, c.n_bytes) for c in by_doc[4]] == [(0, 4)]
+
+    # chunks tile each document exactly: contiguous, full coverage
+    for doc_id, text in [(1, body), (2, "PREFIX-INSERTED-" + body)]:
+        cs = sorted(by_doc[doc_id], key=lambda c: c.chunk_idx)
+        pos = 0
+        for c in cs:
+            assert c.start_byte == pos
+            pos += c.n_bytes
+        assert pos == len(text.encode())
+        # chunk hashes really are md5 of the hex-encoded slice
+        hx = text.encode().hex().upper()
+        for c in cs[:3]:
+            seg = hx[2 * c.start_byte : 2 * (c.start_byte + c.n_bytes)]
+            assert c.chunk_hash == hashlib.md5(seg.encode()).hexdigest()
+
+    # SHIFT RESISTANCE: the prefixed copy shares almost all chunk hashes
+    h1 = {c.chunk_hash for c in by_doc[1]}
+    h2 = {c.chunk_hash for c in by_doc[2]}
+    assert len(by_doc[1]) >= 10  # mask_bits=4 => ~16-byte chunks on 800 bytes
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, f"CDC lost shift resistance: {shared}"
+
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, mask_bits=0)

@@ -31,6 +31,11 @@ PANDAS_ALLOWED = {
     # STFT-style framing over raw PCM bytes: DSP with no Column
     # expression — same sanctioned media boundary as the decoders
     "multimodal_audio_frames",
+    # CDC rolling-hash chunking: byte-level numeric kernel (same
+    # sanctioned boundary — the pure-Column HOF formulations were
+    # built and benched first at ~2 µs/byte interpreted; see the
+    # operator docstring for the numbers)
+    "cdc_chunks_documents",
     # perceptual hashing decodes image bytes (same boundary); the
     # downstream Hamming band join is pure Column algebra
     "multimodal_ahash_pairs",
