@@ -1234,6 +1234,17 @@ def _q_edit_distance_pairs_documents(spark, sf_dir):
     return edit_distance_pairs(base, text_col="title", max_dist=1)
 
 
+def _q_pmi_collocations_documents(spark, sf_dir):
+    """Top PMI collocations (`llm/terms.py::pmi_collocations`):
+    micro-nat fixed-point scores, total integer+lexicographic order —
+    the oracle replays counts, the fixed (c_ab·N)/(c_a·c_b)
+    parenthesization, and the tie-broken LIMIT."""
+    from kolang_spark.llm import pmi_collocations
+
+    dc = _t(spark, sf_dir, "documents")
+    return pmi_collocations(dc, top_k=60, min_count=5)
+
+
 def _q_cdc_chunks_documents(spark, sf_dir):
     """Content-defined chunking (`llm/dedup.py::cdc_chunks`): rolling-
     hash boundaries + per-chunk md5 over every document — the DuckDB
@@ -3930,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
+        "pmi_collocations_documents": _q_pmi_collocations_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5370,6 +5382,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
+        "pmi_collocations_documents": r"""
+            WITH words AS (
+              SELECT list_filter(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t)), t -> t <> '') AS w
+              FROM documents
+            ), tok1 AS (
+              SELECT unnest(w) AS term FROM words
+            ), uni AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok1 GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+            ), bg AS (
+              SELECT unnest([{'a': w[i], 'b': w[i + 1]}
+                             for i in range(1, len(w))]) AS p
+              FROM words
+            ), bgc AS (
+              SELECT p.a AS term_a, p.b AS term_b,
+                     CAST(COUNT(*) AS BIGINT) AS c_ab
+              FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            )
+            SELECT j.term_a, j.term_b, j.c_ab, ua.c AS c_a, ub.c AS c_b,
+                   CAST(round(ln((CAST(j.c_ab AS DOUBLE) * tot.n)
+                                 / (CAST(ua.c AS DOUBLE)
+                                    * CAST(ub.c AS DOUBLE))) * 1e6)
+                        AS BIGINT) AS pmi_micro
+            FROM bgc j
+            JOIN uni ua ON ua.term = j.term_a
+            JOIN uni ub ON ub.term = j.term_b
+            CROSS JOIN tot
+            ORDER BY pmi_micro DESC, j.term_a ASC, j.term_b ASC
+            LIMIT 60
+        """,
         "edit_distance_pairs_documents": r"""
             -- brute force with the length-band prefilter: an
             -- INDEPENDENT algorithm (no chunking, no candidate keys),

@@ -115,6 +115,7 @@ from kolang_spark.llm.quantize import (  # noqa: F401
 )
 from kolang_spark.llm.terms import (  # noqa: F401
     ngram_novelty,
+    pmi_collocations,
     tfidf_top_terms,
     vocabulary,
 )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize, word_ngrams
 
-__all__ = ["tfidf_top_terms", "vocabulary", "ngram_novelty"]
+__all__ = ["tfidf_top_terms", "vocabulary", "ngram_novelty", "pmi_collocations"]
 
 
 def tfidf_top_terms(
@@ -185,4 +185,79 @@ def ngram_novelty(
             F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
             (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
         )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+    min_count: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus collocations by pointwise mutual information: the top
+    adjacent word pairs whose co-occurrence beats chance —
+    ``PMI(a,b) = ln( c(ab)·N / (c(a)·c(b)) )`` (Church & Hanks 1990).
+    The standard phrase-mining / tokenizer-merge-candidate /
+    machine-translation-diagnostic signal; ``min_count`` is the
+    classic guard against PMI's rare-pair bias.
+
+    Scale shape: two map-side-combinable aggregates (adjacent-bigram
+    counts; unigram counts) + two hash joins on the term + a 1-row
+    broadcast total + TakeOrderedAndProject for the top-k — no window,
+    no UDF, no driver collect.
+
+    Determinism: PMI is stored as exact micro-nats
+    (``round(ln(·)·1e6)`` — the engine's fixed-point idiom), and the
+    top-k order is total: ``pmi_micro`` desc, then ``(term_a,
+    term_b)`` asc, so the selected set is engine-reproducible.
+
+    Returns ``(term_a, term_b, c_ab, c_a, c_b, pmi_micro)``.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = tokenize(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    toks = F.filter(toks, lambda t: t != "")
+
+    big = df.select(F.explode_outer(word_ngrams(toks, 2)).alias("bg")).where(
+        F.col("bg").isNotNull()
+    )
+    big_c = big.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    uni = df.select(F.explode_outer(toks).alias("term")).where(
+        F.col("term").isNotNull()
+    )
+    uni_c = uni.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = uni_c.agg(F.sum("c").cast("double").alias("__n_total__"))
+
+    pairs = big_c.select(
+        F.split("bg", " ").getItem(0).alias("term_a"),
+        F.split("bg", " ").getItem(1).alias("term_b"),
+        "c_ab",
+    ).where(F.col("c_ab") >= min_count)
+    a = uni_c.select(F.col("term").alias("term_a"), F.col("c").alias("c_a"))
+    b = uni_c.select(F.col("term").alias("term_b"), F.col("c").alias("c_b"))
+    # fixed parenthesization (c_ab·N) / (c_a·c_b), doubles first — the
+    # oracle mirrors it exactly; integer products could overflow at
+    # corpus scale
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("__n_total__"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    return (
+        pairs.join(a, "term_a")
+        .join(b, "term_b")
+        .crossJoin(F.broadcast(total))
+        .select("term_a", "term_b", "c_ab", "c_a", "c_b", pmi.alias("pmi_micro"))
+        .orderBy(
+            F.col("pmi_micro").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        .limit(top_k)
     )

@@ -1638,3 +1638,35 @@ def test_cdc_chunks_partition_and_shift_resistance(spark):
         cdc_chunks(df, window=0)
     with pytest.raises(ValueError):
         cdc_chunks(df, mask_bits=0)
+
+
+def test_pmi_collocations_ranks_true_pairs(spark):
+    from kolang_spark.llm import pmi_collocations
+
+    import math
+
+    # "new york" always co-occurs; "the cat"/"the dog" share the hot
+    # token "the", diluting their PMI
+    rows = []
+    for i in range(10):
+        rows.append((i, "new york is where the cat saw the dog"))
+    rows.append((10, "the end"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pmi_collocations(df, top_k=5, min_count=5).collect()
+    # every non-"the" bigram ties on PMI (identical counts); ties break
+    # on (term_a, term_b) asc, and "the *" pairs rank strictly lower
+    assert ("new", "york") in {(r.term_a, r.term_b) for r in out}
+    assert out[0].pmi_micro >= out[-1].pmi_micro
+    the_pairs = [r for r in out if r.term_a == "the"]
+    non_the = [r for r in out if r.term_a != "the"]
+    assert all(
+        t.pmi_micro < n.pmi_micro for t in the_pairs for n in non_the
+    )
+    r = next(x for x in out if (x.term_a, x.term_b) == ("new", "york"))
+    n_total = 10 * 9 + 2  # total token occurrences
+    want = round(math.log((r.c_ab * n_total) / (r.c_a * r.c_b)) * 1e6)
+    assert r.pmi_micro == want
+    # min_count guard drops the once-seen "the end" bigram
+    assert not [x for x in out if (x.term_a, x.term_b) == ("the", "end")]
+    with pytest.raises(ValueError):
+        pmi_collocations(df, top_k=0)
