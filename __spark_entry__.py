@@ -1234,6 +1234,19 @@ def _q_edit_distance_pairs_documents(spark, sf_dir):
     return edit_distance_pairs(base, text_col="title", max_dist=1)
 
 
+def _q_blocked_terms_documents(spark, sf_dir):
+    """C4 bad-word gate (`llm/scrub.py::flag_blocked_terms`):
+    token-exact word + phrase occurrence counts against a blocklist —
+    single words, a 2-gram phrase, and a never-matching decoy; the
+    oracle replays tokenization, n-gram formation, and both counts."""
+    from kolang_spark.llm import flag_blocked_terms
+
+    dc = _t(spark, sf_dir, "documents")
+    return flag_blocked_terms(
+        dc, ["merge", "hash value", "slow", "no-such-term"]
+    )
+
+
 def _q_pmi_collocations_documents(spark, sf_dir):
     """Top PMI collocations (`llm/terms.py::pmi_collocations`):
     micro-nat fixed-point scores, total integer+lexicographic order —
@@ -3942,6 +3955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
+        "blocked_terms_documents": _q_blocked_terms_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5382,6 +5396,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
+        "blocked_terms_documents": r"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t)), t -> t <> '') AS w
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, unnest(w) AS g FROM words
+            ), big AS (
+              SELECT doc_id,
+                     unnest([w[i] || ' ' || w[i + 1]
+                             for i in range(1, len(w))]) AS g
+              FROM words
+            ), grams AS (
+              SELECT * FROM uni UNION ALL SELECT * FROM big
+            ), bl(g) AS (
+              VALUES ('merge'), ('hash value'), ('slow'), ('no-such-term')
+            ), hits AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_hits,
+                     CAST(COUNT(DISTINCT g) AS BIGINT) AS n_terms
+              FROM grams JOIN bl USING (g)
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_terms, 0) AS n_terms,
+                   COALESCE(h.n_hits, 0) > 0 AS is_blocked
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
         "pmi_collocations_documents": r"""
             WITH words AS (
               SELECT list_filter(list_transform(

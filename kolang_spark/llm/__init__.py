@@ -66,6 +66,7 @@ from kolang_spark.llm.scrub import (  # noqa: F401
     canonicalize_url,
     extract_urls,
     filter_blocked_domains,
+    flag_blocked_terms,
     fix_mojibake,
     fold_confusables,
     mojibake_score,

@@ -37,6 +37,7 @@ __all__ = [
     "url_domains",
     "canonicalize_url",
     "filter_blocked_domains",
+    "flag_blocked_terms",
     "fold_confusables",
     "mojibake_score",
     "fix_mojibake",
@@ -423,3 +424,99 @@ def fix_mojibake(col: ColumnOrName) -> Column:
         F.when(F.is_valid_utf8(recovered), F.decode(recovered, "UTF-8"))
         .otherwise(c),
     ).otherwise(c)
+
+
+def flag_blocked_terms(
+    df,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    lowercase: bool = True,
+):
+    """Blocked-words/phrases gate — the C4 rule that drops any page
+    containing an entry of a bad-word list (Raffel et al. 2020 used
+    the "List of Dirty, Naughty ..." blocklist): count word-boundary
+    occurrences of every blocklist entry per document, multi-word
+    phrases included.
+
+    Matching is token-exact, not substring: single-word entries match
+    tokens, L-word phrases match contiguous L-grams — so "ass" never
+    hits "class" (the classic substring-filter false positive) and
+    "click here" matches only as adjacent words. ``terms`` is a plain
+    list of strings or a DataFrame with ``term_col``; entries are
+    trimmed (lower-cased when ``lowercase``) and de-duplicated.
+
+    Scale shape: one exploded n-gram frame per DISTINCT phrase length
+    in the list (almost always 1-3), unioned, then ONE broadcast
+    equi-join against the term table and a map-side-combinable per-doc
+    aggregate — the corpus never shuffles on a non-key, and the gram
+    explode is bounded by the lengths actually present in the list.
+
+    Returns one row per input id: ``(id_col, n_hits, n_terms,
+    is_blocked)`` — total occurrences, distinct blocklist entries
+    present, and the C4 drop flag ``n_hits > 0``.
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    from kolang_spark.llm.textstats import tokenize, word_ngrams
+
+    if isinstance(terms, _DF):
+        entries = [
+            r[0]
+            for r in terms.select(term_col).where(
+                F.col(term_col).isNotNull()
+            ).distinct().collect()
+        ]  # bounded by construction: a curated blocklist is ≤ ~10^4 rows
+    else:
+        entries = list(terms)
+    norm = []
+    for t in entries:
+        t = " ".join(str(t).split())
+        if lowercase:
+            t = t.lower()
+        if t:
+            norm.append(t)
+    norm = sorted(set(norm))
+    if not norm:
+        raise ValueError("blocklist is empty after normalization")
+    lengths = sorted({len(t.split()) for t in norm})
+
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in norm], ["g"])
+
+    toks = tokenize(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    toks = F.filter(toks, lambda t: t != "")
+
+    gram_frames = []
+    for ln in lengths:
+        grams = toks if ln == 1 else word_ngrams(toks, ln)
+        gram_frames.append(
+            df.select(F.col(id_col), F.explode_outer(grams).alias("g")).where(
+                F.col("g").isNotNull()
+            )
+        )
+    all_grams = gram_frames[0]
+    for gf in gram_frames[1:]:
+        all_grams = all_grams.unionByName(gf)
+
+    hits = (
+        all_grams.join(F.broadcast(tdf), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.count_distinct("g").cast("long").alias("n_terms"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0).cast("long")).alias("n_terms"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_blocked"),
+        )
+    )

@@ -119,3 +119,42 @@ def test_duckdb_oracle_agreement(spark, df):
         for r in df.select("doc_id", extract_urls("text").alias("urls")).collect()
     }
     assert got_urls == oracle_urls
+
+
+def test_flag_blocked_terms_token_exact(spark):
+    from kolang_spark.llm import flag_blocked_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "please CLICK here to win"),          # phrase hit (cased)
+            (2, "the classroom was classy"),           # substring traps
+            (3, "spam spam and more spam"),            # 3 occurrences
+            (4, "perfectly clean text"),
+            (5, ""),                                   # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.n_terms, r.is_blocked)
+        for r in flag_blocked_terms(
+            df, ["spam", "click here", "Ass"]
+        ).collect()
+    }
+    assert out[1] == (1, 1, True)       # "click here" as adjacent words
+    assert out[2] == (0, 0, False)      # "ass" must NOT hit class/classy
+    assert out[3] == (3, 1, True)       # occurrences counted
+    assert out[4] == (0, 0, False)
+    assert out[5] == (0, 0, False)
+
+    # DataFrame-shaped blocklist behaves identically
+    tdf = spark.createDataFrame([("spam",), ("click here",)], ["term"])
+    out2 = {
+        r.doc_id: r.is_blocked
+        for r in flag_blocked_terms(df, tdf).collect()
+    }
+    assert out2 == {1: True, 2: False, 3: True, 4: False, 5: False}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        flag_blocked_terms(df, ["", "   "])
