@@ -1389,6 +1389,21 @@ def _q_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_jl_project_embeddings(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (`llm/pca.py::
+    jl_project`): md5-derived Achlioptas ±sqrt(3/k)/0 matrix inlined as
+    literals — the oracle rebuilds the identical matrix and replays
+    every projected coordinate."""
+    from kolang_spark.llm import jl_project
+
+    em = _t(spark, sf_dir, "embeddings")
+    out = jl_project(em, out_dims=16, dims=64)
+    return out.select(
+        "vec_id",
+        F.transform("jl", lambda x: F.round(x, 6)).alias("jl"),
+    )
+
+
 def _q_mmr_rerank_embeddings(spark, sf_dir):
     """MMR diversified re-ranking (`llm/retrieval.py::mmr_rerank`) over
     a brute-force top-8 first-stage pool: greedy λ-tradeoff selection
@@ -3953,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
+        "jl_project_embeddings": _q_jl_project_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
         "blocked_terms_documents": _q_blocked_terms_documents,
@@ -4073,6 +4089,32 @@ def _cdc_sql(window: int = 8, mask_bits: int = 6, base: int = 257,
                CAST(c.n_bytes AS INTEGER) AS n_bytes,
                c.chunk_hash AS chunk_hash
         FROM ch WHERE c.n_bytes > 0
+    """
+
+
+def _jl_sql(out_dims: int = 16, dims: int = 64) -> str:
+    """JL-projection oracle: rebuild the identical md5-derived
+    Achlioptas matrix (driver-side Python, same code path as the
+    operator) and replay out[k] = v · R_k per coordinate. Spark folds
+    left-assoc over zip_with products; DuckDB list_dot_product
+    accumulates in the same element order — ROUND(…, 6) absorbs any
+    final-ulp divergence (the cosine_topk precedent)."""
+    from kolang_spark.llm import jl_components
+
+    comps = jl_components(out_dims, dims)
+    rows = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in row) + "]" for row in comps
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), r AS (
+          SELECT [{rows}]::DOUBLE[][] AS m
+        )
+        SELECT e.vec_id,
+               [ROUND(list_dot_product(e.v, r.m[k]), 6)
+                for k in range(1, {out_dims} + 1)] AS jl
+        FROM e CROSS JOIN r
     """
 
 
@@ -5395,6 +5437,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c*1.0/least(sa.n_sh, sb.n_sh) >= 0.6
         """,
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
+        "jl_project_embeddings": _jl_sql(out_dims=16, dims=64),
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
         "blocked_terms_documents": r"""
             WITH words AS (

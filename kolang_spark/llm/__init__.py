@@ -103,7 +103,13 @@ from kolang_spark.llm.lmscore import (  # noqa: F401
     perplexity_buckets,
     unigram_lm_scores,
 )
-from kolang_spark.llm.pca import PcaModel, pca_fit, pca_project  # noqa: F401
+from kolang_spark.llm.pca import (  # noqa: F401
+    PcaModel,
+    jl_components,
+    jl_project,
+    pca_fit,
+    pca_project,
+)
 from kolang_spark.llm.prep import (  # noqa: F401
     assign_shards,
     chunk_documents,

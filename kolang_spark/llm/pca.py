@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.utils import ensure_min_parallelism
 
-__all__ = ["PcaModel", "pca_fit", "pca_project"]
+__all__ = ["PcaModel", "pca_fit", "pca_project", "jl_project", "jl_components"]
 
 
 def _arr_lit(values) -> Column:
@@ -189,6 +189,80 @@ def pca_project(
     )
     return (
         df.withColumn(tmp, cen)
+        .withColumn(
+            out_col,
+            F.transform(
+                comp_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col(tmp), c, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
+        .drop(tmp)
+    )
+
+
+def jl_components(out_dims: int, dims: int, seed: str = "") -> list:
+    """Deterministic Achlioptas (2003) sparse random-projection matrix:
+    entry ``r[k][j] ∈ {+1, 0, −1}`` with probabilities {1/6, 2/3, 1/6},
+    derived from ``md5(f"jl:{seed}:{k}:{j}")`` — reproducible on any
+    cluster/engine with no RNG state (the LSH-plane idiom). Scaled by
+    ``sqrt(3/out_dims)`` so pairwise distances are preserved in
+    expectation (Johnson–Lindenstrauss)."""
+    import hashlib
+    import math
+
+    scale = math.sqrt(3.0 / out_dims)
+    comps = []
+    for k in range(out_dims):
+        row = []
+        for j in range(dims):
+            h = int(
+                hashlib.md5(f"jl:{seed}:{k}:{j}".encode()).hexdigest()[:12], 16
+            ) % 6
+            row.append(scale if h == 0 else (-scale if h == 1 else 0.0))
+        comps.append(row)
+    return comps
+
+
+def jl_project(
+    df: DataFrame,
+    out_dims: int,
+    dims: int,
+    vec_col: str = "embedding",
+    out_col: str = "jl",
+    seed: str = "",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dims``
+    dimensions — the zero-training cousin of :func:`pca_fit`/
+    :func:`pca_project`: pairwise distances survive within (1±ε) with
+    high probability (ε ≈ sqrt(8·ln n / out_dims)), with NO pass over
+    the data to fit anything. The right tool when PCA's
+    sufficient-statistic pass is not worth it (one-shot ANN
+    prefiltering, sketching very wide embeddings, streaming ingest
+    where the model can't be refit).
+
+    Same plan shape as :func:`pca_project`: the projection matrix is
+    one inlined ``array<array<double>>`` literal (O(out_dims·dims)
+    expression nodes) iterated by a single ``transform`` — no join, no
+    shuffle, rides the scan. The Achlioptas matrix is 2/3 zeros, and
+    its md5 derivation makes the whole projection engine-reproducible
+    (DuckDB-oracle-checkable).
+
+    Returns ``df`` plus ``out_col`` (``array<double>``,
+    length ``out_dims``).
+    """
+    if out_dims < 1 or dims < 1:
+        raise ValueError("out_dims and dims must be >= 1")
+    comp_lit = _arr_lit(jl_components(out_dims, dims, seed))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    tmp = f"__ks_jl_v_{out_col}__"
+    while tmp in df.columns:
+        tmp += "_"
+    return (
+        df.withColumn(tmp, v)
         .withColumn(
             out_col,
             F.transform(

@@ -338,3 +338,39 @@ def test_pack_examples_offsets_and_spans(spark):
 
     with pytest.raises(ValueError):
         pack_examples(df, example_tokens=0)
+
+
+def test_jl_project_preserves_pairwise_distances(spark):
+    """JL guarantee, empirically: distances between random 64-d vectors
+    survive projection to 24 dims within a loose (1±0.7) band, and the
+    projection is deterministic (numpy replay of the same md5 matrix)."""
+    import math
+    import random
+
+    import numpy as np
+
+    from kolang_spark.llm import jl_components, jl_project
+
+    rng = random.Random(3)
+    dims, out_dims = 64, 24
+    vecs = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(12)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: np.array(r.jl)
+        for r in jl_project(df, out_dims, dims).collect()
+    }
+    # numpy replay of the identical md5-derived matrix
+    R = np.array(jl_components(out_dims, dims))
+    for i, v in enumerate(vecs):
+        assert np.allclose(got[i], R @ np.array(v), atol=1e-9)
+    # pairwise distortion stays in a loose band (tiny n => loose ε)
+    for a in range(0, 12, 3):
+        for b in range(a + 1, 12, 3):
+            d0 = math.dist(vecs[a], vecs[b])
+            d1 = float(np.linalg.norm(got[a] - got[b]))
+            assert 0.3 * d0 <= d1 <= 1.7 * d0, (a, b, d0, d1)
+    with pytest.raises(ValueError):
+        jl_project(df, 0, dims)
