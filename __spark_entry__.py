@@ -1234,6 +1234,44 @@ def _q_edit_distance_pairs_documents(spark, sf_dir):
     return edit_distance_pairs(base, text_col="title", max_dist=1)
 
 
+def _q_corpus_report_documents(spark, sf_dir):
+    """Dataset card in one pass — per-language corpus profile (doc/dup
+    counts, token/char volume, mean quality, chars-per-token fertility)
+    composed from the engine's lang-ID, quality, token, and fingerprint
+    primitives; the oracle re-derives every statistic from scratch."""
+    from kolang_spark.llm import (
+        doc_fingerprint,
+        lang_id,
+        quality_metrics,
+        token_count,
+    )
+
+    dc = _t(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    base = dc.select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        m["quality_score"].alias("q"),
+        token_count("text").alias("n_tok"),
+        F.length("text").cast("long").alias("n_ch"),
+        doc_fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    flagged = base.withColumn(
+        "is_dup", F.col("doc_id") != F.min("doc_id").over(w)
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dups"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_ch").cast("long").alias("n_chars"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.round(F.sum("n_ch") * F.lit(1.0) / F.sum("n_tok"), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 def _q_blocked_terms_documents(spark, sf_dir):
     """C4 bad-word gate (`llm/scrub.py::flag_blocked_terms`):
     token-exact word + phrase occurrence counts against a blocklist —
@@ -3972,6 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
         "blocked_terms_documents": _q_blocked_terms_documents,
+        "corpus_report_documents": _q_corpus_report_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5439,6 +5478,64 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
         "jl_project_embeddings": _jl_sql(out_dims=16, dims=64),
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
+        # Same m/scored/lang fragments as curation_pipeline (proven
+        # equal to the Spark primitives there); this query re-derives
+        # the whole per-language profile from scratch.
+        "corpus_report_documents": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                     len(regexp_extract_all(lower(text),
+                       '\b(the|a|an|of|to|and|in|is|it|that|for|on|was|with|as|be)\b'))
+                       AS n_stop,
+                     len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                     lower(text) AS t,
+                     md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, fingerprint, n_chars, n_tokens,
+                   CAST(
+                     (CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 40 ELSE 0 END)
+                     + (CASE WHEN (n_chars - (n_tokens-1))*1.0/n_tokens
+                             BETWEEN 2 AND 12 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_punct*1.0/n_chars <= 0.2 THEN 20 ELSE 0 END)
+                     + (CASE WHEN n_stop*1.0/n_tokens >= 0.05 THEN 20 ELSE 0 END)
+                   AS BIGINT) AS quality_score,
+                   len(regexp_extract_all(t, '\b(the|and|of|to|is|was|for|with|that|this)\b')) AS c_en,
+                   len(regexp_extract_all(t, '\b(der|die|das|und|ist|nicht|mit|ein|eine|zu)\b')) AS c_de,
+                   len(regexp_extract_all(t, '\b(le|la|les|et|est|pas|pour|dans|une|que)\b')) AS c_fr,
+                   len(regexp_extract_all(t, '\b(el|la|los|las|es|y|no|por|una|que)\b')) AS c_es,
+                   t
+              FROM m
+            ), lang AS (
+              SELECT doc_id, fingerprint, quality_score, n_chars, n_tokens,
+                CASE WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+                     WHEN regexp_matches(t, '[؀-ۿ]') THEN 'fa'
+                     WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                     WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                     WHEN c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+              FROM scored
+            ), dup AS (
+              SELECT lang_pred AS lang, quality_score, n_chars, n_tokens,
+                     doc_id <> MIN(doc_id) OVER (PARTITION BY fingerprint)
+                       AS is_dup
+              FROM lang
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dups,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   ROUND(AVG(quality_score), 6) AS avg_quality,
+                   ROUND(SUM(n_chars) * 1.0 / SUM(n_tokens), 6)
+                     AS chars_per_token
+            FROM dup GROUP BY 1
+        """,
         "blocked_terms_documents": r"""
             WITH words AS (
               SELECT doc_id,
