@@ -1442,6 +1442,22 @@ def _q_jl_project_embeddings(spark, sf_dir):
     )
 
 
+def _q_retrieval_metrics_embeddings(spark, sf_dir):
+    """IR scorecard (`llm/retrieval.py::retrieval_metrics`): LSH ANN
+    results scored against brute-force top-3 truth — per-query
+    recall@5 and reciprocal rank, both engines replaying the two
+    rankings and the metric arithmetic exactly."""
+    from kolang_spark.llm import brute_force_topk, lsh_topk, retrieval_metrics
+
+    em = _t(spark, sf_dir, "embeddings")
+    anchors = em.where(F.col("vec_id") % 100 == 0)
+    results = lsh_topk(em, anchors, k=5, n_planes=3, dims=64)
+    truth = brute_force_topk(em, anchors, k=3, dims=64).select(
+        "query_id", "vec_id"
+    )
+    return retrieval_metrics(results, truth, k=5)
+
+
 def _q_mmr_rerank_embeddings(spark, sf_dir):
     """MMR diversified re-ranking (`llm/retrieval.py::mmr_rerank`) over
     a brute-force top-8 first-stage pool: greedy λ-tradeoff selection
@@ -4007,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
         "jl_project_embeddings": _q_jl_project_embeddings,
+        "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
         "blocked_terms_documents": _q_blocked_terms_documents,
@@ -5477,6 +5494,66 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mmr_rerank_embeddings": _mmr_sql(pool=8, k=3, lam_num=7, lam_den=10),
         "jl_project_embeddings": _jl_sql(out_dims=16, dims=64),
+        # res = the ann_lsh_topk replay; truth = the cosine_topk replay
+        # cut at 3; metrics arithmetic mirrored (floor() because Spark's
+        # double→long cast truncates while DuckDB's CAST rounds)
+        "retrieval_metrics_embeddings": f"""
+            WITH e0 AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), e AS (
+              SELECT vec_id, v, {_lsh_sig_sql("v", 3, 64)} AS bucket
+              FROM e0
+            ), q AS (
+              SELECT vec_id AS query_id, v, bucket FROM e
+              WHERE vec_id % 100 = 0
+            ), lscored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM e c JOIN q ON c.bucket = q.bucket
+            ), res AS (
+              SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, vec_id)
+                         AS rank
+                FROM lscored) WHERE rank <= 5
+            ), bscored AS (
+              SELECT q.query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM e0 c CROSS JOIN q
+            ), truth AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_raw DESC, vec_id)
+                         AS rank
+                FROM bscored) WHERE rank <= 3
+            ), nrel AS (
+              SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+              FROM truth GROUP BY 1
+            ), j AS (
+              SELECT r.query_id, r.rank
+              FROM res r JOIN truth t
+                ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+            ), pq AS (
+              SELECT query_id,
+                     CAST(SUM(CASE WHEN rank <= 5 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS hits,
+                     MIN(rank) AS fr
+              FROM j GROUP BY 1
+            )
+            SELECT n.query_id, n.n_rel,
+                   COALESCE(p.hits, 0) AS hits_at_k,
+                   ROUND(COALESCE(p.hits, 0) * 1.0 / n.n_rel, 6)
+                     AS recall_at_k,
+                   COALESCE(CAST(floor(1000000.0 / p.fr) AS BIGINT), 0)
+                     AS rr_micro
+            FROM nrel n LEFT JOIN pq p USING (query_id)
+        """,
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
         # Same m/scored/lang fragments as curation_pipeline (proven
         # equal to the Spark primitives there); this query re-derives

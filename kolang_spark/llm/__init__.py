@@ -115,7 +115,11 @@ from kolang_spark.llm.prep import (  # noqa: F401
     chunk_documents,
     pack_examples,
 )
-from kolang_spark.llm.retrieval import bm25_topk, mmr_rerank  # noqa: F401
+from kolang_spark.llm.retrieval import (  # noqa: F401
+    bm25_topk,
+    mmr_rerank,
+    retrieval_metrics,
+)
 from kolang_spark.llm.quantize import (  # noqa: F401
     dequantize_embedding,
     quantize_embedding,

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["bm25_topk", "mmr_rerank"]
+__all__ = ["bm25_topk", "mmr_rerank", "retrieval_metrics"]
 
 _MICRO = 1e6
 
@@ -272,4 +272,72 @@ def mmr_rerank(
         F.col("d_id").alias(id_col),
         "rank",
         "mmr_fp",
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval evaluation — the IR scorecard (recall@k,
+    hit count, reciprocal rank) for any ranked-results frame against a
+    relevance-judgment set. Closes the loop on the engine's retrieval
+    family: score `bm25_topk` / `lsh_topk` / `ivf_topk` / `mmr_rerank`
+    output against exact top-k truth or human qrels with one call.
+
+    ``results``: ``(query_id_col, id_col, rank_col)`` ranked 1..N.
+    ``qrels``: ``(query_id_col, id_col)`` relevant pairs (extra
+    columns ignored; duplicates de-duplicated).
+
+    Scale shape: one equi-join on (query, doc) + two map-side
+    aggregates — queries with no relevant docs are dropped (recall is
+    undefined there, the trec_eval convention).
+
+    Determinism: ``rr_micro`` is the reciprocal rank in exact integer
+    micro-units (``1e6 // first_relevant_rank``; 0 when nothing
+    relevant is ranked), so aggregating MRR downstream stays
+    order-independent. Returns ``(query_id_col, n_rel, hits_at_k,
+    recall_at_k, rr_micro)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    res = results.select(
+        F.col(query_id_col).alias("q_id"),
+        F.col(id_col).alias("d_id"),
+        F.col(rank_col).cast("int").alias("rnk"),
+    )
+    rel = (
+        qrels.select(
+            F.col(query_id_col).alias("q_id"), F.col(id_col).alias("d_id")
+        )
+        .distinct()
+    )
+    n_rel = rel.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    joined = res.join(rel, ["q_id", "d_id"])  # relevant retrieved docs
+    per_q = joined.groupBy("q_id").agg(
+        F.sum((F.col("rnk") <= k).cast("long")).cast("long").alias("hits_at_k"),
+        F.min("rnk").alias("first_rel_rank"),
+    )
+    return (
+        n_rel.join(per_q, "q_id", "left")
+        .select(
+            F.col("q_id").alias(query_id_col),
+            "n_rel",
+            F.coalesce("hits_at_k", F.lit(0).cast("long")).alias("hits_at_k"),
+            F.round(
+                F.coalesce("hits_at_k", F.lit(0)) * F.lit(1.0) / F.col("n_rel"),
+                6,
+            ).alias("recall_at_k"),
+            F.coalesce(
+                (F.lit(1_000_000).cast("long") / F.col("first_rel_rank"))
+                .cast("long"),
+                F.lit(0).cast("long"),
+            ).alias("rr_micro"),
+        )
     )

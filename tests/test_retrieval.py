@@ -196,3 +196,33 @@ def test_mmr_rerank_matches_reference_greedy(spark):
             sel.append(best[1])
             want[(q, t)] = (best[1], best[2])
     assert got == want
+
+
+def test_retrieval_metrics_per_query(spark):
+    from kolang_spark.llm import retrieval_metrics
+
+    results = spark.createDataFrame(
+        [
+            # q1: relevant at ranks 2 and 5
+            (1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4), (1, 14, 5),
+            # q2: relevant at rank 1
+            (2, 20, 1), (2, 21, 2),
+            # q3: nothing relevant retrieved
+            (3, 30, 1),
+        ],
+        "query_id long, vec_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 14), (1, 99), (2, 20), (3, 77), (4, 40)],
+        "query_id long, vec_id long",
+    )
+    got = {
+        r.query_id: (r.n_rel, r.hits_at_k, r.recall_at_k, r.rr_micro)
+        for r in retrieval_metrics(results, qrels, k=3).collect()
+    }
+    assert got[1] == (3, 1, round(1 / 3, 6), 500000)   # first rel at rank 2
+    assert got[2] == (1, 1, 1.0, 1000000)
+    assert got[3] == (1, 0, 0.0, 0)
+    assert got[4] == (1, 0, 0.0, 0)   # judged query never retrieved
+    with pytest.raises(ValueError):
+        retrieval_metrics(results, qrels, k=0)
