@@ -1234,6 +1234,24 @@ def _q_edit_distance_pairs_documents(spark, sf_dir):
     return edit_distance_pairs(base, text_col="title", max_dist=1)
 
 
+def _q_oov_stats_documents(spark, sf_dir):
+    """Tokenizer-coverage diagnostic (`llm/terms.py::oov_stats`): OOV
+    rate of every document against the corpus' own top-200 vocabulary —
+    the oracle rebuilds the identical deterministic vocabulary (tf desc,
+    term asc) and replays the per-doc counts."""
+    from kolang_spark.llm import oov_stats, vocabulary
+
+    dc = _t(spark, sf_dir, "documents")
+    vocab = vocabulary(dc, max_size=200)
+    out = oov_stats(dc, vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("oov_rate", 6).alias("oov_rate"),
+    )
+
+
 def _q_corpus_report_documents(spark, sf_dir):
     """Dataset card in one pass — per-language corpus profile (doc/dup
     counts, token/char volume, mean quality, chars-per-token fertility)
@@ -4028,6 +4046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_documents": _q_pmi_collocations_documents,
         "blocked_terms_documents": _q_blocked_terms_documents,
         "corpus_report_documents": _q_corpus_report_documents,
+        "oov_stats_documents": _q_oov_stats_documents,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -5555,6 +5574,38 @@ def oracle_sql() -> dict[str, str]:
             FROM nrel n LEFT JOIN pq p USING (query_id)
         """,
         "cdc_chunks_documents": _cdc_sql(window=8, mask_bits=6),
+        "oov_stats_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> lower(t))) AS term
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id, term FROM toks WHERE term <> ''
+            ), perdoc AS (
+              SELECT doc_id, term, COUNT(*) AS c FROM t2
+              GROUP BY doc_id, term
+            ), vocab AS (
+              SELECT term FROM (
+                SELECT term, CAST(SUM(c) AS BIGINT) AS tf
+                FROM perdoc GROUP BY term
+                ORDER BY tf DESC, term ASC LIMIT 200)
+            ), agg AS (
+              SELECT t.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_oov
+              FROM t2 t LEFT JOIN vocab v ON v.term = t.term
+              GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   ROUND(a.n_oov * 1.0 / a.n_tokens, 6) AS oov_rate
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN agg a USING (doc_id)
+        """,
         # Same m/scored/lang fragments as curation_pipeline (proven
         # equal to the Spark primitives there); this query re-derives
         # the whole per-language profile from scratch.

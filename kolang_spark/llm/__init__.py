@@ -126,6 +126,7 @@ from kolang_spark.llm.quantize import (  # noqa: F401
 )
 from kolang_spark.llm.terms import (  # noqa: F401
     ngram_novelty,
+    oov_stats,
     pmi_collocations,
     tfidf_top_terms,
     vocabulary,

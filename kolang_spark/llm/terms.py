@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize, word_ngrams
 
-__all__ = ["tfidf_top_terms", "vocabulary", "ngram_novelty", "pmi_collocations"]
+__all__ = ["tfidf_top_terms", "vocabulary", "ngram_novelty", "pmi_collocations", "oov_stats"]
 
 
 def tfidf_top_terms(
@@ -260,4 +260,63 @@ def pmi_collocations(
             F.col("pmi_micro").desc(), F.col("term_a").asc(), F.col("term_b").asc()
         )
         .limit(top_k)
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against a vocabulary table —
+    the tokenizer-coverage / domain-shift diagnostic: a corpus slice
+    whose OOV rate spikes against the training vocabulary is exactly
+    the slice the tokenizer will shred into bytes.
+
+    ``vocab`` is any DataFrame with a ``term_col`` string column
+    (:func:`vocabulary` output plugs in directly). Matching mirrors
+    the vocabulary builder: whitespace tokens, optional lowercase,
+    empties dropped.
+
+    Scale shape: explode → one equi-join against the vocabulary on the
+    term (vocab-sized side, hash join — NOT forced broadcast: a real
+    tokenizer vocab is 10⁴-10⁵ rows and AQE will broadcast it on its
+    own, but a character-level or n-gram "vocabulary" can be 10⁸) →
+    one map-side-combinable per-doc aggregate.
+
+    Returns ``(id_col, n_tokens, n_oov, oov_rate)``; documents with no
+    tokens get ``(0, 0, NULL)``.
+    """
+    v = vocab.select(
+        F.col(term_col).cast("string").alias("__vt__"),
+        F.lit(True).alias("__in_vocab__"),
+    ).distinct()
+    toks = tokenize(F.col(text_col))
+    if lowercase:
+        toks = F.transform(toks, lambda t: F.lower(t))
+    terms = df.select(
+        F.col(id_col), F.explode_outer(toks).alias("__t__")
+    ).where((F.col("__t__") != "") & F.col("__t__").isNotNull())
+    per_doc = (
+        terms.join(v, terms["__t__"] == v["__vt__"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.col("__in_vocab__").isNull().cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+        )
+    )
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0).cast("long")).alias("n_oov"),
+            (F.col("n_oov") * F.lit(1.0) / F.col("n_tokens")).alias("oov_rate"),
+        )
     )

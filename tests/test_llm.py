@@ -1670,3 +1670,26 @@ def test_pmi_collocations_ranks_true_pairs(spark):
     assert not [x for x in out if (x.term_a, x.term_b) == ("the", "end")]
     with pytest.raises(ValueError):
         pmi_collocations(df, top_k=0)
+
+
+def test_oov_stats_counts(spark):
+    from kolang_spark.llm import oov_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the MAT"),
+            (2, "zebras quixotic"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("mat",), ("on",)], ["term"]
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_stats(df, vocab).collect()
+    }
+    assert got[1] == (6, 1, 1 / 6)  # "sat" is the only OOV token
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (0, 0, None)
