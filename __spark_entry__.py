@@ -544,6 +544,27 @@ def _q_mix_documents_by_lang(spark, sf_dir):
     )
 
 
+def _q_mix_tokens_by_lang(spark, sf_dir):
+    """Token-budgeted training mixture (`operators/sampling.py::
+    mix_datasets(weight=...)`): same 40/20/20/10/10 language target but
+    capacities are TOKEN sums, not document counts — the form training
+    mixes are actually specified in. The oracle re-derives the
+    token-sum thresholds and replays the md5 gate."""
+    from kolang_spark.llm import token_count
+    from kolang_spark.operators.sampling import mix_datasets
+
+    dc = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tok")
+    )
+    return mix_datasets(
+        dc,
+        "lang",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+        "doc_id",
+        weight="n_tok",
+    )
+
+
 def _q_stratified_sample_documents(spark, sf_dir):
     """Training-mixture control
     (`kolang_spark/operators/sampling.py::stratified_sample`): per-lang
@@ -4047,6 +4068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocked_terms_documents": _q_blocked_terms_documents,
         "corpus_report_documents": _q_corpus_report_documents,
         "oov_stats_documents": _q_oov_stats_documents,
+        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -6834,6 +6856,32 @@ def oracle_sql() -> dict[str, str]:
         # counts -> T = min(n/p) -> frac = least(1, T*p/n) -> 60-bit
         # threshold, all in the same double-arithmetic order as the
         # Python driver side, then the shared md5 gate.
+        "mix_tokens_by_lang": r"""
+            WITH w AS (
+              SELECT lang, CAST(p AS DOUBLE) AS p
+              FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
+                           ('de', 0.1), ('fr', 0.1)) AS t(lang, p)
+            ), toks AS (
+              SELECT doc_id, lang,
+                     len(string_split_regex(trim(text), '\s+')) AS n_tok
+              FROM documents
+            ), cnt AS (
+              SELECT d.lang, CAST(SUM(d.n_tok) AS DOUBLE) AS n
+              FROM toks d JOIN w ON d.lang = w.lang
+              GROUP BY 1
+            ), cap AS (
+              SELECT MIN(n / p) AS t FROM cnt JOIN w USING (lang)
+            ), thr AS (
+              SELECT lang,
+                     CAST(floor(LEAST(1.0, (SELECT t FROM cap) * p / n)
+                                * 1152921504606846976) AS BIGINT) AS bound
+              FROM cnt JOIN w USING (lang)
+            )
+            SELECT d.doc_id, d.lang, CAST(d.n_tok AS INTEGER) AS n_tok
+            FROM toks d JOIN thr ON d.lang = thr.lang
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 18, 15))
+                    ::BIGINT < bound
+        """,
         "mix_documents_by_lang": """
             WITH w AS (
               SELECT lang, CAST(p AS DOUBLE) AS p

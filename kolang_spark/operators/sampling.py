@@ -288,6 +288,7 @@ def mix_datasets(
     weights: "dict[str, float]",
     key: ColumnOrName,
     salt: str = "",
+    weight: "Optional[ColumnOrName]" = None,
 ) -> DataFrame:
     """Domain-reweighted mixture at maximum volume — the training-mix
     knob: given target proportions per domain (language, source,
@@ -302,6 +303,14 @@ def mix_datasets(
     :func:`stratified_sample` — stable across runs, partitionings,
     and engines, and composable across tables sharing the key.
 
+    ``weight``: optional per-row size column — pass token counts to
+    specify the mixture in TOKENS instead of documents (training mixes
+    are budgeted in tokens; long-document domains would otherwise be
+    over-represented). Domain capacities become weight sums, the
+    hash-gate still selects whole documents, and the realized token
+    composition matches the target in expectation (hash sampling is
+    unbiased in any per-row quantity). NULL weights count as 0.
+
     Plan: one map-side-combinable groupBy(domain).count() whose
     driver payload is bounded by the domain count (the same
     bounded-collect pattern as the k-means centroid sync), then one
@@ -315,11 +324,16 @@ def mix_datasets(
     if sum(weights.values()) <= 0:
         raise ValueError("weights must sum to > 0")
     d = to_col(domain)
+    size = (
+        F.count(F.lit(1)).cast("double")
+        if weight is None
+        else F.sum(F.coalesce(to_col(weight).cast("double"), F.lit(0.0)))
+    )
     counts = {
         r["__ks_dom__"]: r["n"]
         for r in df.where(d.isin(*weights.keys()))
         .groupBy(d.alias("__ks_dom__"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(size.alias("n"))
         .collect()  # bounded: one row per listed domain
     }
     missing = [

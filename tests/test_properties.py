@@ -864,3 +864,44 @@ def test_assign_shards_exact_model(spark, ids, eps, salt, n_buckets):
         (i, rank // eps, rank % eps) for rank, i in enumerate(order)
     )
     assert got == want
+
+
+def test_mix_datasets_token_weighted(spark):
+    """Token-budgeted mixing: capacities become weight sums, the
+    limiting domain is decided by tokens (not docs), and the selected
+    subset is the md5 gate at the token-derived thresholds."""
+    import hashlib
+
+    from kolang_spark.operators.sampling import mix_datasets
+    from pyspark.sql import functions as F
+
+    rows = []
+    # domain A: 10 docs x 100 tokens = 1000; domain B: 40 docs x 5 = 200
+    for i in range(10):
+        rows.append((f"a{i}", "A", 100))
+    for i in range(40):
+        rows.append((f"b{i}", "B", 5))
+    df = spark.createDataFrame(rows, "key string, dom string, n_tok int")
+
+    # 50/50 token target: capacity = min(1000/.5, 200/.5) = 400
+    # -> A keeps 400*.5/1000 = 20% of docs (by hash), B keeps all
+    out = mix_datasets(
+        df, "dom", {"A": 0.5, "B": 0.5}, "key", weight="n_tok"
+    )
+    got = {r.key for r in out.collect()}
+    assert {k for k in got if k.startswith("b")} == {
+        f"b{i}" for i in range(40)
+    }
+    frac_a = 400 * 0.5 / 1000.0
+    expect_a = set()
+    for i in range(10):
+        # the engine's 60-bit gate: md5 hex chars 18-32 (_hash60)
+        h = int(hashlib.md5(f"a{i}".encode()).hexdigest()[17:32], 16)
+        if h < int(frac_a * (1 << 60)):
+            expect_a.add(f"a{i}")
+    assert {k for k in got if k.startswith("a")} == expect_a
+
+    # doc-counted mixing picks a DIFFERENT limiting domain (B: 40 docs)
+    out_docs = mix_datasets(df, "dom", {"A": 0.5, "B": 0.5}, "key")
+    n_a_docs = out_docs.where(F.col("dom") == "A").count()
+    assert n_a_docs >= 9  # capacity 80 -> A keeps ~100% of its 10 docs
