@@ -3897,10 +3897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the round's CORRECTNESS file lands and paste the 50 names. Priority
     tiers: (0) last green would turn 4+ rounds old (hard bound),
     (1) never-externally-green debuts, (2) last green exactly 3 rounds
-    back, (3) fresher greens. Debuts preempt gap-2 greens (r8 ordering
-    fix): at ~150 queries the two most-recent green cohorts alone fill
+    back, (3) fresher greens. Debuts preempt gap-2/3 greens (r8 ordering
+    fix): at 150+ queries the most-recent green cohorts alone fill
     every window, so debuts ranked below them starve forever; a
-    displaced gap-2 green becomes next round's guaranteed hard bound,
+    displaced stale green becomes next round's guaranteed hard bound,
     so the <=3-round cadence survives (simulation-proven in
     tests/test_oracle_parity.py). With 147 queries on a 50-slot window the
     3-round cadence has capacity 150 — nearly full: adding ~3 more
@@ -3932,7 +3932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "stratified_sample_documents": _q_stratified_sample_documents,
         "cms_user_counts_events": _q_cms_user_counts_events,
-        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
         "quantiles_events": _q_quantiles_events,
         "boilerplate_lines_documents": _q_boilerplate_lines_documents,
         "chunk_documents": _q_chunk_documents,
@@ -4058,6 +4057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_users": _q_ewma_users,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
         "containment_pairs_documents": _q_containment_pairs_documents,
+        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
@@ -6862,8 +6862,12 @@ def oracle_sql() -> dict[str, str]:
               FROM (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2),
                            ('de', 0.1), ('fr', 0.1)) AS t(lang, p)
             ), toks AS (
+              -- list_filter drops the [''] artifact so empty/whitespace
+              -- docs count 0 tokens, matching Spark's tokenize guard
               SELECT doc_id, lang,
-                     len(string_split_regex(trim(text), '\s+')) AS n_tok
+                     len(list_filter(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> t <> '')) AS n_tok
               FROM documents
             ), cnt AS (
               SELECT d.lang, CAST(SUM(d.n_tok) AS DOUBLE) AS n

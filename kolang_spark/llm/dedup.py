@@ -94,27 +94,19 @@ def with_shingles(
     )
 
 
-def jaccard_near_dup_pairs(
+def _shingle_intersections(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 5,
-    threshold: float = 0.5,
-    max_df: Optional[int] = None,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: Optional[int],
 ) -> DataFrame:
-    """Near-duplicate pairs by n-gram Jaccard similarity.
-
-    Strategy (the scalable inverted-index formulation, not a cross
-    join): explode shingles → self-equi-join on the shingle → per-pair
-    intersection counts → Jaccard = |∩| / (|A|+|B|−|∩|) ≥ threshold.
-
-    ``max_df`` drops *stop-shingles* appearing in more than ``max_df``
-    documents before the join — at 100 TB a handful of ubiquitous
-    shingles would otherwise dominate the join's skew; dropping them
-    only *under*-counts intersections of already-dissimilar pairs.
-
-    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
-    """
+    """Shared inverted-index core of the set-similarity pair joins:
+    shingle → explode → optional stop-shingle cut → self-equi-join on
+    the shingle → per-pair intersection counts with both set sizes
+    carried inline. Returns ``(id_a, id_b, n_common, n_a, n_b)`` with
+    ``id_a < id_b``; the callers differ only in the measure they
+    compute from these five columns."""
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
     # carry the set size through the explode: the per-pair aggregate then
     # has |A| and |B| inline and no join-back against a sizes table is
@@ -140,7 +132,7 @@ def jaccard_near_dup_pairs(
         ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
 
     a, b = ex.alias("a"), ex.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
@@ -149,6 +141,30 @@ def jaccard_near_dup_pairs(
             F.first(F.col("b.n_sh")).alias("n_b"),
         )
     )
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    Strategy (the scalable inverted-index formulation, not a cross
+    join): explode shingles → self-equi-join on the shingle → per-pair
+    intersection counts → Jaccard = |∩| / (|A|+|B|−|∩|) ≥ threshold.
+
+    ``max_df`` drops *stop-shingles* appearing in more than ``max_df``
+    documents before the join — at 100 TB a handful of ubiquitous
+    shingles would otherwise dominate the join's skew; dropping them
+    only *under*-counts intersections of already-dissimilar pairs.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    inter = _shingle_intersections(df, id_col, text_col, n, max_df)
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return inter.select("id_a", "id_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= threshold
@@ -184,33 +200,7 @@ def containment_pairs(
     shingle set (the one *being contained*; ``id_a`` on ties) — the
     natural removal candidate for a keep-the-superset policy.
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
-    # identical explode/carry-the-size strategy as jaccard_near_dup_pairs
-    # (see the comments there for why explode_outer + null filter)
-    ex = sh.select(
-        F.col(id_col).alias("id"),
-        F.size("shingles").alias("n_sh"),
-        F.explode_outer("shingles").alias("shingle"),
-    ).where(F.col("shingle").isNotNull())
-    if max_df is not None:
-        hot = (
-            ex.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_cnt"))
-            .where(F.col("df_cnt") > max_df)
-            .select("shingle")
-        )
-        ex = ex.join(F.broadcast(hot), "shingle", "left_anti")
-
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
-    )
+    inter = _shingle_intersections(df, id_col, text_col, n, max_df)
     cont = F.col("n_common") / F.least("n_a", "n_b")
     contained = F.when(F.col("n_b") < F.col("n_a"), F.col("id_b")).otherwise(
         F.col("id_a")
@@ -603,6 +593,8 @@ def semantic_dedup(
     )
     from kolang_spark.utils import pushdown_fence
 
+    if pair_salts < 1:
+        raise ValueError("pair_salts must be >= 1")
     cents = kmeans_centroids(
         df,
         k,
@@ -623,8 +615,6 @@ def semantic_dedup(
         .withColumn("nrm", _norm("p_v", dims))
         .localCheckpoint(eager=False)
     )
-    if pair_salts < 1:
-        raise ValueError("pair_salts must be >= 1")
     if pair_salts > 1:
         s_lit = F.lit(int(pair_salts))
         a_side = assigned.withColumn(

@@ -150,9 +150,12 @@ def ngram_novelty(
     """
     if n < 1:
         raise ValueError("n must be >= 1")
+    from kolang_spark.utils import ensure_min_parallelism
+
     tok = "__ks_tokens"
     ex = (
-        df.select(F.col(id_col), tokenize(F.col(text_col)).alias(tok))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias(tok))
         .select(
             F.col(id_col),
             F.explode_outer(

@@ -337,7 +337,7 @@ def mix_datasets(
         .collect()  # bounded: one row per listed domain
     }
     missing = [
-        name for name, p in weights.items() if p > 0 and not counts.get(name)
+        name for name, p in weights.items() if p > 0 and counts.get(name) is None
     ]
     if missing:
         # a positively-weighted domain with zero rows makes the target
@@ -345,6 +345,19 @@ def mix_datasets(
         # different mixture would betray the documented contract
         raise ValueError(
             f"weighted domains absent from the data: {sorted(missing)}"
+        )
+    degenerate = [
+        name
+        for name, p in weights.items()
+        if p > 0 and counts.get(name) is not None and counts[name] <= 0
+    ]
+    if degenerate:
+        # reachable only with a weight column: the domain has rows but
+        # zero (all-NULL/0) or negative total weight — a data bug, not
+        # a missing domain; name it as such instead of misdiagnosing
+        raise ValueError(
+            "weighted domains present but with non-positive total "
+            f"weight (NULL/0/negative weight column?): {sorted(degenerate)}"
         )
     capacity = [counts[name] / p for name, p in weights.items() if p > 0]
     if not capacity:

@@ -71,7 +71,7 @@ def rank(backed, hist, next_round):
         elif next_round - last == 3:
             tier = 2  # stale greens (become the bound next round)
         else:
-            tier = 3  # fresh greens (green just last round)
+            tier = 3  # fresh greens (gap 1 or 2 — safe to rest)
         return (tier, last if last is not None else -1, order[q])
 
     return sorted(backed, key=prio)
@@ -100,7 +100,7 @@ def main() -> None:
     for q in window:
         last = hist.get(q)
         print(f"  {q}  (last green: {'never' if last is None else f'r{last}'})")
-    overdue = [q for q in tail if hist.get(q) and next_round - hist[q] >= 3]
+    overdue = [q for q in tail if hist.get(q) and next_round - hist[q] >= 4]
     if overdue:
         print(f"# WARNING: {len(overdue)} overdue queries do not fit: {overdue}")
     print(f"# displaced to tail: {len(tail)} queries")
