@@ -1346,6 +1346,42 @@ def _q_cdc_chunks_documents(spark, sf_dir):
     return cdc_chunks(dc, window=8, mask_bits=6)
 
 
+def _q_incremental_cdc_batches(spark, sf_dir):
+    """Incremental chunk-store ingest (`llm/dedup.py::
+    incremental_cdc_ingest`): the corpus lands in two batches (even
+    doc_ids, then odd); batch 2's chunks are probed against the chunk
+    keys batch 1 stored, without rescanning batch 1's content. The
+    oracle replays both batches' chunking, within-batch first-wins by
+    (doc_id, chunk_idx), and the cross-batch state subtraction in
+    SQL."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm import incremental_cdc_ingest
+
+    base = tempfile.mkdtemp(prefix="ks_incr_cdc_q_")
+    try:
+        state = os.path.join(base, "state")
+        dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = dc.where(F.col("doc_id") % 2 == parity)
+            rep = incremental_cdc_ingest(spark, b, state).select(
+                "doc_id",
+                F.lit(batch_no).alias("batch"),
+                "n_chunks",
+                "n_novel_chunks",
+                "total_bytes",
+                "novel_bytes",
+                "dup_bytes",
+            )
+            frozen.append(rep.localCheckpoint(eager=True))
+        out = frozen[0].unionByName(frozen[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def _q_ngram_novelty_documents(spark, sf_dir):
     """Cross-document n-gram novelty — the boilerplate/templated-content
     signal (kolang_spark.llm.terms.ngram_novelty)."""
@@ -4069,6 +4105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report_documents": _q_corpus_report_documents,
         "oov_stats_documents": _q_oov_stats_documents,
         "mix_tokens_by_lang": _q_mix_tokens_by_lang,
+        "incremental_cdc_batches": _q_incremental_cdc_batches,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -4143,33 +4180,37 @@ def _shingle_cte(source: str = "documents") -> str:
 _SHINGLE_CTE = _shingle_cte()
 
 
-def _cdc_sql(window: int = 8, mask_bits: int = 6, base: int = 257,
+def _cdc_cte(source: str = "documents", p: str = "",
+             window: int = 8, mask_bits: int = 6, base: int = 257,
              mod: int = (1 << 31) - 1) -> str:
-    """CDC oracle: identical rolling hash over hex-decoded bytes. The
-    Spark side folds (acc·base + byte) mod m over the trailing window;
-    by modular identity that equals Σ byte[t]·base^(i−t) mod m, so the
-    oracle inlines the 8 precomputed powers and takes one list_sum —
-    each term < 2^39, the sum < 2^42, comfortably BIGINT."""
+    """CDC chunk CTE chain (→ ``{p}chunks`` with one row per non-empty
+    chunk): identical rolling hash over hex-decoded bytes. The Spark
+    side folds (acc·base + byte) mod m over the trailing window; by
+    modular identity that equals Σ byte[t]·base^(i−t) mod m, so the
+    oracle inlines the precomputed powers and takes one list_sum —
+    each term < 2^39, the sum < 2^42, comfortably BIGINT. ``source``
+    is a table name or parenthesized subquery exposing (doc_id, text);
+    ``p`` prefixes the CTE names so two batches can coexist."""
     div = 1 << mask_bits
     powers = [pow(base, window - 1 - j, mod) for j in range(window)]
     terms = " + ".join(
         f"CAST('0x' || substr(hx, (i - {window - 1} + {j})*2 - 1, 2) AS BIGINT)"
-        f" * {p}"
-        for j, p in enumerate(powers)
+        f" * {pw}"
+        for j, pw in enumerate(powers)
     )
     return f"""
-        WITH raw AS (
+        {p}raw AS (
           SELECT doc_id, upper(hex(encode(text))) AS hx,
                  octet_length(encode(text)) AS n
-          FROM documents
-        ), cutl AS (
+          FROM {source}
+        ), {p}cutl AS (
           SELECT doc_id, hx, n,
                  [0] || [c for c in
                          [i for i in range({window}, n + 1)
                           if (({terms}) % {mod}) % {div} = 0]
                          if c < n] || [n] AS bounds
-          FROM raw WHERE n > 0
-        ), ch AS (
+          FROM {p}raw WHERE n > 0
+        ), {p}ch AS (
           SELECT doc_id,
                  unnest([{{'chunk_idx': k,
                            'start_byte': bounds[k + 1],
@@ -4178,15 +4219,24 @@ def _cdc_sql(window: int = 8, mask_bits: int = 6, base: int = 257,
                                 bounds[k + 1]*2 + 1,
                                 (bounds[k + 2] - bounds[k + 1])*2))}}
                          for k in range(0, len(bounds) - 1)]) AS c
-          FROM cutl
-        )
-        SELECT doc_id,
-               CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
-               CAST(c.start_byte AS INTEGER) AS start_byte,
-               CAST(c.n_bytes AS INTEGER) AS n_bytes,
-               c.chunk_hash AS chunk_hash
-        FROM ch WHERE c.n_bytes > 0
-    """
+          FROM {p}cutl
+        ), {p}chunks AS (
+          SELECT doc_id,
+                 CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+                 CAST(c.start_byte AS INTEGER) AS start_byte,
+                 CAST(c.n_bytes AS INTEGER) AS n_bytes,
+                 c.chunk_hash AS chunk_hash
+          FROM {p}ch WHERE c.n_bytes > 0
+        )"""
+
+
+def _cdc_sql(window: int = 8, mask_bits: int = 6, base: int = 257,
+             mod: int = (1 << 31) - 1) -> str:
+    return (
+        "WITH "
+        + _cdc_cte("documents", "", window, mask_bits, base, mod)
+        + "\n        SELECT * FROM chunks"
+    )
 
 
 def _jl_sql(out_dims: int = 16, dims: int = 64) -> str:
@@ -5717,6 +5767,56 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) > 0 AS is_blocked
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "incremental_cdc_batches": f"""
+            WITH {_cdc_cte("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)", "b1")},
+            {_cdc_cte("(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)", "b2")},
+            b1m AS (
+              SELECT doc_id, n_bytes,
+                     ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                        ORDER BY doc_id, chunk_idx) = 1
+                       AS is_novel
+              FROM b1chunks
+            ), b1state AS (
+              SELECT DISTINCT chunk_hash FROM b1chunks
+            ), b2m AS (
+              SELECT doc_id, n_bytes,
+                     (ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                         ORDER BY doc_id, chunk_idx) = 1)
+                     AND chunk_hash NOT IN (SELECT chunk_hash FROM b1state)
+                       AS is_novel
+              FROM b2chunks
+            ), rep AS (
+              SELECT doc_id, 1 AS batch,
+                     CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                     CAST(SUM(CASE WHEN is_novel THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel_chunks,
+                     CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                     CAST(SUM(CASE WHEN is_novel THEN n_bytes ELSE 0 END)
+                          AS BIGINT) AS novel_bytes
+              FROM b1m GROUP BY 1
+              UNION ALL
+              SELECT doc_id, 2 AS batch,
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN is_novel THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(n_bytes) AS BIGINT),
+                     CAST(SUM(CASE WHEN is_novel THEN n_bytes ELSE 0 END)
+                          AS BIGINT)
+              FROM b2m GROUP BY 1
+            ), docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS batch
+              FROM documents
+            )
+            SELECT d.doc_id, CAST(d.batch AS INTEGER) AS batch,
+                   COALESCE(r.n_chunks, 0) AS n_chunks,
+                   COALESCE(r.n_novel_chunks, 0) AS n_novel_chunks,
+                   COALESCE(r.total_bytes, 0) AS total_bytes,
+                   COALESCE(r.novel_bytes, 0) AS novel_bytes,
+                   COALESCE(r.total_bytes, 0) - COALESCE(r.novel_bytes, 0)
+                     AS dup_bytes
+            FROM docs d
+            LEFT JOIN rep r ON r.doc_id = d.doc_id AND r.batch = d.batch
         """,
         "pmi_collocations_documents": r"""
             WITH words AS (

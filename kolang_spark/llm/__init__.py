@@ -33,6 +33,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     containment_pairs,
     edit_distance_pairs,
     cdc_chunks,
+    incremental_cdc_ingest,
     minhash_candidate_pairs,
     hamming_pairs,
     simhash_hamming_pairs,

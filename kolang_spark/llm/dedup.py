@@ -46,6 +46,7 @@ __all__ = [
     "duplicate_spans",
     "strip_duplicate_spans",
     "cdc_chunks",
+    "incremental_cdc_ingest",
 ]
 
 
@@ -2239,4 +2240,107 @@ def cdc_chunks(
         ensure_min_parallelism(df)
         .select(id_col, text_col)
         .mapInPandas(chunk_batches, schema=schema)
+    )
+
+
+def incremental_cdc_ingest(
+    spark,
+    new_df: DataFrame,
+    state_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    mask_bits: int = 6,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Chunk-store ingest — :func:`cdc_chunks` against a persisted
+    content-addressable store: chunk the batch, probe every chunk
+    fingerprint against the hashes of all previously stored chunks
+    (parquet state, one 32-char md5 + byte count per distinct chunk —
+    never the content), and report each document's storage economics.
+    This is the dedup ledger of every CAS/backup/lakehouse ingest
+    path: ``novel_bytes`` is what the batch actually costs to store,
+    ``dup_bytes`` is what chunk-sharing saved — across batches AND
+    within the batch (a chunk is novel only at its first occurrence
+    by ``(id, chunk_idx)``).
+
+    Same crash contract as the other incremental operators: per-chunk
+    flags are pinned (eager ``localCheckpoint``) BEFORE the state
+    append, the append happens before return, and the state probe
+    routes through the Hadoop ``FileSystem`` API (``state_path`` may
+    be an object-store URI); a crashed-and-replayed batch can
+    duplicate output, never lose state, and the de-duplicated state
+    read keeps duplicate appends harmless.
+
+    Scale shape: the state join is a hash equi-join on the 32-char
+    key (stored chunk CONTENT is never rescanned); the within-batch
+    first-wins window partitions by chunk hash over batch chunks only.
+    Returns one row per input document: ``(id_col, n_chunks,
+    n_novel_chunks, total_bytes, novel_bytes, dup_bytes)``; empty
+    documents get all zeros.
+    """
+    from kolang_spark.sources.io import path_exists
+
+    chunks = cdc_chunks(new_df, id_col, text_col, window, mask_bits, base, mod)
+    if path_exists(spark, state_path):
+        state = (
+            spark.read.parquet(state_path)
+            .select(F.col("chunk_key").alias("__ck__"))
+            .distinct()
+        )
+    else:
+        state = spark.createDataFrame([], "__ck__ string")
+    pre = chunks.join(
+        state.withColumn("__seen__", F.lit(True)),
+        chunks["chunk_hash"] == F.col("__ck__"),
+        "left",
+    ).drop("__ck__")
+    w = Window.partitionBy("chunk_hash").orderBy(
+        F.col(id_col), F.col("chunk_idx")
+    )
+    marked = (
+        pre.withColumn("__rn__", F.row_number().over(w))
+        .withColumn(
+            "is_novel",
+            (F.col("__rn__") == 1) & ~F.coalesce("__seen__", F.lit(False)),
+        )
+        .drop("__seen__", "__rn__")
+        .localCheckpoint(eager=True)
+    )
+    # rn==1 makes novel rows unique per chunk_hash by construction
+    marked.where(F.col("is_novel")).select(
+        F.col("chunk_hash").alias("chunk_key"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    ).write.mode("append").parquet(state_path)
+    report = (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("is_novel").cast("long"))
+            .cast("long")
+            .alias("n_novel_chunks"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum(
+                F.when(F.col("is_novel"), F.col("n_bytes")).otherwise(0)
+            )
+            .cast("long")
+            .alias("novel_bytes"),
+        )
+        .withColumn(
+            "dup_bytes", F.col("total_bytes") - F.col("novel_bytes")
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        new_df.select(F.col(id_col)).distinct()
+        .join(report, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_chunks", zero).alias("n_chunks"),
+            F.coalesce("n_novel_chunks", zero).alias("n_novel_chunks"),
+            F.coalesce("total_bytes", zero).alias("total_bytes"),
+            F.coalesce("novel_bytes", zero).alias("novel_bytes"),
+            F.coalesce("dup_bytes", zero).alias("dup_bytes"),
+        )
     )

@@ -1693,3 +1693,48 @@ def test_oov_stats_counts(spark):
     assert got[1] == (6, 1, 1 / 6)  # "sat" is the only OOV token
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (0, 0, None)
+
+
+def test_incremental_cdc_ingest_two_batches(spark, tmp_path):
+    from kolang_spark.llm import cdc_chunks, incremental_cdc_ingest
+
+    import random
+
+    rng = random.Random(5)
+    body = "".join(rng.choice("abcdefg ") for _ in range(600))
+    other = "".join(rng.choice("hijklmn ") for _ in range(600))
+    state = str(tmp_path / "cdc_state")
+
+    # batch 1: two distinct docs -> everything novel
+    b1 = spark.createDataFrame([(1, body), (2, other)], ["doc_id", "text"])
+    r1 = {r.doc_id: r for r in incremental_cdc_ingest(spark, b1, state).collect()}
+    assert r1[1].dup_bytes == 0 and r1[2].dup_bytes == 0
+    assert r1[1].novel_bytes == len(body.encode())
+    assert r1[1].n_chunks == r1[1].n_novel_chunks
+
+    # batch 2: an exact re-send (all dup), a prefixed copy (mostly dup),
+    # and fresh content (all novel)
+    fresh = "".join(rng.choice("opqrstu ") for _ in range(600))
+    b2 = spark.createDataFrame(
+        [(3, body), (4, "NEW-PREFIX-" + body), (5, fresh)],
+        ["doc_id", "text"],
+    )
+    r2 = {r.doc_id: r for r in incremental_cdc_ingest(spark, b2, state).collect()}
+    assert r2[3].novel_bytes == 0
+    assert r2[3].dup_bytes == len(body.encode())
+    # shift resistance: the prefixed copy shares most chunk bytes
+    assert r2[4].dup_bytes > 0.7 * r2[4].total_bytes
+    # fresh content is (almost) all novel — tiny 1-byte chunks can
+    # legitimately collide with identical 1-byte chunks already stored
+    assert r2[5].dup_bytes <= 3
+
+    # totals always reconcile with the raw chunking
+    raw = cdc_chunks(b2).groupBy("doc_id").agg(
+        F.sum("n_bytes").alias("tb")).collect()
+    for row in raw:
+        assert r2[row.doc_id].total_bytes == row.tb
+
+    # state holds one row per distinct stored chunk, no content
+    st = spark.read.parquet(state)
+    assert set(st.columns) == {"chunk_key", "n_bytes"}
+    assert st.count() == st.select("chunk_key").distinct().count()
