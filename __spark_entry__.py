@@ -3867,6 +3867,41 @@ def _q_dedup_keep_best_documents(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _q_web_graph_pagerank(spark, sf_dir):
+    """The web-graph ranking recipe END TO END: per-doc HTML pages are
+    synthesized Column-natively with two closed-form outlinks
+    (targets (7·id+1) % 1000 and (13·id+2) % 1000 on a 1000-page site),
+    the links are harvested back with `llm/html.py::extract_links`,
+    parsed into a page→page edge list, and ranked with
+    `operators/graph.py::pagerank` (2 damped fixed-point iterations).
+    An error anywhere — HTML synthesis, href extraction, URL parsing,
+    edge dedup, the PR recurrence — breaks every rank; the oracle
+    derives the same edges closed-form from doc_id and unrolls the
+    identical integer recurrence."""
+    from kolang_spark.llm import extract_links
+    from kolang_spark.operators.graph import pagerank
+
+    dc = _t(spark, sf_dir, "documents")
+    page = F.pmod(F.col("doc_id"), F.lit(1000))
+    t1 = F.pmod(F.col("doc_id") * 7 + 1, F.lit(1000))
+    t2 = F.pmod(F.col("doc_id") * 13 + 2, F.lit(1000))
+    html = F.concat(
+        F.lit('<html><body><a href="https://site.example/p'),
+        t1.cast("string"),
+        F.lit("\">x</a> <a href='https://site.example/p"),
+        t2.cast("string"),
+        F.lit("'>y</a></body></html>"),
+    )
+    pages = dc.select(
+        F.concat(F.lit("p"), page.cast("string")).alias("src"),
+        F.explode(extract_links(html)).alias("url"),
+    )
+    edges = pages.select(
+        "src", F.regexp_extract("url", r"/(p\d+)$", 1).alias("dst")
+    )
+    return pagerank(edges, iterations=2, broadcast_ranks=True)
+
+
 def _q_pagerank_purchases(spark, sf_dir):
     """PageRank over the customer→supplier purchase graph
     (`kolang_spark/operators/graph.py::pagerank`): edges are distinct
@@ -4106,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_stats_documents": _q_oov_stats_documents,
         "mix_tokens_by_lang": _q_mix_tokens_by_lang,
         "incremental_cdc_batches": _q_incremental_cdc_batches,
+        "web_graph_pagerank": _q_web_graph_pagerank,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
@@ -4900,6 +4936,7 @@ def _pagerank_sql(
     num: int = 85,
     den: int = 100,
     weighted: bool = False,
+    edges_sql: "str | None" = None,
 ) -> str:
     """Generated SQL replay of operators/graph.py::pagerank over the
     customer→supplier purchase graph: the identical integer fixed-point
@@ -4923,7 +4960,7 @@ def _pagerank_sql(
         odeg_expr = "CAST(SUM(w) AS BIGINT)"
         contrib_expr = "(rk.r * e.w) // o.odeg"
     else:
-        edges_cte = """
+        edges_cte = edges_sql or """
       SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
         odeg_expr = "CAST(COUNT(*) AS BIGINT)"
@@ -6071,6 +6108,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
         "pagerank_purchases": _pagerank_sql(4),
+        # same unrolled integer recurrence; edges derived closed-form
+        # from doc_id exactly as the Spark side's synthesized outlinks
+        "web_graph_pagerank": _pagerank_sql(
+            2,
+            edges_sql="""
+      SELECT DISTINCT 'p' || (doc_id % 1000) AS src,
+                      'p' || ((doc_id * 7 + 1) % 1000) AS dst
+      FROM documents
+      UNION
+      SELECT DISTINCT 'p' || (doc_id % 1000),
+                      'p' || ((doc_id * 13 + 2) % 1000)
+      FROM documents""",
+        ),
         "pagerank_weighted_purchases": _pagerank_sql(4, weighted=True),
         # invariant oracle: corruption is synthesized IN the Spark
         # query, so SQL only has to predict the flags and the signature
