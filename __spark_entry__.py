@@ -1376,7 +1376,9 @@ def _q_incremental_cdc_batches(spark, sf_dir):
                 "dup_bytes",
             )
             frozen.append(rep.localCheckpoint(eager=True))
-        out = frozen[0].unionByName(frozen[1]).localCheckpoint(eager=True)
+        # the halves are already pinned; plain union matches the other
+        # incremental two-batch queries
+        out = frozen[0].unionByName(frozen[1])
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out

@@ -2284,8 +2284,15 @@ def incremental_cdc_ingest(
 
     chunks = cdc_chunks(new_df, id_col, text_col, window, mask_bits, base, mod)
     if path_exists(spark, state_path):
+        # explicit schema, never inference: a crash DURING the very
+        # first append can leave the dir created but with zero
+        # committed parquet files — schema inference would throw on
+        # every replay (wedged state), while an explicit-schema read of
+        # an empty dir is just an empty frame, keeping the documented
+        # replay-is-harmless contract
         state = (
-            spark.read.parquet(state_path)
+            spark.read.schema("chunk_key string, n_bytes long")
+            .parquet(state_path)
             .select(F.col("chunk_key").alias("__ck__"))
             .distinct()
         )

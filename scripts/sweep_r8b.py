@@ -138,7 +138,11 @@ def main():
     for stride in (100, 25, 6):
         anchors = em.where(F.col("vec_id") % stride == 0)
         nq = anchors.count()
-        pool = brute_force_topk(em, anchors, k=8, dims=64)
+        # pin the first-stage pool OUTSIDE the timed region — the sweep
+        # measures the reranker, not the brute-force retriever
+        pool = brute_force_topk(em, anchors, k=8, dims=64).localCheckpoint(
+            eager=True
+        )
 
         sec, n = timed(
             lambda: mmr_rerank(pool, em, k=3, lam_num=7, lam_den=10,

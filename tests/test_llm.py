@@ -1738,3 +1738,22 @@ def test_incremental_cdc_ingest_two_batches(spark, tmp_path):
     st = spark.read.parquet(state)
     assert set(st.columns) == {"chunk_key", "n_bytes"}
     assert st.count() == st.select("chunk_key").distinct().count()
+
+
+def test_incremental_cdc_survives_empty_state_dir(spark, tmp_path):
+    """Crash window: the very first state append can die after creating
+    the directory but before committing any parquet file. The explicit-
+    schema state read must treat that as empty state (everything novel),
+    not throw schema-inference errors forever."""
+    import os
+
+    from kolang_spark.llm import incremental_cdc_ingest
+
+    state = str(tmp_path / "wedged_state")
+    os.makedirs(state)  # exists, but holds no parquet files
+    df = spark.createDataFrame(
+        [(1, "some chunkable text that is long enough to chunk")],
+        ["doc_id", "text"],
+    )
+    rows = incremental_cdc_ingest(spark, df, state).collect()
+    assert rows[0].dup_bytes == 0 and rows[0].novel_bytes > 0
