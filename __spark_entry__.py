@@ -3939,58 +3939,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     suite. The window ROTATES between rounds (round-3 verdict item 3):
     each round, tail oracle-backed queries swap with in-window queries
     already green in recent external rounds, so every oracle-backed
-    query keeps earning *external* green rows on a bounded cadence
-    (last external green never older than four rounds — the bound
-    moved 3→4 when the registry crossed 150 oracle-backed queries,
-    the structural ceiling of a 50-slot window on a 3-round cadence).
+    query keeps earning *external* green rows on a bounded PER-QUERY
+    cadence (r9 re-tiering): stable veterans — queries externally
+    green in >= 3 distinct rounds — re-green every 6 rounds, younger
+    queries every 4. A uniform 4-round cadence at 162 queries spends
+    ~40 of 50 slots/round on maintenance, so an entire 50-strong past
+    window cohort comes due simultaneously and starves debuts (the
+    failure test_next_window_simulation caught when CORRECTNESS_r08
+    landed); veteran cadence 6 plus oldest-first spare-slot filling
+    spreads the cohorts and frees ~13 slots/round for debuts.
 
-    Round-8 rotation — COMPUTED by ``scripts/next_window.py 8`` (not
+    Round-9 rotation — COMPUTED by ``scripts/next_window.py 9`` (not
     hand-picked; the r6 mistake), from the per-query external-green
     history in CORRECTNESS_r0*.json:
 
-    IN, hard cadence bound (7, last green r5): percent_by_returnflag,
-    exact_dedup_documents, fingerprint_documents, lang_id_documents,
-    text_clean_documents, token_stats_documents, unpivot_lineitem.
+    IN: zero hard-bound queries (everything ever-green is fresh from
+    r7/r8), so all 50 slots go to never-externally-green debuts, led
+    by the two longest-waiting veterans: hll_users_monthly (external
+    record still shows its r1 nanos-timestamp crash; the read_table
+    fix has never been driver-confirmed) and sketch_rollup_users (r6
+    ``no_oracle``, predating its invariant upgrade), then the debut
+    backlog in registry order.
 
-    IN, stale greens (43 of the 48 r6 window greens — green again this
-    round keeps them inside the cadence; the 5 displaced by capacity
-    become r9's hard bound).
-
-    OUT: the 50 r7 window greens (fresh until r9), 5 displaced r6
-    greens (resample_events_hourly, lm_score_documents,
-    multimodal_audio_frames, pandas_bridge_region, bloom_users_events
-    — r9's hard bound), and the oracle-backed debuts (hll/sketch
-    upgrades, split/mix/resize/io-formats/html/warc/web-ingest/
-    shards/canonical-urls, ann_lsh_topk, multimodal_blob_embed_ann,
-    plus this round's new operators) — debuts now rank BETWEEN stale
-    and fresh greens in the tiering (ADVICE r7 fix), so they lead the
-    r9 window right after the hard bound instead of being starved.
+    OUT: everything ever-green (the r8 window cohort is fresh until
+    r12 at veteran cadence; the r7 cohort until r13), plus the 6
+    debuts past slot 50 and this round's new operators — they lead
+    the r10 window (the simulation proves total absorption within 3
+    rounds).
 
     Window recipe (every round): run ``scripts/next_window.py`` once
-    the round's CORRECTNESS file lands and paste the 50 names. Priority
-    tiers: (0) last green would turn 4+ rounds old (hard bound),
-    (1) never-externally-green debuts, (2) last green exactly 3 rounds
-    back, (3) fresher greens. Debuts preempt gap-2/3 greens (r8 ordering
+    the round's CORRECTNESS file lands and paste the 50 names.
+    Priority tiers: (0) last green would exceed the query's cadence
+    (hard bound), (1) never-externally-green debuts, (2) stale greens
+    one round from the bound, (3) fresher greens oldest-first — spare
+    slots drain upcoming cohorts early so no 50-strong cohort ever
+    comes due at once. Debuts preempt non-overdue greens (r8 ordering
     fix): at 150+ queries the most-recent green cohorts alone fill
     every window, so debuts ranked below them starve forever; a
     displaced stale green becomes next round's guaranteed hard bound,
-    so the <=3-round cadence survives (simulation-proven in
-    tests/test_oracle_parity.py). With 147 queries on a 50-slot window the
-    3-round cadence has capacity 150 — nearly full: adding ~3 more
-    queries makes a strict 3-round cadence infeasible and
-    next_window.py will start printing its overdue warning; at that
-    point either accept a 4-round cadence for the cheapest
-    scan-riding queries or retire redundant ones —
-    tests/test_oracle_parity.py::test_external_window_composition
-    enforces the all-oracle-backed invariant mechanically. Everything
-    in the tail still runs in bench.py and stays hash-checked every
-    run by tests/test_oracle_parity.py. As of round 8 every query is
+    so the cadence survives (simulation-proven in
+    tests/test_oracle_parity.py::test_next_window_simulation, 12
+    rounds ahead). All-veteran steady state supports 300 registry
+    queries (50-slot window x cadence 6) with ~23 debut slots/round;
+    next_window.py prints an overdue WARNING if the hard bound ever
+    stops fitting. tests/test_oracle_parity.py::
+    test_external_window_composition enforces the all-oracle-backed
+    window invariant mechanically. Everything in the tail still runs
+    in bench.py and stays hash-checked every run by
+    tests/test_oracle_parity.py. As of round 8 every query is
     oracle-backed — ZERO rows-only (ann_ivf_kmeans_topk was the last;
     its fixed-point Lloyd means made the full replay possible)."""
     return {
-        # --- positions 1-50: the external round-8 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py.
-        #     r5-stale leftovers (7, the hard cadence bound) ---
+        # --- positions 1-50: the external round-9 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 9:
+        #     zero hard-bound queries this round, so 50 never-
+        #     externally-green debuts in priority order, led by the
+        #     two longest-waiting veterans (hll_users_monthly still
+        #     shows its r1 nanos crash externally; sketch_rollup_users
+        #     its r6 no_oracle) ---
+        "hll_users_monthly": _q_hll_users_monthly,
+        "sketch_rollup_users": _q_sketch_rollup_users,
+        "split_documents": _q_split_documents,
+        "mix_documents_by_lang": _q_mix_documents_by_lang,
+        "multimodal_resize": _q_multimodal_resize,
+        "io_roundtrip_formats": _q_io_roundtrip_formats,
+        "html_extract_documents": _q_html_extract_documents,
+        "warc_parse_documents": _q_warc_parse_documents,
+        "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
+        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
+        "bpe_merges_documents": _q_bpe_merges_documents,
+        "bpe_encode_documents": _q_bpe_encode_documents,
+        "pack_examples_bpe": _q_pack_examples_bpe,
+        "incremental_embedding_batches": _q_incremental_embedding_batches,
+        "web_ingest_pipeline": _q_web_ingest_pipeline,
+        "assign_shards_documents": _q_assign_shards_documents,
+        "canonical_urls": _q_canonical_urls,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "quality_classifier_documents": _q_quality_classifier_documents,
+        "dsir_weights_documents": _q_dsir_weights_documents,
+        "dsir_resample_documents": _q_dsir_resample_documents,
+        "bm25_topk_documents": _q_bm25_topk_documents,
+        "bigram_lm_score_documents": _q_bigram_lm_score_documents,
+        "pagerank_purchases": _q_pagerank_purchases,
+        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
+        "fix_mojibake_documents": _q_fix_mojibake_documents,
+        "dedup_lines_documents": _q_dedup_lines_documents,
+        "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
+        "mix_temperature_documents": _q_mix_temperature_documents,
+        "blocked_domains_documents": _q_blocked_domains_documents,
+        "minhash_recall_planted": _q_minhash_recall_planted,
+        "fold_confusables_documents": _q_fold_confusables_documents,
+        "robots_documents": _q_robots_documents,
+        "incremental_lines_batches": _q_incremental_lines_batches,
+        "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
+        "web_curation_pipeline": _q_web_curation_pipeline,
+        "ccnet_buckets_documents": _q_ccnet_buckets_documents,
+        "lines_sink_stream_batch": _q_lines_sink_stream_batch,
+        "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
+        "containment_pairs_documents": _q_containment_pairs_documents,
+        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
+        "ngram_novelty_documents": _q_ngram_novelty_documents,
+        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
+        "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
+        "jl_project_embeddings": _q_jl_project_embeddings,
+        "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
+        "cdc_chunks_documents": _q_cdc_chunks_documents,
+        "pmi_collocations_documents": _q_pmi_collocations_documents,
+        # --- tail: remaining never-green debuts (6) — lead the r10
+        #     window together with this round's new operators ---
+        "blocked_terms_documents": _q_blocked_terms_documents,
+        "corpus_report_documents": _q_corpus_report_documents,
+        "oov_stats_documents": _q_oov_stats_documents,
+        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
+        "incremental_cdc_batches": _q_incremental_cdc_batches,
+        "web_graph_pagerank": _q_web_graph_pagerank,
+        # --- tail: r8 window greens (50) — veteran cadence 6,
+        #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -3998,7 +4064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_documents": _q_text_clean_documents,
         "token_stats_documents": _q_token_stats_documents,
         "unpivot_lineitem": _q_unpivot_lineitem,
-        # stale r6 greens (43 oldest by registry order) ---
         "pii_scrub_documents": _q_pii_scrub_documents,
         "contamination_documents": _q_contamination_documents,
         "skew_report_events": _q_skew_report_events,
@@ -4042,56 +4107,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
-        # --- tail: displaced r6 greens (5) — r9's hard cadence bound ---
+        # --- tail: r6 greens displaced from the r8 window (5) ---
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         "pandas_bridge_region": _q_pandas_bridge_region,
         "bloom_users_events": _q_bloom_users_events,
-        # --- tail: oracle-backed debuts, never externally green —
-        #     lead the r9 window after the hard bound (fixed tiering) ---
-        "hll_users_monthly": _q_hll_users_monthly,
-        "sketch_rollup_users": _q_sketch_rollup_users,
-        "split_documents": _q_split_documents,
-        "mix_documents_by_lang": _q_mix_documents_by_lang,
-        "multimodal_resize": _q_multimodal_resize,
-        "io_roundtrip_formats": _q_io_roundtrip_formats,
-        "html_extract_documents": _q_html_extract_documents,
-        "warc_parse_documents": _q_warc_parse_documents,
-        "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
-        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
-        "bpe_merges_documents": _q_bpe_merges_documents,
-        "bpe_encode_documents": _q_bpe_encode_documents,
-        "pack_examples_bpe": _q_pack_examples_bpe,
-        "incremental_embedding_batches": _q_incremental_embedding_batches,
-        "web_ingest_pipeline": _q_web_ingest_pipeline,
-        "assign_shards_documents": _q_assign_shards_documents,
-        "canonical_urls": _q_canonical_urls,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
-        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
-        "quality_classifier_documents": _q_quality_classifier_documents,
-        "dsir_weights_documents": _q_dsir_weights_documents,
-        "dsir_resample_documents": _q_dsir_resample_documents,
-        "bm25_topk_documents": _q_bm25_topk_documents,
-        "bigram_lm_score_documents": _q_bigram_lm_score_documents,
-        "pagerank_purchases": _q_pagerank_purchases,
-        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
-        "fix_mojibake_documents": _q_fix_mojibake_documents,
-        "dedup_lines_documents": _q_dedup_lines_documents,
-        "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
-        "mix_temperature_documents": _q_mix_temperature_documents,
-        "blocked_domains_documents": _q_blocked_domains_documents,
-        "minhash_recall_planted": _q_minhash_recall_planted,
-        "fold_confusables_documents": _q_fold_confusables_documents,
-        "robots_documents": _q_robots_documents,
-        "incremental_lines_batches": _q_incremental_lines_batches,
-        "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
-        "web_curation_pipeline": _q_web_curation_pipeline,
-        "ccnet_buckets_documents": _q_ccnet_buckets_documents,
-        "lines_sink_stream_batch": _q_lines_sink_stream_batch,
-        "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
-        # --- tail: fresh r7 window greens (50) — stale at r9 ---
+        # --- tail: r7 window greens — veteran cadence 6, fresh
+        #     until r13; oldest-first spare slots re-green them
+        #     incrementally before that ---
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -4129,21 +4153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": _q_events_json_extract,
         "ewma_users": _q_ewma_users,
         "jaccard_pairs_documents": _q_jaccard_pairs_documents,
-        "containment_pairs_documents": _q_containment_pairs_documents,
-        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
-        "ngram_novelty_documents": _q_ngram_novelty_documents,
-        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
-        "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
-        "jl_project_embeddings": _q_jl_project_embeddings,
-        "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
-        "cdc_chunks_documents": _q_cdc_chunks_documents,
-        "pmi_collocations_documents": _q_pmi_collocations_documents,
-        "blocked_terms_documents": _q_blocked_terms_documents,
-        "corpus_report_documents": _q_corpus_report_documents,
-        "oov_stats_documents": _q_oov_stats_documents,
-        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
-        "incremental_cdc_batches": _q_incremental_cdc_batches,
-        "web_graph_pagerank": _q_web_graph_pagerank,
         "jalali_orders_by_month": _q_jalali_orders_by_month,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
         "minhash_pairs_documents": _q_minhash_pairs_documents,

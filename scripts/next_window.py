@@ -4,32 +4,37 @@
 Implements the rotation recipe documented in ``queries()``'s docstring
 (the hand-picked r6 window produced the round's only external red, so
 the window is now derived, not curated): load every
-``CORRECTNESS_r*.json``, derive each oracle-backed query's last
-external green, and fill the 50 slots by priority:
+``CORRECTNESS_r*.json``, derive each oracle-backed query's external
+green history, and fill the 50 slots by priority:
 
-1. hard cadence bound — queries whose last green would become 4+
-   rounds old after the next round (the cadence moved from 3 to 4
-   when the registry crossed 150 oracle-backed queries: a 50-slot
-   window bounds a c-round cadence at 50·c queries, so 3 rounds
-   capped out at 150 — 4 gives headroom to 200);
+1. hard cadence bound — queries whose last green would exceed their
+   re-green cadence after the next round. The cadence is PER-QUERY
+   (r9 re-tiering): a query externally green in >= 3 distinct rounds
+   is a *stable veteran* and re-greens every 6 rounds; anything
+   younger re-greens every 4. Rationale: at 162+ registry queries a
+   uniform 4-round cadence consumes ~40 of the 50 slots per round in
+   maintenance, so a 50-strong green cohort (an entire past window)
+   comes due *simultaneously* and starves debuts — the exact failure
+   ``test_next_window_simulation`` caught after r8 landed. Stable
+   veterans carry 3+ independent external proofs already; stretching
+   them to 6 rounds frees ~13 slots/round and moves whole-cohort due
+   dates past any debut backlog.
 2. never-externally-green oracle-backed debuts;
-3. stale greens — last green exactly three rounds back (they become
-   the hard bound next round);
-4. freshest greens — green in the immediately preceding round (ties
-   broken by current registry order, which the driver uses as the
-   window order anyway).
+3. stale greens — queries that become the hard bound next round
+   (gap == cadence-1);
+4. fresher greens, OLDEST last-green first — spare slots drain
+   upcoming cohorts early, so no 50-strong cohort ever comes due at
+   once (the self-spreading property the simulation proves).
 
-Why debuts preempt gap-2 greens (r8 ordering fix): with ~150 queries
-the two most-recent 50-green cohorts alone fill every window (5
-displaced hard-bounds + 50 gap-2 greens > 50 slots, every round), so
-a debut ranked below gap-2 greens never enters — the starvation
-ADVICE r7 flagged, just via tier 1 instead of tier 3. Ranking debuts
-ABOVE gap-2 greens is safe: a displaced gap-2 green becomes next
-round's hard bound and gets a guaranteed slot, so no ever-green
-query's gap ever exceeds 4 (the documented cadence) as long as the
-hard bound itself fits — which the overdue WARNING below checks.
-``tests/test_oracle_parity.py::test_next_window_simulation`` proves
-both properties by simulating the rotation to steady state.
+Why debuts preempt gap-2/3 greens (r8 ordering fix): with ~150
+queries the two most-recent 50-green cohorts alone fill every window,
+so a debut ranked below them never enters — the starvation ADVICE r7
+flagged. Ranking debuts ABOVE non-overdue greens is safe: a displaced
+stale green becomes next round's hard bound and gets a guaranteed
+slot, so no ever-green query's gap ever exceeds its cadence as long
+as the hard bound itself fits — which the overdue WARNING below and
+``tests/test_oracle_parity.py::test_next_window_simulation`` both
+check (the test simulates the rotation 12 rounds ahead).
 
 Usage: ``python scripts/next_window.py [next_round_number]`` — prints
 the 50 names in priority order plus the displaced set; paste the list
@@ -45,50 +50,71 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import __spark_entry__ as entry  # noqa: E402
-
 WINDOW = 50
+# stable veterans (>= VETERAN_GREENS distinct external greens) re-green
+# every 6 rounds; younger queries every 4. A 50-slot window bounds a
+# c-round cadence at 50*c queries: all-veteran steady state supports
+# 300 registry queries with ~23 spare slots/round for debuts.
+VETERAN_GREENS = 3
+CADENCE_VETERAN = 6
+CADENCE_YOUNG = 4
+
+
+def cadence(greens) -> int:
+    """Per-query re-green cadence from its external green history
+    (an iterable of distinct green round numbers)."""
+    return CADENCE_VETERAN if len(greens) >= VETERAN_GREENS else CADENCE_YOUNG
 
 
 def rank(backed, hist, next_round):
     """Priority order for the next round's window (pure — also driven
     by the rotation-simulation test). ``backed`` is the oracle-backed
-    query list in registry order; ``hist`` maps query → last external
-    green round."""
+    query list in registry order; ``hist`` maps query → set/list of
+    distinct external-green round numbers (empty/absent = debut)."""
     order = {q: i for i, q in enumerate(backed)}
 
     def prio(q):
-        # tiers follow the documented recipe: debuts preempt gap-2
-        # greens (see module docstring — below them, the two 50-green
-        # cohorts fill every window at ~150 queries and debuts starve
-        # forever; a displaced gap-2 green is next round's guaranteed
-        # hard bound, so the <=4-round cadence survives the preemption)
-        last = hist.get(q)
-        if last is None:
-            tier = 1  # never-green debuts
-        elif next_round - last >= 4:
+        greens = hist.get(q) or ()
+        if not greens:
+            # never-green debuts — above everything except the hard
+            # bound (see module docstring: below the green cohorts
+            # they starve forever at 150+ queries)
+            return (1, -1, order[q])
+        last = max(greens)
+        c = cadence(greens)
+        gap = next_round - last
+        if gap >= c:
             tier = 0  # hard cadence bound
-        elif next_round - last == 3:
-            tier = 2  # stale greens (become the bound next round)
+        elif gap == c - 1:
+            tier = 2  # stale — becomes the bound next round
         else:
-            tier = 3  # fresh greens (gap 1 or 2 — safe to rest)
-        return (tier, last if last is not None else -1, order[q])
+            tier = 3  # fresh — oldest-first drains cohorts early
+        return (tier, last, order[q])
 
     return sorted(backed, key=prio)
 
 
-def main() -> None:
+def load_history(root):
+    """query → set of distinct external-green rounds, plus the max
+    recorded round number."""
     hist = {}
-    rounds = []
-    for p in sorted(glob.glob(os.path.join(
-            os.path.dirname(__file__), "..", "CORRECTNESS_r*.json"))):
+    rounds = [0]
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"_r(\d+)\.json$", p)
         r = int(m.group(1))
         rounds.append(r)
         for k, v in json.load(open(p)).items():
             if v.get("hash_match"):
-                hist[k] = max(hist.get(k, 0), r)
-    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else max(rounds) + 1
+                hist.setdefault(k, set()).add(r)
+    return hist, max(rounds)
+
+
+def main() -> None:
+    import __spark_entry__ as entry  # noqa: E402 (spark-free import)
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    hist, last_round = load_history(root)
+    next_round = int(sys.argv[1]) if len(sys.argv) > 1 else last_round + 1
 
     queries = list(entry.queries())
     oracles = set(entry.oracle_sql())
@@ -98,9 +124,16 @@ def main() -> None:
     window, tail = ranked[:WINDOW], ranked[WINDOW:]
     print(f"# next window (round {next_round}), priority order:")
     for q in window:
-        last = hist.get(q)
-        print(f"  {q}  (last green: {'never' if last is None else f'r{last}'})")
-    overdue = [q for q in tail if hist.get(q) and next_round - hist[q] >= 4]
+        greens = hist.get(q)
+        if greens:
+            note = f"last green: r{max(greens)}, cadence {cadence(greens)}"
+        else:
+            note = "last green: never"
+        print(f"  {q}  ({note})")
+    overdue = [
+        q for q in tail
+        if hist.get(q) and next_round - max(hist[q]) >= cadence(hist[q])
+    ]
     if overdue:
         print(f"# WARNING: {len(overdue)} overdue queries do not fit: {overdue}")
     print(f"# displaced to tail: {len(tail)} queries")

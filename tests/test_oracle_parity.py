@@ -64,22 +64,25 @@ def test_next_window_simulation():
     assumption that the CURRENT first-50 window goes green this round):
 
     1. no starvation — every oracle-backed debut earns an external
-       green within two simulated rounds;
+       green within three simulated rounds (the policy's true
+       absorption time at 160+ registry queries — the r8 verdict's
+       capacity finding);
     2. cadence — once green, no query's last external green ever ages
-       past the 4-round bound (tier-0 queries always fit, i.e. the
-       scheduler's own overdue warning never fires). The bound moved
-       3→4 with >150 oracle-backed queries: a 50-slot window caps a
-       c-round cadence at 50·c queries, so 3 rounds saturated at 150.
+       past its per-query cadence bound (tier-0 queries always fit,
+       i.e. the scheduler's own overdue warning never fires). The
+       cadence is per-query as of r9: stable veterans (>= 3 distinct
+       external greens) re-green every 6 rounds, younger queries
+       every 4. A uniform 4-round cadence at 162 queries spends ~40
+       of 50 slots/round on maintenance, so an entire 50-strong past
+       window cohort comes due at once and starves debuts — the
+       failure THIS test caught when CORRECTNESS_r08 landed.
 
-    Guards the r8 tiering fix (debuts preempt gap-2 greens): below
-    them, the two most-recent 50-green cohorts fill every window at
-    ~150 queries and debuts starve forever.
+    Guards the r8 tiering fix (debuts preempt non-overdue greens) and
+    the r9 re-tiering (veteran cadence 6 + oldest-first spare filling
+    drains upcoming cohorts early, so no cohort resonance).
     """
-    import glob
     import importlib.util
-    import json
     import os
-    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -89,20 +92,13 @@ def test_next_window_simulation():
     spec.loader.exec_module(nw)
 
     backed = [q for q in QUERIES if q in ORACLES]
-    hist = {}
-    last_round = 0
-    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        r = int(re.search(r"_r(\d+)\.json$", p).group(1))
-        last_round = max(last_round, r)
-        for k, v in json.load(open(p)).items():
-            if v.get("hash_match"):
-                hist[k] = max(hist.get(k, 0), r)
+    hist, last_round = nw.load_history(root)
     # the current round's record (not yet on disk while building):
     # assume the pinned first-50 window goes green, as every round
     # since r7 has
     this_round = last_round + 1
     for q in list(QUERIES)[:50]:
-        hist[q] = this_round
+        hist.setdefault(q, set()).add(this_round)
 
     for rnd in range(this_round + 1, this_round + 13):
         window = nw.rank(backed, hist, rnd)[: nw.WINDOW]
@@ -110,12 +106,12 @@ def test_next_window_simulation():
             q
             for q in backed
             if q not in window
-            and hist.get(q) is not None
-            and rnd - hist[q] >= 4
+            and hist.get(q)
+            and rnd - max(hist[q]) >= nw.cadence(hist[q])
         ]
         assert not overdue_missed, (rnd, overdue_missed)
         for q in window:
-            hist[q] = rnd
-        if rnd >= this_round + 2:
-            never = [q for q in backed if hist.get(q) is None]
+            hist.setdefault(q, set()).add(rnd)
+        if rnd >= this_round + 3:
+            never = [q for q in backed if not hist.get(q)]
             assert not never, (rnd, never)
