@@ -2679,6 +2679,133 @@ def _q_quality_classifier_documents(spark, sf_dir):
     )
 
 
+# trainable-langid fixture: tiny multilingual seed corpus (train) and
+# held-out sentences (planted test docs), composed for this fixture.
+# Italian is deliberately OUTSIDE textstats.lang_id's marker set — the
+# trained path labels it, the heuristic cannot (the accuracy floor
+# pinned in tests/test_langid.py).
+_LANGID_LANGS = ["de", "en", "es", "fr", "it"]  # sorted — index = doc_id % 5
+_LANGID_SEED = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog near the quiet river",
+        "she was reading a long book about the history of science and art",
+        "children often play in the park when the weather is warm and sunny",
+        "this is the house that my grandfather built many years ago",
+        "we should always try to learn something new from the people around us",
+        "the government announced a new plan to improve roads and public schools",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt über den faulen hund am stillen fluss",
+        "sie las ein langes buch über die geschichte der wissenschaft und der kunst",
+        "die kinder spielen oft im park wenn das wetter warm und sonnig ist",
+        "das ist das haus das mein großvater vor vielen jahren gebaut hat",
+        "wir sollten immer versuchen etwas neues von den menschen zu lernen",
+        "die regierung kündigte einen neuen plan für straßen und schulen an",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux près de la rivière",
+        "elle lisait un long livre sur l'histoire de la science et de l'art",
+        "les enfants jouent souvent dans le parc quand le temps est chaud",
+        "c'est la maison que mon grand père a construite il y a des années",
+        "nous devrions toujours essayer d'apprendre quelque chose de nouveau",
+        "le gouvernement a annoncé un nouveau plan pour les routes et les écoles",
+    ],
+    "es": [
+        "el rápido zorro marrón salta sobre el perro perezoso cerca del río",
+        "ella estaba leyendo un libro largo sobre la historia de la ciencia",
+        "los niños juegan a menudo en el parque cuando el tiempo es cálido",
+        "esta es la casa que mi abuelo construyó hace muchos años",
+        "siempre debemos intentar aprender algo nuevo de las personas",
+        "el gobierno anunció un nuevo plan para mejorar las carreteras",
+    ],
+    "it": [
+        "la rapida volpe marrone salta sopra il cane pigro vicino al fiume",
+        "lei stava leggendo un lungo libro sulla storia della scienza",
+        "i bambini giocano spesso nel parco quando il tempo è caldo",
+        "questa è la casa che mio nonno ha costruito molti anni fa",
+        "dovremmo sempre cercare di imparare qualcosa di nuovo dalle persone",
+        "il governo ha annunciato un nuovo piano per le strade e le scuole",
+    ],
+}
+_LANGID_HELDOUT = {
+    "en": [
+        "a small bird was singing in the garden while the sun slowly set",
+        "they decided to travel by train because the road was closed",
+        "my favorite part of the morning is drinking coffee and reading",
+    ],
+    "de": [
+        "ein kleiner vogel sang im garten während die sonne langsam versank",
+        "sie beschlossen mit dem zug zu fahren weil die straße gesperrt war",
+        "mein lieblingsteil des morgens ist kaffee zu trinken und zu lesen",
+    ],
+    "fr": [
+        "un petit oiseau chantait dans le jardin pendant que le soleil se couchait",
+        "ils ont décidé de voyager en train parce que la route était fermée",
+        "ma partie préférée du matin est de boire du café et de lire",
+    ],
+    "es": [
+        "un pájaro pequeño cantaba en el jardín mientras el sol se ponía",
+        "decidieron viajar en tren porque la carretera estaba cerrada",
+        "mi parte favorita de la mañana es tomar café y leer las noticias",
+    ],
+    "it": [
+        "un piccolo uccello cantava nel giardino mentre il sole tramontava",
+        "hanno deciso di viaggiare in treno perché la strada era chiusa",
+        "la mia parte preferita della mattina è bere il caffè e leggere",
+    ],
+}
+_LANGID_BUCKETS = 4096
+
+
+def _q_langid_train_classify(spark, sf_dir):
+    """Trainable char-n-gram language ID (`kolang_spark/llm/langid.py`
+    — multinomial NB over hashed char 2-4-grams, the Cavnar-Trenkle /
+    fastText feature family; no reference counterpart, extension
+    surface): the model is TRAINED in-query on the deterministic seed
+    corpus (one explode + hash aggregate → dense bucket×lang weight
+    grid in integer micro-nats), then held-out sentences planted on
+    the documents doc_id spine are classified with one broadcast join
+    + per-doc argmax. Training AND inference replay bit-for-bit in
+    the DuckDB oracle (md5-bucket hashing is engine-portable; scores
+    are exact long sums). Accuracy floor vs the stopword heuristic is
+    pinned separately in tests/test_langid.py."""
+    from kolang_spark.llm.langid import classify_lang, train_char_langid
+
+    train = spark.createDataFrame(
+        [(lang, s) for lang, ss in _LANGID_SEED.items() for s in ss],
+        ["lang", "text"],
+    )
+    grid, priors = train_char_langid(train, hash_buckets=_LANGID_BUCKETS)
+
+    flat = [
+        s for lang in _LANGID_LANGS for s in _LANGID_HELDOUT[lang]
+    ]  # index = (doc_id % 5)*3 + (doc_id//5) % 3
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    li = F.col("doc_id") % 5
+    si = li * 3 + F.floor(F.col("doc_id") / 5).cast("long") % 3
+    planted = docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(x) for x in _LANGID_LANGS]), (li + 1).cast("int")
+        ).alias("lang_true"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in flat]), (si + 1).cast("int")
+        ).alias("text"),
+    )
+    out = classify_lang(
+        planted, grid, priors, hash_buckets=_LANGID_BUCKETS
+    )
+    return planted.select("doc_id", "lang_true").join(out, "doc_id").select(
+        "doc_id",
+        "lang_true",
+        "lang_pred",
+        "score_micro",
+        "margin_micro",
+        "n_grams",
+        (F.col("lang_true") == F.col("lang_pred")).alias("correct"),
+    )
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance log-ratios (`kolang_spark/llm/dsir.py::
     dsir_logratios`, Xie et al. 2023): every document scored by how
@@ -4055,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_tokens_by_lang": _q_mix_tokens_by_lang,
         "incremental_cdc_batches": _q_incremental_cdc_batches,
         "web_graph_pagerank": _q_web_graph_pagerank,
+        "langid_train_classify": _q_langid_train_classify,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -4174,6 +4302,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _langid_oracle_sql() -> str:
+    """Full train+classify replay of ``langid_train_classify``: same
+    seed corpus literals, same md5-bucket hashing, same micro-nat
+    fixed point — so the DuckDB scores are bit-identical longs."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    seed_vals = ", ".join(
+        f"('{lang}', '{q(s)}')"
+        for lang, ss in _LANGID_SEED.items()
+        for s in ss
+    )
+    held_vals = ", ".join(
+        f"({li}, {j}, '{q(s)}')"
+        for li, lang in enumerate(_LANGID_LANGS)
+        for j, s in enumerate(_LANGID_HELDOUT[lang])
+    )
+    lang_vals = ", ".join(
+        f"({li}, '{lang}')" for li, lang in enumerate(_LANGID_LANGS)
+    )
+    B = _LANGID_BUCKETS
+    gram_list = (
+        "flatten(["
+        "[substr(c, i, 2) for i in range(1, length(c))], "
+        "[substr(c, i, 3) for i in range(1, length(c)-1)], "
+        "[substr(c, i, 4) for i in range(1, length(c)-2)]])"
+    )
+    return rf"""
+        WITH seed(lang, txt) AS (VALUES {seed_vals}),
+        canon_tr AS (
+          SELECT lang,
+                 ' ' || regexp_replace(lower(trim(txt)), '\s+', ' ', 'g')
+                     || ' ' AS c
+          FROM seed
+        ), tr_buckets AS (
+          SELECT lang,
+                 CAST(('0x' || substr(md5(g), 18, 15)) AS BIGINT) % {B} AS b
+          FROM (SELECT lang, unnest({gram_list}) AS g FROM canon_tr)
+        ), counts AS (
+          SELECT lang, b, COUNT(*) AS cnt FROM tr_buckets GROUP BY 1, 2
+        ), tots AS (
+          SELECT lang, COUNT(*) AS tot FROM tr_buckets GROUP BY 1
+        ), grid AS (
+          SELECT r.range AS b, t.lang,
+                 CAST(round((ln(CAST(coalesce(c.cnt, 0) AS DOUBLE) + 1.0)
+                             - ln(CAST(t.tot AS DOUBLE) + {B}.0)) * 1e6)
+                      AS BIGINT) AS w
+          FROM range(0, {B}) r
+          CROSS JOIN tots t
+          LEFT JOIN counts c ON c.lang = t.lang AND c.b = r.range
+        ), priors AS (
+          SELECT lang,
+                 CAST(round((ln(CAST(COUNT(*) AS DOUBLE))
+                             - ln(CAST((SELECT COUNT(*) FROM seed) AS DOUBLE)))
+                            * 1e6) AS BIGINT) AS p
+          FROM seed GROUP BY 1
+        ), langs(li, lang) AS (VALUES {lang_vals}),
+        heldout(li, j, s) AS (VALUES {held_vals}),
+        planted AS (
+          SELECT d.doc_id, l.lang AS lang_true, h.s AS text
+          FROM documents d
+          JOIN langs l ON l.li = d.doc_id % 5
+          JOIN heldout h ON h.li = d.doc_id % 5 AND h.j = (d.doc_id // 5) % 3
+        ), pc AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                     || ' ' AS c
+          FROM planted
+        ), db AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(g), 18, 15)) AS BIGINT) % {B} AS b
+          FROM (SELECT doc_id, unnest({gram_list}) AS g FROM pc)
+        ), scored AS (
+          SELECT db.doc_id, grid.lang, COUNT(*) AS n,
+                 CAST(SUM(grid.w) AS BIGINT) AS s
+          FROM db JOIN grid ON grid.b = db.b
+          GROUP BY 1, 2
+        ), with_prior AS (
+          SELECT sc.doc_id, sc.lang, sc.n, sc.s + pr.p AS score
+          FROM scored sc JOIN priors pr USING (lang)
+        ), ranked AS (
+          SELECT doc_id, lang, n, score,
+                 ROW_NUMBER() OVER w AS rn,
+                 score - lead(score) OVER w AS margin
+          FROM with_prior
+          WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, lang DESC)
+        )
+        SELECT p.doc_id, p.lang_true, r.lang AS lang_pred,
+               CAST(r.score AS BIGINT) AS score_micro,
+               CAST(r.margin AS BIGINT) AS margin_micro,
+               CAST(r.n AS BIGINT) AS n_grams,
+               p.lang_true = r.lang AS correct
+        FROM planted p
+        JOIN ranked r ON r.doc_id = p.doc_id AND r.rn = 1
+    """
 
 # Jalali conversion as a DuckDB CTE chain (same classic day-number
 # algorithm as kolang_spark.functions.jalali — pure arithmetic, so the
@@ -6115,6 +6341,7 @@ def oracle_sql() -> dict[str, str]:
         # Full Lloyd replay (fixed-point means) + IVF probe replay —
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
+        "langid_train_classify": _langid_oracle_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 2, 0.9),
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),

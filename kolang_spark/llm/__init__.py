@@ -99,6 +99,11 @@ from kolang_spark.llm.classify import (  # noqa: F401
     train_token_logodds,
 )
 from kolang_spark.llm.dsir import dsir_logratios, dsir_resample  # noqa: F401
+from kolang_spark.llm.langid import (  # noqa: F401
+    char_ngram_buckets,
+    classify_lang,
+    train_char_langid,
+)
 from kolang_spark.llm.lmscore import (  # noqa: F401
     bigram_lm_scores,
     perplexity_buckets,
