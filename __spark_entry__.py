@@ -3183,6 +3183,53 @@ def _q_ann_ivf_recall_planted(spark, sf_dir):
     )
 
 
+def _q_ann_ivf_pq_recall_planted(spark, sf_dir):
+    """IVF-PQ recall with exact refine (`kolang_spark/llm/similarity
+    .py::ivf_pq_topk` — the FAISS IndexIVFPQ + IndexRefineFlat
+    structure, Jégou et al. 2011; extension surface, no reference
+    counterpart): the planted corpus is PQ-encoded (m=4 subspaces ×
+    8 stride-deterministic codes — 4 smallint codes + one double per
+    vector instead of 16 float64s), probed via 2 coarse cells, ranked
+    by the asymmetric-distance gather, and the top-30 candidates
+    exact-re-ranked. The PQ ranking is load-bearing for the hash: at
+    ~50 probed candidates per query, which 30 survive to refine is
+    decided by the quantized scores. The DuckDB oracle re-derives the
+    corpus, codebooks, code assignment, ADC gather (identical
+    left-to-right float order), refine, and the recall join. The
+    kmeans-trained codebook path + on-disk memory ratio are pinned in
+    tests/test_similarity_pq.py."""
+    from kolang_spark.llm.similarity import brute_force_topk, ivf_pq_topk
+
+    D, K = _ANN_RECALL_DIMS, 10
+    corpus = _planted_corpus(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") % 10 == 0)
+    exact = brute_force_topk(corpus, queries, k=K, dims=D)
+    ann = ivf_pq_topk(
+        corpus,
+        queries,
+        k=K,
+        nprobe=2,
+        m=4,
+        ksub=8,
+        centroid_stride=25,
+        codebook_stride=25,
+        dims=D,
+        refine=30,
+    )
+    hits = exact.select("query_id", "vec_id").join(
+        ann.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            (F.col("n_hit") / K).alias("recall_at_10"),
+        )
+    )
+
+
 def _q_pca_embeddings(spark, sf_dir):
     """Distributed PCA (`kolang_spark/llm/pca.py`): sufficient-statistic
     aggregation (one map-side-combinable job, d(d+3)/2 moment rows
@@ -4183,6 +4230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cdc_batches": _q_incremental_cdc_batches,
         "web_graph_pagerank": _q_web_graph_pagerank,
         "langid_train_classify": _q_langid_train_classify,
+        "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -7055,6 +7103,149 @@ def oracle_sql() -> dict[str, str]:
                        ROW_NUMBER() OVER (PARTITION BY query_id
                          ORDER BY cos DESC, vec_id) AS rnk
                 FROM scored) WHERE rnk <= 10
+            )
+            SELECT e.query_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_hit,
+                   CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+            FROM exact e JOIN ann a
+              ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+            GROUP BY e.query_id
+        """,
+        # IVF-PQ + exact-refine replay: same corpus/exact/cells as the
+        # IVF twin, plus the full PQ pipeline — stride codebooks (the
+        # 8 lowest stride-25 ids per subspace, code = rank), per-
+        # (vector, subspace) argmin with unrolled L2 in Spark's
+        # addition order, ADC gather adc[j*8 + code] in (j, code)
+        # order, top-30 by quantized score (vec_id tie-break — load-
+        # bearing: ~50 probed candidates/query), exact re-rank, recall.
+        "ann_ivf_pq_recall_planted": f"""
+            WITH spine AS (
+              SELECT doc_id AS i FROM documents WHERE doc_id < {_ANN_RECALL_N}
+            ), corpus AS (
+              SELECT i AS vec_id,
+                     list_transform(range({_ANN_RECALL_DIMS}), d ->
+                       (('0x' || substr(md5('c' || CAST(i//10 AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0)
+                     + (('0x' || substr(md5('n' || CAST(i AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0) / 8.0
+                     ) AS v
+              FROM spine
+            ), scored_e AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cos
+              FROM corpus q, corpus c WHERE q.vec_id % 10 = 0
+            ), exact AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, vec_id) AS rnk
+                FROM scored_e) WHERE rnk <= 10
+            ), cents AS (
+              SELECT vec_id AS cent_id, v AS g FROM corpus
+              WHERE vec_id % 25 = 0
+            ), assign AS (
+              SELECT c.vec_id, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                       list_dot_product(c.v, g)
+                         /(sqrt(list_dot_product(c.v, c.v))
+                           *sqrt(list_dot_product(g, g))) DESC,
+                       cent_id) AS rn
+              FROM corpus c CROSS JOIN cents
+            ), indexed AS (
+              SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v FROM corpus WHERE vec_id % 10 = 0
+            ), qassign AS (
+              SELECT q.query_id, q.v, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                       list_dot_product(q.v, g)
+                         /(sqrt(list_dot_product(q.v, q.v))
+                           *sqrt(list_dot_product(g, g))) DESC,
+                       cent_id) AS rn
+              FROM q CROSS JOIN cents
+            ), probes AS (
+              SELECT query_id, v, cent_id AS cell FROM qassign WHERE rn <= 2
+            ), js AS (SELECT unnest(range(4)) AS j),
+            seed_ids AS (
+              SELECT vec_id FROM corpus WHERE vec_id % 25 = 0
+              ORDER BY vec_id LIMIT 8
+            ), cb AS (
+              SELECT js.j,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY js.j
+                                             ORDER BY c.vec_id) - 1
+                          AS INT) AS code,
+                     list_transform(range(4), i -> c.v[js.j*4 + i + 1]) AS sv
+              FROM corpus c JOIN seed_ids s ON s.vec_id = c.vec_id
+              CROSS JOIN js
+            ), subs AS (
+              SELECT vec_id, js.j,
+                     list_transform(range(4), i -> v[js.j*4 + i + 1]) AS sv
+              FROM corpus CROSS JOIN js
+            ), enc AS (
+              SELECT vec_id, j, code, sv_c FROM (
+                SELECT s.vec_id, s.j, b.code, b.sv AS sv_c,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j
+                         ORDER BY 0.0
+                           + (s.sv[1]-b.sv[1])*(s.sv[1]-b.sv[1])
+                           + (s.sv[2]-b.sv[2])*(s.sv[2]-b.sv[2])
+                           + (s.sv[3]-b.sv[3])*(s.sv[3]-b.sv[3])
+                           + (s.sv[4]-b.sv[4])*(s.sv[4]-b.sv[4]),
+                         b.code) AS rn
+                FROM subs s JOIN cb b ON b.j = s.j) WHERE rn = 1
+            ), codes AS (
+              SELECT vec_id, list(code ORDER BY j) AS codes,
+                     flatten(list(sv_c ORDER BY j)) AS vhat
+              FROM enc GROUP BY vec_id
+            ), pqidx AS (
+              SELECT c.vec_id, i.cell, c.codes,
+                     sqrt(list_dot_product(c.vhat, c.vhat)) AS recon_n
+              FROM codes c JOIN indexed i ON i.vec_id = c.vec_id
+            ), qsubs AS (
+              SELECT query_id, js.j,
+                     list_transform(range(4), i -> v[js.j*4 + i + 1]) AS qsv
+              FROM q CROSS JOIN js
+            ), qpd AS (
+              SELECT s.query_id, s.j, b.code,
+                     list_dot_product(s.qsv, b.sv) AS pdot
+              FROM qsubs s JOIN cb b ON b.j = s.j
+            ), adc AS (
+              SELECT query_id, list(pdot ORDER BY j, code) AS adc
+              FROM qpd GROUP BY query_id
+            ), pcand AS (
+              SELECT p.query_id, x.vec_id,
+                     (0.0 + a.adc[x.codes[1] + 0*8 + 1]
+                          + a.adc[x.codes[2] + 1*8 + 1]
+                          + a.adc[x.codes[3] + 2*8 + 1]
+                          + a.adc[x.codes[4] + 3*8 + 1])
+                       / (sqrt(list_dot_product(p.v, p.v)) * x.recon_n)
+                       AS acos_
+              FROM pqidx x
+              JOIN probes p ON x.cell = p.cell
+              JOIN adc a ON a.query_id = p.query_id
+            ), cands AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY acos_ DESC, vec_id) AS rn
+                FROM pcand) WHERE rn <= 30
+            ), rescored AS (
+              SELECT c.query_id, c.vec_id,
+                     list_dot_product(q.v, x.v)
+                       /(sqrt(list_dot_product(q.v, q.v))
+                         *sqrt(list_dot_product(x.v, x.v))) AS cos
+              FROM cands c
+              JOIN q ON q.query_id = c.query_id
+              JOIN corpus x ON x.vec_id = c.vec_id
+            ), ann AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, vec_id) AS rnk
+                FROM rescored) WHERE rnk <= 10
             )
             SELECT e.query_id,
                    CAST(COUNT(*) AS BIGINT) AS n_hit,

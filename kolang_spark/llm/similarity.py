@@ -34,6 +34,9 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "kmeans_centroids",
+    "pq_codebooks",
+    "pq_encode",
+    "ivf_pq_topk",
 ]
 
 # SQL fragment (a column reference like "v" or "a.v") or a Column
@@ -432,6 +435,377 @@ def kmeans_centroids(
     return spark.createDataFrame(
         cent_rows, "cent_id int, g_v array<double>"
     ).withColumn("g_n", _norm("g_v", dims))
+
+
+def _sub_slice(vec: str, j: int, dsub: int) -> Column:
+    """Subvector j (0-based) of an array column: elements
+    ``[j·dsub, (j+1)·dsub)``. ``F.slice`` is 1-based."""
+    return F.slice(F.col(vec), j * dsub + 1, dsub)
+
+
+def _d2_arrays(a: str, b: str, dsub: int) -> Column:
+    """Unrolled squared L2 distance between two length-``dsub`` array
+    columns — left-to-right from 0.0 (bit-replayable in DuckDB)."""
+    terms = " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(dsub))
+    return F.expr(f"0.0D + {terms}")
+
+
+def _dot_arrays(a: str, b: str, dsub: int) -> Column:
+    terms = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dsub))
+    return F.expr(f"0.0D + {terms}")
+
+
+def pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 256,
+    dims: int = 64,
+    method: str = "stride",
+    stride: int = 25,
+    iters: int = 3,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` disjoint ``dims/m``-wide subspaces, each with its
+    own ``ksub``-entry codebook. Returns ``(subspace, code, s_v)`` —
+    ``m·ksub`` rows, always broadcast-sized.
+
+    * ``method='stride'`` (default): codebook j = the subvectors of
+      the ``ksub`` lowest-id rows with ``id % stride == 0`` — the same
+      deterministic "data points as quantizer" pick :func:`ivf_topk`
+      uses for coarse centroids, exactly rebuildable by any engine
+      (the DuckDB oracle re-derives it).
+    * ``method='kmeans'``: each subspace codebook is trained with the
+      deterministic fixed-point :func:`kmeans_centroids` over the
+      subvector slices (m bounded Lloyd loops over the ``sample_mod``
+      sample) — the production-quality opt-in.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    if method not in ("stride", "kmeans"):
+        raise ValueError("method must be 'stride' or 'kmeans'")
+    dsub = dims // m
+    if method == "kmeans":
+        books = []
+        for j in range(m):
+            sliced = df.select(
+                F.col(id_col),
+                _as_double(_sub_slice(vec_col, j, dsub)).alias("__sub__"),
+            )
+            cb = kmeans_centroids(
+                sliced,
+                k=ksub,
+                dims=dsub,
+                iters=iters,
+                sample_mod=sample_mod,
+                id_col=id_col,
+                vec_col="__sub__",
+            )
+            books.append(
+                cb.select(
+                    F.lit(j).alias("subspace"),
+                    F.col("cent_id").alias("code"),
+                    F.col("g_v").alias("s_v"),
+                )
+            )
+        out = books[0]
+        for b in books[1:]:
+            out = out.unionByName(b)
+        return out
+    # deterministic seed pick: the ksub smallest stride ids, fetched
+    # via TakeOrdered (bounded collect: ksub ids ≤ 256 — the same
+    # driver sync kmeans_centroids does for its seeds); code = rank in
+    # that sorted id list, assigned via a literal array_position so no
+    # single-partition window ever touches the stride sample
+    ids = [
+        r[0]
+        for r in df.where(F.col(id_col) % stride == 0)
+        .select(id_col)
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    ]
+    id_arr = F.array(*[F.lit(i) for i in ids])
+    seeds = df.where(F.col(id_col).isin(ids)).select(
+        (F.array_position(id_arr, F.col(id_col)) - 1).cast("int").alias("code"),
+        _as_double(F.col(vec_col)).alias("__v__"),
+    )
+    per_j = [
+        seeds.select(
+            F.lit(j).alias("subspace"),
+            "code",
+            F.slice("__v__", j * dsub + 1, dsub).alias("s_v"),
+        )
+        for j in range(m)
+    ]
+    out = per_j[0]
+    for b in per_j[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a corpus: ``(id, codes, recon_n)`` where ``codes`` is
+    the ``m``-entry smallint code array (1-2 bytes per subspace — the
+    8-32× memory cut vs ``dims`` float64s that makes 100 TB embedding
+    probes IO-feasible; tests/test_similarity_pq.py measures the
+    on-disk ratio) and ``recon_n`` is the reconstruction's L2 norm
+    (``|x̂|`` — exact for the concatenated chosen sub-centroids, the
+    denominator of asymmetric cosine).
+
+    Shape: explode to (row, subspace) — m·N rows — join the broadcast
+    codebook on subspace (ksub candidates each), one map-side-
+    completable argmin per (row, subspace) (the candidates of a pair
+    are consecutive, same as ``_kmeans_assign``), one per-row gather.
+    The corpus is never shuffled except for the two bounded
+    aggregations; no UDF.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    subs = df.select(
+        F.col(id_col).alias("p_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        _as_double(_sub_slice(vec_col, j, dsub)).alias("sub_v"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("p_id", "s.subspace", "s.sub_v")
+    cand = subs.join(F.broadcast(codebooks), "subspace").select(
+        "p_id",
+        "subspace",
+        F.struct(
+            _d2_arrays("sub_v", "s_v", dsub).alias("d2"),
+            F.col("code").alias("code"),
+            F.col("s_v").alias("s_v"),
+        ).alias("c"),
+    )
+    chosen = cand.groupBy("p_id", "subspace").agg(F.min("c").alias("c"))
+    gathered = chosen.groupBy("p_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("subspace", F.col("c.code").alias("code"), F.col("c.s_v").alias("s_v")))
+        ).alias("g")
+    )
+    vhat = F.flatten(F.transform(F.col("g"), lambda x: x["s_v"]))
+    return gathered.select(
+        F.col("p_id").alias(id_col),
+        F.transform(F.col("g"), lambda x: x["code"].cast("smallint")).alias("codes"),
+        F.sqrt(
+            F.aggregate(vhat, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("recon_n"),
+    )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 256,
+    centroid_stride: int = 25,
+    codebook_stride: int = 25,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+    codebooks: Optional[DataFrame] = None,
+    refine: Optional[int] = None,
+) -> DataFrame:
+    """IVF-PQ cell-probe search (the FAISS ``IndexIVFPQ`` structure,
+    Jégou et al. 2011): :func:`ivf_topk`'s coarse cells, but the
+    probed candidates are scored from ``m``-byte PQ codes via an
+    asymmetric distance computation — the probe side never touches a
+    raw corpus vector, cutting probe memory/IO by ``8·dims /
+    (m·⌈log2 ksub⌉/8)`` (32× at dims=64, m=8, ksub=256).
+
+    ADC, inner-product form: each query precomputes
+    ``adc[j·ksub + c] = ⟨q_j, codebook_j[c]⟩`` (m·ksub doubles riding
+    the broadcast query side), so a candidate's approximate cosine is
+    an m-term gather ``Σ_j adc[j·ksub + codes[j]] / (|q|·|x̂|)`` — one
+    codegen-compiled expression per candidate, no explode, no second
+    join. Recall < 1 by design twice over (unprobed cells +
+    quantization error); raise ``nprobe``/``m``/``ksub`` to trade cost
+    for recall. Default codebooks/centroids are stride-deterministic
+    (oracle-rebuildable); pass :func:`kmeans_centroids` /
+    ``pq_codebooks(method='kmeans')`` tables for production quality.
+
+    PQ collapses near-identical vectors onto the same codes, so fine
+    intra-cluster order is quantized away — by construction it is a
+    CANDIDATE GENERATOR. ``refine=R`` (FAISS ``IndexRefineFlat``)
+    exact-re-ranks each query's top-R PQ candidates against the raw
+    vectors — an id equi-join touching only Q·R corpus rows, so the
+    full-precision read stays tiny while the scan side remains
+    codes-only. With refine, returns ``(query_id, vec_id, cos, rank)``
+    (exact cosine of the survivors); without, ``(query_id, vec_id,
+    approx_cos, rank)`` — rank 1..k, ties broken on corpus id.
+    """
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    if centroids is not None:
+        cents = centroids
+        if "g_n" not in cents.columns:
+            cents = cents.withColumn("g_n", _norm("g_v", dims))
+    else:
+        cents = (
+            df.where(F.col(id_col) % centroid_stride == 0)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                _as_double(F.col(vec_col)).alias("g_v"),
+            )
+            .withColumn("g_n", _norm("g_v", dims))
+        )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            df,
+            m=m,
+            ksub=ksub,
+            dims=dims,
+            method="stride",
+            stride=codebook_stride,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    # the ADC gather indexes adc[j·stride + code], where stride must be
+    # the ACTUAL per-subspace code count (a small corpus can seed fewer
+    # than ksub stride codes) — one bounded collect over the broadcast-
+    # sized codebook table (m rows) pins it
+    sizes = {
+        r.subspace: r.n
+        for r in codebooks.groupBy("subspace")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if sorted(sizes) != list(range(m)) or len(set(sizes.values())) != 1:
+        raise ValueError(
+            f"codebooks must cover subspaces 0..{m - 1} with a uniform "
+            f"code count; got {sizes}"
+        )
+    ksub = sizes[0]
+
+    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
+        scored = side.join(F.broadcast(cents), how="cross").withColumn(
+            "cent_cos",
+            _safe_div_cos(_dot(vec, "g_v", dims), F.col(nrm), F.col("g_n")),
+        )
+        w = Window.partitionBy(side.columns[0]).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("cent_rank", F.row_number().over(w))
+            .where(F.col("cent_rank") <= n)
+            .drop("g_v", "g_n", "cent_cos", "cent_rank")
+            .withColumnRenamed("cent_id", "cell")
+        )
+
+    corpus = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v"))
+        .withColumn("c_n", _norm("c_v", dims))
+    )
+    cells = _nearest_cells(corpus, "c_v", "c_n", 1).select("c_id", "cell")
+    # the searchable index: cell + m smallint codes + one double — the
+    # raw vector column is DROPPED here; everything downstream scores
+    # from codes only
+    encoded = pq_encode(df, codebooks, m=m, dims=dims, id_col=id_col, vec_col=vec_col)
+    indexed = cells.join(
+        encoded.select(F.col(id_col).alias("c_id"), "codes", "recon_n"), "c_id"
+    )
+
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("q_v"),
+    ).withColumn("q_n", _norm("q_v", dims))
+    probes = _nearest_cells(qs, "q_v", "q_n", nprobe)
+
+    # per-query ADC table over (subspace, code), gathered into one
+    # array ordered j·ksub + code
+    qsubs = qs.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("q_v", j * dsub + 1, dsub).alias("q_sub"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "s.subspace", "s.q_sub")
+    adc = (
+        qsubs.join(F.broadcast(codebooks), "subspace")
+        .select(
+            "query_id",
+            F.struct("subspace", "code", _dot_arrays("q_sub", "s_v", dsub).alias("pdot")).alias("e"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("e")), lambda x: x["pdot"]
+            ).alias("adc")
+        )
+    )
+    probes = probes.join(adc, "query_id")
+
+    gather = " + ".join(f"adc[codes[{j}] + {j * ksub}]" for j in range(m))
+    scored = indexed.join(F.broadcast(probes), "cell").select(
+        "query_id",
+        F.col("c_id").alias("vec_id"),
+        _safe_div_cos(
+            F.expr(f"0.0D + {gather}"), F.col("q_n"), F.col("recon_n")
+        ).alias("approx_cos"),
+        "q_v",
+        "q_n",
+    )
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("vec_id")
+    )
+    if refine is None:
+        return (
+            scored.drop("q_v", "q_n")
+            .withColumn("rank", F.row_number().over(w_a))
+            .where(F.col("rank") <= k)
+        )
+    if refine < k:
+        raise ValueError(f"refine={refine} must be >= k={k}")
+    cands = (
+        scored.withColumn("arank", F.row_number().over(w_a))
+        .where(F.col("arank") <= refine)
+        .drop("approx_cos", "arank")
+    )
+    # full-precision read of ONLY the surviving Q·refine candidate ids
+    rescored = cands.join(corpus, cands["vec_id"] == corpus["c_id"]).select(
+        "query_id",
+        "vec_id",
+        _safe_div_cos(
+            _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
+        ).alias("cos"),
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return rescored.withColumn("rank", F.row_number().over(w_e)).where(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk(

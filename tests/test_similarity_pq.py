@@ -1,0 +1,149 @@
+"""IVF-PQ (`kolang_spark/llm/similarity.py::pq_codebooks/pq_encode/
+ivf_pq_topk`): quantization round-trip exactness, recall on planted
+clusters, the memory-per-vector claim (measured on disk), and the
+parameter contracts."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kolang_spark.llm.similarity import (
+    brute_force_topk,
+    ivf_pq_topk,
+    pq_codebooks,
+    pq_encode,
+)
+
+DIMS = 16
+
+
+def _vec(i: int) -> list:
+    """Deterministic planted corpus: 20 clusters x 10 members, cluster
+    center + small noise (mirrors the entry fixture's construction)."""
+    out = []
+    for d in range(DIMS):
+        hc = int(hashlib.md5(f"c{i // 10}:{d}".encode()).hexdigest()[:8], 16)
+        hn = int(hashlib.md5(f"n{i}:{d}".encode()).hexdigest()[:8], 16)
+        out.append((hc / 2147483648.0 - 1.0) + (hn / 2147483648.0 - 1.0) / 8.0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(200)], "vec_id long, embedding array<double>"
+    ).cache()
+
+
+def test_codebooks_shape_stride_and_kmeans(corpus):
+    for method in ("stride", "kmeans"):
+        cb = pq_codebooks(
+            corpus, m=4, ksub=8, dims=DIMS, method=method, stride=10, iters=2
+        )
+        rows = cb.collect()
+        assert len(rows) == 4 * 8
+        assert {(r.subspace, r.code) for r in rows} == {
+            (j, c) for j in range(4) for c in range(8)
+        }
+        assert all(len(r.s_v) == DIMS // 4 for r in rows)
+
+
+def test_encode_roundtrip_exact_when_corpus_is_codebook(spark):
+    """With every corpus vector present in the codebook (ksub >= N on
+    a stride-1 pick), encoding must choose the exact subvectors:
+    reconstruction norm == true norm."""
+    small = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    cb = pq_codebooks(small, m=4, ksub=8, dims=DIMS, method="stride", stride=1)
+    enc = {r.vec_id: r for r in pq_encode(small, cb, m=4, dims=DIMS).collect()}
+    for i in range(8):
+        true_n = math.sqrt(sum(x * x for x in _vec(i)))
+        assert enc[i].recon_n == pytest.approx(true_n, abs=1e-12)
+        # stride-1 codebook: code == vec_id rank == vec_id
+        assert list(enc[i].codes) == [i] * 4
+
+
+def test_encode_codes_are_smallint_and_disk_ratio(corpus, tmp_path):
+    """The r9 verdict's memory-per-vector requirement, measured: the
+    PQ index row (m smallint codes + one double) must be at least 4x
+    smaller ON DISK than the raw float64 vectors it replaces (the
+    logical ratio at m=4, dims=16 is 128B -> ~16B; parquet framing
+    eats part of it on tiny files)."""
+    cb = pq_codebooks(corpus, m=4, ksub=8, dims=DIMS, method="stride", stride=10)
+    enc = pq_encode(corpus, cb, m=4, dims=DIMS)
+    assert dict(enc.dtypes)["codes"] == "array<smallint>"
+
+    raw_p, enc_p = str(tmp_path / "raw"), str(tmp_path / "enc")
+    corpus.select("vec_id", "embedding").coalesce(1).write.parquet(raw_p)
+    enc.coalesce(1).write.parquet(enc_p)
+
+    import os
+
+    def psize(d):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    ratio = psize(raw_p) / psize(enc_p)
+    assert ratio >= 4.0, f"PQ index only {ratio:.1f}x smaller on disk"
+
+
+def test_ivf_pq_recall_on_planted_clusters(corpus):
+    """PQ collapses same-cluster members onto shared codes, so it is a
+    CANDIDATE GENERATOR: the contract is (a) the exact top-5 survives
+    into the PQ top-20 candidate set, and (b) with the FAISS-style
+    exact refine step over those candidates, recall@5 is high. Both
+    with k-means-trained codebooks."""
+    queries = corpus.where(F.col("vec_id") % 10 == 0)
+    exact = brute_force_topk(corpus, queries, k=5, dims=DIMS)
+    n_exact = exact.count()
+    cb = pq_codebooks(corpus, m=4, ksub=16, dims=DIMS, method="kmeans", iters=3)
+    common = dict(
+        nprobe=2, m=4, dims=DIMS, centroid_stride=10, codebooks=cb
+    )
+    cand = ivf_pq_topk(corpus, queries, k=20, **common)
+    cand_recall = (
+        exact.select("query_id", "vec_id")
+        .join(cand.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .count()
+        / n_exact
+    )
+    assert cand_recall >= 0.9, f"candidate recall@20 = {cand_recall:.2f}"
+    assert all(-1.001 <= r.approx_cos <= 1.001 for r in cand.collect())
+
+    refined = ivf_pq_topk(corpus, queries, k=5, refine=20, **common)
+    recall = (
+        exact.select("query_id", "vec_id")
+        .join(refined.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .count()
+        / n_exact
+    )
+    assert recall >= 0.9, f"refined recall@5 = {recall:.2f}"
+    with pytest.raises(ValueError):
+        ivf_pq_topk(corpus, queries, k=10, refine=5, **common)
+
+
+def test_param_validation(corpus):
+    with pytest.raises(ValueError):
+        pq_codebooks(corpus, m=5, ksub=8, dims=DIMS)  # 16 % 5 != 0
+    with pytest.raises(ValueError):
+        pq_codebooks(corpus, m=4, ksub=8, dims=DIMS, method="nope")
+    with pytest.raises(ValueError):
+        pq_encode(corpus, pq_codebooks(corpus, m=4, ksub=8, dims=DIMS), m=5, dims=DIMS)
+    # non-uniform codebook rejected by ivf_pq_topk
+    cb = pq_codebooks(corpus, m=4, ksub=8, dims=DIMS).where(
+        ~((F.col("subspace") == 3) & (F.col("code") == 7))
+    )
+    with pytest.raises(ValueError):
+        ivf_pq_topk(
+            corpus,
+            corpus.limit(1),
+            m=4,
+            dims=DIMS,
+            codebooks=cb,
+        )
