@@ -81,8 +81,10 @@ from kolang_spark.llm.decontam import (  # noqa: F401
 )
 from kolang_spark.llm.multimodal import (  # noqa: F401
     audio_frame_features,
+    decode_gif_frames,
     image_ahash,
     resize_image,
+    synth_gif_blobs,
 )
 from kolang_spark.llm.html import (  # noqa: F401
     extract_links,

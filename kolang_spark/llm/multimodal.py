@@ -46,8 +46,10 @@ __all__ = [
     "synth_ppm_blobs",
     "synth_png_blobs",
     "synth_jpeg_blobs",
+    "synth_gif_blobs",
     "synth_wav_blobs",
     "decode_image",
+    "decode_gif_frames",
     "decode_audio",
     "extract_features",
     "sample_frames",
@@ -249,6 +251,92 @@ def synth_png_blobs(
         z_hex,
         crc_idat,
         F.lit("0000000049454E44AE426082"),  # IEND
+    )
+    return df.withColumn(out, F.unhex(blob_hex))
+
+
+# static 128-entry grayscale global color table: entry i = (2i, 2i, 2i)
+_GIF_PALETTE_HEX = "".join(f"{2 * i:02X}" * 3 for i in range(128))
+
+
+def synth_gif_blobs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    out: str = "content",
+) -> DataFrame:
+    """Attach a *real*, spec-valid MULTI-FRAME GIF89a per row, derived
+    deterministically from ``id_col`` — pure Column expressions, no
+    Python and no compressor.
+
+    Closed-form layout (so an oracle predicts every decoded frame
+    statistic from the id alone):
+
+    - ``width = 3 + id % 4`` (3..6), ``height = 3 + id % 3`` (3..5)
+    - ``n_frames = 2 + id % 3`` (2..4), frame ``f``'s GCE delay = f
+      centiseconds
+    - palette index of pixel ``p`` in frame ``f`` =
+      ``(id·7 + f·31 + p·13) % 128``
+    - global color table: 128 grayscale entries, entry i = (2i,2i,2i)
+
+    The trick that keeps the LZW image data JVM-side: with
+    ``min_code_size = 7`` the initial code width is 8 bits, and the
+    width only grows once the decoder table reaches 256 entries —
+    after 126 decoded codes. Every frame here has ≤ 30 pixels, so the
+    whole stream stays at 8-bit codes: each code is exactly ONE BYTE
+    (CLEAR=0x80, literals 0x00-0x7F, EOI=0x81) and the "compressed"
+    stream is a plain byte string — the classic uncompressed-GIF
+    construction, legal input to any conforming decoder.
+    """
+    i = F.col(id_col).cast("long")
+    w = (i % 4 + 3).cast("long")
+    h = (i % 3 + 3).cast("long")
+    nf = (i % 3 + 2).cast("long")
+    npix = w * h
+
+    def hex2(c):
+        return F.lpad(F.hex(c), 2, "0")
+
+    def le16(c):
+        return F.concat(hex2(c % 256), hex2(((c - c % 256) / 256).cast("long")))
+
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nf - 1),
+            lambda f: F.concat(
+                # Graphic Control Extension: delay = frame index (cs)
+                F.lit("21F90400"),
+                le16(f),
+                F.lit("0000"),
+                # Image Descriptor at (0,0), no local color table
+                F.lit("2C00000000"),
+                le16(w),
+                le16(h),
+                F.lit("00"),
+                # LZW: min code size 7, one sub-block of npix+2 codes
+                F.lit("07"),
+                hex2(npix + 2),
+                F.lit("80"),  # CLEAR
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0).cast("long"), npix - 1),
+                        lambda p: hex2((i * 7 + f * 31 + p * 13) % 128),
+                    ),
+                    "",
+                ),
+                F.lit("8100"),  # EOI + sub-block terminator
+            ),
+        ),
+        "",
+    )
+    blob_hex = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        le16(w),
+        le16(h),
+        # LSD packed: GCT present, color res 7, table size 2^7
+        F.lit("F60000"),
+        F.lit(_GIF_PALETTE_HEX),
+        frames_hex,
+        F.lit("3B"),  # trailer
     )
     return df.withColumn(out, F.unhex(blob_hex))
 
@@ -1078,6 +1166,208 @@ def decode_image(
             )
 
     return src.mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+def _gif_lzw_decode(buf: bytes, min_code_size: int, limit: int):
+    """General GIF LZW decode (not just the byte-aligned synthesis
+    case): LSB-first bit packing, code-width growth to 12 bits, CLEAR
+    resets, the KwKwK (code == next_code) case, EOI. Returns the index
+    list or None on a malformed stream; ``limit`` bounds output so a
+    hostile blob cannot balloon memory."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table = {c: (c,) for c in range(clear)}
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    acc = 0
+    nbits = 0
+    for byte in buf:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = {c: (c,) for c in range(clear)}
+                next_code = eoi + 1
+                width = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    return None
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + (prev[0],)
+            else:
+                return None
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            if len(out) > limit:
+                return None
+            prev = entry
+    return out
+
+
+def _parse_gif(b: bytes):
+    """Real GIF87a/89a container walk: logical screen descriptor,
+    global color table, extension blocks (GCE delay captured),
+    per-frame image descriptors + LZW decode. Returns
+    ``(screen_w, screen_h, palette | None, frames)`` with frames =
+    list of ``(w, h, delay_cs, index_array)``, or None if malformed."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = b[6] | (b[7] << 8)
+    sh = b[8] | (b[9] << 8)
+    packed = b[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        palette = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    frames = []
+    delay = 0
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension: label + sub-block chain
+            if pos >= len(b):
+                return None
+            label = b[pos]
+            pos += 1
+            subs = []
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                subs.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            if pos >= len(b):
+                return None
+            pos += 1  # block terminator
+            if label == 0xF9 and subs and len(subs[0]) >= 3:
+                delay = subs[0][1] | (subs[0][2] << 8)
+        elif blk == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                return None
+            w = b[pos + 4] | (b[pos + 5] << 8)
+            h = b[pos + 6] | (b[pos + 7] << 8)
+            ipacked = b[pos + 8]
+            pos += 9
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            if pos >= len(b):
+                return None
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h + 4096)
+            if idx is None or len(idx) < w * h:
+                return None
+            if ipacked & 0x40:  # interlaced — out of scope, reject
+                return None
+            frames.append((w, h, delay, np.array(idx[: w * h], dtype=np.int64)))
+            delay = 0
+        else:
+            return None
+    if not frames:
+        return None
+    return sw, sh, palette, frames
+
+
+_GIF_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, width int, height int, "
+    "delay_cs int, n_pixels long, sum_index long, first_index int, "
+    "mean_index double"
+)
+
+
+def decode_gif_frames(
+    df: DataFrame,
+    blob_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multi-frame container decode via Arrow-batched ``mapInPandas``:
+    one output row per GIF frame — the video-shaped sibling of
+    :func:`decode_image` (a frame stream is the decode side of
+    :func:`sample_frames`' index spine). Real parse: container walk +
+    general LZW (see :func:`_parse_gif`). Malformed blobs emit a
+    single row with ``n_frames = 0`` and NULL frame fields — the same
+    poison-blob contract as the image/audio decoders.
+
+    Per frame: dimensions, GCE delay, and palette-index statistics
+    (``sum_index``/``first_index``/``mean_index``) — all closed-form
+    predictable for :func:`synth_gif_blobs` payloads, which is what
+    makes the decode oracle-checkable without a reference decoder.
+    """
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, b in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(b) if b is not None else b""
+                parsed = _parse_gif(b)
+                if parsed is None:
+                    rows.append((did, None, 0, None, None, None, None, None, None, None))
+                    continue
+                _, _, _, frames = parsed
+                for fi, (w, h, delay, idx) in enumerate(frames):
+                    s = int(idx.sum(dtype=np.int64))
+                    rows.append(
+                        (
+                            did,
+                            fi,
+                            len(frames),
+                            w,
+                            h,
+                            delay,
+                            w * h,
+                            s,
+                            int(idx[0]) if idx.size else None,
+                            s / idx.size if idx.size else None,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "delay_cs",
+                    "n_pixels",
+                    "sum_index",
+                    "first_index",
+                    "mean_index",
+                ],
+            )
+
+    return src.mapInPandas(frame_batches, schema=_GIF_FRAME_SCHEMA)
 
 
 def decode_audio(

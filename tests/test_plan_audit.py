@@ -49,6 +49,9 @@ PANDAS_ALLOWED = {
     # record walk are the same sanctioned boundary
     "warc_gzip_parse_documents",
     "web_ingest_pipeline",
+    # multi-frame GIF container walk + general LZW decode: same
+    # sanctioned container-decode boundary as the image decoders
+    "multimodal_decode_gif",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
