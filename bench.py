@@ -56,6 +56,16 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1080"))
 # across rounds as long as this constant never changes.
 CANARY_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_EVERY", "20"))
 CANARY_NOMINAL_S = 0.35
+# Second canary (round-8 verdict item 7): the r8 JIT code-cache cliff
+# was INVISIBLE to the small-plan canary above — its tiny codegen body
+# stayed compiled while the suite's giant unrolled expressions
+# exhausted the cache and silently de-optimized tail queries. This
+# canary IS such an expression (64 unrolled arithmetic terms over two
+# lineitem columns), so cache exhaustion / JIT de-optimization shows
+# up as codegen-canary drift in the record instead of unexplained tail
+# inflation. Nominal pinned r9: 0.46 s = idle-host median of 7 samples
+# at sf0.1 after one compile warm-up (BASELINE.md r9).
+CANARY2_NOMINAL_S = 0.46
 
 
 def build_spark() -> SparkSession:
@@ -100,9 +110,28 @@ def _canary_df(spark: SparkSession):
     )
 
 
+def _canary_codegen_df(spark: SparkSession):
+    # one giant whole-stage-codegen body: 64 unrolled terms per row,
+    # engine-independent (plain lineitem columns, fixed literals)
+    terms = " + ".join(
+        f"(l_quantity * {i} + l_extendedprice / {i}.5)" for i in range(1, 65)
+    )
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+        .selectExpr(f"0.0D + {terms} AS x")
+        .selectExpr("sum(x) AS s")
+    )
+
+
 def _run_canary(spark: SparkSession) -> float:
     t0 = time.perf_counter()
     _canary_df(spark).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def _run_canary_codegen(spark: SparkSession) -> float:
+    t0 = time.perf_counter()
+    _canary_codegen_df(spark).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -127,17 +156,20 @@ def main() -> None:
     except Exception:
         pass
 
-    _run_canary(spark)  # untimed: compile the canary's codegen once
+    _run_canary(spark)  # untimed: compile both canaries' codegen once
+    _run_canary_codegen(spark)
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     canary_samples: list[float] = []
+    canary2_samples: list[float] = []
     canary_positions: list[int] = []
     suite_t0 = time.perf_counter()
     budget_hit = False
     for pos, (name, fn) in enumerate(qs.items()):
         if pos % max(1, CANARY_EVERY) == 0:
             canary_samples.append(round(_run_canary(spark), 3))
+            canary2_samples.append(round(_run_canary_codegen(spark), 3))
             canary_positions.append(pos)
         best = None
         reps = max(1, REPEATS)
@@ -152,12 +184,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 2)
     canary_samples.append(round(_run_canary(spark), 3))
+    canary2_samples.append(round(_run_canary_codegen(spark), 3))
     canary_positions.append(len(qs))
     total = round(sum(timings.values()), 2)
-    srt = sorted(canary_samples)
-    canary_median = round(
-        (srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2, 3
-    )
+
+    def _median(xs):
+        srt = sorted(xs)
+        return round((srt[len(srt) // 2] + srt[(len(srt) - 1) // 2]) / 2, 3)
+
+    canary_median = _median(canary_samples)
+    canary2_median = _median(canary2_samples)
     normalized_total = round(
         total * CANARY_NOMINAL_S / max(canary_median, 1e-6), 2
     )
@@ -174,6 +210,12 @@ def main() -> None:
             "positions": canary_positions,
             "median": canary_median,
             "nominal": CANARY_NOMINAL_S,
+        },
+        "canary_codegen": {
+            "samples": canary2_samples,
+            "positions": canary_positions,
+            "median": canary2_median,
+            "nominal": CANARY2_NOMINAL_S,
         },
         "normalized_total": normalized_total,
         "queries": timings,
@@ -205,6 +247,7 @@ def main() -> None:
                 "sf": record["sf"],
                 "n_queries": len(timings),
                 "canary_median": canary_median,
+                "canary_codegen_median": canary2_median,
                 "normalized_total": normalized_total,
                 "order": "registry",
                 "full_record": "BENCH_LOCAL_FULL.json",
