@@ -3262,6 +3262,68 @@ def _q_ann_ivf_pq_recall_planted(spark, sf_dir):
     )
 
 
+def _q_gopher_rules_documents(spark, sf_dir):
+    """The Gopher document-quality rule bundle (`kolang_spark/llm/
+    textstats.py::gopher_quality_flags` — Rae et al. 2021 table A1,
+    the published filter set RedPajama/Dolma/FineWeb reuse; extension
+    surface, no reference counterpart): word-count and mean-word-
+    length windows, #/ellipsis symbol ratios, bullet/ellipsis line
+    ratios, alphabetic-word share, 8-word stop-list hits, and the
+    composite pass flag — one scan-riding projection per document, no
+    shuffle, no UDF. Every ratio and the pass flag replay exactly in
+    DuckDB (integer counts + identical divisions)."""
+    from kolang_spark.llm.textstats import gopher_quality_flags
+
+    dc = _t(spark, sf_dir, "documents")
+    fl = gopher_quality_flags(F.col("text"))
+    return dc.select(
+        "doc_id",
+        fl["n_words"].alias("n_words"),
+        F.round(fl["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(fl["hash_word_ratio"], 6).alias("hash_word_ratio"),
+        F.round(fl["ellipsis_word_ratio"], 6).alias("ellipsis_word_ratio"),
+        F.round(fl["bullet_line_ratio"], 6).alias("bullet_line_ratio"),
+        F.round(fl["ellipsis_line_ratio"], 6).alias("ellipsis_line_ratio"),
+        F.round(fl["alpha_word_ratio"], 6).alias("alpha_word_ratio"),
+        fl["n_stop_distinct"].alias("n_stop_distinct"),
+        fl["gopher_pass"].alias("gopher_pass"),
+    )
+
+
+def _q_hard_negatives_planted(spark, sf_dir):
+    """Hard-negative mining for contrastive training data
+    (`kolang_spark/llm/similarity.py::hard_negative_topk` — the
+    sentence-transformers/DPR recipe; extension surface, no reference
+    counterpart): each planted-cluster anchor mines its top-5 most
+    similar CROSS-cluster vectors, with the anchor's own 10-member
+    cluster supplied as the known-positives exclusion list. Filters
+    run before ranking (exact — no over-fetch guesswork even though
+    the positives dominate every anchor's raw top-10). The DuckDB
+    oracle re-derives the corpus, the exclusion, the cosine ranking
+    and tie-breaks."""
+    from kolang_spark.llm.similarity import hard_negative_topk
+
+    D = _ANN_RECALL_DIMS
+    corpus = _planted_corpus(spark, sf_dir)
+    anchors = corpus.where(F.col("vec_id") % 10 == 0)
+    i = F.col("vec_id").cast("long")
+    clusters = corpus.select(
+        "vec_id", ((i - i % 10) / 10).cast("long").alias("cl")
+    )
+    positives = (
+        anchors.select(
+            F.col("vec_id").alias("query_id"),
+            ((i - i % 10) / 10).cast("long").alias("cl"),
+        )
+        .join(clusters, "cl")
+        .select("query_id", "vec_id")
+    )
+    out = hard_negative_topk(corpus, anchors, k=5, dims=D, positives=positives)
+    return out.select(
+        "query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
 def _q_pca_embeddings(spark, sf_dir):
     """Distributed PCA (`kolang_spark/llm/pca.py`): sufficient-statistic
     aggregation (one map-side-combinable job, d(d+3)/2 moment rows
@@ -4264,6 +4326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_train_classify": _q_langid_train_classify,
         "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
         "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "hard_negatives_planted": _q_hard_negatives_planted,
+        "gopher_rules_documents": _q_gopher_rules_documents,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -5676,6 +5740,59 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS bpe_tokens,
                    length(text) AS len_chars
             FROM documents
+        """,
+        # Gopher rule bundle: identical integer counts + divisions as
+        # gopher_quality_flags (word list from trim-split, line list
+        # from newline split with blank lines dropped) — the pass flag
+        # and every rounded ratio replay exactly.
+        "gopher_rules_documents": r"""
+            WITH base AS (
+              SELECT doc_id, text, lower(text) AS lw,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []
+                          ELSE string_split_regex(trim(text), '\s+') END AS w,
+                     list_filter(string_split(coalesce(text, ''), chr(10)),
+                                 l -> trim(l) <> '') AS lns
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     list_sum(list_transform(w, x -> length(x))) AS wchars,
+                     len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha,
+                     len(regexp_extract_all(text, '#')) AS n_hash,
+                     len(regexp_extract_all(text, '(\.\.\.|…)')) AS n_ell,
+                     len(lns) AS n_lines,
+                     len(list_filter(lns,
+                         l -> regexp_matches(trim(l), '^[•\-\*]'))) AS n_bullet,
+                     len(list_filter(lns,
+                         l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_ell_end,
+                     ((CASE WHEN regexp_matches(lw, '\bthe\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bbe\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bto\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bof\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\band\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bthat\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bhave\b') THEN 1 ELSE 0 END) + (CASE WHEN regexp_matches(lw, '\bwith\b') THEN 1 ELSE 0 END)) AS n_stop
+              FROM base
+            ), r AS (
+              SELECT doc_id, n_words, n_stop,
+                     CASE WHEN n_words > 0 THEN wchars*1.0/n_words ELSE 0 END AS mwl,
+                     CASE WHEN n_words > 0 THEN n_hash*1.0/n_words ELSE 0 END AS hwr,
+                     CASE WHEN n_words > 0 THEN n_ell*1.0/n_words ELSE 0 END AS ewr,
+                     CASE WHEN n_lines > 0 THEN n_bullet*1.0/n_lines ELSE 0 END AS blr,
+                     CASE WHEN n_lines > 0 THEN n_ell_end*1.0/n_lines ELSE 0 END AS elr,
+                     CASE WHEN n_words > 0 THEN n_alpha*1.0/n_words ELSE 0 END AS awr
+              FROM m
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(hwr, 6) AS hash_word_ratio,
+                   ROUND(ewr, 6) AS ellipsis_word_ratio,
+                   ROUND(blr, 6) AS bullet_line_ratio,
+                   ROUND(elr, 6) AS ellipsis_line_ratio,
+                   ROUND(awr, 6) AS alpha_word_ratio,
+                   CAST(n_stop AS INT) AS n_stop_distinct,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mwl >= 3 AND mwl <= 10
+                    AND hwr <= 0.1 AND ewr <= 0.1
+                    AND blr <= 0.9 AND elr <= 0.3
+                    AND awr >= 0.8 AND n_stop >= 2) AS gopher_pass
+            FROM r
         """,
         "quality_documents": r"""
             WITH m AS (
@@ -7319,6 +7436,41 @@ def oracle_sql() -> dict[str, str]:
             FROM exact e JOIN ann a
               ON e.query_id = a.query_id AND e.vec_id = a.vec_id
             GROUP BY e.query_id
+        """,
+        # Hard-negative mining replay: same md5 planted corpus, the
+        # same-cluster (vec_id//10) exclusion standing in for the
+        # positives anti-join (it IS the positives list, self
+        # included), exact cosine ranking with vec_id tie-break.
+        "hard_negatives_planted": f"""
+            WITH spine AS (
+              SELECT doc_id AS i FROM documents WHERE doc_id < {_ANN_RECALL_N}
+            ), corpus AS (
+              SELECT i AS vec_id,
+                     list_transform(range({_ANN_RECALL_DIMS}), d ->
+                       (('0x' || substr(md5('c' || CAST(i//10 AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0)
+                     + (('0x' || substr(md5('n' || CAST(i AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0) / 8.0
+                     ) AS v
+              FROM spine
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM corpus q, corpus c
+              WHERE q.vec_id % 10 = 0
+                AND c.vec_id // 10 <> q.vec_id // 10
+            ), ranked AS (
+              SELECT query_id, vec_id, cos_raw,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_raw DESC, vec_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+            FROM ranked WHERE rank <= 5
         """,
         "multimodal_sample_frames": """
             SELECT doc_id,

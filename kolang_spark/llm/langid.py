@@ -211,39 +211,58 @@ def classify_lang(
     sums) break toward the lexicographically LAST language, matching
     ``max(struct(score, lang))``; the oracle replays the same rule.
 
-    The argmax collects L = |languages| scored structs per document —
-    bounded by the model's language count, not by data size.
+    Plan shape: the dense grid is pivoted to one weight ARRAY per
+    bucket (lang-sorted), so each gram occurrence joins exactly ONE
+    broadcast row and the per-document aggregate carries L column
+    sums — no ×L row fanout anywhere (the fanout form measured ~3×
+    slower at bench scale). The argmax is then a per-row expression
+    over L scored structs. Long sums are order-independent, so the
+    rewrite is bit-identical to the reference formulation the DuckDB
+    oracle replays. Priors are collected here (bounded: one row per
+    language — the same driver sync the trainers do).
     """
+    langs_priors = sorted(
+        (r["lang"], int(r["prior_micro"])) for r in priors.collect()
+    )
+    if not langs_priors:
+        raise ValueError("priors is empty — train the model first")
+    n_langs = len(langs_priors)
+    grid_arr = grid.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("lang", "w_micro"))),
+            lambda x: x["w_micro"],
+        ).alias("__warr__")
+    )
     ex = df.select(
         F.col(id_col),
         F.explode(char_ngram_buckets(text_col, hash_buckets, n_min, n_max)).alias(
             "bucket"
         ),
     )
-    scored = (
-        ex.join(F.broadcast(grid), "bucket")
-        .groupBy(id_col, "lang")
+    agg = (
+        ex.join(F.broadcast(grid_arr), "bucket")
+        .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__n__"),
-            F.sum("w_micro").cast("long").alias("__s__"),
-        )
-        .join(F.broadcast(priors), "lang")
-        .select(
-            id_col,
-            "lang",
-            (F.col("prior_micro") + F.col("__s__")).alias("__score__"),
-            "__n__",
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            *[
+                F.sum(F.col("__warr__")[i]).cast("long").alias(f"__s{i}__")
+                for i in range(n_langs)
+            ],
         )
     )
-    best = scored.groupBy(id_col).agg(
-        F.reverse(
-            F.array_sort(F.collect_list(F.struct("__score__", "lang")))
-        ).alias("__ranked__"),
-        F.max("__n__").cast("long").alias("n_grams"),
+    cands = F.array(
+        *[
+            F.struct(
+                (F.col(f"__s{i}__") + F.lit(prior)).alias("__score__"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, prior) in enumerate(langs_priors)
+        ]
     )
-    top = F.col("__ranked__")[0]
-    second = F.when(F.size("__ranked__") > 1, F.col("__ranked__")[1])
-    picked = best.select(
+    ranked = F.reverse(F.array_sort(cands))
+    top = ranked[0]
+    second = F.when(F.lit(n_langs > 1), ranked[1])
+    picked = agg.select(
         id_col,
         top["lang"].alias("lang_pred"),
         top["__score__"].alias("score_micro"),

@@ -37,6 +37,7 @@ __all__ = [
     "pq_codebooks",
     "pq_encode",
     "ivf_pq_topk",
+    "hard_negative_topk",
 ]
 
 # SQL fragment (a column reference like "v" or "a.v") or a Column
@@ -900,5 +901,85 @@ def ivf_topk(
             _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
         ).alias("cos"),
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dims: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    positives: Optional[DataFrame] = None,
+    exclude_self: bool = True,
+    min_cos: Optional[float] = None,
+    max_cos: Optional[float] = None,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data (the
+    sentence-transformers / DPR recipe): for each anchor, the top-k
+    most similar corpus vectors that are NOT known positives — the
+    negatives that actually move an embedding model.
+
+    Filters, applied before ranking:
+
+    * ``positives`` — a ``(query_id, vec_id)`` frame of known positive
+      pairs to exclude (labels, click logs, same-cluster ids);
+    * ``exclude_self`` — drop the anchor itself;
+    * ``max_cos`` — false-negative guard: candidates ABOVE this
+      similarity are more likely unlabeled positives than negatives
+      (the standard "absolute margin" device), so they are dropped;
+    * ``min_cos`` — semi-hard floor: drop easy negatives below it.
+
+    Ranking is cosine-desc with the corpus-id tie-break, rank 1..k.
+
+    Scale: candidate generation IS the ANN problem — by default this
+    scores the broadcast anchor set brute-force and filters BEFORE
+    ranking (exact: no over-fetch guesswork even when every top
+    candidate is a positive, right for ≤ ~100k-row anchor batches).
+    For indexed mining pass ``candidates`` (any ``(query_id, vec_id,
+    cos)`` frame, e.g. :func:`lsh_topk` or :func:`ivf_pq_topk` output
+    with k set to an over-fetch ≥ k + expected positives per anchor);
+    the filters and ranking are unchanged. The positives anti-join
+    broadcasts the positives side when small.
+    """
+    if candidates is None:
+        corpus = (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col).alias("c_id"),
+                _as_double(F.col(vec_col)).alias("c_v"),
+            )
+            .withColumn("c_n", _norm("c_v", dims))
+        )
+        qs = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _as_double(F.col(query_vec_col)).alias("q_v"),
+        ).withColumn("q_n", _norm("q_v", dims))
+        scored = corpus.crossJoin(F.broadcast(qs)).select(
+            "query_id",
+            F.col("c_id").alias("vec_id"),
+            _safe_div_cos(
+                _dot("q_v", "c_v", dims), F.col("q_n"), F.col("c_n")
+            ).alias("cos"),
+        )
+    else:
+        scored = candidates.select("query_id", "vec_id", "cos")
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("vec_id"))
+    if positives is not None:
+        pos = positives.select(
+            F.col(positives.columns[0]).alias("query_id"),
+            F.col(positives.columns[1]).alias("vec_id"),
+        )
+        scored = scored.join(F.broadcast(pos), ["query_id", "vec_id"], "left_anti")
+    if max_cos is not None:
+        scored = scored.where(F.col("cos") <= F.lit(float(max_cos)))
+    if min_cos is not None:
+        scored = scored.where(F.col("cos") >= F.lit(float(min_cos)))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

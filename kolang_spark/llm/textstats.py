@@ -16,6 +16,7 @@ from kolang_spark.utils import ColumnOrName, bind_once, to_col
 
 __all__ = [
     "tokenize",
+    "gopher_quality_flags",
     "token_count",
     "word_ngrams",
     "quality_metrics",
@@ -286,3 +287,114 @@ def simhash(col: ColumnOrName, bits: int = 16, hash_fn: str = "md5") -> Column:
     return bind_once(
         F.transform(tokenize(col), lambda t: _token_hash60(t, hash_fn)), build
     )
+
+
+# the Gopher rule constants (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public)
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(col: ColumnOrName) -> Dict[str, Column]:
+    """The Gopher document-quality rule bundle (Rae et al. 2021 —
+    the published filter set MassiveWeb/Gopher used, since reused by
+    RedPajama/Dolma/FineWeb pipelines), as pure Column algebra:
+
+    * ``n_words`` in [50, 100 000];
+    * ``mean_word_len`` in [3, 10];
+    * symbol-to-word ratio ≤ 0.1 for BOTH ``#`` and ellipsis
+      (``...`` / ``…``);
+    * ≤ 90% of lines start with a bullet (``•``/``-``/``*``);
+    * ≤ 30% of lines end with an ellipsis;
+    * ≥ 80% of words contain at least one alphabetic character;
+    * at least 2 distinct members of the 8-word stop list
+      {the, be, to, of, and, that, have, with}.
+
+    Returns the named ratio/flag Columns plus the composite
+    ``gopher_pass``. One projection per document — no shuffle, no
+    UDF, codegen-compiled; at 100 TB this is a scan-riding gate.
+    """
+    c = to_col(col)
+    lower = F.lower(c)
+
+    def build(words: Column) -> Dict[str, Column]:
+        n_words = F.coalesce(F.size(words), F.lit(0))
+        n_chars_in_words = F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        )
+        mean_word_len = F.when(
+            n_words > 0, n_chars_in_words / n_words
+        ).otherwise(0.0)
+        n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        alpha_word_ratio = F.when(
+            n_words > 0, n_alpha_words / n_words
+        ).otherwise(0.0)
+        n_hash = F.size(F.regexp_extract_all(c, F.lit(r"#"), 0))
+        # count "…" and "..." as one symbol each (longest-first
+        # alternation so "...." is one ellipsis + one stray dot)
+        n_ellipsis = F.size(
+            F.regexp_extract_all(c, F.lit(r"(\.\.\.|…)"), 0)
+        )
+        hash_word_ratio = F.when(n_words > 0, n_hash / n_words).otherwise(0.0)
+        ellipsis_word_ratio = F.when(
+            n_words > 0, n_ellipsis / n_words
+        ).otherwise(0.0)
+
+        lines = F.filter(
+            F.split(F.coalesce(c, F.lit("")), "\n"),
+            lambda ln: F.trim(ln) != "",
+        )
+        n_lines = F.size(lines)
+        n_bullet = F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*]"))
+        )
+        n_ell_end = F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$"))
+        )
+        bullet_line_ratio = F.when(n_lines > 0, n_bullet / n_lines).otherwise(0.0)
+        ellipsis_line_ratio = F.when(n_lines > 0, n_ell_end / n_lines).otherwise(0.0)
+
+        n_stop_distinct = sum(
+            F.when(lower.rlike(rf"\b{w}\b"), 1).otherwise(0)
+            for w in _GOPHER_STOPWORDS
+        ).cast("int")
+
+        gopher_pass = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (mean_word_len >= 3)
+            & (mean_word_len <= 10)
+            & (hash_word_ratio <= 0.1)
+            & (ellipsis_word_ratio <= 0.1)
+            & (bullet_line_ratio <= 0.9)
+            & (ellipsis_line_ratio <= 0.3)
+            & (alpha_word_ratio >= 0.8)
+            & (n_stop_distinct >= 2)
+        )
+        return {
+            "n_words": n_words.cast("long"),
+            "mean_word_len": mean_word_len,
+            "hash_word_ratio": hash_word_ratio,
+            "ellipsis_word_ratio": ellipsis_word_ratio,
+            "bullet_line_ratio": bullet_line_ratio,
+            "ellipsis_line_ratio": ellipsis_line_ratio,
+            "alpha_word_ratio": alpha_word_ratio,
+            "n_stop_distinct": n_stop_distinct,
+            "gopher_pass": gopher_pass,
+        }
+
+    bound = bind_once(
+        tokenize(c),
+        lambda w: F.struct(*[v.alias(k) for k, v in build(w).items()]),
+    )
+    keys = [
+        "n_words",
+        "mean_word_len",
+        "hash_word_ratio",
+        "ellipsis_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        "n_stop_distinct",
+        "gopher_pass",
+    ]
+    return {k: bound[k] for k in keys}

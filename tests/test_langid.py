@@ -180,3 +180,40 @@ def test_train_rejects_bad_params(spark):
         char_ngram_buckets("text", hash_buckets=0)
     with pytest.raises(ValueError):
         char_ngram_buckets("text", n_min=3, n_max=2)
+
+
+def test_gopher_quality_flags(spark):
+    """Gopher rule bundle (`textstats.gopher_quality_flags`): each rule
+    fires on a targeted synthetic document."""
+    from kolang_spark.llm.textstats import gopher_quality_flags
+
+    good = (
+        "the quick brown fox and the lazy dog have decided to be friends "
+        "with all of the animals that live near the river bank today "
+        "because the weather is pleasant and everyone wants to enjoy it "
+        "while the sun is still up and the air is warm and calm near home"
+    )
+    docs = [
+        (1, good),                                   # passes every rule
+        (2, "too short"),                            # word-count floor
+        (3, None),                                   # NULL text
+        (4, "- a\n- b\n- c\n- d"),                   # bullet lines
+        (5, good + " ###### " * 20),                 # hash symbol ratio
+        (6, "zzz qqq " * 40),                        # no stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fl = gopher_quality_flags(F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[v.alias(k) for k, v in fl.items()],
+        ).collect()
+    }
+    assert rows[1].gopher_pass
+    assert rows[1].n_stop_distinct >= 2
+    assert not rows[2].gopher_pass and rows[2].n_words == 2
+    assert not rows[3].gopher_pass and rows[3].n_words == 0
+    assert rows[4].bullet_line_ratio == 1.0 and not rows[4].gopher_pass
+    assert rows[5].hash_word_ratio > 0.1 and not rows[5].gopher_pass
+    assert rows[6].n_stop_distinct == 0 and not rows[6].gopher_pass

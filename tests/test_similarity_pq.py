@@ -147,3 +147,50 @@ def test_param_validation(corpus):
             dims=DIMS,
             codebooks=cb,
         )
+
+
+def test_hard_negative_topk(corpus):
+    """Same-cluster positives are excluded even though they dominate
+    every anchor's raw top-10 (filters run BEFORE ranking); the
+    max_cos false-negative guard and candidates path behave."""
+    from kolang_spark.llm.similarity import hard_negative_topk
+
+    anchors = corpus.where(F.col("vec_id") % 10 == 0)
+    clusters = corpus.select(
+        "vec_id", (F.col("vec_id") - F.col("vec_id") % 10).alias("cl")
+    )
+    positives = (
+        anchors.select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") - F.col("vec_id") % 10).alias("cl"),
+        )
+        .join(clusters, "cl")
+        .select("query_id", "vec_id")
+    )
+    out = hard_negative_topk(
+        corpus, anchors, k=5, dims=DIMS, positives=positives
+    ).collect()
+    assert len(out) == 20 * 5
+    for r in out:
+        assert r.vec_id // 10 != r.query_id // 10  # never a positive
+        assert r.vec_id != r.query_id
+    # every anchor still gets a FULL top-5 despite 10 excluded rows
+    per = {}
+    for r in out:
+        per.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+
+    # max_cos guard caps similarity; min_cos floors it
+    capped = hard_negative_topk(
+        corpus, anchors, k=5, dims=DIMS, positives=positives, max_cos=0.5
+    ).collect()
+    assert all(r.cos <= 0.5 for r in capped)
+
+    # candidates path: mine from a precomputed (over-fetched) frame
+    cand = brute_force_topk(corpus, anchors, k=30, dims=DIMS).drop("rank")
+    via_cand = hard_negative_topk(
+        corpus, anchors, k=5, dims=DIMS, positives=positives, candidates=cand
+    ).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in via_cand} == {
+        (r.query_id, r.vec_id, r.rank) for r in out
+    }
