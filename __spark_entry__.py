@@ -3262,6 +3262,51 @@ def _q_ann_ivf_pq_recall_planted(spark, sf_dir):
     )
 
 
+def _q_contrastive_rows_planted(spark, sf_dir):
+    """Contrastive training-row assembly (`kolang_spark/llm/
+    similarity.py::build_contrastive_rows` — the InfoNCE/triplet
+    export format: anchor + best labeled positive + rank-ordered
+    mined hard negatives): planted-cluster anchors with the cluster
+    as the positives list and 3 mined cross-cluster negatives each.
+    Arrays are exploded to one row per negative slot for the oracle
+    (flat scalar columns hash engine-portably); the DuckDB oracle
+    re-derives the positive argmax, the negative mining, and both
+    cosine sets."""
+    from kolang_spark.llm.similarity import build_contrastive_rows
+
+    D = _ANN_RECALL_DIMS
+    corpus = _planted_corpus(spark, sf_dir)
+    anchors = corpus.where(F.col("vec_id") % 10 == 0)
+    i = F.col("vec_id").cast("long")
+    clusters = corpus.select(
+        "vec_id", ((i - i % 10) / 10).cast("long").alias("cl")
+    )
+    positives = (
+        anchors.select(
+            F.col("vec_id").alias("query_id"),
+            ((i - i % 10) / 10).cast("long").alias("cl"),
+        )
+        .join(clusters, "cl")
+        .select("query_id", "vec_id")
+    )
+    out = build_contrastive_rows(
+        corpus, anchors, positives, k_neg=3, dims=D
+    )
+    return out.select(
+        "query_id",
+        "pos_id",
+        F.round("pos_cos", 6).alias("pos_cos"),
+        F.posexplode(F.arrays_zip("neg_ids", "neg_cos")).alias("__p__", "__z__"),
+    ).select(
+        "query_id",
+        "pos_id",
+        "pos_cos",
+        (F.col("__p__") + 1).cast("int").alias("neg_rank"),
+        F.col("__z__")["neg_ids"].alias("neg_id"),
+        F.round(F.col("__z__")["neg_cos"], 6).alias("neg_cos"),
+    )
+
+
 def _q_gopher_rules_documents(spark, sf_dir):
     """The Gopher document-quality rule bundle (`kolang_spark/llm/
     textstats.py::gopher_quality_flags` — Rae et al. 2021 table A1,
@@ -4328,6 +4373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_gif": _q_multimodal_decode_gif,
         "hard_negatives_planted": _q_hard_negatives_planted,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "contrastive_rows_planted": _q_contrastive_rows_planted,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -7471,6 +7517,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # Contrastive-row replay: positive = same-cluster argmax (cos
+        # DESC, vec_id tie), negatives = the hard_negatives ranking at
+        # k=3, joined into (anchor, positive, negative-slot) rows.
+        "contrastive_rows_planted": f"""
+            WITH spine AS (
+              SELECT doc_id AS i FROM documents WHERE doc_id < {_ANN_RECALL_N}
+            ), corpus AS (
+              SELECT i AS vec_id,
+                     list_transform(range({_ANN_RECALL_DIMS}), d ->
+                       (('0x' || substr(md5('c' || CAST(i//10 AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0)
+                     + (('0x' || substr(md5('n' || CAST(i AS VARCHAR)
+                            || ':' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                          / 2147483648.0 - 1.0) / 8.0
+                     ) AS v
+              FROM spine
+            ), pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     (c.vec_id // 10 = q.vec_id // 10) AS same_cl,
+                     list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))) AS cos_raw
+              FROM corpus q, corpus c
+              WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id
+            ), pos AS (
+              SELECT query_id, vec_id, cos_raw FROM (
+                SELECT query_id, vec_id, cos_raw,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_raw DESC, vec_id) AS rn
+                FROM pairs WHERE same_cl) WHERE rn = 1
+            ), negs AS (
+              SELECT query_id, vec_id, cos_raw, rnk FROM (
+                SELECT query_id, vec_id, cos_raw,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cos_raw DESC, vec_id) AS rnk
+                FROM pairs WHERE NOT same_cl) WHERE rnk <= 3
+            )
+            SELECT n.query_id, p.vec_id AS pos_id,
+                   ROUND(p.cos_raw, 6) AS pos_cos,
+                   CAST(n.rnk AS INT) AS neg_rank,
+                   n.vec_id AS neg_id,
+                   ROUND(n.cos_raw, 6) AS neg_cos
+            FROM negs n JOIN pos p USING (query_id)
         """,
         "multimodal_sample_frames": """
             SELECT doc_id,

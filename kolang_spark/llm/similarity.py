@@ -38,6 +38,7 @@ __all__ = [
     "pq_encode",
     "ivf_pq_topk",
     "hard_negative_topk",
+    "build_contrastive_rows",
 ]
 
 # SQL fragment (a column reference like "v" or "a.v") or a Column
@@ -983,3 +984,94 @@ def hard_negative_topk(
         scored = scored.where(F.col("cos") >= F.lit(float(min_cos)))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def build_contrastive_rows(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 4,
+    dims: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    max_cos: Optional[float] = None,
+    min_cos: Optional[float] = None,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Assemble (anchor, positive, negatives) training rows — the
+    output format a contrastive fine-tune (InfoNCE / triplet) consumes
+    — from labeled positives plus :func:`hard_negative_topk` mining.
+
+    Per anchor: the highest-cosine labeled positive (ties to the
+    smaller corpus id) and the top ``k_neg`` mined hard negatives in
+    rank order. Returns ``(query_id, pos_id, pos_cos, neg_ids,
+    neg_cos)`` with the negatives as rank-ordered arrays. Anchors
+    missing either a scored positive or any surviving negative drop
+    out (inner joins — a training row needs both sides).
+
+    Scale: positive scoring touches only the labeled pairs (an id
+    equi-join against corpus and anchor vectors); negative mining is
+    :func:`hard_negative_topk` (same ``candidates`` escape hatch for
+    indexed mining); the final assembly is two per-anchor aggregates.
+    """
+    negs = hard_negative_topk(
+        df,
+        queries,
+        k=k_neg,
+        dims=dims,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+        positives=positives,
+        max_cos=max_cos,
+        min_cos=min_cos,
+        candidates=candidates,
+    )
+    neg_rows = negs.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "vec_id", "cos"))),
+            lambda x: x["vec_id"],
+        ).alias("neg_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "vec_id", "cos"))),
+            lambda x: x["cos"],
+        ).alias("neg_cos"),
+    )
+
+    corpus = df.select(
+        F.col(id_col).alias("p_vid"), _as_double(F.col(vec_col)).alias("p_v")
+    ).withColumn("p_n", _norm("p_v", dims))
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("q_v"),
+    ).withColumn("q_n", _norm("q_v", dims))
+    pos_scored = (
+        positives.select(
+            F.col(positives.columns[0]).alias("query_id"),
+            F.col(positives.columns[1]).alias("p_vid"),
+        )
+        .where(F.col("query_id") != F.col("p_vid"))
+        .join(qs, "query_id")
+        .join(corpus, "p_vid")
+        .select(
+            "query_id",
+            F.col("p_vid").alias("pos_id"),
+            _safe_div_cos(
+                _dot("q_v", "p_v", dims), F.col("q_n"), F.col("p_n")
+            ).alias("pos_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pos_cos").desc(), F.col("pos_id")
+    )
+    best_pos = (
+        pos_scored.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    return best_pos.join(neg_rows, "query_id").select(
+        "query_id", "pos_id", "pos_cos", "neg_ids", "neg_cos"
+    )

@@ -197,6 +197,11 @@ PRUNING_EXPECTED = {
     "exact_dedup_documents": {"doc_id", "text"},
     "zorder_key_parts": {"p_partkey", "p_retailprice", "p_size"},
     "winsorize_events": {"event_id", "event_type", "value"},
+    "gopher_rules_documents": {"doc_id", "text"},
+    # planted-corpus queries synthesize vectors from the id alone — the
+    # scan must never touch text/lang/embedding columns
+    "hard_negatives_planted": {"doc_id"},
+    "langid_train_classify": {"doc_id"},
 }
 
 

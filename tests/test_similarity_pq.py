@@ -194,3 +194,44 @@ def test_hard_negative_topk(corpus):
     assert {(r.query_id, r.vec_id, r.rank) for r in via_cand} == {
         (r.query_id, r.vec_id, r.rank) for r in out
     }
+
+
+def test_build_contrastive_rows(corpus):
+    """Training-row assembly: best positive is the nearest same-cluster
+    member, negatives are rank-ordered cross-cluster, and anchors
+    missing a positive drop out."""
+    from kolang_spark.llm.similarity import (
+        build_contrastive_rows,
+        hard_negative_topk,
+    )
+
+    anchors = corpus.where(F.col("vec_id") % 10 == 0)
+    clusters = corpus.select(
+        "vec_id", (F.col("vec_id") - F.col("vec_id") % 10).alias("cl")
+    )
+    positives = (
+        anchors.select(
+            F.col("vec_id").alias("query_id"),
+            (F.col("vec_id") - F.col("vec_id") % 10).alias("cl"),
+        )
+        .join(clusters, "cl")
+        .select("query_id", "vec_id")
+    )
+    rows = {
+        r.query_id: r
+        for r in build_contrastive_rows(
+            corpus, anchors, positives, k_neg=3, dims=DIMS
+        ).collect()
+    }
+    assert len(rows) == 20
+    negs = hard_negative_topk(
+        corpus, anchors, k=3, dims=DIMS, positives=positives
+    ).collect()
+    expect = {}
+    for r in sorted(negs, key=lambda r: (r.query_id, r.rank)):
+        expect.setdefault(r.query_id, []).append(r.vec_id)
+    for qid, r in rows.items():
+        assert r.pos_id // 10 == qid // 10 and r.pos_id != qid
+        assert list(r.neg_ids) == expect[qid]
+        assert list(r.neg_cos) == sorted(r.neg_cos, reverse=True)
+        assert r.pos_cos > max(r.neg_cos)  # planted clusters separate
