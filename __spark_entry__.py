@@ -2124,6 +2124,35 @@ def _q_multimodal_decode_gif(spark, sf_dir):
     )
 
 
+def _q_multimodal_gif_frame_ahash(spark, sf_dir):
+    """Decoded-frame chain (r9 verdict item 8's second half — the
+    container decode FEEDING the sample/hash chain): multi-frame GIF
+    decode with ``include_pixels=True`` hands each frame's palette-
+    index array to COLUMN-side operators — every 2nd frame is sampled
+    (the `sample_frames` stride pattern) and perceptual-hashed by
+    `frame_index_ahash` (integer-exact aHash: cross-multiplied mean
+    threshold + doubling-bit fold, no floats). One Python boundary
+    for the byte decode, everything downstream pure Column algebra.
+    The oracle predicts every hash closed-form from doc_id."""
+    from kolang_spark.llm.multimodal import (
+        decode_gif_frames,
+        frame_index_ahash,
+        synth_gif_blobs,
+    )
+
+    dc = _t(spark, sf_dir, "documents")
+    blobs = synth_gif_blobs(dc.select("doc_id"))
+    frames = decode_gif_frames(blobs, include_pixels=True)
+    sampled = frames.where(F.col("frame_idx") % 2 == 0)
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "n_pixels",
+        frame_index_ahash(F.col("indices")).alias("ahash"),
+    )
+
+
 def _q_multimodal_decode_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode, oracle-backed (round-5 verdict item
     5): every row gets a spec-valid baseline grayscale JPEG (huffman
@@ -4374,6 +4403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_planted": _q_hard_negatives_planted,
         "gopher_rules_documents": _q_gopher_rules_documents,
         "contrastive_rows_planted": _q_contrastive_rows_planted,
+        "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -7054,6 +7084,40 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    substr(hex(encode(text)), 1, 8) AS header_hex
             FROM documents
+        """,
+        # Frame-chain replay: sampled (even) frames, idx list closed-
+        # form from doc_id, ahash = sum of 2^p over strictly-above-
+        # mean pixels (cross-multiplied integer threshold, identical
+        # to frame_index_ahash's fold).
+        "multimodal_gif_frame_ahash": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(3 + doc_id % 4 AS INT) AS w,
+                     CAST(3 + doc_id % 3 AS INT) AS h,
+                     CAST(2 + doc_id % 3 AS INT) AS nf
+              FROM documents
+            ), fr AS (
+              SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM dims
+            ), px AS (
+              SELECT doc_id, w, h, nf, f,
+                     [CAST((doc_id*7 + f*31 + p*13) % 128 AS BIGINT)
+                      for p in range(0, w*h)] AS idx
+              FROM fr WHERE f % 2 = 0
+            ), st AS (
+              SELECT doc_id, nf, f, idx,
+                     CAST(list_sum(idx) AS BIGINT) AS s,
+                     len(idx) AS n
+              FROM px
+            )
+            SELECT doc_id,
+                   CAST(f AS INT) AS frame_idx,
+                   nf AS n_frames,
+                   CAST(n AS BIGINT) AS n_pixels,
+                   CAST(list_sum([CASE WHEN idx[p+1]*n > s
+                                       THEN CAST(power(2, p) AS BIGINT)
+                                       ELSE 0 END
+                                  for p in range(0, n)]) AS BIGINT) AS ahash
+            FROM st
         """,
         # Mirrors synth_gif_blobs/decode_gif_frames: every frame
         # statistic predicted closed-form from doc_id (w=3+id%4,

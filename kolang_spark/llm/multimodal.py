@@ -1309,6 +1309,7 @@ def decode_gif_frames(
     df: DataFrame,
     blob_col: str = "content",
     id_col: str = "doc_id",
+    include_pixels: bool = False,
 ) -> DataFrame:
     """Multi-frame container decode via Arrow-batched ``mapInPandas``:
     one output row per GIF frame — the video-shaped sibling of
@@ -1322,8 +1323,16 @@ def decode_gif_frames(
     (``sum_index``/``first_index``/``mean_index``) — all closed-form
     predictable for :func:`synth_gif_blobs` payloads, which is what
     makes the decode oracle-checkable without a reference decoder.
+
+    ``include_pixels=True`` adds the raw palette-index array per frame
+    (``indices array<int>``) so downstream COLUMN-side operators
+    (frame sampling, perceptual hashing, per-frame diffs) consume
+    decoded frames without a second Python boundary. Each row then
+    carries width·height ints — fine for thumbnails/frames, size the
+    batch accordingly for large frames.
     """
     src = df.select(F.col(id_col).alias("doc_id"), F.col(blob_col).alias("blob"))
+    schema = _GIF_FRAME_SCHEMA + (", indices array<int>" if include_pixels else "")
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1332,42 +1341,71 @@ def decode_gif_frames(
                 b = bytes(b) if b is not None else b""
                 parsed = _parse_gif(b)
                 if parsed is None:
-                    rows.append((did, None, 0, None, None, None, None, None, None, None))
+                    base = (did, None, 0, None, None, None, None, None, None, None)
+                    rows.append(base + ((None,) if include_pixels else ()))
                     continue
                 _, _, _, frames = parsed
                 for fi, (w, h, delay, idx) in enumerate(frames):
                     s = int(idx.sum(dtype=np.int64))
-                    rows.append(
-                        (
-                            did,
-                            fi,
-                            len(frames),
-                            w,
-                            h,
-                            delay,
-                            w * h,
-                            s,
-                            int(idx[0]) if idx.size else None,
-                            s / idx.size if idx.size else None,
-                        )
+                    base = (
+                        did,
+                        fi,
+                        len(frames),
+                        w,
+                        h,
+                        delay,
+                        w * h,
+                        s,
+                        int(idx[0]) if idx.size else None,
+                        s / idx.size if idx.size else None,
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "frame_idx",
-                    "n_frames",
-                    "width",
-                    "height",
-                    "delay_cs",
-                    "n_pixels",
-                    "sum_index",
-                    "first_index",
-                    "mean_index",
-                ],
-            )
+                    if include_pixels:
+                        base = base + ([int(x) for x in idx],)
+                    rows.append(base)
+            cols = [
+                "doc_id",
+                "frame_idx",
+                "n_frames",
+                "width",
+                "height",
+                "delay_cs",
+                "n_pixels",
+                "sum_index",
+                "first_index",
+                "mean_index",
+            ] + (["indices"] if include_pixels else [])
+            yield pd.DataFrame(rows, columns=cols)
 
-    return src.mapInPandas(frame_batches, schema=_GIF_FRAME_SCHEMA)
+    return src.mapInPandas(frame_batches, schema=schema)
+
+
+def frame_index_ahash(indices: "F.Column") -> "F.Column":
+    """Average-hash of a decoded frame's palette-index array, pure
+    Column algebra (the :func:`image_ahash` idea applied to frame
+    streams): bit p is set iff pixel p is STRICTLY above the frame
+    mean. Integer-exact — the mean comparison is cross-multiplied
+    (``idx·n > Σ``), and the hash accumulates through a struct fold
+    with a doubling bit, so no float ever enters. Frames compared by
+    this hash (e.g. consecutive-frame dedup) need identical
+    dimensions, as with any aHash."""
+    n = F.size(indices)
+    s = F.aggregate(
+        indices, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+    )
+    return F.aggregate(
+        indices,
+        F.struct(
+            F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("bit")
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["h"]
+                + F.when(x.cast("long") * n > s, acc["bit"]).otherwise(F.lit(0))
+            ).alias("h"),
+            (acc["bit"] * 2).alias("bit"),
+        ),
+        lambda acc: acc["h"],
+    )
 
 
 def decode_audio(

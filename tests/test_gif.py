@@ -170,3 +170,30 @@ def test_frames_feed_sample_frames_spine(spark):
     for r in got:
         nf = 2 + r.doc_id % 3
         assert r["count"] == (nf + 1) // 2
+
+
+def test_frame_index_ahash_chain(spark):
+    """include_pixels hands the decoded index arrays to Column-side
+    ops; frame_index_ahash matches a python reference bit-for-bit."""
+    from kolang_spark.llm.multimodal import frame_index_ahash
+
+    df = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    frames = decode_gif_frames(synth_gif_blobs(df), include_pixels=True)
+    rows = frames.select(
+        "doc_id",
+        "frame_idx",
+        "indices",
+        frame_index_ahash(F.col("indices")).alias("ahash"),
+    ).collect()
+    assert rows
+    for r in rows:
+        idx = list(r.indices)
+        n, s = len(idx), sum(idx)
+        expect = sum(1 << p for p, x in enumerate(idx) if x * n > s)
+        assert r.ahash == expect, (r.doc_id, r.frame_idx)
+        # and the decoded indices are the closed-form synthesis
+        exp_idx = [
+            (r.doc_id * 7 + r.frame_idx * 31 + p * 13) % 128
+            for p in range(n)
+        ]
+        assert idx == exp_idx

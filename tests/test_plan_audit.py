@@ -52,6 +52,9 @@ PANDAS_ALLOWED = {
     # multi-frame GIF container walk + general LZW decode: same
     # sanctioned container-decode boundary as the image decoders
     "multimodal_decode_gif",
+    # same boundary; the downstream frame sampling + aHash are pure
+    # Column algebra over the decoded index arrays
+    "multimodal_gif_frame_ahash",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
