@@ -1270,6 +1270,8 @@ def _parse_gif(b: bytes):
             h = b[pos + 6] | (b[pos + 7] << 8)
             ipacked = b[pos + 8]
             pos += 9
+            if ipacked & 0x40:  # interlaced — out of scope; reject
+                return None  # BEFORE paying for the LZW decode
             if ipacked & 0x80:  # local color table
                 pos += 3 * (2 << (ipacked & 0x07))
             if pos >= len(b):
@@ -1286,8 +1288,6 @@ def _parse_gif(b: bytes):
             pos += 1
             idx = _gif_lzw_decode(bytes(data), mcs, w * h + 4096)
             if idx is None or len(idx) < w * h:
-                return None
-            if ipacked & 0x40:  # interlaced — out of scope, reject
                 return None
             frames.append((w, h, delay, np.array(idx[: w * h], dtype=np.int64)))
             delay = 0
@@ -1385,26 +1385,38 @@ def frame_index_ahash(indices: "F.Column") -> "F.Column":
     streams): bit p is set iff pixel p is STRICTLY above the frame
     mean. Integer-exact — the mean comparison is cross-multiplied
     (``idx·n > Σ``), and the hash accumulates through a struct fold
-    with a doubling bit, so no float ever enters. Frames compared by
-    this hash (e.g. consecutive-frame dedup) need identical
-    dimensions, as with any aHash."""
+    with a doubling bit, so no float ever enters. The Σ/n pair is
+    let-bound (:func:`~kolang_spark.utils.bind_once`) before the fold
+    — HOF lambdas get no subexpression elimination, so referencing
+    the sum inside the per-element lambda directly would re-evaluate
+    it per element (O(n²) per frame). Frames compared by this hash
+    (e.g. consecutive-frame dedup) need identical dimensions, as with
+    any aHash."""
+    from kolang_spark.utils import bind_once
+
     n = F.size(indices)
     s = F.aggregate(
         indices, F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
     )
-    return F.aggregate(
-        indices,
-        F.struct(
-            F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("bit")
+    return bind_once(
+        F.struct(s.alias("s"), n.cast("long").alias("n")),
+        lambda sn: F.aggregate(
+            indices,
+            F.struct(
+                F.lit(0).cast("long").alias("h"),
+                F.lit(1).cast("long").alias("bit"),
+            ),
+            lambda acc, x: F.struct(
+                (
+                    acc["h"]
+                    + F.when(
+                        x.cast("long") * sn["n"] > sn["s"], acc["bit"]
+                    ).otherwise(F.lit(0))
+                ).alias("h"),
+                (acc["bit"] * 2).alias("bit"),
+            ),
+            lambda acc: acc["h"],
         ),
-        lambda acc, x: F.struct(
-            (
-                acc["h"]
-                + F.when(x.cast("long") * n > s, acc["bit"]).otherwise(F.lit(0))
-            ).alias("h"),
-            (acc["bit"] * 2).alias("bit"),
-        ),
-        lambda acc: acc["h"],
     )
 
 

@@ -689,20 +689,32 @@ def ivf_pq_topk(
         )
     # the ADC gather indexes adc[j·stride + code], where stride must be
     # the ACTUAL per-subspace code count (a small corpus can seed fewer
-    # than ksub stride codes) — one bounded collect over the broadcast-
-    # sized codebook table (m rows) pins it
-    sizes = {
-        r.subspace: r.n
+    # than ksub stride codes) AND the codes must be CONTIGUOUS 0..n-1
+    # per subspace — a gap would silently shift every later position
+    # into the wrong (or an out-of-bounds) ADC slot. One bounded
+    # collect over the broadcast-sized codebook table (m rows) pins
+    # both invariants.
+    stats = {
+        r.subspace: (r.n, r.nd, r.mn, r.mx)
         for r in codebooks.groupBy("subspace")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("code").alias("nd"),
+            F.min("code").alias("mn"),
+            F.max("code").alias("mx"),
+        )
         .collect()
     }
-    if sorted(sizes) != list(range(m)) or len(set(sizes.values())) != 1:
+    ok = sorted(stats) == list(range(m)) and all(
+        n == nd and mn == 0 and mx == n - 1 for n, nd, mn, mx in stats.values()
+    ) and len({v[0] for v in stats.values()}) == 1
+    if not ok:
         raise ValueError(
-            f"codebooks must cover subspaces 0..{m - 1} with a uniform "
-            f"code count; got {sizes}"
+            f"codebooks must cover subspaces 0..{m - 1} with a uniform, "
+            f"CONTIGUOUS code range 0..n-1 per subspace; got "
+            f"{{subspace: (count, distinct, min, max)}} = {stats}"
         )
-    ksub = sizes[0]
+    ksub = next(iter(stats.values()))[0]
 
     def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
         scored = side.join(F.broadcast(cents), how="cross").withColumn(
@@ -920,6 +932,7 @@ def hard_negative_topk(
     min_cos: Optional[float] = None,
     max_cos: Optional[float] = None,
     candidates: Optional[DataFrame] = None,
+    broadcast_positives: bool = True,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data (the
     sentence-transformers / DPR recipe): for each anchor, the top-k
@@ -942,11 +955,15 @@ def hard_negative_topk(
     scores the broadcast anchor set brute-force and filters BEFORE
     ranking (exact: no over-fetch guesswork even when every top
     candidate is a positive, right for ≤ ~100k-row anchor batches).
-    For indexed mining pass ``candidates`` (any ``(query_id, vec_id,
-    cos)`` frame, e.g. :func:`lsh_topk` or :func:`ivf_pq_topk` output
-    with k set to an over-fetch ≥ k + expected positives per anchor);
-    the filters and ranking are unchanged. The positives anti-join
-    broadcasts the positives side when small.
+    For indexed mining pass ``candidates`` — any frame with
+    ``(query_id, vec_id)`` plus a ``cos`` or ``approx_cos`` score
+    column (:func:`lsh_topk`, :func:`ivf_topk`, refined OR unrefined
+    :func:`ivf_pq_topk` output all qualify), with its k set to an
+    over-fetch ≥ k + expected positives per anchor; the filters and
+    ranking are unchanged. The positives anti-join broadcasts the
+    positives side by default — set ``broadcast_positives=False``
+    for label sets too big to pin on every executor (click logs),
+    which falls back to a hash-partitioned anti-join.
     """
     if candidates is None:
         corpus = (
@@ -969,7 +986,10 @@ def hard_negative_topk(
             ).alias("cos"),
         )
     else:
-        scored = candidates.select("query_id", "vec_id", "cos")
+        score_col = "cos" if "cos" in candidates.columns else "approx_cos"
+        scored = candidates.select(
+            "query_id", "vec_id", F.col(score_col).alias("cos")
+        )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("vec_id"))
     if positives is not None:
@@ -977,7 +997,9 @@ def hard_negative_topk(
             F.col(positives.columns[0]).alias("query_id"),
             F.col(positives.columns[1]).alias("vec_id"),
         )
-        scored = scored.join(F.broadcast(pos), ["query_id", "vec_id"], "left_anti")
+        if broadcast_positives:
+            pos = F.broadcast(pos)
+        scored = scored.join(pos, ["query_id", "vec_id"], "left_anti")
     if max_cos is not None:
         scored = scored.where(F.col("cos") <= F.lit(float(max_cos)))
     if min_cos is not None:
@@ -1030,15 +1052,19 @@ def build_contrastive_rows(
         min_cos=min_cos,
         candidates=candidates,
     )
-    neg_rows = negs.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("rank", "vec_id", "cos"))),
-            lambda x: x["vec_id"],
-        ).alias("neg_ids"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("rank", "vec_id", "cos"))),
-            lambda x: x["cos"],
-        ).alias("neg_cos"),
+    # ONE collect+sort aggregate; the two projections split it afterwards
+    neg_rows = (
+        negs.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "vec_id", "cos"))
+            ).alias("__negs__")
+        )
+        .select(
+            "query_id",
+            F.transform(F.col("__negs__"), lambda x: x["vec_id"]).alias("neg_ids"),
+            F.transform(F.col("__negs__"), lambda x: x["cos"]).alias("neg_cos"),
+        )
     )
 
     corpus = df.select(

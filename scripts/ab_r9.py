@@ -92,11 +92,23 @@ def worker(repo: str) -> None:
     print("ABRESULT " + json.dumps(out))
 
 
+R7_COMMIT = os.environ.get("AB_R7_COMMIT", "4fe5fec")
+R7_PATH = os.environ.get("AB_R7_PATH", "/tmp/ab_r7")
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         worker(sys.argv[2])
         return
-    sides = {"r7": "/tmp/ab_r7", "r9": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(R7_PATH):
+        # reproducible from the repo alone: materialize the r7 side as
+        # a worktree at the round-7 artifact commit
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", R7_PATH, R7_COMMIT],
+            check=True,
+        )
+    sides = {"r7": R7_PATH, "r9": repo}
     results = {s: [] for s in sides}
     for cycle in range(CYCLES):
         for side, repo in sides.items():

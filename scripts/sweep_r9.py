@@ -39,9 +39,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 def timed(fn, runs=2):
     best = None
     for _ in range(runs):
-        t0 = time.time()
+        t0 = time.perf_counter()  # monotonic — the repo's timing convention
         n = fn()
-        dt = time.time() - t0
+        dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best, n
 
