@@ -2818,18 +2818,9 @@ _LANGID_HELDOUT = {
 _LANGID_BUCKETS = 4096
 
 
-def _q_langid_train_classify(spark, sf_dir):
-    """Trainable char-n-gram language ID (`kolang_spark/llm/langid.py`
-    — multinomial NB over hashed char 2-4-grams, the Cavnar-Trenkle /
-    fastText feature family; no reference counterpart, extension
-    surface): the model is TRAINED in-query on the deterministic seed
-    corpus (one explode + hash aggregate → dense bucket×lang weight
-    grid in integer micro-nats), then held-out sentences planted on
-    the documents doc_id spine are classified with one broadcast join
-    + per-doc argmax. Training AND inference replay bit-for-bit in
-    the DuckDB oracle (md5-bucket hashing is engine-portable; scores
-    are exact long sums). Accuracy floor vs the stopword heuristic is
-    pinned separately in tests/test_langid.py."""
+def _langid_train_and_plant(spark, sf_dir):
+    """Shared fixture for the langid queries: the trained model plus
+    per-document predictions joined with the planted truth."""
     from kolang_spark.llm.langid import classify_lang, train_char_langid
 
     train = spark.createDataFrame(
@@ -2856,7 +2847,22 @@ def _q_langid_train_classify(spark, sf_dir):
     out = classify_lang(
         planted, grid, priors, hash_buckets=_LANGID_BUCKETS
     )
-    return planted.select("doc_id", "lang_true").join(out, "doc_id").select(
+    return planted.select("doc_id", "lang_true").join(out, "doc_id")
+
+
+def _q_langid_train_classify(spark, sf_dir):
+    """Trainable char-n-gram language ID (`kolang_spark/llm/langid.py`
+    — multinomial NB over hashed char 2-4-grams, the Cavnar-Trenkle /
+    fastText feature family; no reference counterpart, extension
+    surface): the model is TRAINED in-query on the deterministic seed
+    corpus (one explode + hash aggregate → dense bucket×lang weight
+    grid in integer micro-nats), then held-out sentences planted on
+    the documents doc_id spine are classified with one broadcast join
+    + per-doc argmax. Training AND inference replay bit-for-bit in
+    the DuckDB oracle (md5-bucket hashing is engine-portable; scores
+    are exact long sums). Accuracy floor vs the stopword heuristic is
+    pinned separately in tests/test_langid.py."""
+    return _langid_train_and_plant(spark, sf_dir).select(
         "doc_id",
         "lang_true",
         "lang_pred",
@@ -2864,6 +2870,36 @@ def _q_langid_train_classify(spark, sf_dir):
         "margin_micro",
         "n_grams",
         (F.col("lang_true") == F.col("lang_pred")).alias("correct"),
+    )
+
+
+def _q_langid_corpus_report(spark, sf_dir):
+    """Per-language corpus report keyed on the TRAINED classifier's
+    prediction — the CCNet-consumer integration (perplexity buckets /
+    mixes / dataset cards key on language; this demonstrates the
+    trained `classify_lang` feeding that family instead of the
+    heuristic): per predicted language, document count, total gram
+    mass, and accuracy against the planted truth. Same oracle core as
+    `langid_train_classify` with an aggregate tail."""
+    j = _langid_train_and_plant(spark, sf_dir)
+    return (
+        j.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum(
+                F.when(F.col("lang_true") == F.col("lang_pred"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "lang_pred",
+            "n_docs",
+            "total_grams",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n_docs"), 6).alias("accuracy"),
+        )
     )
 
 
@@ -4404,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules_documents": _q_gopher_rules_documents,
         "contrastive_rows_planted": _q_contrastive_rows_planted,
         "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
+        "langid_corpus_report": _q_langid_corpus_report,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -4525,10 +4562,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------- oracles
 
 
-def _langid_oracle_sql() -> str:
-    """Full train+classify replay of ``langid_train_classify``: same
+def _langid_core_sql() -> str:
+    """Shared train+classify CTE chain for the langid oracles: same
     seed corpus literals, same md5-bucket hashing, same micro-nat
-    fixed point — so the DuckDB scores are bit-identical longs."""
+    fixed point — so the DuckDB scores are bit-identical longs. Ends
+    with a ``final`` CTE of per-document predictions; the per-doc and
+    per-language-report oracles put different tails on it."""
 
     def q(s: str) -> str:
         return s.replace("'", "''")
@@ -4612,15 +4651,48 @@ def _langid_oracle_sql() -> str:
                  score - lead(score) OVER w AS margin
           FROM with_prior
           WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, lang DESC)
+        ), final AS (
+          SELECT p.doc_id, p.lang_true, r.lang AS lang_pred,
+                 r.score, r.margin, r.n
+          FROM planted p
+          JOIN ranked r ON r.doc_id = p.doc_id AND r.rn = 1
         )
-        SELECT p.doc_id, p.lang_true, r.lang AS lang_pred,
-               CAST(r.score AS BIGINT) AS score_micro,
-               CAST(r.margin AS BIGINT) AS margin_micro,
-               CAST(r.n AS BIGINT) AS n_grams,
-               p.lang_true = r.lang AS correct
-        FROM planted p
-        JOIN ranked r ON r.doc_id = p.doc_id AND r.rn = 1
     """
+
+
+def _langid_oracle_sql() -> str:
+    """Per-document tail of the langid replay."""
+    return (
+        _langid_core_sql()
+        + """
+        SELECT doc_id, lang_true, lang_pred,
+               CAST(score AS BIGINT) AS score_micro,
+               CAST(margin AS BIGINT) AS margin_micro,
+               CAST(n AS BIGINT) AS n_grams,
+               lang_true = lang_pred AS correct
+        FROM final
+    """
+    )
+
+
+def _langid_report_oracle_sql() -> str:
+    """Per-predicted-language corpus-report tail of the langid replay
+    (the CCNet-consumer shape: everything downstream keys on the
+    TRAINED prediction)."""
+    return (
+        _langid_core_sql()
+        + """
+        SELECT lang_pred,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_grams,
+               CAST(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               ROUND(SUM(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS accuracy
+        FROM final
+        GROUP BY lang_pred
+    """
+    )
 
 # Jalali conversion as a DuckDB CTE chain (same classic day-number
 # algorithm as kolang_spark.functions.jalali — pure arithmetic, so the
@@ -6616,6 +6688,7 @@ def oracle_sql() -> dict[str, str]:
         # see _kmeans_ivf_sql. Upgraded rows-only -> oracle-backed r8.
         "ann_ivf_kmeans_topk": _kmeans_ivf_sql(16, 64, 3),
         "langid_train_classify": _langid_oracle_sql(),
+        "langid_corpus_report": _langid_report_oracle_sql(),
         "semantic_dedup_embeddings": _semantic_dedup_sql(8, 64, 2, 0.9),
         "bm25_topk_documents": _bm25_sql(5, 1.2, 0.75),
         "bigram_lm_score_documents": _bigram_lm_sql(0.7, 1.0),
