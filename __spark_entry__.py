@@ -3372,6 +3372,30 @@ def _q_contrastive_rows_planted(spark, sf_dir):
     )
 
 
+def _q_duplication_mass_documents(spark, sf_dir):
+    """Memorization-risk audit (`kolang_spark/llm/dedup.py::
+    duplication_mass_report` — the Lee et al. 2022 dedup motivation
+    as a dataset-card number): token mass per duplication
+    multiplicity. Duplicates are planted deterministically (every
+    10th document duplicated, every 50th triplicated), so the report
+    shows real 1×/2×/3× buckets; the grand total rides a broadcast
+    one-row crossJoin (the documented scale rewrite). The oracle
+    replays planting, canonical-md5 grouping, bucketing, and shares."""
+    from kolang_spark.llm.dedup import duplication_mass_report
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = dc.unionByName(
+        dc.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    ).unionByName(
+        dc.where(F.col("doc_id") % 50 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+    )
+    return duplication_mass_report(planted)
+
+
 def _q_gopher_rules_documents(spark, sf_dir):
     """The Gopher document-quality rule bundle (`kolang_spark/llm/
     textstats.py::gopher_quality_flags` — Rae et al. 2021 table A1,
@@ -4441,6 +4465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_rows_planted": _q_contrastive_rows_planted,
         "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
         "langid_corpus_report": _q_langid_corpus_report,
+        "duplication_mass_documents": _q_duplication_mass_documents,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -5893,6 +5918,40 @@ def oracle_sql() -> dict[str, str]:
         # gopher_quality_flags (word list from trim-split, line list
         # from newline split with blank lines dropped) — the pass flag
         # and every rounded ratio replay exactly.
+        # Planted-duplication token-mass replay: same planting (x2 for
+        # doc_id%10, x3 for doc_id%50), same canonical md5 grouping
+        # and whitespace token counts as duplication_mass_report.
+        "duplication_mass_documents": r"""
+            WITH pl AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text FROM documents
+              WHERE doc_id % 50 = 0
+            ), t AS (
+              SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fp,
+                     len(string_split_regex(trim(text), '\s+')) AS tok
+              FROM pl
+            ), g AS (
+              SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                     CAST(SUM(tok) AS BIGINT) AS gt
+              FROM t GROUP BY fp
+            ), b AS (
+              SELECT n_copies, CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     CAST(SUM(gt) AS BIGINT) AS total_tokens
+              FROM g GROUP BY 1
+            ), tot AS (
+              SELECT CAST(SUM(tok) AS BIGINT) AS tt FROM t
+            )
+            SELECT n_copies, n_groups,
+                   CAST(n_copies*n_groups AS BIGINT) AS n_docs,
+                   total_tokens,
+                   ROUND(total_tokens*1.0/tt, 6) AS token_share
+            FROM b CROSS JOIN tot
+        """,
         "gopher_rules_documents": r"""
             WITH base AS (
               SELECT doc_id, text, lower(text) AS lw,

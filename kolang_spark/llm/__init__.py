@@ -20,6 +20,7 @@ from kolang_spark.llm.dedup import (  # noqa: F401
     dedup_keep_list,
     dedup_lines_global,
     duplicate_spans,
+    duplication_mass_report,
     strip_duplicate_spans,
     exact_dedup,
     incremental_exact_dedup,

@@ -47,6 +47,7 @@ __all__ = [
     "strip_duplicate_spans",
     "cdc_chunks",
     "incremental_cdc_ingest",
+    "duplication_mass_report",
 ]
 
 
@@ -2350,4 +2351,56 @@ def incremental_cdc_ingest(
             F.coalesce("novel_bytes", zero).alias("novel_bytes"),
             F.coalesce("dup_bytes", zero).alias("dup_bytes"),
         )
+    )
+
+
+def duplication_mass_report(
+    df: DataFrame,
+    text_col: str = "text",
+    token_count_col: Optional[str] = None,
+) -> DataFrame:
+    """Memorization-risk audit (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" motivation, as a
+    dataset-card number): how much of the corpus' TOKEN MASS sits in
+    exactly-duplicated documents, bucketed by duplication
+    multiplicity.
+
+    One row per multiplicity ``n_copies``: ``n_groups`` distinct
+    texts occurring that many times, ``n_docs = n_copies·n_groups``,
+    their summed ``total_tokens``, and ``token_share`` of the whole
+    corpus. ``n_copies = 1`` is the unique mass; everything above it
+    is what exact dedup would deflate.
+
+    Shape: canonical-md5 fingerprint groupBy (the `exact_dedup`
+    aggregation) → a second, ≤ max-multiplicity-row aggregate → the
+    grand total attached via a broadcast one-row crossJoin (the
+    documented scale rewrite — no single-partition window, no
+    driver-side total). ``token_count_col`` swaps in precomputed
+    (e.g. real-BPE) counts; default is whitespace tokens.
+    """
+    from kolang_spark.llm.textstats import token_count
+
+    tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else token_count(F.col(text_col))
+    ).cast("long")
+    base = df.select(
+        doc_fingerprint(F.col(text_col)).alias("__fp__"), tok.alias("__tok__")
+    )
+    groups = base.groupBy("__fp__").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.sum("__tok__").cast("long").alias("__gt__"),
+    )
+    buckets = groups.groupBy("n_copies").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("__gt__").cast("long").alias("total_tokens"),
+    )
+    total = base.agg(F.sum("__tok__").cast("long").alias("__tt__"))
+    return buckets.crossJoin(F.broadcast(total)).select(
+        "n_copies",
+        "n_groups",
+        (F.col("n_copies") * F.col("n_groups")).cast("long").alias("n_docs"),
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("__tt__"), 6).alias("token_share"),
     )

@@ -1757,3 +1757,20 @@ def test_incremental_cdc_survives_empty_state_dir(spark, tmp_path):
     )
     rows = incremental_cdc_ingest(spark, df, state).collect()
     assert rows[0].dup_bytes == 0 and rows[0].novel_bytes > 0
+
+
+def test_duplication_mass_report(spark):
+    """Planted multiplicities land in the right buckets and token
+    shares sum to 1 (`llm/dedup.py::duplication_mass_report`)."""
+    from kolang_spark.llm.dedup import duplication_mass_report
+
+    docs = [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "z"), (5, "z"), (6, "z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.n_copies: r for r in duplication_mass_report(df).collect()}
+    assert rows[1].n_groups == 1 and rows[1].n_docs == 1  # "x y"
+    assert rows[1].total_tokens == 2
+    assert rows[2].n_groups == 1 and rows[2].n_docs == 2  # "a b c" x2
+    assert rows[2].total_tokens == 6
+    assert rows[3].n_groups == 1 and rows[3].n_docs == 3  # "z" x3
+    assert rows[3].total_tokens == 3
+    assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-9
