@@ -4390,7 +4390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in bench.py and stays hash-checked every run by
     tests/test_oracle_parity.py. As of round 8 every query is
     oracle-backed — ZERO rows-only (ann_ivf_kmeans_topk was the last;
-    its fixed-point Lloyd means made the full replay possible)."""
+    its fixed-point Lloyd means made the full replay possible); the
+    nine r9 additions (trainable langid + its corpus report, IVF-PQ
+    recall, multi-frame GIF decode + frame-ahash chain, hard-negative
+    mining + contrastive rows, the Gopher rule bundle, duplication
+    token-mass) are all oracle-backed debuts in the tail — they lead
+    the r10 window together with the six pre-r9 leftovers."""
     return {
         # --- positions 1-50: the external round-9 window, all
         #     oracle-backed, COMPUTED by scripts/next_window.py 9:
