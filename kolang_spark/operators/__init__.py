@@ -15,7 +15,11 @@ from kolang_spark.operators.sampling import (  # noqa: F401
     top_k_per_group,
     weighted_sample,
 )
-from kolang_spark.operators.profile import profile_table  # noqa: F401
+from kolang_spark.operators.profile import (  # noqa: F401
+    join_key_profile,
+    profile_table,
+    psi_drift,
+)
 from kolang_spark.operators.reshape import transpose, unpivot  # noqa: F401
 from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
 from kolang_spark.operators.sketches import (  # noqa: F401
@@ -45,4 +49,23 @@ from kolang_spark.operators.layout import (  # noqa: F401
     morton_code,
     with_zorder_key,
     zorder_by,
+)
+from kolang_spark.operators.funnel import (  # noqa: F401
+    funnel_counts,
+    funnel_steps,
+    retention_cohorts,
+)
+from kolang_spark.operators.scd import (  # noqa: F401
+    scd2_apply,
+    scd2_init,
+    snapshot_diff,
+)
+from kolang_spark.operators.privacy import (  # noqa: F401
+    k_anonymity_report,
+    k_anonymize,
+)
+from kolang_spark.operators.anomaly import seasonal_anomaly  # noqa: F401
+from kolang_spark.operators.graph import (  # noqa: F401
+    label_propagation,
+    pagerank,
 )

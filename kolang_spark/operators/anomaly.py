@@ -1,0 +1,96 @@
+"""Seasonal-baseline anomaly detection over an event stream.
+
+Operational analytics: learn the normal activity level for each
+(key, season-slot) — e.g. "errors at 3 AM" — and flag time buckets
+whose volume deviates from their own slot's history. The standard
+same-slot-of-period baseline (the no-training seasonal model every
+monitoring stack ships) rather than an opaque learned detector, so the
+flags are explainable and an SQL oracle replays them exactly. No
+counterpart exists in the reference.
+
+Determinism contract: bucket counts are integers, and the baseline
+mean/std come from ``standardize``'s exact n/Σv/Σv² moment algebra
+(`operators/normalize.py`), so z-scores reproduce bit-exactly in an
+external engine for these integral inputs.
+
+Scale shape: one map-side-combinable groupBy builds the bucket counts
+(output = |keys| × buckets, calendar-bounded — far smaller than the
+event table, and the only pass over it); the baseline is a second tiny
+aggregate over those buckets re-attached with the package's broadcast
+NULL-safe join. The raw events shuffle once, on the bucket key.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from kolang_spark.operators.normalize import standardize
+
+__all__ = ["seasonal_anomaly"]
+
+_SEASONS = {
+    "hour_of_day": F.hour,
+    "day_of_week": F.dayofweek,
+    "hour_of_week": lambda ts: (F.dayofweek(ts) - 1) * 24 + F.hour(ts),
+}
+
+
+def seasonal_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    by: Optional[Sequence[str]] = None,
+    season: str = "hour_of_day",
+    bucket_seconds: int = 3600,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Flag anomalous time buckets against their seasonal baseline.
+
+    Buckets events into ``bucket_seconds`` windows per ``by`` key,
+    computes each bucket's count, then z-scores every bucket within its
+    (key, season-slot) population — slot = hour-of-day / day-of-week /
+    hour-of-week of the bucket start. Returns one row per non-empty
+    bucket: the keys, ``bucket_start_s`` (epoch seconds), ``slot``,
+    ``n_events``, ``z`` (NULL when the slot has <2 buckets or zero
+    spread — no honest baseline), and ``is_anomaly`` (``|z| >
+    z_threshold``; false when ``z`` is NULL).
+
+    Caveat the caller owns: empty buckets are absent, not zero — a
+    *silent outage* doesn't flag. Densify with ``resample_fill`` first
+    when zero-activity buckets must participate in the baseline.
+    """
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {sorted(_SEASONS)}")
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    gb = list(by) if by else []
+
+    ts = F.col(ts_col)
+    bucket_s = (
+        (ts.cast("double") / bucket_seconds).cast("long") * bucket_seconds
+    )
+    buckets = (
+        df.where(ts.isNotNull())
+        .groupBy(*gb, bucket_s.alias("bucket_start_s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "slot",
+            _SEASONS[season](
+                F.timestamp_seconds(F.col("bucket_start_s"))
+            ).cast("int"),
+        )
+    )
+    scored = standardize(
+        buckets, "n_events", by=gb + ["slot"], method="zscore", out_col="z"
+    )
+    return scored.select(
+        *gb,
+        "bucket_start_s",
+        "slot",
+        "n_events",
+        "z",
+        F.when(F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

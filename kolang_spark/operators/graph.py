@@ -22,7 +22,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "label_propagation"]
 
 
 def pagerank(
@@ -238,3 +238,105 @@ def pagerank(
         dangling = int(d)
 
     return ranks.select(F.col(node_col), F.col("r").alias(rank_col))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    node_col: str = "node",
+    label_col: str = "label",
+    broadcast_labels: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, made deterministic) → ``(node_col, label_col)``.
+
+    Semantics (the exact spec an oracle replays, iteration by
+    iteration):
+
+    - the graph is undirected: each (src, dst) edge contributes both
+      directions; parallel edges collapse; self-loops are ignored for
+      neighborhoods but their endpoints stay in the node set; NULL
+      endpoints dropped.
+    - label_0[v] = v (every node its own community).
+    - per synchronous round, label_{i+1}[v] = the label maximizing
+      (occurrence count among v's neighbors' label_i, tie → SMALLEST
+      label) — the deterministic tie-break that replaces the
+      published algorithm's random choice, so results are identical
+      across shuffle orders, partition counts, and engines. Isolated
+      nodes (self-loops only) keep their own label.
+
+    Plain label propagation oscillates on bipartite structures under
+    synchronous updates; a fixed ``iterations`` (default 3, the
+    published guidance of "a few rounds reaches consensus") is the
+    deterministic stopping rule — there is deliberately no convergence
+    probe, so the whole run is a pure function of the input.
+
+    Scale shape: the symmetrized edge list is built ONCE and eagerly
+    pinned (localCheckpoint) — each round scans it in place. A round is
+    one equi-join (labels ⋈ edges on the neighbor key) and two
+    map-side-combinable aggregates: count per (node, label), then
+    min(struct(-count, label)) per node — the argmax-with-min-tiebreak
+    as a single aggregate, NO window function (a row_number window
+    would sort every partition; min(struct) combines map-side). The
+    label frame (|V| rows) is checkpointed per round so the plan stays
+    O(1) deep. ``broadcast_labels=True`` broadcasts the label table
+    into the per-round join when |V| fits in executor memory — the
+    edge frame is then never re-shuffled.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+
+    e_raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+    )
+    # node spine keeps self-loop-only nodes alive
+    nodes = (
+        e_raw.select(F.col("u").alias(node_col))
+        .unionAll(e_raw.select(F.col("v").alias(node_col)))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        e_raw.where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .unionAll(
+            e_raw.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = nodes.select(node_col, F.col(node_col).alias("__lbl__"))
+    for _ in range(iterations):
+        lside = F.broadcast(labels) if broadcast_labels else labels
+        # neighbor labels: edge (u → v) delivers u's current label to v
+        best = (
+            sym.join(lside, sym["u"] == labels[node_col])
+            .groupBy(F.col("v"), F.col("__lbl__"))
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c__")).alias("nc"),
+                        F.col("__lbl__").alias("l"),
+                    )
+                ).alias("__best__")
+            )
+            .select(F.col("v"), F.col("__best__.l").alias("__new__"))
+        )
+        labels = (
+            nodes.join(best, nodes[node_col] == best["v"], "left")
+            .select(
+                nodes[node_col],
+                F.coalesce(F.col("__new__"), nodes[node_col]).alias(
+                    "__lbl__"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(node_col, F.col("__lbl__").alias(label_col))

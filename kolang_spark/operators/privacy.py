@@ -1,0 +1,98 @@
+"""k-anonymity / l-diversity auditing and suppression.
+
+Privacy posture checks run before releasing or training on user-linked
+data: group rows by their quasi-identifier combination and measure how
+identifying each combination is (Sweeney's k-anonymity; Machanavajjhala
+et al.'s distinct-l-diversity — both public literature). Complements
+the PII scrubbers in `llm/scrub.py`: scrubbing removes direct
+identifiers, this audits the indirect ones. No counterpart exists in
+the reference.
+
+Scale shape: the report is ONE map-side-combinable aggregation over the
+quasi-identifier key (count + count_distinct of one sensitive column);
+output is one row per equivalence class — bounded by the
+quasi-identifier domain, not the table. ``k_anonymize`` (suppression)
+is the same aggregate joined back onto the table — an equi-join on the
+same key the aggregate shuffled on, so the join co-locates, and AQE
+broadcasts the class table when the domain is small (the common case).
+No window function: a window over the full table would sort every
+partition; the aggregate+join shape only shuffles each row once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["k_anonymity_report", "k_anonymize"]
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-equivalence-class privacy report → one row per distinct
+    quasi-identifier combination: the quasi columns, ``k`` (class
+    size — the anonymity set a row in this class hides in) and, when
+    ``sensitive_col`` is given, ``l`` (distinct non-NULL sensitive
+    values — distinct l-diversity).
+
+    A release is k-anonymous at level K iff ``min(k) >= K``; classes
+    with small ``k`` are the re-identifiable ones. NULL quasi values
+    form their own class (NULL-safe grouping, Spark and ANSI GROUP BY
+    semantics agree).
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("k")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("l"))
+    return df.groupBy(*quasi_cols).agg(*aggs)
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    mode: str = "suppress",
+) -> DataFrame:
+    """Enforce k-anonymity over ``quasi_cols`` at threshold ``k``.
+
+    - ``mode='suppress'``: drop every row whose equivalence class has
+      fewer than ``k`` members (the classic suppression step).
+    - ``mode='null_out'``: keep all rows but NULL the quasi columns of
+      under-k rows, collapsing them into the all-NULL class (useful
+      when row counts must be preserved downstream).
+
+    Scale shape: one aggregate on the quasi key + one equi-join back on
+    the same key (AQE-broadcast when the class table is small).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if mode not in ("suppress", "null_out"):
+        raise ValueError("mode must be 'suppress' or 'null_out'")
+    classes = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__k__"))
+        .select(
+            *[F.col(c).alias(f"__q_{c}__") for c in quasi_cols], "__k__"
+        )
+    )
+    cond = None
+    for c in quasi_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__q_{c}__"))
+        cond = e if cond is None else (cond & e)
+    joined = df.join(classes, cond, "left")
+    if mode == "suppress":
+        return joined.where(F.col("__k__") >= k).select(*df.columns)
+    out = [
+        (
+            F.when(F.col("__k__") >= k, F.col(c)).alias(c)
+            if c in set(quasi_cols)
+            else F.col(c)
+        )
+        for c in df.columns
+    ]
+    return joined.select(*out)

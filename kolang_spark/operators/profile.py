@@ -22,7 +22,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "join_key_profile", "psi_drift"]
 
 
 def profile_table(
@@ -84,4 +84,156 @@ def profile_table(
     )
     return stacked.select(
         "column", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    )
+
+
+def join_key_profile(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: Optional[str] = None,
+) -> DataFrame:
+    """Pre-join diagnostics for an equi-join → ONE summary row:
+
+    ``n_left/n_right`` (rows), ``null_left/null_right`` (NULL join
+    keys — dropped by an equi-join), ``distinct_left/distinct_right``
+    (exact), ``keys_both/keys_left_only/keys_right_only`` (key-set
+    overlap), ``join_rows`` (the EXACT inner-join output cardinality,
+    Σ count_l(k)·count_r(k)) and ``max_key_fanout`` (the worst single
+    key's output — the skew hot spot a salted join would target).
+
+    Run this before a big join: it answers "is the key actually
+    unique", "how much of each side survives", and "will the output
+    explode" in one cheap pass per side. All counts are exact integers
+    — an SQL oracle reproduces them verbatim.
+
+    Scale shape: each side collapses to its per-key count first (one
+    map-side-combinable groupBy per side — the frames never meet
+    row-to-row), then the two KEY tables (distinct keys, not rows)
+    full-outer join on the key they're already partitioned by, and a
+    final global aggregate folds everything to one row. Peak shuffle =
+    distinct keys, never input rows; the n²-ish ``join_rows`` number is
+    computed WITHOUT materializing the join.
+    """
+    rk = right_key or left_key
+    lc = (
+        left.select(F.col(left_key).alias("__k__"))
+        .groupBy("__k__")
+        .agg(F.count(F.lit(1)).alias("__cl__"))
+    )
+    rc = (
+        right.select(F.col(rk).alias("__k__"))
+        .groupBy("__k__")
+        .agg(F.count(F.lit(1)).alias("__cr__"))
+    )
+    j = lc.withColumnRenamed("__k__", "__kl__").join(
+        rc.withColumnRenamed("__k__", "__kr__"),
+        F.col("__kl__").eqNullSafe(F.col("__kr__")),
+        "full_outer",
+    )
+    kl, kr = F.col("__kl__"), F.col("__kr__")
+    cl = F.coalesce(F.col("__cl__"), F.lit(0))
+    cr = F.coalesce(F.col("__cr__"), F.lit(0))
+    in_l = F.col("__cl__").isNotNull()
+    in_r = F.col("__cr__").isNotNull()
+    key_null = F.coalesce(kl, kr).isNull() & (kl.isNull() & kr.isNull())
+    # the all-NULL key row (if any) merged via eqNullSafe: count its
+    # rows as null-keyed, exclude it from the key-set/overlap numbers
+    return j.agg(
+        F.sum(cl).alias("n_left"),
+        F.sum(cr).alias("n_right"),
+        F.sum(F.when(key_null, cl).otherwise(0)).alias("null_left"),
+        F.sum(F.when(key_null, cr).otherwise(0)).alias("null_right"),
+        F.sum(F.when(in_l & ~key_null, 1).otherwise(0)).alias("distinct_left"),
+        F.sum(F.when(in_r & ~key_null, 1).otherwise(0)).alias("distinct_right"),
+        F.sum(F.when(in_l & in_r & ~key_null, 1).otherwise(0)).alias("keys_both"),
+        F.sum(F.when(in_l & ~in_r & ~key_null, 1).otherwise(0)).alias(
+            "keys_left_only"
+        ),
+        F.sum(F.when(~in_l & in_r & ~key_null, 1).otherwise(0)).alias(
+            "keys_right_only"
+        ),
+        F.sum(F.when(~key_null, cl * cr).otherwise(0)).alias("join_rows"),
+        F.coalesce(
+            F.max(F.when(~key_null, cl * cr)), F.lit(0)
+        ).alias("max_key_fanout"),
+    )
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+) -> DataFrame:
+    """Population Stability Index between two samples of ``value_col``
+    over EXPLICIT bin edges → one row per bin: ``bin`` (0-based),
+    ``lo``/``hi`` (its edge values; the first/last bins are open-ended),
+    ``n_ref``/``n_cur`` (exact counts) and ``psi_term`` — sum the terms
+    for the headline PSI (industry rule of thumb: < 0.1 stable, > 0.25
+    action). NULL values are excluded from both populations.
+
+    Bins: value < edges[0] → bin 0; edges[i-1] <= value < edges[i] →
+    bin i; value >= edges[-1] → bin len(edges). Explicit edges (take
+    them from a profiled reference week, or domain knowledge) keep the
+    whole computation integer-count-exact and engine-replayable —
+    quantile-interpolated edges differ across engines and would poison
+    cross-checks. psi_term = (p_cur - p_ref)·ln(p_cur/p_ref) with the
+    standard 1e-6 floor on empty shares.
+
+    Scale shape: one map-side-combinable groupBy per side on the bin
+    index (output ≤ |edges|+1 rows each), a tiny outer join of the two
+    histograms, and a broadcast of the two total counts — no pass ever
+    shuffles data rows.
+    """
+    es = [float(e) for e in edges]
+    if len(es) < 1 or sorted(es) != es or len(set(es)) != len(es):
+        raise ValueError("edges must be non-empty and strictly increasing")
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        b = F.lit(len(es))
+        for i in range(len(es) - 1, -1, -1):
+            b = F.when(v < F.lit(es[i]), F.lit(i)).otherwise(b)
+        return (
+            df.where(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    # a literal spine of every bin keeps empty bins present (PSI's
+    # floor term needs them) without depending on either sample
+    spark = reference.sparkSession
+    spine = spark.range(len(es) + 1).select(F.col("id").cast("int").alias("bin"))
+    h = (
+        spine.join(hist(reference, "n_ref"), "bin", "left")
+        .join(hist(current, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = h.agg(
+        F.sum("n_ref").alias("__tr__"), F.sum("n_cur").alias("__tc__")
+    )
+    lo = F.when(F.col("bin") > 0, F.element_at(F.lit(es), F.col("bin")))
+    hi = F.when(
+        F.col("bin") < len(es), F.element_at(F.lit(es), F.col("bin") + 1)
+    )
+    p_ref = F.greatest(
+        F.col("n_ref") / F.greatest(F.col("__tr__"), F.lit(1)), F.lit(1e-6)
+    )
+    p_cur = F.greatest(
+        F.col("n_cur") / F.greatest(F.col("__tc__"), F.lit(1)), F.lit(1e-6)
+    )
+    return (
+        h.join(F.broadcast(tot))
+        .select(
+            "bin",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            "n_ref",
+            "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
     )

@@ -1,0 +1,161 @@
+"""k-anonymity (`operators/privacy.py`), seasonal anomaly
+(`operators/anomaly.py`), and label propagation (`operators/graph.py`):
+spec replicas and edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kolang_spark.operators.anomaly import seasonal_anomaly
+from kolang_spark.operators.graph import label_propagation
+from kolang_spark.operators.privacy import k_anonymity_report, k_anonymize
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "zip string, age int, diag string")
+
+
+PII = [
+    ("021*", 20, "flu"),
+    ("021*", 20, "flu"),
+    ("021*", 20, "cold"),
+    ("940*", 30, "flu"),
+    ("940*", None, "asthma"),
+    (None, 30, None),
+    (None, 30, "flu"),
+]
+
+
+def test_k_anonymity_report(spark):
+    got = {
+        (r["zip"], r["age"]): (r["k"], r["l"])
+        for r in k_anonymity_report(
+            _tbl(spark, PII), ["zip", "age"], sensitive_col="diag"
+        ).collect()
+    }
+    assert got == {
+        ("021*", 20): (3, 2),
+        ("940*", 30): (1, 1),
+        ("940*", None): (1, 1),
+        (None, 30): (2, 1),  # NULL diag doesn't count toward l
+    }
+
+
+def test_k_anonymize_suppress(spark):
+    out = k_anonymize(_tbl(spark, PII), ["zip", "age"], k=2)
+    got = sorted(
+        ((r["zip"], r["age"]) for r in out.collect()),
+        key=lambda t: (t[0] is None, t[0] or "", t[1] or 0),
+    )
+    assert got == [("021*", 20), ("021*", 20), ("021*", 20), (None, 30), (None, 30)]
+
+
+def test_k_anonymize_null_out_preserves_rows(spark):
+    out = k_anonymize(_tbl(spark, PII), ["zip", "age"], k=2, mode="null_out")
+    rows = out.collect()
+    assert len(rows) == len(PII)
+    nulled = [r for r in rows if r["zip"] is None and r["age"] is None]
+    # the two 940* singletons got nulled; (None, 30) rows keep k=2
+    assert len(nulled) == 2
+    assert sorted(r["diag"] for r in nulled) == ["asthma", "flu"]
+
+
+def test_seasonal_anomaly_flags_the_spike(spark):
+    # 10 days × hour-0 buckets with 5 events each, one day with 50:
+    # baseline mean≈9.5 over n=10… make it cleaner: 9 normal days + 1 spike
+    rows = []
+    for day in range(1, 11):
+        n = 50 if day == 10 else 5
+        for i in range(n):
+            rows.append((day * 86400 + i,))  # all in hour 0 of each day
+    df = spark.createDataFrame(rows, "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    out = seasonal_anomaly(df, "ts", season="hour_of_day", z_threshold=2.0)
+    flagged = [r for r in out.collect() if r["is_anomaly"]]
+    assert len(flagged) == 1
+    assert flagged[0]["n_events"] == 50
+    assert flagged[0]["slot"] == 0
+    # exact-moment z: n=10, Σ=95, Σ²=2725 → var=(2725-902.5)/9, z=(50-9.5)/σ
+    var = (2725 - 95 * 95 / 10) / 9
+    assert flagged[0]["z"] == pytest.approx((50 - 9.5) / math.sqrt(var))
+
+
+def test_seasonal_anomaly_degenerate_slot_is_null(spark):
+    df = spark.createDataFrame([(3600,), (3601,)], "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    out = seasonal_anomaly(df, "ts").collect()  # single bucket in its slot
+    assert len(out) == 1
+    assert out[0]["z"] is None and out[0]["is_anomaly"] is False
+
+
+def _lp_replica(edges, iterations):
+    """The documented spec: synchronous rounds, argmax count with
+    min-label tie-break, isolated nodes keep their own label."""
+    sym = {}
+    nodes = set()
+    for u, v in edges:
+        if u is None or v is None:
+            continue
+        nodes |= {u, v}
+        if u != v:
+            sym.setdefault(u, set()).add(v)
+            sym.setdefault(v, set()).add(u)
+    lbl = {v: v for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            nbrs = sym.get(v)
+            if not nbrs:
+                nxt[v] = lbl[v]
+                continue
+            cnt = {}
+            for u in nbrs:
+                cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda c: (-cnt[c], c))
+        lbl = nxt
+    return lbl
+
+
+def _lp_run(spark, edges, iterations):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = label_propagation(df, iterations=iterations)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_label_propagation_two_cliques(spark):
+    a = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    b = [("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("b3", "b4"), ("b1", "b4"), ("b2", "b4")]
+    bridge = [("a3", "b1")]
+    edges = a + b + bridge
+    got = _lp_run(spark, edges, 3)
+    assert got == _lp_replica(edges, 3)
+    # the two cliques converge to single communities
+    assert len({got["a1"], got["a2"]}) == 1
+    assert len({got["b2"], got["b3"], got["b4"]}) == 1
+
+
+def test_label_propagation_self_loop_isolate(spark):
+    edges = [("x", "x"), ("p", "q")]
+    got = _lp_run(spark, edges, 2)
+    assert got["x"] == "x"  # isolated: keeps own label
+    assert got == _lp_replica(edges, 2)
+
+
+def test_label_propagation_matches_replica_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = [f"n{i}" for i in range(12)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(20)
+        ]
+        for it in (1, 2, 4):
+            assert _lp_run(spark, edges, it) == _lp_replica(edges, it), (
+                trial,
+                it,
+                edges,
+            )
