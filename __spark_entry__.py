@@ -4333,6 +4333,191 @@ def _q_pagerank_purchases(spark, sf_dir):
     )
 
 
+def _q_funnel_view_click_purchase(spark, sf_dir):
+    """Per-user funnel progression (`kolang_spark/operators/funnel.py::
+    funnel_steps`): view → click → purchase over the events stream in
+    ONE shuffle — events filter map-side to the three funnel types,
+    group once on user, and a Column-side greedy fold over the sorted
+    (ts, step) list computes each step's chained-minimum timestamp
+    (step k = first event of its type at or after step k-1). The
+    fold's (ts, step) tie-break makes the greedy scan provably equal
+    to the chained-min spec, which the oracle replays as three
+    chained MIN CTEs — a completely different algorithm arriving at
+    identical integers."""
+    from kolang_spark.operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+def _q_retention_weekly_events(spark, sf_dir):
+    """Weekly cohort retention triangle (`kolang_spark/operators/
+    funnel.py::retention_cohorts`): users cohorted by the epoch-week
+    of their first event, counted in every week they were active.
+    Pure integer epoch-day arithmetic. Scale shape: one groupBy user
+    collapsing to (first week, distinct active weeks) — per-user
+    state bounded by the calendar span — then explode + groupBy
+    (cohort, offset); no join, no window."""
+    from kolang_spark.operators.funnel import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, period_days=7)
+
+
+def _snapshots_customer(spark, sf_dir):
+    """Deterministic 'two snapshots of a dimension' fixture: v1 = the
+    customer table; v2 mutates it arithmetically (no randomness, the
+    oracle rebuilds it in a CTE): custkey%13==0 rows deleted,
+    custkey%7==0 re-segmented, custkey%5==0 balances shifted,
+    custkey%11==0 spawns a brand-new key (+1,000,000)."""
+    cu = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    base = cu.where(k % 13 != 0).select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.lit("DRIFTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(k % 5 == 0, F.col("c_acctbal") + F.lit(10.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    ins = cu.where(k % 11 == 0).select(
+        (k + F.lit(1000000)).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        k.cast("double").alias("c_acctbal"),
+    )
+    return cu, base.unionByName(ins)
+
+
+def _q_snapshot_diff_customer(spark, sf_dir):
+    """CDC-style snapshot diff (`kolang_spark/operators/scd.py::
+    snapshot_diff`): one NULL-safe full-outer join on the key
+    classifies every customer as insert/delete/update/unchanged and
+    carries the surviving attribute values (new side except for
+    deletes). The oracle is the same classification as an explicit
+    FULL OUTER JOIN with IS DISTINCT FROM — the engine-neutral
+    restatement of the documented semantics."""
+    from kolang_spark.operators.scd import snapshot_diff
+
+    old, new = _snapshots_customer(spark, sf_dir)
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
+def _q_scd2_customer_history(spark, sf_dir):
+    """Type-2 slowly-changing dimension fold (`kolang_spark/operators/
+    scd.py::scd2_init/scd2_apply`, Kimball semantics): seed from
+    snapshot v1, fold snapshot v2 — updated/deleted keys close their
+    current row (valid_to=2), inserts/updates open new current rows.
+    The apply is one diff join + one fate join + a union, touching
+    current rows only. The oracle rebuilds the identical history from
+    the two snapshot CTEs."""
+    from kolang_spark.operators.scd import scd2_apply, scd2_init
+
+    old, new = _snapshots_customer(spark, sf_dir)
+    dim = scd2_init(old, ["c_custkey"], version=1)
+    return scd2_apply(dim, new, ["c_custkey"], version=2)
+
+
+def _q_k_anonymity_events(spark, sf_dir):
+    """k-anonymity / l-diversity audit (`kolang_spark/operators/
+    privacy.py::k_anonymity_report`): equivalence classes over the
+    (event_type, day) quasi-identifier pair, k = class size, l =
+    distinct users (the 'sensitive' attribute here) — one map-side-
+    combinable aggregation, output bounded by the quasi domain."""
+    from kolang_spark.operators.privacy import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date")
+    )
+    return k_anonymity_report(ev, ["event_type", "d"], sensitive_col="user_id")
+
+
+def _q_seasonal_anomaly_events(spark, sf_dir):
+    """Seasonal-baseline anomaly flags (`kolang_spark/operators/
+    anomaly.py::seasonal_anomaly`): hourly event-type buckets z-scored
+    against their own hour-of-day slot across the month, |z| > 2
+    flags. Bucket counts are exact integers and the z comes from
+    standardize's n/Σv/Σv² moment algebra, so the oracle reproduces
+    it bit-exactly; the slot is integer arithmetic on the bucket
+    epoch ((s % 86400) / 3600 — identical to UTC hour())."""
+    from kolang_spark.operators.anomaly import seasonal_anomaly
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_anomaly(
+        ev, "ts", by=["event_type"], season="hour_of_day", z_threshold=2.0
+    )
+    return out.select(
+        "event_type",
+        "bucket_start_s",
+        "slot",
+        "n_events",
+        F.round("z", 6).alias("z"),
+        "is_anomaly",
+    )
+
+
+def _q_label_propagation_purchases(spark, sf_dir):
+    """Deterministic label-propagation communities (`kolang_spark/
+    operators/graph.py::label_propagation`) over the undirected
+    customer–supplier purchase graph: 2 synchronous rounds, new label
+    = argmax neighbor-label count with min-label tie-break (the
+    published algorithm's random tie replaced by a total order, so
+    any engine replays it). Per round: one equi-join + two map-side
+    aggregates — the argmax is min(struct(-count, label)), NO window.
+    The oracle unrolls both rounds in SQL with ROW_NUMBER."""
+    from kolang_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    # |V| ≈ 1.6k at sf0.01 — broadcast the label table; the pinned
+    # symmetric edge list is scanned in place each round
+    return label_propagation(edges, iterations=2, broadcast_labels=True)
+
+
+def _q_join_key_profile_orders(spark, sf_dir):
+    """Pre-join diagnostics (`kolang_spark/operators/profile.py::
+    join_key_profile`) for orders ⋈ lineitem on the order key: exact
+    per-side rowcounts/distincts, key-set overlap, the exact inner-
+    join output cardinality (Σ cl·cr) and the worst key's fanout —
+    computed from the two per-key count tables WITHOUT materializing
+    the join. Peak shuffle = distinct keys."""
+    from kolang_spark.operators.profile import join_key_profile
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_key_profile(o, li, "o_orderkey", right_key="l_orderkey")
+
+
+def _q_psi_drift_events(spark, sf_dir):
+    """Population-Stability-Index drift (`kolang_spark/operators/
+    profile.py::psi_drift`) of the events value column: week 1 as the
+    reference population vs the month's last week, explicit bin edges
+    (engine-replayable — quantile-interpolated edges differ across
+    engines), per-bin exact counts + the (p_cur−p_ref)·ln(p_cur/p_ref)
+    term with the standard 1e-6 empty-share floor. One tiny histogram
+    aggregate per side; data rows never shuffle."""
+    from kolang_spark.operators.profile import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.dayofmonth("ts") <= 7)
+    cur = ev.where(F.dayofmonth("ts") >= 22)
+    out = psi_drift(ref, cur, "value", [4.0, 8.0, 12.0, 16.0, 20.0])
+    return out.select(
+        "bin",
+        "lo",
+        "hi",
+        "n_ref",
+        "n_cur",
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -4471,6 +4656,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
         "langid_corpus_report": _q_langid_corpus_report,
         "duplication_mass_documents": _q_duplication_mass_documents,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "retention_weekly_events": _q_retention_weekly_events,
+        "snapshot_diff_customer": _q_snapshot_diff_customer,
+        "scd2_customer_history": _q_scd2_customer_history,
+        "k_anonymity_events": _q_k_anonymity_events,
+        "seasonal_anomaly_events": _q_seasonal_anomaly_events,
+        "label_propagation_purchases": _q_label_propagation_purchases,
+        "join_key_profile_orders": _q_join_key_profile_orders,
+        "psi_drift_events": _q_psi_drift_events,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -9449,6 +9643,287 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '5-LOW')
             GROUP BY 1
+        """,
+        # funnel_steps' greedy fold == the chained-minimum spec (the
+        # (ts, step) sort tie-break makes them provably equal), so the
+        # oracle is three chained MIN CTEs — a different algorithm,
+        # identical integers.
+        "funnel_view_click_purchase": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            ), s1 AS (
+              SELECT user_id, MIN(ts_ms) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1
+            )
+            SELECT s1.user_id,
+                   CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT)
+                     AS step_reached,
+                   t1 AS step_1_ms, t2 AS step_2_ms, t3 AS step_3_ms
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        # retention_cohorts: integer epoch-day // 7 arithmetic, cohort
+        # = each user's min period, activity deduplicated per period.
+        "retention_weekly_events": """
+            WITH a AS (
+              SELECT DISTINCT user_id,
+                CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS p
+              FROM events
+            ), f AS (
+              SELECT user_id, MIN(p) AS fp FROM a GROUP BY 1
+            )
+            SELECT fp AS cohort_period,
+                   p - fp AS period_offset,
+                   COUNT(*) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # snapshot_diff: the v2 snapshot is rebuilt arithmetically in a
+        # CTE (delete %13, re-segment %7, shift %5 balances, insert %11
+        # under +1e6 keys), then classified via FULL OUTER JOIN with
+        # IS DISTINCT FROM — the NULL-safe comparison the operator
+        # documents.
+        "snapshot_diff_customer": """
+            WITH o AS (
+              SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+              FROM customer
+            ), n AS (
+              SELECT k,
+                CASE WHEN k % 7 = 0 THEN 'DRIFTED' ELSE seg END AS seg,
+                CASE WHEN k % 5 = 0 THEN bal + 10.0 ELSE bal END AS bal
+              FROM o WHERE k % 13 <> 0
+              UNION ALL
+              SELECT k + 1000000, 'NEWSEG', CAST(k AS DOUBLE)
+              FROM o WHERE k % 11 = 0
+            )
+            SELECT COALESCE(n.k, o.k) AS c_custkey,
+              CASE WHEN o.k IS NULL THEN 'insert'
+                   WHEN n.k IS NULL THEN 'delete'
+                   WHEN o.seg IS DISTINCT FROM n.seg
+                     OR o.bal IS DISTINCT FROM n.bal THEN 'update'
+                   ELSE 'unchanged' END AS change_type,
+              CASE WHEN n.k IS NOT NULL THEN n.seg ELSE o.seg END
+                AS c_mktsegment,
+              CASE WHEN n.k IS NOT NULL THEN n.bal ELSE o.bal END
+                AS c_acctbal
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+        """,
+        # scd2_init(v1) + scd2_apply(v2): unchanged keys keep their v1
+        # row open; update/delete close it at valid_to=2; insert/update
+        # open a new current row at valid_from=2 (Kimball type 2).
+        "scd2_customer_history": """
+            WITH o AS (
+              SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+              FROM customer
+            ), n AS (
+              SELECT k,
+                CASE WHEN k % 7 = 0 THEN 'DRIFTED' ELSE seg END AS seg,
+                CASE WHEN k % 5 = 0 THEN bal + 10.0 ELSE bal END AS bal
+              FROM o WHERE k % 13 <> 0
+              UNION ALL
+              SELECT k + 1000000, 'NEWSEG', CAST(k AS DOUBLE)
+              FROM o WHERE k % 11 = 0
+            ), d AS (
+              SELECT COALESCE(n.k, o.k) AS k,
+                CASE WHEN o.k IS NULL THEN 'insert'
+                     WHEN n.k IS NULL THEN 'delete'
+                     WHEN o.seg IS DISTINCT FROM n.seg
+                       OR o.bal IS DISTINCT FROM n.bal THEN 'update'
+                     ELSE 'unchanged' END AS ct,
+                o.seg AS oseg, o.bal AS obal, n.seg AS nseg, n.bal AS nbal
+              FROM o FULL OUTER JOIN n ON o.k = n.k
+            )
+            SELECT k AS c_custkey, oseg AS c_mktsegment, obal AS c_acctbal,
+                   CAST(1 AS BIGINT) AS valid_from,
+                   CAST(NULL AS BIGINT) AS valid_to,
+                   TRUE AS is_current
+            FROM d WHERE ct = 'unchanged'
+            UNION ALL
+            SELECT k, oseg, obal, CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+            FROM d WHERE ct IN ('update', 'delete')
+            UNION ALL
+            SELECT k, nseg, nbal, CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+            FROM d WHERE ct IN ('insert', 'update')
+        """,
+        "k_anonymity_events": """
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   COUNT(*) AS k,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+            FROM events GROUP BY 1, 2
+        """,
+        # seasonal_anomaly: hourly (type, bucket) counts z-scored within
+        # their (type, hour-of-day) slot via the exact n/Σv/Σv² moment
+        # algebra standardize documents; slot from pure integer epoch
+        # arithmetic (== UTC hour()); z NULL (flag false) when the slot
+        # has <2 buckets or zero spread.
+        "seasonal_anomaly_events": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)
+                       AS bucket_start_s,
+                     COUNT(*) AS n_events
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT event_type, bucket_start_s,
+                     CAST((bucket_start_s % 86400) // 3600 AS INT) AS slot,
+                     CAST(n_events AS BIGINT) AS n_events
+              FROM b
+            ), m AS (
+              SELECT event_type, slot,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(CAST(n_events AS DOUBLE)) AS s1,
+                     SUM(CAST(n_events AS DOUBLE) * CAST(n_events AS DOUBLE))
+                       AS s2
+              FROM s GROUP BY 1, 2
+            ), f AS (
+              SELECT s.event_type, s.bucket_start_s, s.slot, s.n_events,
+                     m.n, s1/m.n AS mu, (s2 - s1*s1/m.n)/(m.n-1) AS v
+              FROM s JOIN m USING (event_type, slot)
+            )
+            SELECT event_type, bucket_start_s, slot, n_events,
+              CASE WHEN n < 2 OR v <= 0 THEN NULL
+                   ELSE ROUND((CAST(n_events AS DOUBLE) - mu)/sqrt(v), 6)
+                END AS z,
+              CASE WHEN n < 2 OR v <= 0 THEN FALSE
+                   ELSE abs((CAST(n_events AS DOUBLE) - mu)/sqrt(v)) > 2.0
+                END AS is_anomaly
+            FROM f
+        """,
+        # label_propagation: both synchronous rounds unrolled; per
+        # round, new label = argmax neighbor-label count with min-label
+        # tie-break (ROW_NUMBER ORDER BY c DESC, lbl ASC — the same
+        # total order as the engine's min(struct(-count, label))).
+        "label_propagation_purchases": """
+            WITH e0 AS (
+              SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS u,
+                              's' || CAST(l_suppkey AS VARCHAR) AS v
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            ), nodes AS (
+              SELECT u AS node FROM e0 UNION SELECT v FROM e0
+            ), sym AS (
+              SELECT u, v FROM e0 WHERE u <> v
+              UNION
+              SELECT v AS u, u AS v FROM e0 WHERE u <> v
+            ), l0 AS (
+              SELECT node, node AS lbl FROM nodes
+            ), c1 AS (
+              SELECT s.v AS node, l.lbl, COUNT(*) AS c
+              FROM sym s JOIN l0 l ON s.u = l.node GROUP BY 1, 2
+            ), b1 AS (
+              SELECT node, lbl, ROW_NUMBER() OVER
+                (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+              FROM c1
+            ), l1 AS (
+              SELECT nd.node, COALESCE(b.lbl, nd.node) AS lbl
+              FROM nodes nd LEFT JOIN
+                (SELECT node, lbl FROM b1 WHERE rn = 1) b USING (node)
+            ), c2 AS (
+              SELECT s.v AS node, l.lbl, COUNT(*) AS c
+              FROM sym s JOIN l1 l ON s.u = l.node GROUP BY 1, 2
+            ), b2 AS (
+              SELECT node, lbl, ROW_NUMBER() OVER
+                (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+              FROM c2
+            ), l2 AS (
+              SELECT nd.node, COALESCE(b.lbl, nd.node) AS lbl
+              FROM nodes nd LEFT JOIN
+                (SELECT node, lbl FROM b2 WHERE rn = 1) b USING (node)
+            )
+            SELECT node, lbl AS label FROM l2
+        """,
+        # join_key_profile: per-key counts per side, NULL-safe key
+        # merge, then one global fold — join_rows = Σ cl·cr without
+        # materializing the join.
+        "join_key_profile_orders": """
+            WITH lc AS (
+              SELECT o_orderkey AS k, COUNT(*) AS cl FROM orders GROUP BY 1
+            ), rc AS (
+              SELECT l_orderkey AS k, COUNT(*) AS cr FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT lc.k AS kl, rc.k AS kr, cl, cr
+              FROM lc FULL OUTER JOIN rc ON lc.k IS NOT DISTINCT FROM rc.k
+            )
+            SELECT
+              CAST(SUM(COALESCE(cl, 0)) AS BIGINT) AS n_left,
+              CAST(SUM(COALESCE(cr, 0)) AS BIGINT) AS n_right,
+              CAST(SUM(CASE WHEN kl IS NULL AND kr IS NULL
+                       THEN COALESCE(cl, 0) ELSE 0 END) AS BIGINT) AS null_left,
+              CAST(SUM(CASE WHEN kl IS NULL AND kr IS NULL
+                       THEN COALESCE(cr, 0) ELSE 0 END) AS BIGINT) AS null_right,
+              CAST(SUM(CASE WHEN cl IS NOT NULL
+                       AND NOT (kl IS NULL AND kr IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS distinct_left,
+              CAST(SUM(CASE WHEN cr IS NOT NULL
+                       AND NOT (kl IS NULL AND kr IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS distinct_right,
+              CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL
+                       AND NOT (kl IS NULL AND kr IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS keys_both,
+              CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NULL
+                       AND NOT (kl IS NULL AND kr IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS keys_left_only,
+              CAST(SUM(CASE WHEN cl IS NULL AND cr IS NOT NULL
+                       AND NOT (kl IS NULL AND kr IS NULL)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS keys_right_only,
+              CAST(SUM(CASE WHEN NOT (kl IS NULL AND kr IS NULL)
+                       THEN COALESCE(cl, 0) * COALESCE(cr, 0)
+                       ELSE 0 END) AS BIGINT) AS join_rows,
+              CAST(COALESCE(MAX(CASE WHEN NOT (kl IS NULL AND kr IS NULL)
+                       THEN COALESCE(cl, 0) * COALESCE(cr, 0) END), 0)
+                AS BIGINT) AS max_key_fanout
+            FROM j
+        """,
+        # psi_drift over explicit edges 4/8/12/16/20 (arithmetic, so
+        # lo/hi are 4·bin closed forms); shares floored at 1e-6 per the
+        # operator's documented formula.
+        "psi_drift_events": """
+            WITH r AS (
+              SELECT value AS v FROM events
+              WHERE EXTRACT(day FROM ts) <= 7 AND value IS NOT NULL
+            ), c AS (
+              SELECT value AS v FROM events
+              WHERE EXTRACT(day FROM ts) >= 22 AND value IS NOT NULL
+            ), bins AS (
+              SELECT CAST(range AS INT) AS bin FROM range(6)
+            ), hr AS (
+              SELECT CAST(CASE WHEN v < 4 THEN 0 WHEN v < 8 THEN 1
+                WHEN v < 12 THEN 2 WHEN v < 16 THEN 3
+                WHEN v < 20 THEN 4 ELSE 5 END AS INT) AS bin,
+                COUNT(*) AS n
+              FROM r GROUP BY 1
+            ), hc AS (
+              SELECT CAST(CASE WHEN v < 4 THEN 0 WHEN v < 8 THEN 1
+                WHEN v < 12 THEN 2 WHEN v < 16 THEN 3
+                WHEN v < 20 THEN 4 ELSE 5 END AS INT) AS bin,
+                COUNT(*) AS n
+              FROM c GROUP BY 1
+            ), h AS (
+              SELECT b.bin,
+                     CAST(COALESCE(hr.n, 0) AS BIGINT) AS n_ref,
+                     CAST(COALESCE(hc.n, 0) AS BIGINT) AS n_cur
+              FROM bins b LEFT JOIN hr USING (bin) LEFT JOIN hc USING (bin)
+            ), t AS (
+              SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM h
+            )
+            SELECT h.bin,
+              CASE WHEN h.bin > 0 THEN 4.0 * h.bin END AS lo,
+              CASE WHEN h.bin < 5 THEN 4.0 * (h.bin + 1) END AS hi,
+              h.n_ref, h.n_cur,
+              ROUND((GREATEST(CAST(n_cur AS DOUBLE) / GREATEST(tc, 1), 0.000001)
+                     - GREATEST(CAST(n_ref AS DOUBLE) / GREATEST(tr, 1), 0.000001))
+                    * ln(GREATEST(CAST(n_cur AS DOUBLE) / GREATEST(tc, 1), 0.000001)
+                         / GREATEST(CAST(n_ref AS DOUBLE) / GREATEST(tr, 1), 0.000001)),
+                    6) AS psi_term
+            FROM h CROSS JOIN t
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),
