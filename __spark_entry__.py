@@ -4518,6 +4518,185 @@ def _q_psi_drift_events(spark, sf_dir):
     )
 
 
+def _q_trailing_features_events(spark, sf_dir):
+    """Trailing-window feature generation (`kolang_spark/operators/
+    features.py::trailing_window_agg`): per user, as of every event,
+    the 1-hour and 24-hour trailing event counts and integer-cent value
+    sums — all four features in ONE shuffle + ONE sort (same-spec RANGE
+    frames share the window pass; the naive shape is a self-join per
+    window). RANGE frames are tie-inclusive, so integer counts/sums
+    are order-independent and the oracle's identical RANGE windows
+    reproduce them exactly."""
+    from kolang_spark.operators.features import trailing_window_agg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = trailing_window_agg(
+        ev,
+        ["user_id"],
+        ts_col="ts_ms",
+        windows_ms=[3600_000, 86400_000],
+        value_col="cents",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.col("n_3600000ms").alias("n_1h"),
+        F.col("sum_3600000ms").alias("sum_1h"),
+        F.col("n_86400000ms").alias("n_24h"),
+        F.col("sum_86400000ms").alias("sum_24h"),
+    )
+
+
+def _q_cusum_daily_errors(spark, sf_dir):
+    """CUSUM change detection (`kolang_spark/operators/anomaly.py::
+    cusum_shift`, Page 1954): daily per-type event counts monitored for
+    a sustained upward shift above reference 70/day, alarm past
+    +15 cumulative evidence. The sequential max(0, s+(x−k)) recursion
+    is computed via its reflection closed form s = P − min(0, min P) —
+    two cumulative windows riding one sort, fully distributed, integer
+    exact — and the oracle replays the same two windows."""
+    from kolang_spark.operators.anomaly import cusum_shift
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return cusum_shift(
+        daily, "d", "n", by=["event_type"], reference=70, threshold=15
+    )
+
+
+def _q_contracts_orders(spark, sf_dir):
+    """Declarative data-contract validation (`kolang_spark/operators/
+    contracts.py::validate`, dbt-tests idiom): five expectations over
+    orders — non-null custkey, unique orderkey (exact
+    count−count_distinct, NULL-skipping ANSI semantics), totalprice
+    range, status domain, priority shape — ALL folded into one
+    aggregation pass; the long report is a stack over the single wide
+    row. Every number is an exact count the oracle reproduces."""
+    from kolang_spark.operators.contracts import (
+        accepted_values,
+        in_range,
+        matches_regex,
+        not_null,
+        unique,
+        validate,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    return validate(
+        od,
+        [
+            not_null("o_custkey"),
+            unique(["o_orderkey"]),
+            in_range("o_totalprice", 0.0, 500000.0),
+            accepted_values("o_orderstatus", ["F", "O", "P"]),
+            matches_regex("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+        ],
+    )
+
+
+def _q_bloom_semi_join_orders(spark, sf_dir):
+    """Bloom-prefiltered semi join (`kolang_spark/operators/
+    sketches.py::bloom_semi_join`): orders of high-balance customers.
+    The customer key set folds into a packed 16-KiB in-plan bitmask,
+    so non-matching orders die INSIDE the scan stage (~5 md5 probes
+    each) and only survivors reach the verifying left-semi — the
+    classic Bloom-join/runtime-filter technique made explicit. With
+    exact=True the result is precisely the semi join, independent of
+    the false-positive rate, so the oracle is the plain SQL semi
+    join."""
+    from kolang_spark.operators.sketches import bloom_semi_join
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    out = bloom_semi_join(
+        od, cu, "o_custkey", right_key="c_custkey", n_bits=1 << 14, k=5
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_target_encode_orders(spark, sf_dir):
+    """Leave-one-out target encoding (`kolang_spark/operators/
+    features.py::target_encode`, Micci-Barreca m-estimate): each
+    order's priority encoded by the mean order value (integer cents)
+    of its priority class, excluding the row itself — the standard
+    leakage-guarded tabular-ML feature. One groupBy + the broadcast
+    NULL-safe re-attach; detail rows never shuffle. Sums are exact
+    longs and the division order is fixed, so the oracle reproduces
+    the doubles bit-for-bit (rounded 6 for the tolerant hash)."""
+    from kolang_spark.operators.features import target_encode
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = target_encode(
+        od, "o_orderpriority", "cents", leave_one_out=True
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "cents",
+        F.round("o_orderpriority_te", 6).alias("te"),
+    )
+
+
+def _q_event_transitions_users(spark, sf_dir):
+    """First-order user-journey transition matrix (`kolang_spark/
+    operators/features.py::event_transitions`): what users do next
+    after each event type, counted over per-user (ts, event_id)-ordered
+    streams and row-normalized in exact integer micro-units. One
+    shuffle for the lead() window, one map-side groupBy; output is
+    |event_types|² regardless of stream size. The oracle replays LEAD
+    with the identical ordering."""
+    from kolang_spark.operators.features import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(
+        ev, ["user_id"], "ts_ms", "event_type", order_cols=["event_id"]
+    )
+
+
+def _q_ab_test_events(spark, sf_dir):
+    """A/B experiment readout (`kolang_spark/operators/abtest.py::
+    ab_test_report`, pooled two-proportion z): users deterministically
+    split by user_id parity, converted = ever purchased; the report is
+    one |variants|-row aggregate with the control embedded as plan
+    literals (no join). The z/rate/lift algebra is one fixed formula
+    over exact counts — the oracle recomputes it verbatim."""
+    from kolang_spark.operators.abtest import ab_test_report
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv")
+    )
+    assigned = users.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+        .otherwise(F.lit("treat"))
+        .alias("variant"),
+        "conv",
+    )
+    out = ab_test_report(assigned, "variant", "conv", "control")
+    return out.select(
+        "variant",
+        "n",
+        "x",
+        F.round("rate", 6).alias("rate"),
+        F.round("lift", 6).alias("lift"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -4665,6 +4844,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_purchases": _q_label_propagation_purchases,
         "join_key_profile_orders": _q_join_key_profile_orders,
         "psi_drift_events": _q_psi_drift_events,
+        "trailing_features_events": _q_trailing_features_events,
+        "cusum_daily_errors": _q_cusum_daily_errors,
+        "contracts_orders": _q_contracts_orders,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "target_encode_orders": _q_target_encode_orders,
+        "event_transitions_users": _q_event_transitions_users,
+        "ab_test_events": _q_ab_test_events,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -9924,6 +10110,159 @@ def oracle_sql() -> dict[str, str]:
                          / GREATEST(CAST(n_ref AS DOUBLE) / GREATEST(tr, 1), 0.000001)),
                     6) AS psi_term
             FROM h CROSS JOIN t
+        """,
+        # trailing_window_agg: identical RANGE frames over epoch_ms —
+        # tie-inclusive, so integer counts/cent-sums replay exactly.
+        "trailing_features_events": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                     CAST(round(value*100) AS BIGINT) AS cents
+              FROM events
+            )
+            SELECT event_id, user_id, ts_ms,
+              COUNT(*) OVER w1 AS n_1h,
+              SUM(cents) OVER w1 AS sum_1h,
+              COUNT(*) OVER w2 AS n_24h,
+              SUM(cents) OVER w2 AS sum_24h
+            FROM e
+            WINDOW
+              w1 AS (PARTITION BY user_id ORDER BY ts_ms
+                     RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW),
+              w2 AS (PARTITION BY user_id ORDER BY ts_ms
+                     RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+        """,
+        # cusum_shift reflection closed form: s = P − least(0, min P),
+        # P the running sum of (count − 70); alarm when s > 15.
+        "cusum_daily_errors": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT event_type, d, n,
+                SUM(n - 70) OVER (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+              FROM daily
+            )
+            SELECT event_type, d, n,
+              CAST(pp - LEAST(0, MIN(pp) OVER (PARTITION BY event_type
+                ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                AS BIGINT) AS cusum,
+              (pp - LEAST(0, MIN(pp) OVER (PARTITION BY event_type
+                ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+                > 15 AS alarm
+            FROM p
+        """,
+        # validate: each expectation as an exact conditional count;
+        # uniqueness = rows(non-null) − distinct (ANSI NULL-skipping).
+        "contracts_orders": """
+            WITH m AS (
+              SELECT COUNT(*) AS n,
+                COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_nn,
+                COUNT(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+                  - COUNT(DISTINCT o_orderkey) AS v_uq,
+                COUNT(CASE WHEN o_totalprice IS NOT NULL
+                  AND (o_totalprice < 0.0 OR o_totalprice > 500000.0)
+                  THEN 1 END) AS v_rng,
+                COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                  AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) AS v_av,
+                COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                  AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                  THEN 1 END) AS v_re
+              FROM orders
+            )
+            SELECT 'not_null' AS check, 'o_custkey' AS target, n AS n_rows,
+                   CAST(v_nn AS BIGINT) AS n_violations, v_nn = 0 AS passed
+            FROM m
+            UNION ALL SELECT 'unique', 'o_orderkey', n,
+                   CAST(v_uq AS BIGINT), v_uq = 0 FROM m
+            UNION ALL SELECT 'in_range[0.0,500000.0]', 'o_totalprice', n,
+                   CAST(v_rng AS BIGINT), v_rng = 0 FROM m
+            UNION ALL SELECT 'accepted_values', 'o_orderstatus', n,
+                   CAST(v_av AS BIGINT), v_av = 0 FROM m
+            UNION ALL SELECT 'matches_regex', 'o_orderpriority', n,
+                   CAST(v_re AS BIGINT), v_re = 0 FROM m
+        """,
+        # bloom_semi_join with exact=True IS the semi join — the Bloom
+        # stage only prunes; correctness is FP-rate-independent.
+        "bloom_semi_join_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+            )
+        """,
+        # target_encode LOO: (Σcents − own) / (n − 1), exact longs in,
+        # one fixed division out.
+        "target_encode_orders": """
+            WITH o AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS cents
+              FROM orders
+            ), m AS (
+              SELECT o_orderpriority,
+                     COUNT(cents) AS n,
+                     SUM(CAST(cents AS DOUBLE)) AS s
+              FROM o GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+              CASE WHEN m.n - 1 > 0 THEN
+                ROUND((m.s - CAST(o.cents AS DOUBLE))
+                      / (CAST(m.n AS DOUBLE) - 1.0), 6) END AS te
+            FROM o JOIN m USING (o_orderpriority)
+        """,
+        # event_transitions: LEAD over the identical (ts_ms, event_id)
+        # order; probabilities in exact integer micro-units.
+        "event_transitions_users": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+                LEAD(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ms(ts), event_id) AS nxt
+              FROM events
+            ), pairs AS (
+              SELECT event_type AS from_state, nxt AS to_state,
+                     COUNT(*) AS n
+              FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_state, to_state, n,
+              CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_state)
+                AS BIGINT) AS p_micro
+            FROM pairs
+        """,
+        # ab_test_report: pooled two-proportion z over per-user
+        # conversion, control = even user ids; the exact formula the
+        # operator documents, recomputed from scratch.
+        "ab_test_events": """
+            WITH u AS (
+              SELECT user_id,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS conv
+              FROM events GROUP BY 1
+            ), a AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                          ELSE 'treat' END AS variant, conv
+              FROM u
+            ), per AS (
+              SELECT variant, COUNT(*) AS n,
+                     CAST(SUM(conv) AS BIGINT) AS x
+              FROM a GROUP BY 1
+            ), c AS (
+              SELECT n AS n0, x AS x0 FROM per WHERE variant = 'control'
+            )
+            SELECT per.variant, per.n, per.x,
+              ROUND(CAST(per.x AS DOUBLE) / per.n, 6) AS rate,
+              CASE WHEN per.variant <> 'control' THEN
+                ROUND(CAST(per.x AS DOUBLE) / per.n
+                      - CAST(c.x0 AS DOUBLE) / c.n0, 6) END AS lift,
+              CASE WHEN per.variant <> 'control'
+                   AND (per.x + c.x0) > 0
+                   AND (per.x + c.x0) < (per.n + c.n0) THEN
+                ROUND((CAST(per.x AS DOUBLE) / per.n
+                       - CAST(c.x0 AS DOUBLE) / c.n0)
+                      / sqrt(((per.x + c.x0) / CAST(per.n + c.n0 AS DOUBLE))
+                             * (1 - (per.x + c.x0)
+                                    / CAST(per.n + c.n0 AS DOUBLE))
+                             * (1.0/per.n + 1.0/c.n0)), 6) END AS z
+            FROM per CROSS JOIN c
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

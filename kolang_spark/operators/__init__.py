@@ -25,6 +25,7 @@ from kolang_spark.operators.rollup import hypertable_rollup  # noqa: F401
 from kolang_spark.operators.sketches import (  # noqa: F401
     approx_quantiles,
     bloom_might_contain,
+    bloom_semi_join,
     bloom_table,
     cms_estimate,
     cms_table,
@@ -64,7 +65,24 @@ from kolang_spark.operators.privacy import (  # noqa: F401
     k_anonymity_report,
     k_anonymize,
 )
-from kolang_spark.operators.anomaly import seasonal_anomaly  # noqa: F401
+from kolang_spark.operators.anomaly import (  # noqa: F401
+    cusum_shift,
+    seasonal_anomaly,
+)
+from kolang_spark.operators.features import (  # noqa: F401
+    event_transitions,
+    target_encode,
+    trailing_window_agg,
+)
+from kolang_spark.operators.abtest import ab_test_report  # noqa: F401
+from kolang_spark.operators.contracts import (  # noqa: F401
+    accepted_values,
+    in_range,
+    matches_regex,
+    not_null,
+    unique,
+    validate,
+)
 from kolang_spark.operators.graph import (  # noqa: F401
     label_propagation,
     pagerank,

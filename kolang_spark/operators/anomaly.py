@@ -24,11 +24,11 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kolang_spark.operators.normalize import standardize
 
-__all__ = ["seasonal_anomaly"]
+__all__ = ["seasonal_anomaly", "cusum_shift"]
 
 _SEASONS = {
     "hour_of_day": F.hour,
@@ -93,4 +93,78 @@ def seasonal_anomaly(
         F.when(F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(True))
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
+    )
+
+
+def cusum_shift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+    reference: int = 0,
+    threshold: int = 0,
+    side: str = "high",
+) -> DataFrame:
+    """One-sided CUSUM change detection (Page 1954) per ``by`` series →
+    every input row plus ``cusum`` and ``alarm``.
+
+    The textbook recursion s_0 = 0, s_i = max(0, s_{i-1} + (x_i −
+    reference)) accumulates evidence of a sustained upward shift above
+    ``reference`` (for ``side='low'``, of a downward shift below it:
+    the deviation sign flips) and ``alarm`` fires while ``cusum`` >
+    ``threshold``. Tune ``reference`` to (acceptable mean + half the
+    shift you care about) and ``threshold`` to the evidence you demand
+    — the public CUSUM design rules.
+
+    Implemented via the reflection closed form — s_i = P_i −
+    min(0, min_{j≤i} P_j) with P the running sum of deviations — which
+    turns the sequential recursion into two cumulative window
+    aggregates, so the operator is fully distributed (no per-series
+    fold, no UDF) and an SQL oracle replays it with the same two
+    windows. All arithmetic is integer (values and reference are cast
+    to long): exact, order-independent, engine-identical.
+
+    Timestamps must be unique within each ``by`` series (the usual
+    shape: one bucket per period from an upstream groupBy) — ties make
+    "running" ill-defined; the operator fails fast if any (by, ts)
+    pair repeats. Rows with NULL value or ts are rejected too, same
+    reason.
+
+    Scale shape: one shuffle on the series key; both cumulative frames
+    ride the same sort. Series length is calendar-bounded, so
+    partitions stay small no matter how large the raw table was before
+    its per-period aggregation.
+    """
+    if side not in ("high", "low"):
+        raise ValueError("side must be 'high' or 'low'")
+    gb = list(by) if by else []
+    x = F.col(value_col).cast("long")
+    dev = (x - F.lit(int(reference))) if side == "high" else (
+        F.lit(int(reference)) - x
+    )
+    run = Window.partitionBy(*gb).orderBy(F.col(ts_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # fail fast on NULLs/ties (both corrupt the running sums): a
+    # window peer group bigger than 1 = duplicate timestamp
+    dup = F.count(F.lit(1)).over(Window.partitionBy(*gb, ts_col))
+    checked = F.when(
+        F.col(ts_col).isNull() | x.isNull(),
+        F.raise_error(F.lit("cusum_shift: NULL ts/value in input")),
+    ).when(
+        dup > 1,
+        F.raise_error(F.lit("cusum_shift: duplicate timestamp in a series")),
+    )
+    # two stacked selects: windows can't nest inside one projection,
+    # and both running frames share the same partition+sort so Spark
+    # evaluates them in one sorted pass
+    with_p = df.select(
+        *df.columns,
+        F.coalesce(checked.cast("long"), F.sum(dev).over(run)).alias("__p__"),
+    )
+    s = F.col("__p__") - F.least(
+        F.lit(0).cast("long"), F.min("__p__").over(run)
+    )
+    return with_p.select(*df.columns, s.alias("cusum")).withColumn(
+        "alarm", F.col("cusum") > F.lit(int(threshold))
     )

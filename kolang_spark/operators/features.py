@@ -1,0 +1,187 @@
+"""Trailing-window feature generation over an event stream.
+
+The feature-engineering staple behind fraud/abuse/ranking models:
+"how many events (and how much value) did this entity produce in the
+last hour / day / week, as of each event". One call adds all windows
+at once. No counterpart exists in the reference.
+
+Determinism contract: RANGE frames are tie-inclusive — every row whose
+timestamp falls inside the window participates regardless of physical
+order — so counts and integer sums are order-independent and an SQL
+oracle (RANGE BETWEEN n PRECEDING AND CURRENT ROW over the same
+integral timestamp) reproduces them exactly. Feed fixed-point integer
+values (cents) where bit-exact replay matters, the engine's standard
+idiom.
+
+Scale shape: ONE shuffle on the entity key, one within-partition sort,
+and every (window × agg) combination evaluated in the SAME window pass
+— Spark collapses same-spec window frames, so adding a window adds an
+accumulator, not a shuffle or a sort. The naive alternative (one
+self-join per window: events ⋈ events on key + time band) costs a
+join per window and fans out row-pairs; this costs none. Skewed
+entities (one user = one partition's worth of events) are the caveat
+the caller owns — cap with an upstream sample or sessionize first.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["trailing_window_agg", "target_encode", "event_transitions"]
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    by: Sequence[str],
+    ts_col: str = "ts_ms",
+    windows_ms: Sequence[int] = (3600_000, 86400_000),
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Add trailing-window features per ``by`` entity, as of each row:
+    for every ``w`` in ``windows_ms``, ``n_{w}ms`` = events in
+    ``[ts - w, ts]`` (both ends inclusive, current row included) and —
+    when ``value_col`` is given — ``sum_{w}ms`` = its sum over the same
+    frame (NULL values contribute nothing; an all-NULL frame sums to
+    NULL, SQL semantics).
+
+    ``ts_col`` must be integral (epoch milliseconds by convention) —
+    RANGE frames over floats invite cross-engine ulp disagreements.
+    Rows with NULL ``ts_col`` are dropped (they have no place on the
+    time axis).
+    """
+    if not by:
+        raise ValueError("by must be non-empty")
+    ws = [int(w) for w in windows_ms]
+    if not ws or any(w <= 0 for w in ws):
+        raise ValueError("windows_ms must be positive")
+    out = df.where(F.col(ts_col).isNotNull())
+    cols = list(out.columns)
+    for w in ws:
+        frame = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(ts_col).cast("long"))
+            .rangeBetween(-w, 0)
+        )
+        cols.append(F.count(F.lit(1)).over(frame).alias(f"n_{w}ms"))
+        if value_col is not None:
+            cols.append(
+                F.sum(F.col(value_col)).over(frame).alias(f"sum_{w}ms")
+            )
+    return out.select(*cols)
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: Optional[str] = None,
+    smoothing: int = 0,
+    leave_one_out: bool = False,
+) -> DataFrame:
+    """Target (mean) encoding of a categorical column — the classic
+    high-cardinality-category feature for tabular models. Adds
+    ``out_col`` (default ``{cat_col}_te``).
+
+    - plain: category mean of ``target_col``;
+    - ``smoothing=m`` (m-estimate, public Micci-Barreca 2001 recipe):
+      ``(sum + m·prior) / (n + m)`` with ``prior`` the global target
+      mean — shrinks rare categories toward the prior;
+    - ``leave_one_out=True``: each row's own target is excluded —
+      ``(sum − y) / (n − 1)`` (with smoothing:
+      ``(sum − y + m·prior) / (n − 1 + m)``) — the standard
+      target-leakage guard for training folds. Singleton categories
+      (n = 1, no smoothing) encode NULL: there is nothing left to
+      average.
+
+    Determinism: sums/counts are exact (feed integer targets — cents,
+    0/1 labels — for bit-exact replay); the division order is fixed
+    (sum-style numerator ÷ count-style denominator) so an SQL oracle
+    reproduces the doubles. Rows with NULL target are excluded from
+    the statistics but still receive the category's encoding; a NULL
+    category is its own group (NULL-safe join).
+
+    Scale shape: one map-side-combinable groupBy on the category (plus
+    one global aggregate when priors are needed) re-attached with the
+    package's broadcast NULL-safe join — detail rows never shuffle.
+    """
+    from ..utils import broadcast_join_nullsafe
+
+    if smoothing < 0:
+        raise ValueError("smoothing must be >= 0")
+    out_col = out_col or f"{cat_col}_te"
+    y = F.col(target_col).cast("double")
+    stats = df.groupBy(cat_col).agg(
+        F.count(y).alias("__te_n__"), F.sum(y).alias("__te_s__")
+    )
+    joined = broadcast_join_nullsafe(df, stats, [cat_col])
+    num = F.col("__te_s__")
+    den = F.col("__te_n__").cast("double")
+    if leave_one_out:
+        num = num - F.coalesce(y, F.lit(0.0))
+        den = den - F.when(y.isNotNull(), 1.0).otherwise(0.0)
+    if smoothing:
+        g = df.agg(
+            (F.sum(y) / F.count(y)).alias("__te_prior__")
+        )
+        joined = joined.join(F.broadcast(g))
+        num = num + F.lit(float(smoothing)) * F.col("__te_prior__")
+        den = den + F.lit(float(smoothing))
+    enc = F.when(den > 0, num / den)
+    drop = ["__te_n__", "__te_s__"] + (["__te_prior__"] if smoothing else [])
+    return joined.withColumn(out_col, enc).drop(*drop)
+
+
+def event_transitions(
+    df: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order transition matrix of an event stream → one row per
+    observed (from_state, to_state) pair: ``n`` (transition count) and
+    ``p_micro`` (row-normalized probability in integer micro-units,
+    ``n·1e6 DIV row_total`` — exact, no float drift). The user-journey
+    / Markov-chain summary behind "what do users do after X".
+
+    Consecutiveness is per ``by`` entity in (ts, *order_cols) order;
+    pass ``order_cols`` (e.g. the event id) whenever timestamps can
+    tie, otherwise ties make "next" nondeterministic and the operator
+    fails fast (same peer-group probe as ``cusum_shift``).
+
+    Scale shape: one shuffle on the entity key for the lead() window,
+    then one map-side-combinable groupBy on the (from, to) pair —
+    output is |states|², independent of stream size.
+    """
+    if not by:
+        raise ValueError("by must be non-empty")
+    order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*by).orderBy(*order)
+    dup = F.count(F.lit(1)).over(
+        Window.partitionBy(*by, ts_col, *order_cols)
+    )
+    nxt = F.when(
+        dup > 1,
+        F.raise_error(
+            F.lit("event_transitions: tied (ts, order_cols) in a series")
+        ),
+    ).otherwise(F.lead(state_col).over(w))
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"), nxt.alias("to_state")
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the row total rides a partition-only window over the tiny
+    # |states|² pair table — not over the stream
+    row_tot = Window.partitionBy("from_state")
+    return pairs.withColumn("__row_n__", F.sum("n").over(row_tot)).select(
+        "from_state",
+        "to_state",
+        "n",
+        F.expr("n * 1000000L DIV `__row_n__`").alias("p_micro"),
+    )

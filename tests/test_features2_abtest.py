@@ -1,0 +1,147 @@
+"""target_encode + event_transitions (`operators/features.py`) and
+ab_test_report (`operators/abtest.py`): formula replicas and edge
+cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kolang_spark.operators.abtest import ab_test_report
+from kolang_spark.operators.features import event_transitions, target_encode
+
+
+# ---------- target_encode ----------
+
+
+def test_target_encode_plain_mean(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("b", 10), (None, 7), (None, 9)],
+        "cat string, y long",
+    )
+    got = {
+        (r["cat"], r["y"]): r["cat_te"]
+        for r in target_encode(df, "cat", "y").collect()
+    }
+    assert got[("a", 1)] == got[("a", 3)] == pytest.approx(2.0)
+    assert got[("b", 10)] == pytest.approx(10.0)
+    assert got[(None, 7)] == pytest.approx(8.0)  # NULL cat is a group
+
+
+def test_target_encode_loo(spark):
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 4), ("a", 6), ("b", 5)], "cat string, y long"
+    )
+    got = {
+        (r["cat"], r["y"]): r["cat_te"]
+        for r in target_encode(df, "cat", "y", leave_one_out=True).collect()
+    }
+    assert got[("a", 2)] == pytest.approx(5.0)  # (4+6)/2
+    assert got[("a", 4)] == pytest.approx(4.0)
+    assert got[("b", 5)] is None  # singleton, nothing left
+
+
+def test_target_encode_smoothing(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("b", 1)], "cat string, y long"
+    )
+    prior = 2 / 3
+    got = {
+        r["cat"]: r["cat_te"]
+        for r in target_encode(df, "cat", "y", smoothing=2)
+        .select("cat", "cat_te")
+        .distinct()
+        .collect()
+    }
+    assert got["a"] == pytest.approx((1 + 2 * prior) / (2 + 2))
+    assert got["b"] == pytest.approx((1 + 2 * prior) / (1 + 2))
+
+
+def test_target_encode_null_target_gets_encoding(spark):
+    df = spark.createDataFrame(
+        [("a", 4), ("a", None)], "cat string, y int"
+    )
+    got = {
+        r["y"]: r["cat_te"] for r in target_encode(df, "cat", "y").collect()
+    }
+    assert got[None] == pytest.approx(4.0)  # excluded from stats, encoded
+
+
+# ---------- event_transitions ----------
+
+
+def test_event_transitions_counts_and_probs(spark):
+    rows = [
+        (1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (1, 3, "B"),
+        (2, 0, "A"), (2, 1, "C"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, t long, s string")
+    got = {
+        (r["from_state"], r["to_state"]): (r["n"], r["p_micro"])
+        for r in event_transitions(df, ["uid"], "t", "s").collect()
+    }
+    # from A: A→B twice, A→C once
+    assert got[("A", "B")] == (2, 666666)
+    assert got[("A", "C")] == (1, 333333)
+    assert got[("B", "A")] == (1, 1000000)
+
+
+def test_event_transitions_rejects_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "A"), (1, 5, "B")], "uid long, t long, s string"
+    )
+    with pytest.raises(Exception, match="tied"):
+        event_transitions(df, ["uid"], "t", "s").collect()
+
+
+def test_event_transitions_tiebreak_col(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 0, "A"), (1, 5, 1, "B")], "uid long, t long, i long, s string"
+    )
+    got = event_transitions(df, ["uid"], "t", "s", order_cols=["i"]).collect()
+    assert [(r["from_state"], r["to_state"]) for r in got] == [("A", "B")]
+
+
+# ---------- ab_test_report ----------
+
+
+def test_ab_test_report_formulas(spark):
+    rows = (
+        [("control", 1)] * 40 + [("control", 0)] * 60
+        + [("treat", 1)] * 55 + [("treat", 0)] * 45
+    )
+    df = spark.createDataFrame(rows, "variant string, conv int")
+    got = {
+        r["variant"]: r
+        for r in ab_test_report(df, "variant", "conv", "control").collect()
+    }
+    c, t = got["control"], got["treat"]
+    assert (c["n"], c["x"], c["rate"]) == (100, 40, pytest.approx(0.4))
+    assert c["lift"] is None and c["z"] is None
+    assert (t["n"], t["x"]) == (100, 55)
+    assert t["lift"] == pytest.approx(0.15)
+    pooled = 95 / 200
+    want_z = (0.55 - 0.40) / math.sqrt(pooled * (1 - pooled) * (2 / 100))
+    assert t["z"] == pytest.approx(want_z)
+
+
+def test_ab_test_null_success_counts_exposure(spark):
+    df = spark.createDataFrame(
+        [("c", None), ("c", 1), ("t", 1)], "variant string, conv int"
+    )
+    got = {r["variant"]: r for r in ab_test_report(df, "variant", "conv", "c").collect()}
+    assert got["c"]["n"] == 2 and got["c"]["x"] == 1
+
+
+def test_ab_test_missing_control_raises(spark):
+    df = spark.createDataFrame([("t", 1)], "variant string, conv int")
+    with pytest.raises(ValueError, match="control"):
+        ab_test_report(df, "variant", "conv", "nope")
+
+
+def test_ab_test_degenerate_pooled_rate(spark):
+    df = spark.createDataFrame(
+        [("c", 0), ("c", 0), ("t", 0)], "variant string, conv int"
+    )
+    got = {r["variant"]: r for r in ab_test_report(df, "variant", "conv", "c").collect()}
+    assert got["t"]["z"] is None  # pooled rate 0 → no variance to test
