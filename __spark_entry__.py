@@ -4697,6 +4697,109 @@ def _q_ab_test_events(spark, sf_dir):
     )
 
 
+def _q_entity_resolution_customers(spark, sf_dir):
+    """End-to-end entity resolution: PassJoin edit-distance blocking
+    (`kolang_spark/llm/dedup.py::edit_distance_pairs` — constant-fanout
+    chunk equi-join, no cross product) → connected components
+    (pointer-jumping min-label) → canonical-record keep-list
+    (`dedup_keep_list`). Records are 16-hex keys with planted typo'd
+    duplicates (custkey%9 spawns a copy missing its 3rd char) — the
+    record-linkage chain over short identifier strings. The oracle
+    re-derives the pairs brute-force with DuckDB's levenshtein and
+    resolves clusters with a recursive CTE: two independent algorithms
+    for both stages."""
+    from kolang_spark.llm import dedup_keep_list
+    from kolang_spark.llm.dedup import edit_distance_pairs
+
+    cu = _t(spark, sf_dir, "customer")
+    base = cu.select(
+        F.col("c_custkey").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 16).alias(
+            "nm"
+        ),
+    )
+    mut = base.where(F.col("id") % 9 == 0).select(
+        (F.col("id") + F.lit(1000000)).alias("id"),
+        F.concat(
+            F.substring("nm", 1, 2), F.expr("substring(nm, 4)")
+        ).alias("nm"),
+    )
+    recs = base.unionByName(mut)
+    pairs = edit_distance_pairs(recs, id_col="id", text_col="nm", max_dist=1)
+    out = dedup_keep_list(recs, pairs, id_col="id")
+    return out.select(
+        F.col("id"), F.col("component").alias("entity"), F.col("keep")
+    )
+
+
+def _q_correlation_lineitem(spark, sf_dir):
+    """One-pass pairwise Pearson correlations (`kolang_spark/operators/
+    stats.py::correlation_matrix`): all 6 pairs of the 4 lineitem
+    measures from a SINGLE aggregate with p(p+3)/2 accumulators (the
+    PCA sufficient-stat trick) — the table is scanned once, nothing
+    else shuffles. Inputs are fixed-point integers (dollars/units/
+    milli-rates), so every sufficient statistic is exact and the corr
+    formula replays bit-identically in the oracle."""
+    from kolang_spark.operators.stats import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("long").alias("qty"),
+        F.round("l_extendedprice").cast("long").alias("usd"),
+        F.round(F.col("l_discount") * 1000).cast("long").alias("disc_mil"),
+        F.round(F.col("l_tax") * 1000).cast("long").alias("tax_mil"),
+    )
+    out = correlation_matrix(li, ["qty", "usd", "disc_mil", "tax_mil"])
+    return out.select(
+        "col_a", "col_b", "n", F.round("corr", 6).alias("corr")
+    )
+
+
+def _q_grouped_ols_orders(spark, sf_dir):
+    """Per-group closed-form OLS (`kolang_spark/operators/stats.py::
+    grouped_ols`): order value (whole dollars) regressed on order age
+    (days since 1995-01-01) within each priority class — one map-side-
+    combinable groupBy carrying the six sufficient statistics; the
+    normal-equation algebra is a fixed formula over exact integer
+    sums, replayed verbatim by the oracle."""
+    from kolang_spark.operators.stats import grouped_ols
+
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("age_d"),
+        F.round("o_totalprice").cast("long").alias("usd"),
+    )
+    out = grouped_ols(od, "age_d", "usd", by=["o_orderpriority"])
+    return out.select(
+        "o_orderpriority",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+def _q_attribution_purchases(spark, sf_dir):
+    """Last-touch conversion attribution (`kolang_spark/operators/
+    attribution.py::attribute_conversions`): each purchase credited to
+    the user's immediately-preceding non-purchase event — an
+    IGNORE-NULLS window pick over one (user, ts, event_id)-sorted
+    pass, NOT a conversions⋈touches self-join. The oracle replays
+    LAST_VALUE(… IGNORE NULLS) over the identical frame."""
+    from kolang_spark.operators.attribution import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(
+        ev,
+        ["user_id"],
+        "ts_ms",
+        "event_type",
+        ["purchase"],
+        order_cols=["event_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -4851,6 +4954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_orders": _q_target_encode_orders,
         "event_transitions_users": _q_event_transitions_users,
         "ab_test_events": _q_ab_test_events,
+        "entity_resolution_customers": _q_entity_resolution_customers,
+        "correlation_lineitem": _q_correlation_lineitem,
+        "grouped_ols_orders": _q_grouped_ols_orders,
+        "attribution_purchases": _q_attribution_purchases,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10263,6 +10370,130 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(per.n + c.n0 AS DOUBLE))
                              * (1.0/per.n + 1.0/c.n0)), 6) END AS z
             FROM per CROSS JOIN c
+        """,
+        # entity resolution: brute-force levenshtein pairs (independent
+        # of PassJoin's chunk index) + recursive-CTE components
+        # (independent of pointer jumping) — both stages cross-checked
+        # by different algorithms.
+        "entity_resolution_customers": """
+            WITH RECURSIVE base AS (
+              SELECT c_custkey AS id,
+                     substr(md5(CAST(c_custkey AS VARCHAR)), 1, 16) AS nm
+              FROM customer
+            ), mut AS (
+              SELECT id + 1000000 AS id,
+                     substr(nm, 1, 2) || substr(nm, 4) AS nm
+              FROM base WHERE id % 9 = 0
+            ), s AS (
+              SELECT * FROM base UNION ALL SELECT * FROM mut
+            ), pairs AS (
+              SELECT a.id AS ia, b.id AS ib
+              FROM s a JOIN s b
+                ON a.id < b.id
+               AND abs(len(a.nm) - len(b.nm)) <= 1
+              WHERE levenshtein(a.nm, b.nm) <= 1
+            ), edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION
+              SELECT ib, ia FROM pairs
+            ), reach AS (
+              SELECT a AS v, a AS lbl FROM edges
+              UNION
+              SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.v
+            ), comp AS (
+              SELECT v, MIN(lbl) AS component FROM reach GROUP BY v
+            )
+            SELECT s.id,
+                   COALESCE(c.component, s.id) AS entity,
+                   s.id = COALESCE(c.component, s.id) AS keep
+            FROM s LEFT JOIN comp c ON s.id = c.v
+        """,
+        # correlation_matrix: six exact sufficient statistics per pair,
+        # corr = (nΣxy−ΣxΣy)/sqrt((nΣx²−ΣxΣx)·(nΣy²−ΣyΣy)).
+        "correlation_lineitem": """
+            WITH li AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+                     CAST(round(l_extendedprice) AS BIGINT) AS usd,
+                     CAST(round(l_discount*1000) AS BIGINT) AS disc_mil,
+                     CAST(round(l_tax*1000) AS BIGINT) AS tax_mil
+              FROM lineitem
+            ), pairs AS (
+              SELECT 'qty' AS col_a, 'usd' AS col_b, qty AS x, usd AS y FROM li
+              UNION ALL
+              SELECT 'qty', 'disc_mil', qty, disc_mil FROM li
+              UNION ALL
+              SELECT 'qty', 'tax_mil', qty, tax_mil FROM li
+              UNION ALL
+              SELECT 'usd', 'disc_mil', usd, disc_mil FROM li
+              UNION ALL
+              SELECT 'usd', 'tax_mil', usd, tax_mil FROM li
+              UNION ALL
+              SELECT 'disc_mil', 'tax_mil', disc_mil, tax_mil FROM li
+            ), m AS (
+              SELECT col_a, col_b,
+                     COUNT(*) AS n,
+                     SUM(CAST(x AS DOUBLE)) AS sx,
+                     SUM(CAST(y AS DOUBLE)) AS sy,
+                     SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) AS sxy,
+                     SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS sxx,
+                     SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) AS syy
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT col_a, col_b, n,
+              CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0
+                    AND (n*syy - sy*sy) > 0 THEN
+                ROUND((n*sxy - sx*sy)
+                      / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+              END AS corr
+            FROM m
+        """,
+        # grouped_ols: slope = (nΣxy−ΣxΣy)/(nΣx²−ΣxΣx), intercept =
+        # (Σy − slope·Σx)/n, r2 = corr² — the operator's documented
+        # evaluation order verbatim.
+        "grouped_ols_orders": """
+            WITH o AS (
+              SELECT o_orderpriority,
+                CAST(date_diff('day', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                CAST(round(o_totalprice) AS BIGINT) AS y
+              FROM orders
+            ), m AS (
+              SELECT o_orderpriority,
+                     COUNT(*) AS n,
+                     SUM(CAST(x AS DOUBLE)) AS sx,
+                     SUM(CAST(y AS DOUBLE)) AS sy,
+                     SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) AS sxy,
+                     SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) AS sxx,
+                     SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) AS syy
+              FROM o GROUP BY 1
+            )
+            SELECT o_orderpriority, n,
+              CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 THEN
+                ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+              CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0 THEN
+                ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+                      / CAST(n AS DOUBLE), 6) END AS intercept,
+              CASE WHEN n >= 2 AND (n*sxx - sx*sx) > 0
+                    AND (n*syy - sy*sy) > 0 THEN
+                ROUND(((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy)))
+                      * ((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))),
+                      6) END AS r2
+            FROM m
+        """,
+        # attribute_conversions: LAST_VALUE IGNORE NULLS over the
+        # strictly-preceding frame, (ts_ms, event_id) order.
+        "attribution_purchases": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+                last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS attributed
+              FROM events
+            )
+            SELECT user_id, ts_ms, event_type AS conversion, attributed
+            FROM e WHERE event_type = 'purchase'
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

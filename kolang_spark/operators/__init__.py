@@ -75,6 +75,11 @@ from kolang_spark.operators.features import (  # noqa: F401
     trailing_window_agg,
 )
 from kolang_spark.operators.abtest import ab_test_report  # noqa: F401
+from kolang_spark.operators.stats import (  # noqa: F401
+    correlation_matrix,
+    grouped_ols,
+)
+from kolang_spark.operators.attribution import attribute_conversions  # noqa: F401
 from kolang_spark.operators.contracts import (  # noqa: F401
     accepted_values,
     in_range,
