@@ -142,17 +142,19 @@ def cusum_shift(
     dev = (x - F.lit(int(reference))) if side == "high" else (
         F.lit(int(reference)) - x
     )
-    run = Window.partitionBy(*gb).orderBy(F.col(ts_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # fail fast on NULLs/ties (both corrupt the running sums): a
-    # window peer group bigger than 1 = duplicate timestamp
-    dup = F.count(F.lit(1)).over(Window.partitionBy(*gb, ts_col))
+    seq = Window.partitionBy(*gb).orderBy(F.col(ts_col))
+    run = seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # fail fast on NULLs/ties (both corrupt the running sums). The tie
+    # probe is lag(ts) == ts on the SAME sorted window — equal
+    # timestamps are adjacent after the sort, so this catches every
+    # tie without the extra shuffle a partitionBy(gb, ts) count
+    # window would cost.
+    dup = F.lag(F.col(ts_col)).over(seq).eqNullSafe(F.col(ts_col))
     checked = F.when(
         F.col(ts_col).isNull() | x.isNull(),
         F.raise_error(F.lit("cusum_shift: NULL ts/value in input")),
     ).when(
-        dup > 1,
+        dup,
         F.raise_error(F.lit("cusum_shift: duplicate timestamp in a series")),
     )
     # two stacked selects: windows can't nest inside one projection,

@@ -65,12 +65,12 @@ def attribute_conversions(
         is_touch = s.isin([str(t) for t in touch_states])
 
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    dup = F.count(F.lit(1)).over(Window.partitionBy(*by, ts_col, *order_cols))
+    seq = Window.partitionBy(*by).orderBy(*order)
+    w = seq.rowsBetween(Window.unboundedPreceding, -1)
+    # tie probe on the same sorted window — no second shuffle (see
+    # event_transitions)
+    key = F.struct(*order)
+    dup = F.lag(key).over(seq).eqNullSafe(key)
     touch = F.when(is_touch, s)
     pick = (
         F.last(touch, ignorenulls=True)
@@ -78,7 +78,7 @@ def attribute_conversions(
         else F.first(touch, ignorenulls=True)
     )
     attributed = F.when(
-        dup > 1,
+        dup,
         F.raise_error(
             F.lit("attribute_conversions: tied (ts, order_cols) in a series")
         ),

@@ -159,11 +159,13 @@ def event_transitions(
         raise ValueError("by must be non-empty")
     order = [F.col(ts_col)] + [F.col(c) for c in order_cols]
     w = Window.partitionBy(*by).orderBy(*order)
-    dup = F.count(F.lit(1)).over(
-        Window.partitionBy(*by, ts_col, *order_cols)
-    )
+    # tie probe on the SAME sorted window (equal ordering tuples are
+    # adjacent after the sort — no second shuffle): lag of the full
+    # ordering tuple equals the current one ⇒ tie
+    key = F.struct(*order)
+    dup = F.lag(key).over(w).eqNullSafe(key)
     nxt = F.when(
-        dup > 1,
+        dup,
         F.raise_error(
             F.lit("event_transitions: tied (ts, order_cols) in a series")
         ),
