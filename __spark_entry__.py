@@ -4800,6 +4800,45 @@ def _q_attribution_purchases(spark, sf_dir):
     )
 
 
+def _q_session_stats_events(spark, sf_dir):
+    """Session-level rollup (`kolang_spark/operators/sessions.py::
+    with_session_id` + one aggregate): duration, event count, and a
+    converted flag per 30-minute-gap session. The deterministic
+    session ids (running per-user start count — the engine's fix for
+    the reference's monotonically_increasing_id) are what make the
+    oracle possible: DuckDB rebuilds the identical '<user>-<n>' keys
+    with the same LAG/SUM windows."""
+    from kolang_spark.operators.sessions import with_session_id
+
+    ev = _t(spark, sf_dir, "events")
+    s = with_session_id(ev, "user_id", "ts_ms", 30)
+    return s.groupBy("session_id").agg(
+        F.min("user_id").alias("user_id"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            == 1
+        ).alias("has_purchase"),
+    )
+
+
+def _q_funnel_counts_events(spark, sf_dir):
+    """Funnel summary (`kolang_spark/operators/funnel.py::
+    funnel_counts`): per-step user counts and conversion (exact
+    integer basis points, floor-division — no float drift) on top of
+    the single-shuffle per-user funnel; the summary itself is one
+    global aggregate unpacked with stack."""
+    from kolang_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -4862,7 +4901,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recall, multi-frame GIF decode + frame-ahash chain, hard-negative
     mining + contrastive rows, the Gopher rule bundle, duplication
     token-mass) are all oracle-backed debuts in the tail — they lead
-    the r10 window together with the six pre-r9 leftovers."""
+    the r10 window together with the six pre-r9 leftovers, followed by
+    the twenty r9 third-session debuts (funnel/retention, snapshot
+    diff + SCD2, k-anonymity, seasonal anomaly + CUSUM, label
+    propagation, join-key profile + PSI drift, trailing features,
+    data contracts, Bloom semi-join, target encoding, event
+    transitions, A/B readout, entity resolution, correlation matrix,
+    grouped OLS, attribution) — the simulation proves the whole
+    backlog absorbs within three windows."""
     return {
         # --- positions 1-50: the external round-9 window, all
         #     oracle-backed, COMPUTED by scripts/next_window.py 9:
@@ -4958,6 +5004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_lineitem": _q_correlation_lineitem,
         "grouped_ols_orders": _q_grouped_ols_orders,
         "attribution_purchases": _q_attribution_purchases,
+        "session_stats_events": _q_session_stats_events,
+        "funnel_counts_events": _q_funnel_counts_events,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10494,6 +10542,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, ts_ms, event_type AS conversion, attributed
             FROM e WHERE event_type = 'purchase'
+        """,
+        # session_stats: the deterministic '<user>-<n>' ids rebuilt
+        # with the same LAG gap-marker + running SUM, then one rollup.
+        "session_stats_events": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
+                LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ms(ts)) AS prev
+              FROM events
+            ), m AS (
+              SELECT user_id, ts_ms, event_type,
+                CASE WHEN prev IS NULL OR ts_ms - prev > 1800000
+                     THEN 1 ELSE 0 END AS is_new
+              FROM e
+            ), sno AS (
+              SELECT user_id, ts_ms, event_type,
+                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+              FROM m
+            )
+            SELECT CAST(user_id AS VARCHAR) || '-' || CAST(n AS VARCHAR)
+                     AS session_id,
+                   MIN(user_id) AS user_id,
+                   MIN(ts_ms) AS start_ms,
+                   MAX(ts_ms) AS end_ms,
+                   MAX(ts_ms) - MIN(ts_ms) AS duration_ms,
+                   COUNT(*) AS n_events,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     = 1 AS has_purchase
+            FROM sno GROUP BY 1
+        """,
+        # funnel_counts: the chained-min CTEs again, folded to per-step
+        # user counts; conv_bp = n·10000 DIV n_step1 (floor, exact).
+        "funnel_counts_events": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            ), s1 AS (
+              SELECT user_id, MIN(ts_ms) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1
+            ), c AS (
+              SELECT (SELECT COUNT(*) FROM s1) AS n1,
+                     (SELECT COUNT(*) FROM s2) AS n2,
+                     (SELECT COUNT(*) FROM s3) AS n3
+            )
+            SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+                   n1 AS n_users, n1 * 10000 // n1 AS conv_bp FROM c
+            UNION ALL
+            SELECT CAST(2 AS INT), 'click', n2, n2 * 10000 // n1 FROM c
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', n3, n3 * 10000 // n1 FROM c
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

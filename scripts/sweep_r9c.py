@@ -103,22 +103,33 @@ def main():
         print(json.dumps({"sweep": "funnel", "copies": copies,
                           "rows_in": n_in, "rows_out": n, "sec": round(dt, 2)}))
 
+        # force the window columns through an aggregate — a bare
+        # count() would let the optimizer prune the windows away and
+        # time an empty scan
         dt, n = timed(
-            lambda: trailing_window_agg(
-                ev, ["user_id"], windows_ms=[3600_000, 86400_000],
-                value_col="cents",
-            ).count()
+            lambda: int(
+                trailing_window_agg(
+                    ev, ["user_id"], windows_ms=[3600_000, 86400_000],
+                    value_col="cents",
+                )
+                .agg(F.count("n_3600000ms"), F.sum("sum_86400000ms"))
+                .collect()[0][0]
+            )
         )
         print(json.dumps({"sweep": "trailing", "copies": copies,
                           "rows_in": n_in, "rows_out": n, "sec": round(dt, 2)}))
 
         dt, n = timed(
-            lambda: cusum_shift(
-                ev.groupBy("user_id", "event_type",
-                           F.col("ts_ms").cast("long").alias("d"))
-                .agg(F.count(F.lit(1)).alias("n")),
-                "d", "n", by=["user_id", "event_type"], reference=1,
-            ).count()
+            lambda: int(
+                cusum_shift(
+                    ev.groupBy("user_id", "event_type",
+                               F.col("ts_ms").cast("long").alias("d"))
+                    .agg(F.count(F.lit(1)).alias("n")),
+                    "d", "n", by=["user_id", "event_type"], reference=1,
+                )
+                .agg(F.count("cusum"))
+                .collect()[0][0]
+            )
         )
         print(json.dumps({"sweep": "cusum", "copies": copies,
                           "rows_in": n_in, "rows_out": n, "sec": round(dt, 2)}))
