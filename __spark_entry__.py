@@ -4839,6 +4839,20 @@ def _q_funnel_counts_events(spark, sf_dir):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def _q_pii_columns_documents(spark, sf_dir):
+    """Column-level PII detection (`kolang_spark/operators/privacy.py::
+    detect_pii_columns`): which documents columns contain emails /
+    IPv4s / phones, as exact hit counts and integer ppm rates — the
+    governance sweep before publishing a table, sharing
+    `llm/scrub.py::PII_PATTERNS` verbatim so detection and redaction
+    agree. ONE aggregation pass (|cols|·|kinds| rlike counters, JVM
+    regex, no UDF) + a driver-side stack."""
+    from kolang_spark.operators.privacy import detect_pii_columns
+
+    dc = _t(spark, sf_dir, "documents")
+    return detect_pii_columns(dc, columns=["text", "lang", "source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -5006,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_purchases": _q_attribution_purchases,
         "session_stats_events": _q_session_stats_events,
         "funnel_counts_events": _q_funnel_counts_events,
+        "pii_columns_documents": _q_pii_columns_documents,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10600,6 +10615,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(2 AS INT), 'click', n2, n2 * 10000 // n1 FROM c
             UNION ALL
             SELECT CAST(3 AS INT), 'purchase', n3, n3 * 10000 // n1 FROM c
+        """,
+        # detect_pii_columns: the same three PII_PATTERNS regexes as
+        # scrub's oracle (RE2-portable), conditional counts per
+        # (column, kind), ppm = hits·1e6 DIV non-null (floor, exact).
+        "pii_columns_documents": """
+            WITH m AS (
+              SELECT COUNT(*) AS n_rows,
+                COUNT(text) AS nn_text, COUNT(lang) AS nn_lang,
+                COUNT(source) AS nn_source,
+                COUNT(CASE WHEN regexp_matches(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                  THEN 1 END) AS h_text_email,
+                COUNT(CASE WHEN regexp_matches(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+                  THEN 1 END) AS h_text_ipv4,
+                COUNT(CASE WHEN regexp_matches(text,
+                  '[+(]\\d[\\d() -]{7,14}\\d') THEN 1 END) AS h_text_phone,
+                COUNT(CASE WHEN regexp_matches(lang,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                  THEN 1 END) AS h_lang_email,
+                COUNT(CASE WHEN regexp_matches(lang,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+                  THEN 1 END) AS h_lang_ipv4,
+                COUNT(CASE WHEN regexp_matches(lang,
+                  '[+(]\\d[\\d() -]{7,14}\\d') THEN 1 END) AS h_lang_phone,
+                COUNT(CASE WHEN regexp_matches(source,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')
+                  THEN 1 END) AS h_source_email,
+                COUNT(CASE WHEN regexp_matches(source,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')
+                  THEN 1 END) AS h_source_ipv4,
+                COUNT(CASE WHEN regexp_matches(source,
+                  '[+(]\\d[\\d() -]{7,14}\\d') THEN 1 END) AS h_source_phone
+              FROM documents
+            ), long AS (
+              SELECT 'text' AS "column", 'email' AS kind, n_rows,
+                     nn_text AS n_nonnull, h_text_email AS n_hit FROM m
+              UNION ALL SELECT 'text', 'ipv4', n_rows, nn_text,
+                     h_text_ipv4 FROM m
+              UNION ALL SELECT 'text', 'phone', n_rows, nn_text,
+                     h_text_phone FROM m
+              UNION ALL SELECT 'lang', 'email', n_rows, nn_lang,
+                     h_lang_email FROM m
+              UNION ALL SELECT 'lang', 'ipv4', n_rows, nn_lang,
+                     h_lang_ipv4 FROM m
+              UNION ALL SELECT 'lang', 'phone', n_rows, nn_lang,
+                     h_lang_phone FROM m
+              UNION ALL SELECT 'source', 'email', n_rows, nn_source,
+                     h_source_email FROM m
+              UNION ALL SELECT 'source', 'ipv4', n_rows, nn_source,
+                     h_source_ipv4 FROM m
+              UNION ALL SELECT 'source', 'phone', n_rows, nn_source,
+                     h_source_phone FROM m
+            )
+            SELECT "column", kind, n_rows, n_nonnull,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CASE WHEN n_nonnull > 0 THEN
+                     CAST(n_hit * 1000000 // n_nonnull AS BIGINT)
+                   END AS hit_ppm
+            FROM long
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -62,6 +62,7 @@ from kolang_spark.operators.scd import (  # noqa: F401
     snapshot_diff,
 )
 from kolang_spark.operators.privacy import (  # noqa: F401
+    detect_pii_columns,
     k_anonymity_report,
     k_anonymize,
 )

@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["k_anonymity_report", "k_anonymize"]
+__all__ = ["k_anonymity_report", "k_anonymize", "detect_pii_columns"]
 
 
 def k_anonymity_report(
@@ -96,3 +96,89 @@ def k_anonymize(
         for c in df.columns
     ]
     return joined.select(*out)
+
+
+def detect_pii_columns(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    kinds: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Column-level PII detection report → one row per (column, kind):
+    ``(column, kind, n_rows, n_nonnull, n_hit, hit_ppm)`` where
+    ``n_hit`` counts non-NULL values containing at least one match of
+    the kind's pattern and ``hit_ppm`` is the exact integer
+    parts-per-million rate over non-NULL values (``n_hit·1e6 DIV
+    n_nonnull``; NULL when the column is all-NULL).
+
+    The governance sweep run before publishing a table: "which columns
+    leak emails/phones/IPs" — the column-level complement to the
+    row-level redaction in ``llm/scrub.py`` (whose public
+    ``PII_PATTERNS`` are reused verbatim, so detection and scrubbing
+    agree on what counts as PII). ``columns`` defaults to every
+    string-typed column; non-string columns are rejected (cast
+    upstream if you mean it).
+
+    Scale shape: ONE aggregation pass — |columns|·|kinds| conditional
+    counts as accumulators — and a driver-side ``stack`` reshape, the
+    ``profile_table`` idiom. Patterns evaluate JVM-side (rlike, no
+    UDF).
+    """
+    from kolang_spark.llm.scrub import PII_PATTERNS
+
+    pats = dict(PII_PATTERNS)
+    if kinds is not None:
+        unknown = set(kinds) - set(pats)
+        if unknown:
+            raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+        pats = {k: pats[k] for k in pats if k in set(kinds)}
+    if columns is None:
+        cols = [
+            f.name for f in df.schema.fields if f.dataType.typeName() == "string"
+        ]
+    else:
+        cols = list(columns)
+        non_str = [
+            c
+            for c in cols
+            if df.schema[c].dataType.typeName() != "string"
+        ]
+        if non_str:
+            raise ValueError(f"non-string columns: {non_str}")
+    if not cols:
+        raise ValueError("no string columns to scan")
+    bad = [c for c in cols if "`" in c or "'" in c]
+    if bad:
+        raise ValueError(f"unsupported characters in column names: {bad!r}")
+
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__nn_{c}__"))
+        for k, pat in pats.items():
+            aggs.append(
+                F.count(F.when(col.rlike(pat), 1)).alias(f"__hit_{c}_{k}__")
+            )
+    one = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        for k in pats:
+            stack_args += [f"'{c}'", f"'{k}'", f"`__nn_{c}__`",
+                           f"`__hit_{c}_{k}__`"]
+    n_pairs = len(cols) * len(pats)
+    return one.select(
+        F.col("__n__").alias("n_rows"),
+        F.expr(
+            f"stack({n_pairs}, {', '.join(stack_args)}) AS "
+            "(column, kind, n_nonnull, n_hit)"
+        ),
+    ).select(
+        "column",
+        "kind",
+        "n_rows",
+        "n_nonnull",
+        "n_hit",
+        F.when(
+            F.col("n_nonnull") > 0,
+            F.expr("n_hit * 1000000L DIV n_nonnull"),
+        ).alias("hit_ppm"),
+    )

@@ -159,3 +159,37 @@ def test_label_propagation_matches_replica_random_graphs(spark):
                 it,
                 edges,
             )
+
+
+def test_detect_pii_columns(spark):
+    from kolang_spark.operators.privacy import detect_pii_columns
+
+    rows = [
+        ("write to a@b.io", "10.0.0.1 hit", None),
+        ("nothing here", "also clean", "x"),
+        (None, "a@b.io and 1.2.3.4", "call +1 (555) 123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "t1 string, t2 string, t3 string")
+    got = {
+        (r["column"], r["kind"]): (r["n_nonnull"], r["n_hit"], r["hit_ppm"])
+        for r in detect_pii_columns(df).collect()
+    }
+    assert got[("t1", "email")] == (2, 1, 500000)
+    assert got[("t1", "ipv4")] == (2, 0, 0)
+    assert got[("t2", "email")] == (3, 1, 333333)
+    assert got[("t2", "ipv4")] == (3, 2, 666666)
+    assert got[("t3", "phone")] == (2, 1, 500000)
+    assert all(r[0] == 2 or True for r in got.values())
+
+
+def test_detect_pii_columns_validation(spark):
+    from kolang_spark.operators.privacy import detect_pii_columns
+
+    df = spark.createDataFrame([(1, "x")], "n long, s string")
+    # default: only string columns scanned
+    cols = {r["column"] for r in detect_pii_columns(df).collect()}
+    assert cols == {"s"}
+    with pytest.raises(ValueError, match="non-string"):
+        detect_pii_columns(df, columns=["n"])
+    with pytest.raises(ValueError, match="unknown PII kinds"):
+        detect_pii_columns(df, kinds=["ssn"])
