@@ -4853,6 +4853,26 @@ def _q_pii_columns_documents(spark, sf_dir):
     return detect_pii_columns(dc, columns=["text", "lang", "source"])
 
 
+def _q_dp_counts_events(spark, sf_dir):
+    """ε-DP Laplace-mechanism noisy group counts (`kolang_spark/
+    operators/privacy.py::dp_noisy_counts`, Dwork's calibrated noise,
+    sensitivity-1 counting): per-(event_type, day) counts released
+    with inverse-CDF Laplace noise derived from an md5-uniform over
+    (seed, key) — deterministic so the oracle replays the draw
+    bit-for-bit (a production release would use a secret seed; the
+    docstring owns the caveat). One map-side groupBy; the noise is a
+    per-row expression on the |groups|-row aggregate."""
+    from kolang_spark.operators.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "d", F.col("ts").cast("date").cast("string")
+    )
+    out = dp_noisy_counts(ev, ["event_type", "d"], epsilon=1.0, seed="r9")
+    return out.select(
+        "event_type", "d", "n", F.round("noise", 6).alias("noise"), "n_noisy"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -5021,6 +5041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": _q_session_stats_events,
         "funnel_counts_events": _q_funnel_counts_events,
         "pii_columns_documents": _q_pii_columns_documents,
+        "dp_counts_events": _q_dp_counts_events,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10675,6 +10696,30 @@ def oracle_sql() -> dict[str, str]:
                      CAST(n_hit * 1000000 // n_nonnull AS BIGINT)
                    END AS hit_ppm
             FROM long
+        """,
+        # dp_noisy_counts: u = (h60 + 0.5)/2^60 from md5('r9'|key),
+        # noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the documented
+        # inverse-CDF draw, replayed exactly.
+        "dp_counts_events": """
+            WITH per AS (
+              SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                     COUNT(*) AS n
+              FROM events GROUP BY 1, 2
+            ), h AS (
+              SELECT *,
+                ('0x' || substr(md5('r9' || '|' || event_type || '|' || d),
+                                18, 15))::BIGINT AS h60
+              FROM per
+            ), u AS (
+              SELECT *, (CAST(h60 AS DOUBLE) + 0.5)
+                        / 1152921504606846976.0 - 0.5 AS c
+              FROM h
+            )
+            SELECT event_type, d, n,
+              ROUND(-1.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6) AS noise,
+              GREATEST(0, CAST(round(n + (-1.0 * sign(c)
+                * ln(1.0 - 2.0 * abs(c)))) AS BIGINT)) AS n_noisy
+            FROM u
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

@@ -63,6 +63,7 @@ from kolang_spark.operators.scd import (  # noqa: F401
 )
 from kolang_spark.operators.privacy import (  # noqa: F401
     detect_pii_columns,
+    dp_noisy_counts,
     k_anonymity_report,
     k_anonymize,
 )

@@ -25,7 +25,12 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["k_anonymity_report", "k_anonymize", "detect_pii_columns"]
+__all__ = [
+    "k_anonymity_report",
+    "k_anonymize",
+    "detect_pii_columns",
+    "dp_noisy_counts",
+]
 
 
 def k_anonymity_report(
@@ -181,4 +186,68 @@ def detect_pii_columns(
             F.col("n_nonnull") > 0,
             F.expr("n_hit * 1000000L DIV n_nonnull"),
         ).alias("hit_ppm"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    epsilon: float = 1.0,
+    seed: str = "",
+) -> DataFrame:
+    """Laplace-mechanism noisy group counts (Dwork et al.'s calibrated
+    noise, the standard ε-DP release for counting queries with
+    sensitivity 1) → one row per group: the keys, ``n`` (true count —
+    kept for validation; a production release would drop it),
+    ``noise`` (the Laplace draw) and ``n_noisy`` (max(0, round(n +
+    noise))).
+
+    The noise is derived by inverse-CDF from an md5-uniform over
+    (seed, group key): u = (h60 + 0.5) / 2^60,
+    noise = −(1/ε)·sign(u − ½)·ln(1 − 2·|u − ½|) — a fixed formula an
+    SQL oracle replays bit-for-bit. HONEST CAVEAT the caller owns:
+    deterministic per-key noise makes runs reproducible and testable,
+    but ε-DP's guarantee assumes the adversary cannot predict the
+    draw — deploy with a SECRET ``seed`` (it is the mechanism's key),
+    and never release two runs with different seeds over the same
+    data (each release spends ε).
+
+    Scale shape: ONE map-side-combinable groupBy; the noise is a
+    per-row expression on the aggregate output (|groups| rows).
+    """
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    if epsilon <= 0:
+        raise ValueError("epsilon must be positive")
+    per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    *[F.col(k).cast("string") for k in keys],
+                )
+            ),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return per.select(
+        *keys,
+        "n",
+        noise.alias("noise"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.round(F.col("n") + noise).cast("long"),
+        ).alias("n_noisy"),
     )

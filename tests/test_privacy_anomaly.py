@@ -193,3 +193,40 @@ def test_detect_pii_columns_validation(spark):
         detect_pii_columns(df, columns=["n"])
     with pytest.raises(ValueError, match="unknown PII kinds"):
         detect_pii_columns(df, kinds=["ssn"])
+
+
+def test_dp_noisy_counts_formula_and_distribution(spark):
+    import hashlib
+    import math as _math
+
+    from kolang_spark.operators.privacy import dp_noisy_counts
+
+    rows = [(f"k{i % 40}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string")
+    out = {r["g"]: r for r in dp_noisy_counts(df, ["g"], epsilon=0.5,
+                                              seed="s1").collect()}
+    assert len(out) == 40
+    for g, r in out.items():
+        assert r["n"] == 10
+        h = int(hashlib.md5(f"s1|{g}".encode()).hexdigest()[17:32], 16)
+        u = (h + 0.5) / float(1 << 60)
+        c = u - 0.5
+        want = -(1 / 0.5) * _math.copysign(1.0, c) * _math.log(1 - 2 * abs(c))
+        if c == 0.0:
+            want = 0.0
+        assert r["noise"] == pytest.approx(want, rel=1e-12)
+        assert r["n_noisy"] == max(0, round(10 + r["noise"]))
+    # the 40 draws should straddle zero (Laplace is symmetric)
+    signs = [r["noise"] > 0 for r in out.values()]
+    assert 5 < sum(signs) < 35
+
+
+def test_dp_noisy_counts_seed_changes_noise(spark):
+    from kolang_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "g string")
+    n1 = {r["g"]: r["noise"] for r in dp_noisy_counts(df, ["g"], seed="x").collect()}
+    n2 = {r["g"]: r["noise"] for r in dp_noisy_counts(df, ["g"], seed="y").collect()}
+    assert n1 != n2
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0)
