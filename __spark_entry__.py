@@ -4873,6 +4873,71 @@ def _q_dp_counts_events(spark, sf_dir):
     )
 
 
+def _q_funnel_stream_batch(spark, sf_dir):
+    """The STREAMING funnel end to end (`kolang_spark/streaming/
+    stateful.py::stateful_funnel`, applyInPandasWithState): events
+    split at a fixed mid-month timestamp into two file micro-batches
+    flow through a real update-mode StreamingQuery; per-key state (the
+    chained-min step-timestamp vector) must survive the state-store
+    round-trip so each user's FINAL row (max_by n_events) equals the
+    batch `funnel_steps` over the whole month — which is exactly what
+    the oracle computes with the chained MIN CTEs. The greedy fold is
+    prefix-incremental, so the time-ordered split cannot change the
+    answer; file mtimes are pinned so batch order is write order."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.streaming.stateful import stateful_funnel
+
+    base = tempfile.mkdtemp(prefix="ks_funnel_stream_q_")
+    try:
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "ts_ms", "event_type"
+        )
+        cut = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+        cut_ms = (cut.cast("double") * 1000).cast("long")
+        f1, f2 = os.path.join(src_dir, "f1"), os.path.join(src_dir, "f2")
+        ev.where(F.col("ts_ms") < cut_ms).coalesce(1).write.parquet(f1)
+        ev.where(F.col("ts_ms") >= cut_ms).coalesce(1).write.parquet(f2)
+        _pin_batch_mtimes(f1, f2)
+
+        stream = (
+            spark.readStream.schema("user_id long, ts_ms long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir + "/*")
+        )
+        import uuid
+
+        sink = f"ks_funnel_{uuid.uuid4().hex[:8]}"
+        q = (
+            stateful_funnel(stream, ["view", "click", "purchase"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stream(q)
+        emitted = spark.table(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    final = emitted.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("step_reached", "step_1_ms", "step_2_ms", "step_3_ms"),
+            F.col("n_events"),
+        ).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.step_reached").alias("step_reached"),
+        F.col("s.step_1_ms").alias("step_1_ms"),
+        F.col("s.step_2_ms").alias("step_2_ms"),
+        F.col("s.step_3_ms").alias("step_3_ms"),
+    ).where(F.col("step_1_ms").isNotNull())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -5042,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts_events": _q_funnel_counts_events,
         "pii_columns_documents": _q_pii_columns_documents,
         "dp_counts_events": _q_dp_counts_events,
+        "funnel_stream_batch": _q_funnel_stream_batch,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10720,6 +10786,31 @@ def oracle_sql() -> dict[str, str]:
               GREATEST(0, CAST(round(n + (-1.0 * sign(c)
                 * ln(1.0 - 2.0 * abs(c)))) AS BIGINT)) AS n_noisy
             FROM u
+        """,
+        # stateful_funnel streamed across two time-split micro-batches
+        # must equal the batch chained-min spec over the whole month —
+        # the SAME oracle as funnel_view_click_purchase.
+        "funnel_stream_batch": """
+            WITH e AS (
+              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+            ), s1 AS (
+              SELECT user_id, MIN(ts_ms) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t2 FROM e
+              JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts_ms >= t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, MIN(ts_ms) AS t3 FROM e
+              JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts_ms >= t2 GROUP BY 1
+            )
+            SELECT s1.user_id,
+                   CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT)
+                     AS step_reached,
+                   t1 AS step_1_ms, t2 AS step_2_ms, t3 AS step_3_ms
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),

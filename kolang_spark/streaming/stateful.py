@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["stateful_ewma", "ewma_batch", "ewma_batch_reference"]
+__all__ = ["stateful_ewma", "ewma_batch", "ewma_batch_reference", "stateful_funnel"]
 
 
 def _lam(half_life_s: float) -> float:
@@ -168,3 +168,104 @@ def ewma_batch_reference(
             s = float(v)
         last = t
     return s
+
+
+def stateful_funnel(
+    df: DataFrame,
+    steps,
+    key: str = "user_id",
+    ts: str = "ts_ms",
+    type_col: str = "event_type",
+    timeout_ms: Optional[int] = None,
+) -> DataFrame:
+    """Per-key funnel progression maintained across micro-batches — the
+    streaming counterpart of ``operators/funnel.py::funnel_steps``.
+
+    State per key is the vector of chained-minimum step timestamps
+    (step k = first event of its type at or after step k−1's time);
+    each micro-batch folds its slice in (ts, step-position) order —
+    exactly the batch operator's sort — so with per-key time-ordered
+    arrival (replay in order: the standard sequential-stateful
+    contract, same as ``stateful_ewma``; ties must not straddle a
+    batch boundary) the final state equals the batch
+    ``funnel_steps`` over the full history. The chained-min greedy is
+    prefix-incremental, which is what makes the cross-batch fold sound:
+    folding P then Q (all Q times ≥ all P times) equals folding P∪Q.
+
+    Emits one row per key per micro-batch it appears in (update-mode
+    shape): ``(key, step_reached, step_1_ms … step_m_ms, n_events)``
+    — the state after that batch; ``n_events`` counts folded events so
+    downstream can pick each key's latest row. Keys that have not yet
+    performed step 1 still emit (step_reached = 0): a live funnel
+    dashboard wants the denominator too — filter ``step_reached >= 1``
+    for batch-parity.
+
+    State size: m longs per active key; ``timeout_ms`` evicts idle
+    keys (their funnel restarts — the eviction row is not emitted).
+    """
+    step_list = [str(s) for s in steps]
+    m = len(step_list)
+    if m == 0:
+        raise ValueError("steps must be non-empty")
+    positions: dict = {}
+    for i, s in enumerate(step_list):
+        positions.setdefault(s, []).append(i)
+
+    def fold(
+        key_tuple: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            got = state.get
+            t = list(got[0])
+            n = got[1]
+        else:
+            t, n = [-1] * m, 0
+
+        batch = pd.concat(list(pdfs))
+        pairs = []
+        for tv, ty in zip(batch[ts], batch[type_col]):
+            for pos in positions.get(ty, ()):
+                pairs.append((int(tv), pos))
+        n += len(batch)
+        # the batch operator's exact order: (ts, step position)
+        for tv, k in sorted(pairs):
+            if t[k] == -1 and (
+                k == 0 or (t[k - 1] != -1 and tv >= t[k - 1])
+            ):
+                t[k] = tv
+
+        state.update((t, n))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        row = {key: [key_tuple[0]]}
+        reached = 0
+        for k in range(m):
+            row[f"step_{k + 1}_ms"] = [None if t[k] == -1 else t[k]]
+            if t[k] != -1:
+                reached += 1
+        row["step_reached"] = [reached]
+        row["n_events"] = [n]
+        yield pd.DataFrame(row)
+
+    key_type = dict(df.dtypes)[key]
+    step_cols = ", ".join(f"step_{k + 1}_ms long" for k in range(m))
+    out_schema = (
+        f"{key} {key_type}, {step_cols}, step_reached int, n_events long"
+    )
+    state_schema = "t array<long>, n long"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.select(key, ts, type_col)
+        .where(F.col(type_col).isin(step_list) & F.col(ts).isNotNull())
+        .groupBy(key)
+        .applyInPandasWithState(fold, out_schema, state_schema, "update", timeout)
+    )
