@@ -4938,6 +4938,47 @@ def _q_funnel_stream_batch(spark, sf_dir):
     ).where(F.col("step_1_ms").isNotNull())
 
 
+def _q_bloom_anti_join_orders(spark, sf_dir):
+    """Bloom-prefiltered ANTI join (`kolang_spark/operators/
+    sketches.py::bloom_semi_join(anti=True)`): orders whose customer is
+    NOT high-balance. Bloom has no false negatives, so rows failing the
+    bitmask are DEFINITE rejects and bypass the join entirely; only the
+    might-match minority pays for the verifying left-anti — at a 10%
+    match rate that is ~90% of the big side never joining. Exactness is
+    FP-independent; oracle = plain NOT IN."""
+    from kolang_spark.operators.sketches import bloom_semi_join
+
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    out = bloom_semi_join(
+        od, cu, "o_custkey", right_key="c_custkey", n_bits=1 << 14, k=5,
+        anti=True,
+    )
+    return out.select("o_orderkey", "o_custkey")
+
+
+def _q_k_anonymize_events(spark, sf_dir):
+    """k-anonymity suppression (`kolang_spark/operators/privacy.py::
+    k_anonymize`, mode='suppress'): drop every event whose
+    (event_type, day, hour-bucket) equivalence class has fewer than 25
+    members, then count survivors per class — the release step after
+    the audit. One aggregate on the quasi key + one equi-join back
+    (AQE-broadcast class table)."""
+    from kolang_spark.operators.privacy import k_anonymize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+    )
+    kept = k_anonymize(ev, ["event_type", "d", "h"], k=25)
+    return kept.groupBy("event_type", "d", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_event_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver's correctness harness checks the
     FIRST 50 entries only (round-1 evidence), so every window slot
@@ -5108,6 +5149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_columns_documents": _q_pii_columns_documents,
         "dp_counts_events": _q_dp_counts_events,
         "funnel_stream_batch": _q_funnel_stream_batch,
+        "bloom_anti_join_orders": _q_bloom_anti_join_orders,
+        "k_anonymize_events": _q_k_anonymize_events,
         # --- tail: r8 window greens (50) — veteran cadence 6,
         #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
@@ -10811,6 +10854,28 @@ def oracle_sql() -> dict[str, str]:
                      AS step_reached,
                    t1 AS step_1_ms, t2 AS step_2_ms, t3 AS step_3_ms
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "bloom_anti_join_orders": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE o_custkey NOT IN (
+              SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+            )
+        """,
+        # k_anonymize suppress: classes of size < 25 vanish entirely.
+        "k_anonymize_events": """
+            WITH e AS (
+              SELECT event_id, event_type, CAST(ts AS DATE) AS d,
+                     CAST((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) % 86400)
+                          // 3600 AS INT) AS h
+              FROM events
+            )
+            SELECT event_type, d, h,
+                   COUNT(*) AS n,
+                   MIN(event_id) AS min_event_id
+            FROM e
+            GROUP BY 1, 2, 3
+            HAVING COUNT(*) >= 25
         """,
         # Omitted on purpose → driver records rows-only checks:
         #   sessionize_stream_semantics (session-window assignment),
