@@ -36,14 +36,16 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # history on unchanged code). Guards against an external runner's time
 # limit on a badly stalling host.
 #
-# Raised 420 → 720 → 1080 as the registry crossed 160 queries: at 420
-# the whole tail fell to min-of-2 and single host stalls (documented
-# ±30% swings) landed unabsorbed; 720 sat exactly at the cliff on a
+# Raised 420 → 720 → 1080 → 1500 as the registry grew: at 420 the
+# whole tail fell to min-of-2 and single host stalls (documented ±30%
+# swings) landed unabsorbed; 720 sat exactly at the cliff on a
 # stalling host (162 queries × ~1.5 s stall-inflated avg × 3 reps ≈
-# 720 s — the first 162-query record still tripped it). 1080 puts the
-# 3-rep suite inside the budget even on a bad host window; ~18 min
-# worst case remains well inside the round driver's tolerance.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1080"))
+# 720 s — the first 162-query record still tripped it); 1080 tripped
+# in turn at 198 queries (suite best-of ≈ 277 s → 3-rep wall ≈
+# 1100 s+, r9 third session). 1500 puts the 3-rep suite inside the
+# budget at ~200 queries even on a bad host window; ~25 min worst case
+# remains inside the round driver's tolerance.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 # Drift canary (round-6 verdict item 4): this host's suite totals swing
 # ±30% on UNCHANGED code (BASELINE.md r4-r6 interleaved A/Bs), so raw
 # per-round totals are hostage to when the driver happens to run. A
