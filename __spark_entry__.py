@@ -10806,9 +10806,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS hit_ppm
             FROM long
         """,
-        # dp_noisy_counts: u = (h60 + 0.5)/2^60 from md5('r9'|key),
-        # noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the documented
-        # inverse-CDF draw, replayed exactly.
+        # dp_noisy_counts: u = (h60 + 0.5)/2^60 from md5 over the
+        # length-prefixed key encoding ('r9' + '|<len>:<value>' per
+        # component), noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) — the
+        # documented inverse-CDF draw, replayed exactly.
         "dp_counts_events": """
             WITH per AS (
               SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
@@ -10816,7 +10817,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ), h AS (
               SELECT *,
-                ('0x' || substr(md5('r9' || '|' || event_type || '|' || d),
+                ('0x' || substr(md5('r9'
+                    || '|' || CAST(length(event_type) AS VARCHAR) || ':'
+                    || event_type
+                    || '|' || CAST(length(d) AS VARCHAR) || ':' || d),
                                 18, 15))::BIGINT AS h60
               FROM per
             ), u AS (

@@ -67,8 +67,11 @@ def seasonal_anomaly(
     gb = list(by) if by else []
 
     ts = F.col(ts_col)
+    # floor, not cast-truncation: pre-epoch timestamps are negative and
+    # must bucket DOWN (floor(epoch/step)*step, the oracle convention)
     bucket_s = (
-        (ts.cast("double") / bucket_seconds).cast("long") * bucket_seconds
+        F.floor(ts.cast("double") / bucket_seconds).cast("long")
+        * bucket_seconds
     )
     buckets = (
         df.where(ts.isNotNull())

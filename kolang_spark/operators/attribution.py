@@ -68,28 +68,44 @@ def attribute_conversions(
     seq = Window.partitionBy(*by).orderBy(*order)
     w = seq.rowsBetween(Window.unboundedPreceding, -1)
     # tie probe on the same sorted window — no second shuffle (see
-    # event_transitions)
+    # event_transitions). The per-row lag==current flag alone is NOT
+    # enough here: the conversion filter below is pushed under the
+    # final projection, so a raise guard attached to non-conversion
+    # rows would never be evaluated — lift the flag to a
+    # whole-partition max so ANY tie in the series raises on the
+    # conversion rows that do survive (same partitioning, no extra
+    # shuffle).
     key = F.struct(*order)
-    dup = F.lag(key).over(seq).eqNullSafe(key)
     touch = F.when(is_touch, s)
     pick = (
         F.last(touch, ignorenulls=True)
         if model == "last_touch"
         else F.first(touch, ignorenulls=True)
     )
+    # two stacked projections: windows can't nest, and the partition
+    # max must be over the lag flag's OUTPUT
+    staged = df.select(
+        *by,
+        F.col(ts_col),
+        s.alias("conversion"),
+        pick.over(w).alias("__pick__"),
+        F.lag(key).over(seq).eqNullSafe(key).cast("int").alias("__tie__"),
+        is_conv.alias("__is_conv__"),
+    )
+    any_tie = F.max("__tie__").over(Window.partitionBy(*by)) == 1
     attributed = F.when(
-        dup,
+        any_tie,
         F.raise_error(
             F.lit("attribute_conversions: tied (ts, order_cols) in a series")
         ),
-    ).otherwise(pick.over(w))
+    ).otherwise(F.col("__pick__"))
     return (
-        df.select(
+        staged.select(
             *by,
             F.col(ts_col),
-            s.alias("conversion"),
+            "conversion",
             attributed.alias("attributed"),
-            is_conv.alias("__is_conv__"),
+            "__is_conv__",
         )
         .where(F.col("__is_conv__"))
         .drop("__is_conv__")

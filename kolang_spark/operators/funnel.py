@@ -180,6 +180,11 @@ def funnel_counts(
     global aggregate (one row) unpacked with ``stack`` — the summary
     adds no data-sized pass.
     """
+    # step names flow into the stack() SQL string below — quotes would
+    # misparse there (same guard as profile_table)
+    bad = [s for s in steps if "'" in s or "`" in s or "\n" in s]
+    if bad:
+        raise ValueError(f"step names with quotes are not supported: {bad!r}")
     per_user = funnel_steps(
         df, steps, user_col=user_col, ts_col=ts_col,
         type_col=type_col, horizon_ms=horizon_ms,
@@ -234,7 +239,9 @@ def retention_cohorts(
     """
     if period_days <= 0:
         raise ValueError("period_days must be positive")
-    period = (
+    # floor, not cast-truncation: pre-epoch dates have negative day
+    # numbers and must round DOWN to match the documented // spec
+    period = F.floor(
         F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01").cast("date"))
         / period_days
     ).cast("long")

@@ -69,7 +69,13 @@ def k_anonymize(
       fewer than ``k`` members (the classic suppression step).
     - ``mode='null_out'``: keep all rows but NULL the quasi columns of
       under-k rows, collapsing them into the all-NULL class (useful
-      when row counts must be preserved downstream).
+      when row counts must be preserved downstream). The merged NULL
+      pool (newly-nulled rows plus any surviving all-NULL class) must
+      ITSELF reach ``k`` — otherwise the output would still contain a
+      re-identifiable class — so when 0 < pool < k those rows are
+      suppressed instead (the guarantee beats the row-count
+      preservation; the fallback is checked with one extra aggregate
+      over the tiny class table).
 
     Scale shape: one aggregate on the quasi key + one equi-join back on
     the same key (AQE-broadcast when the class table is small).
@@ -92,6 +98,27 @@ def k_anonymize(
     joined = df.join(classes, cond, "left")
     if mode == "suppress":
         return joined.where(F.col("__k__") >= k).select(*df.columns)
+    # null_out residual check: size of the class every nulled row will
+    # land in = Σ under-k class sizes + the all-NULL class (which stays
+    # NULL either way). Bounded aggregate over the class table (one
+    # row out), collected to choose the safe plan.
+    allnull = None
+    for c in quasi_cols:
+        e = F.col(f"__q_{c}__").isNull()
+        allnull = e if allnull is None else (allnull & e)
+    pool = classes.agg(
+        F.sum(
+            F.when((F.col("__k__") < k) | allnull, F.col("__k__")).otherwise(
+                0
+            )
+        ).alias("p")
+    ).collect()[0]["p"] or 0
+    if 0 < pool < k:
+        # even merged, the NULL pool stays re-identifiable — suppress
+        # those rows instead of emitting an under-k class
+        return joined.where((F.col("__k__") >= k) & ~allnull).select(
+            *df.columns
+        )
     out = [
         (
             F.when(F.col("__k__") >= k, F.col(c)).alias(c)
@@ -220,15 +247,21 @@ def dp_noisy_counts(
     if epsilon <= 0:
         raise ValueError("epsilon must be positive")
     per = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    # injection-proof key encoding: each component is length-prefixed
+    # ('|<len>:<value>', NULL → '|-'), so ('a|b', NULL) ≠ ('a', 'b')
+    # and NULL keys get their own independent draw — concat_ws would
+    # SKIP NULLs and collide distinct groups onto one noise value,
+    # correlating draws across groups (which breaks the ε-DP
+    # independence assumption)
+    def _tok(k: str):
+        cs = F.col(k).cast("string")
+        return F.when(cs.isNull(), F.lit("|-")).otherwise(
+            F.concat(F.lit("|"), F.length(cs).cast("string"), F.lit(":"), cs)
+        )
+
     h = F.conv(
         F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(seed)),
-                    *[F.col(k).cast("string") for k in keys],
-                )
-            ),
+            F.md5(F.concat(F.lit(str(seed)), *[_tok(k) for k in keys])),
             18,
             15,
         ),

@@ -319,6 +319,24 @@ def bloom_semi_join(
             "would silently drop a legitimate row"
         )
     rk = right_key or key
+    # the hash is over cast-to-string values, so 5 (int) and 5.0
+    # (double) — which a plain equi-join would coerce and match —
+    # hash to DIFFERENT bits: a Bloom FALSE NEGATIVE the verify join
+    # can never recover. Refuse mismatched key types instead of
+    # silently dropping rows; cast one side upstream.
+    lt, rt = dict(large.dtypes).get(key), dict(small.dtypes).get(rk)
+    if lt is None or rt is None:
+        raise ValueError(f"missing key column: {key!r}/{rk!r}")
+    if lt != rt:
+        raise ValueError(
+            f"key type mismatch ({key}: {lt} vs {rk}: {rt}) — string-hash "
+            "Bloom probes cannot honor numeric coercion; cast one side first"
+        )
+    if n_bits > (1 << 22):
+        raise ValueError(
+            "n_bits > 2^22 would inline a >64k-literal bitmask into the "
+            "plan; shard the small side or use bloom_might_contain"
+        )
     # bounded collect: bloom_table caps at n_bits rows by construction
     words = [0] * ((n_bits + 63) // 64)
     for r in bloom_table(small, rk, n_bits=n_bits, k=k, salt=salt).collect():

@@ -51,6 +51,13 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     missing = [c for c in cs if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    # names flow into the stack() SQL string below (profile_table's
+    # guard)
+    bad = [c for c in cs if "'" in c or "`" in c or "\n" in c]
+    if bad:
+        raise ValueError(
+            f"column names with quotes/backticks are not supported: {bad!r}"
+        )
     aggs = []
     names = []
     for i in range(len(cs)):

@@ -222,9 +222,12 @@ def stateful_funnel(
         if state.exists:
             got = state.get
             t = list(got[0])
-            n = got[1]
+            mask = got[1]  # bit k set = step k reached (a timestamp of
+            # -1/any long stays a VALID value — no in-band sentinel,
+            # preserving exact batch parity on the full long range)
+            n = got[2]
         else:
-            t, n = [-1] * m, 0
+            t, mask, n = [0] * m, 0, 0
 
         batch = pd.concat(list(pdfs))
         pairs = []
@@ -234,20 +237,23 @@ def stateful_funnel(
         n += len(batch)
         # the batch operator's exact order: (ts, step position)
         for tv, k in sorted(pairs):
-            if t[k] == -1 and (
-                k == 0 or (t[k - 1] != -1 and tv >= t[k - 1])
-            ):
+            unset = not (mask >> k) & 1
+            prev_ok = k == 0 or (
+                (mask >> (k - 1)) & 1 and tv >= t[k - 1]
+            )
+            if unset and prev_ok:
                 t[k] = tv
+                mask |= 1 << k
 
-        state.update((t, n))
+        state.update((t, mask, n))
         if timeout_ms:
             state.setTimeoutDuration(timeout_ms)
         row = {key: [key_tuple[0]]}
         reached = 0
         for k in range(m):
-            row[f"step_{k + 1}_ms"] = [None if t[k] == -1 else t[k]]
-            if t[k] != -1:
-                reached += 1
+            hit = (mask >> k) & 1
+            row[f"step_{k + 1}_ms"] = [t[k] if hit else None]
+            reached += hit
         row["step_reached"] = [reached]
         row["n_events"] = [n]
         yield pd.DataFrame(row)
@@ -257,7 +263,7 @@ def stateful_funnel(
     out_schema = (
         f"{key} {key_type}, {step_cols}, step_reached int, n_events long"
     )
-    state_schema = "t array<long>, n long"
+    state_schema = "t array<long>, mask long, n long"
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_ms

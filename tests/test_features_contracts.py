@@ -216,3 +216,17 @@ def test_bloom_semi_join_different_key_names(spark):
         r["k"] for r in bloom_semi_join(large, small, "k", right_key="ok").collect()
     )
     assert got == [2]
+
+
+def test_bloom_semi_join_rejects_type_mismatch(spark):
+    # regression: int-vs-double keys would coerce in a plain join but
+    # hash to different Bloom bits — a silent false negative
+    large = spark.createDataFrame([(5.0,), (7.0,)], "k double")
+    small = spark.createDataFrame([(5,), (6,)], "k int")
+    with pytest.raises(ValueError, match="type mismatch"):
+        bloom_semi_join(large, small, "k")
+    # cast upstream and it works, matching the coercing plain join
+    got = bloom_semi_join(
+        large, small.select(F.col("k").cast("double").alias("k")), "k"
+    ).collect()
+    assert [r["k"] for r in got] == [5.0]

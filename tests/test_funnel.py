@@ -159,3 +159,24 @@ def test_retention_cohorts_integer_spec(spark):
         (0, 2): 1,
         (1, 0): 1,
     }
+
+
+def test_retention_pre_epoch_floor(spark):
+    # epoch day -3 // 7 must floor to period -1, not truncate to 0
+    df = spark.createDataFrame(
+        [(1, "1969-12-29"), (1, "1970-01-02")], "user_id long, d string"
+    ).select("user_id", F.col("d").cast("timestamp").alias("ts"))
+    got = {
+        (r["cohort_period"], r["period_offset"]): r["n_users"]
+        for r in retention_cohorts(df, period_days=7).collect()
+    }
+    assert got == {(-1, 0): 1, (-1, 1): 1}
+
+
+def test_funnel_counts_rejects_quoted_step_names(spark):
+    from kolang_spark.operators.funnel import funnel_counts
+
+    df = spark.createDataFrame([(1, 0, "a")], "user_id long, ts_ms long, event_type string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="quotes"):
+        funnel_counts(df, ["a'b"])

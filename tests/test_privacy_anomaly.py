@@ -208,7 +208,9 @@ def test_dp_noisy_counts_formula_and_distribution(spark):
     assert len(out) == 40
     for g, r in out.items():
         assert r["n"] == 10
-        h = int(hashlib.md5(f"s1|{g}".encode()).hexdigest()[17:32], 16)
+        h = int(
+            hashlib.md5(f"s1|{len(g)}:{g}".encode()).hexdigest()[17:32], 16
+        )
         u = (h + 0.5) / float(1 << 60)
         c = u - 0.5
         want = -(1 / 0.5) * _math.copysign(1.0, c) * _math.log(1 - 2 * abs(c))
@@ -230,3 +232,47 @@ def test_dp_noisy_counts_seed_changes_noise(spark):
     assert n1 != n2
     with pytest.raises(ValueError):
         dp_noisy_counts(df, ["g"], epsilon=0)
+
+
+def test_dp_noise_uncorrelated_for_null_and_injection_keys(spark):
+    # regression: concat_ws skipped NULLs, colliding ('x', NULL) with
+    # (NULL, 'x') and ('a|b', NULL-ish splits); the length-prefixed
+    # encoding must give every distinct group its own draw
+    from kolang_spark.operators.privacy import dp_noisy_counts
+
+    rows = [("x", None), (None, "x"), ("a|b", "c"), ("a", "b|c")]
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    noises = [
+        r["noise"] for r in dp_noisy_counts(df, ["g1", "g2"]).collect()
+    ]
+    assert len(set(noises)) == len(noises)
+
+
+def test_k_anonymize_null_out_suppresses_underk_pool(spark):
+    # regression: a merged NULL pool smaller than k must not be
+    # released — fall back to suppression for those rows
+    from kolang_spark.operators.privacy import k_anonymize
+
+    rows = [("big", i) for i in range(30)] + [("s1", 0), ("s2", 1), ("s3", 2)]
+    df = spark.createDataFrame(rows, "q string, payload long")
+    out = k_anonymize(df, ["q"], k=25, mode="null_out").collect()
+    assert len(out) == 30  # the 3-row pool is suppressed, not nulled
+    assert all(r["q"] == "big" for r in out)
+    # but a pool that reaches k IS nulled and kept
+    rows2 = [("big", i) for i in range(30)] + [(f"s{i}", i) for i in range(25)]
+    df2 = spark.createDataFrame(rows2, "q string, payload long")
+    out2 = k_anonymize(df2, ["q"], k=25, mode="null_out").collect()
+    assert len(out2) == 55
+    assert sum(1 for r in out2 if r["q"] is None) == 25
+
+
+def test_seasonal_anomaly_pre_epoch_floor(spark):
+    from kolang_spark.operators.anomaly import seasonal_anomaly
+
+    df = spark.createDataFrame([(-1800,), (1800,)], "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    got = sorted(
+        r["bucket_start_s"] for r in seasonal_anomaly(df, "ts").collect()
+    )
+    assert got == [-3600, 0]  # floor, not truncate-toward-zero

@@ -121,3 +121,33 @@ def test_attribution_same_ts_tiebreak(spark):
         df, ["uid"], "t", "s", ["buy"], order_cols=["i"]
     ).collect()
     assert got[0]["attributed"] == "ad"
+
+
+def test_attribution_tie_between_touches_raises(spark):
+    # regression: the tie guard must fire even when the tied rows are
+    # NON-conversion rows (the conversion filter used to be pushed
+    # below the raise projection, silently skipping the check)
+    df = spark.createDataFrame(
+        [(1, 50, "email"), (1, 50, "ad"), (1, 200, "buy")],
+        "uid long, t long, s string",
+    )
+    with pytest.raises(Exception, match="tied"):
+        attribute_conversions(df, ["uid"], "t", "s", ["buy"]).collect()
+
+
+def test_attribution_tie_in_conversionless_series_is_benign(spark):
+    # ties in a series that never converts cannot corrupt output (no
+    # rows emitted from it) — other series still work
+    df = spark.createDataFrame(
+        [(1, 50, "ad"), (1, 50, "email"), (2, 10, "ad"), (2, 20, "buy")],
+        "uid long, t long, s string",
+    )
+    got = attribute_conversions(df, ["uid"], "t", "s", ["buy"]).collect()
+    assert [(r["uid"], r["attributed"]) for r in got] == [(2, "ad")]
+
+
+def test_correlation_matrix_rejects_quoted_names(spark):
+    df = spark.createDataFrame([(1.0, 2.0)], "a double, b double")
+    df = df.withColumnRenamed("a", "it's")
+    with pytest.raises(ValueError, match="quotes"):
+        correlation_matrix(df, ["it's", "b"])
