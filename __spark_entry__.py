@@ -1508,14 +1508,19 @@ def _q_jl_project_embeddings(spark, sf_dir):
     """Johnson–Lindenstrauss random projection (`llm/pca.py::
     jl_project`): md5-derived Achlioptas ±sqrt(3/k)/0 matrix inlined as
     literals — the oracle rebuilds the identical matrix and replays
-    every projected coordinate."""
+    every projected coordinate. Output is exploded to atomic
+    ``(vec_id, dim, value)`` rows: the driver's pandas canonicalizer
+    cannot sort array cells (r9's one external red), and the registry
+    contract is atomic-only top-level schemas
+    (tests/test_oracle_parity.py::test_registry_schemas_atomic)."""
     from kolang_spark.llm import jl_project
 
     em = _t(spark, sf_dir, "embeddings")
     out = jl_project(em, out_dims=16, dims=64)
-    return out.select(
+    return out.select("vec_id", F.posexplode("jl")).select(
         "vec_id",
-        F.transform("jl", lambda x: F.round(x, 6)).alias("jl"),
+        F.col("pos").cast("long").alias("dim"),
+        F.round("col", 6).alias("value"),
     )
 
 
@@ -1756,6 +1761,45 @@ def _q_bpe_encode_documents(spark, sf_dir):
     dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
     out = bpe_encode(ensure_min_parallelism(dc), merges)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.array_join("bpe_tokens", "|"), F.lit(""))
+        .alias("tokens_joined"),
+    )
+
+
+def _q_bpe_encode_loaded(spark, sf_dir):
+    """Tokenizer persistence round-trip (`kolang_spark/llm/bpe.py::
+    save_tokenizer`/`load_tokenizer` — VERDICT r9 Next 5): merges are
+    trained, persisted as the one-file parquet artifact, LOADED BACK,
+    and the corpus is encoded with the loaded tokenizer — the real
+    pipeline shape (train once on the big corpus, encode everywhere
+    from the artifact). The query fails fast if the round-trip is not
+    bit-identical, and the oracle is the full train+encode replay
+    (identical to bpe_encode_documents): any divergence introduced by
+    the save/load path breaks the hash."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm.bpe import (
+        bpe_encode,
+        bpe_train,
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
+    base = tempfile.mkdtemp(prefix="ks_bpe_tok_q_")
+    try:
+        save_tokenizer(merges, f"{base}/tokenizer", spark=spark)
+        loaded = load_tokenizer(spark, f"{base}/tokenizer")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    if loaded != merges:
+        raise AssertionError("tokenizer round-trip diverged from training")
+    out = bpe_encode(ensure_min_parallelism(dc), loaded)
     return out.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_tokens"),
@@ -5266,6 +5310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     Lloyd means -> full SQL replay); recall also pinned by
         #     ann_ivf_recall_planted ---
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        # --- round-10 additions (debut externally in the r11 window;
+        #     placed at the tail so they cannot displace the 44-debut
+        #     backlog the r10 window clears) ---
+        "bpe_encode_loaded": _q_bpe_encode_loaded,
     }
 
 
@@ -5535,9 +5583,9 @@ def _jl_sql(out_dims: int = 16, dims: int = 64) -> str:
           SELECT [{rows}]::DOUBLE[][] AS m
         )
         SELECT e.vec_id,
-               [ROUND(list_dot_product(e.v, r.m[k]), 6)
-                for k in range(1, {out_dims} + 1)] AS jl
-        FROM e CROSS JOIN r
+               t.k - 1 AS dim,
+               ROUND(list_dot_product(e.v, r.m[t.k]), 6) AS value
+        FROM e CROSS JOIN r CROSS JOIN range(1, {out_dims} + 1) t(k)
     """
 
 
@@ -6242,7 +6290,7 @@ def _pagerank_sql(
 
 def oracle_sql() -> dict[str, str]:
     _sb = _split_bounds([0.8, 0.1, 0.1])
-    return {
+    sqls = {
         "percent_by_returnflag": """
             SELECT l_returnflag, COUNT(*) AS cnt,
                    100*COUNT(*)/SUM(COUNT(*)) OVER () AS pct
@@ -10889,3 +10937,7 @@ def oracle_sql() -> dict[str, str]:
         #   an approximate ANN; the decode itself is oracle-backed via
         #   multimodal_decode above).
     }
+    # bpe_encode_loaded: the LOADED tokenizer must encode bit-identically
+    # to the in-session one, so it shares the full train+encode replay.
+    sqls["bpe_encode_loaded"] = sqls["bpe_encode_documents"]
+    return sqls

@@ -20,9 +20,22 @@ z is NULL for the control row itself and for degenerate cases (either
 side empty, or pooled rate 0/1 — no variance to test against).
 
 Scale shape: ONE map-side-combinable groupBy on the variant label
-(output = |variants| rows), then the control row broadcast-joined
-back onto the variant rows. The raw assignment/metric table is
-scanned once and never shuffled beyond the aggregate.
+(output = |variants| rows); the tiny aggregate is pinned with
+``localCheckpoint`` and the control row's (n0, x0) are then read with
+a bounded collect (≤1 row) and embedded as plan literals, so variant
+rows never join at all. The raw assignment/metric table is scanned
+once and never shuffled beyond the aggregate.
+
+Eager-evaluation caveat (deliberate, unique in this package): calling
+the operator runs Spark jobs immediately (the checkpoint + the 1-row
+collect) — that is what guarantees the single scan and the fail-fast
+on a missing control. Consequences the caller owns: the returned
+frame is pinned to this session (localCheckpoint blocks are not
+recomputable from source after the session ends) and the operator
+cannot sit inside a streaming plan. A lazy alternative (broadcast
+join of the 1-row control aggregate + ``raise_error`` guard) exists
+but re-scans the raw table twice once Catalyst pushes the control
+filter below the aggregate — the wrong trade at warehouse scale.
 """
 
 from __future__ import annotations
@@ -51,7 +64,9 @@ def ab_test_report(
     (unassigned traffic).
 
     Raises if ``control`` has no rows — every comparison needs its
-    denominator.
+    denominator. NOTE: this operator evaluates EAGERLY (runs Spark
+    jobs at call time — see the module docstring for why and what
+    that implies).
     """
     succ = (
         F.col(success_col).isNotNull()

@@ -30,10 +30,25 @@ from kolang_spark.operators.normalize import standardize
 
 __all__ = ["seasonal_anomaly", "cusum_shift"]
 
+# Season slots from pure integer epoch arithmetic on the bucket start —
+# NOT F.hour/F.dayofweek, which read spark.sql.session.timeZone and would
+# silently shift slots for non-UTC sessions (advisor finding, r9). These
+# are UTC semantics by construction, matching the SQL oracle exactly.
+# day_of_week keeps Spark's 1=Sunday..7=Saturday convention: epoch day 0
+# (1970-01-01) was a Thursday, hence the +4 offset.
+def _epoch_hour_of_day(s):
+    return F.floor(F.pmod(s, F.lit(86400)) / F.lit(3600))
+
+
+def _epoch_day_of_week(s):
+    return F.pmod(F.floor(s / F.lit(86400)) + F.lit(4), F.lit(7)) + F.lit(1)
+
+
 _SEASONS = {
-    "hour_of_day": F.hour,
-    "day_of_week": F.dayofweek,
-    "hour_of_week": lambda ts: (F.dayofweek(ts) - 1) * 24 + F.hour(ts),
+    "hour_of_day": _epoch_hour_of_day,
+    "day_of_week": _epoch_day_of_week,
+    "hour_of_week": lambda s: (_epoch_day_of_week(s) - 1) * 24
+    + _epoch_hour_of_day(s),
 }
 
 
@@ -50,7 +65,9 @@ def seasonal_anomaly(
     Buckets events into ``bucket_seconds`` windows per ``by`` key,
     computes each bucket's count, then z-scores every bucket within its
     (key, season-slot) population — slot = hour-of-day / day-of-week /
-    hour-of-week of the bucket start. Returns one row per non-empty
+    hour-of-week of the bucket start, computed in UTC by integer epoch
+    arithmetic (independent of ``spark.sql.session.timeZone``;
+    day-of-week keeps Spark's 1=Sunday..7=Saturday numbering). Returns one row per non-empty
     bucket: the keys, ``bucket_start_s`` (epoch seconds), ``slot``,
     ``n_events``, ``z`` (NULL when the slot has <2 buckets or zero
     spread — no honest baseline), and ``is_anomaly`` (``|z| >
@@ -79,9 +96,7 @@ def seasonal_anomaly(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .withColumn(
             "slot",
-            _SEASONS[season](
-                F.timestamp_seconds(F.col("bucket_start_s"))
-            ).cast("int"),
+            _SEASONS[season](F.col("bucket_start_s")).cast("int"),
         )
     )
     scored = standardize(

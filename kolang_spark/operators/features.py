@@ -116,7 +116,11 @@ def target_encode(
         F.count(y).alias("__te_n__"), F.sum(y).alias("__te_s__")
     )
     joined = broadcast_join_nullsafe(df, stats, [cat_col])
-    num = F.col("__te_s__")
+    # SUM over zero non-NULL rows is NULL; coalesce to 0 so an
+    # all-NULL-target category shrinks fully to the prior under
+    # smoothing ((0 + m·prior)/(0 + m) = prior) instead of poisoning
+    # the numerator to NULL (advisor finding, r9).
+    num = F.coalesce(F.col("__te_s__"), F.lit(0.0))
     den = F.col("__te_n__").cast("double")
     if leave_one_out:
         num = num - F.coalesce(y, F.lit(0.0))

@@ -59,6 +59,23 @@ def normalize(columns: List[str], rows: List[tuple]) -> Tuple[List[str], List[tu
     return cols, data
 
 
+def _reject_non_atomic(cols: List[str], rows: List[tuple], side: str):
+    """Driver fidelity: the external harness canonicalizes with pandas
+    ``sort_values``, which raises ``unhashable type`` on list/dict cells
+    (how ``jl_project_embeddings`` shipped red in r9). Fail loudly here
+    on ANY non-atomic cell so the class can't pass locally again."""
+    for r in rows[:1000]:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, tuple, dict, set, bytearray)):
+                return (
+                    f"{side} column {cols[i]!r} has non-atomic cell type "
+                    f"{type(v).__name__}; the driver's pandas canonicalizer "
+                    "cannot sort it — emit atomic columns (explode or "
+                    "concat_ws) in the driver query"
+                )
+    return None
+
+
 def compare(spark_df, sql: str, sf_dir: str = SF_ORACLE):
     """Return (ok, message) comparing a Spark DataFrame with oracle SQL."""
     con = duckdb_conn(sf_dir)
@@ -71,6 +88,12 @@ def compare(spark_df, sql: str, sf_dir: str = SF_ORACLE):
 
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
+
+    bad = _reject_non_atomic(s_cols, s_rows, "spark") or _reject_non_atomic(
+        o_cols, o_rows, "oracle"
+    )
+    if bad:
+        return False, bad
 
     if sorted(s_cols) != sorted(o_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"

@@ -67,6 +67,21 @@ def test_target_encode_null_target_gets_encoding(spark):
     assert got[None] == pytest.approx(4.0)  # excluded from stats, encoded
 
 
+def test_target_encode_all_null_category_shrinks_to_prior(spark):
+    """A category whose targets are ALL NULL has n=0: with smoothing it
+    must encode the prior exactly ((0 + m·prior)/(0 + m)), not NULL
+    (advisor finding r9 — SUM over zero non-NULL rows is NULL and used
+    to poison the numerator); without smoothing it stays NULL."""
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("r", None), ("r", None)], "cat string, y int"
+    )
+    prior = 20.0
+    sm = {r["cat"]: r["cat_te"] for r in target_encode(df, "cat", "y", smoothing=2).collect()}
+    assert sm["r"] == pytest.approx(prior)
+    plain = {r["cat"]: r["cat_te"] for r in target_encode(df, "cat", "y").collect()}
+    assert plain["r"] is None
+
+
 # ---------- event_transitions ----------
 
 

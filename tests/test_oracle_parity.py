@@ -29,6 +29,31 @@ def test_entry_runs(spark):
     assert df.count() > 0
 
 
+def test_registry_schemas_atomic(spark):
+    """The external driver canonicalizes results with pandas
+    ``sort_values``, which raises ``unhashable type: 'list'`` on any
+    array/map/struct output cell — r9's one external red
+    (jl_project_embeddings) shipped exactly this way. Enforce the
+    invariant at the schema level for EVERY registry entry: top-level
+    output columns must be atomic types. BinaryType is also rejected:
+    collect() yields bytearray, which the value hash treats
+    inconsistently across engines. One looped test (not parametrized):
+    plan construction is the only cost per query."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    bad = []
+    for name in sorted(QUERIES):
+        df = QUERIES[name](spark, SF_ORACLE)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, (
+        "non-atomic top-level output columns (the driver's pandas "
+        "canonicalizer cannot sort them — explode or concat_ws in the "
+        f"driver query): {bad}"
+    )
+
+
 def test_external_window_composition():
     """The driver's correctness harness checks the FIRST 50 queries()
     entries. Round 6's only external red was a composition mistake —

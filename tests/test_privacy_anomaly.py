@@ -276,3 +276,26 @@ def test_seasonal_anomaly_pre_epoch_floor(spark):
         r["bucket_start_s"] for r in seasonal_anomaly(df, "ts").collect()
     )
     assert got == [-3600, 0]  # floor, not truncate-toward-zero
+
+
+def test_seasonal_anomaly_slots_are_session_timezone_independent(spark):
+    """Slots come from integer epoch arithmetic (UTC semantics), NOT
+    F.hour/F.dayofweek — a non-UTC session timezone must not shift
+    them (advisor finding r9). 1970-01-02 00:30 UTC is a Friday:
+    hour_of_day 0, day_of_week 6 (Spark 1=Sunday numbering),
+    hour_of_week (6-1)*24+0 = 120 — in ANY session timezone."""
+    from kolang_spark.operators.anomaly import seasonal_anomaly
+
+    df = spark.createDataFrame([(86400 + 1800,)], "sec long").select(
+        F.timestamp_seconds("sec").alias("ts")
+    )
+    expect = {"hour_of_day": 0, "day_of_week": 6, "hour_of_week": 120}
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Tehran", "America/Los_Angeles"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            for season, slot in expect.items():
+                out = seasonal_anomaly(df, "ts", season=season).collect()
+                assert out[0]["slot"] == slot, (season, tz)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
