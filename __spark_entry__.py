@@ -2197,6 +2197,84 @@ def _q_multimodal_gif_frame_ahash(spark, sf_dir):
     )
 
 
+def _q_multimodal_decode_avi(spark, sf_dir):
+    """REAL MJPEG-in-AVI container decode, oracle-backed (VERDICT r9
+    Next 6 — the RIFF video container the multimodal family lacked):
+    every row gets a spec-valid AVI (RIFF walk: hdrl/avih + strl
+    strh'vids'/MJPG + strf BITMAPINFOHEADER + movi '00dc' chunks, one
+    baseline JPEG per frame) built deterministically from its doc_id
+    (`kolang_spark/llm/multimodal.py::synth_avi_blobs`), then the full
+    container walk + per-frame JPEG decode
+    (`_parse_avi` + `_parse_jpeg`) parses it back into one row per
+    frame. The image layout is constant even-valued 8x8 blocks (exact
+    through the flat quant-16 JPEG), so the oracle predicts every
+    frame statistic closed-form — a wrong RIFF size, pad byte, movi
+    descent, avih field, or any JPEG-decoder slip hash-mismatches."""
+    from kolang_spark.llm.multimodal import decode_avi_frames, synth_avi_blobs
+
+    dc = _t(spark, sf_dir, "documents")
+    blobs = synth_avi_blobs(dc.select("doc_id"))
+    out = decode_avi_frames(blobs)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "width",
+        "height",
+        "usec_per_frame",
+        "n_pixels",
+        "sum_pixel",
+        "first_pixel",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+def _q_multimodal_avi_frame_ahash(spark, sf_dir):
+    """AVI frame chain (the GIF chain's RIFF sibling): MJPEG frames
+    decoded with ``include_pixels=True``, every 2nd frame sampled,
+    each frame DOWNSAMPLED to one value per 8x8 block (pure Column
+    algebra — the aHash contract is 64 bits, so a 384-pixel frame must
+    shrink before the doubling-bit fold; real aHash resizes to 8x8 for
+    the same reason), then perceptual-hashed by `frame_index_ahash`
+    (integer-exact: cross-multiplied mean threshold). One Python
+    boundary for the byte decode, everything downstream Column-side.
+    The oracle replays every hash closed-form from doc_id over the
+    constant-block layout."""
+    from kolang_spark.llm.multimodal import (
+        decode_avi_frames,
+        frame_index_ahash,
+        synth_avi_blobs,
+    )
+
+    dc = _t(spark, sf_dir, "documents")
+    blobs = synth_avi_blobs(dc.select("doc_id"))
+    frames = decode_avi_frames(blobs, include_pixels=True)
+    sampled = frames.where(F.col("frame_idx") % 2 == 0)
+    bw = (F.col("width") / F.lit(8)).cast("int")
+    bh = (F.col("height") / F.lit(8)).cast("int")
+    # block b's value = its first pixel (blocks are 8x8-constant for
+    # this synthesis; for general frames this is plain 8x-stride
+    # downsampling): row-major pixel index floor(b/bw)*8*width + (b%bw)*8
+    blocks = F.transform(
+        F.sequence(F.lit(0), bw * bh - 1),
+        lambda b: F.element_at(
+            "pixels",
+            (
+                F.floor(b / bw).cast("int") * 8 * F.col("width")
+                + (b % bw) * 8
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "n_frames",
+        "n_pixels",
+        frame_index_ahash(blocks).alias("ahash"),
+    )
+
+
 def _q_multimodal_decode_jpeg(spark, sf_dir):
     """REAL baseline-JPEG decode, oracle-backed (round-5 verdict item
     5): every row gets a spec-valid baseline grayscale JPEG (huffman
@@ -5314,6 +5392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     placed at the tail so they cannot displace the 44-debut
         #     backlog the r10 window clears) ---
         "bpe_encode_loaded": _q_bpe_encode_loaded,
+        "multimodal_decode_avi": _q_multimodal_decode_avi,
+        "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
     }
 
 
@@ -8111,6 +8191,74 @@ def oracle_sql() -> dict[str, str]:
         # for row-major block index b — even values + flat quant 16
         # make the lossy round trip exact, so pixel sums are predicted
         # without modeling the codec.
+        # AVI container decode: per-frame closed-form replay of the
+        # synth_avi_blobs layout (constant even-valued 8x8 blocks
+        # survive the flat quant-16 JPEG bit-perfectly; block b of
+        # frame f = 2*((id*17 + f*31 + b*29) % 128)).
+        "multimodal_decode_avi": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+                     CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+                     CAST(2 + doc_id % 3 AS INT) AS nf,
+                     CAST(40000 + 1000 * (doc_id % 5) AS INT) AS us
+              FROM documents
+            ), fr AS (
+              SELECT doc_id, width, height, nf, us, unnest(range(nf)) AS f
+              FROM dims
+            ), px AS (
+              SELECT doc_id, width, height, nf, us, f,
+                     CAST(64 * list_sum(list_transform(
+                         generate_series(0, (width//8)*(height//8) - 1),
+                         b -> 2*((doc_id*17 + f*31 + b*29) % 128))) AS BIGINT)
+                       AS sum_pixel
+              FROM fr
+            )
+            SELECT doc_id,
+                   CAST(f AS INT) AS frame_idx,
+                   nf AS n_frames,
+                   width, height,
+                   us AS usec_per_frame,
+                   CAST(width*height AS BIGINT) AS n_pixels,
+                   sum_pixel,
+                   CAST(2*((doc_id*17 + f*31) % 128) AS INT) AS first_pixel,
+                   ROUND(CAST(sum_pixel AS DOUBLE) / (width*height), 6)
+                     AS mean_pixel
+            FROM px
+        """,
+        # AVI frame chain: every 2nd frame, block-downsampled values,
+        # integer aHash (bit b set iff block value * n_blocks > sum).
+        "multimodal_avi_frame_ahash": """
+            WITH dims AS (
+              SELECT doc_id,
+                     CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+                     CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+                     CAST(2 + doc_id % 3 AS INT) AS nf
+              FROM documents
+            ), fr AS (
+              SELECT doc_id, width, height, nf, unnest(range(nf)) AS f
+              FROM dims
+            ), bl AS (
+              SELECT doc_id, width, height, nf, f,
+                     [CAST(2*((doc_id*17 + f*31 + b*29) % 128) AS BIGINT)
+                      for b in range(0, (width//8)*(height//8))] AS blocks
+              FROM fr WHERE f % 2 = 0
+            ), st AS (
+              SELECT doc_id, nf, f, width, height, blocks,
+                     CAST(list_sum(blocks) AS BIGINT) AS s,
+                     len(blocks) AS n
+              FROM bl
+            )
+            SELECT doc_id,
+                   CAST(f AS INT) AS frame_idx,
+                   nf AS n_frames,
+                   CAST(width*height AS BIGINT) AS n_pixels,
+                   CAST(list_sum([CASE WHEN blocks[b+1]*n > s
+                                       THEN CAST(power(2, b) AS BIGINT)
+                                       ELSE 0 END
+                                  for b in range(0, n)]) AS BIGINT) AS ahash
+            FROM st
+        """,
         "multimodal_decode_jpeg": """
             WITH dims AS (
               SELECT doc_id,

@@ -82,9 +82,11 @@ from kolang_spark.llm.decontam import (  # noqa: F401
 )
 from kolang_spark.llm.multimodal import (  # noqa: F401
     audio_frame_features,
+    decode_avi_frames,
     decode_gif_frames,
     image_ahash,
     resize_image,
+    synth_avi_blobs,
     synth_gif_blobs,
 )
 from kolang_spark.llm.html import (  # noqa: F401
@@ -96,6 +98,9 @@ from kolang_spark.llm.bpe import (  # noqa: F401
     bpe_merges_df,
     bpe_token_count,
     bpe_train,
+    bpe_vocab,
+    load_tokenizer,
+    save_tokenizer,
 )
 from kolang_spark.llm.classify import (  # noqa: F401
     linear_text_classifier,

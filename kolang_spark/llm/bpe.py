@@ -49,6 +49,9 @@ __all__ = [
     "bpe_encode",
     "bpe_token_count",
     "bpe_merges_df",
+    "bpe_vocab",
+    "save_tokenizer",
+    "load_tokenizer",
     "encode_text",
     "FIXPOINT_PASSES",
     "COLUMN_ENGINE_MAX_MERGES",
@@ -145,6 +148,60 @@ def bpe_merges_df(spark, merges: List[Tuple[str, str]]) -> DataFrame:
         [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
         "rank int, left string, right string, merged string",
     )
+
+
+def bpe_vocab(merges: List[Tuple[str, str]]) -> List[str]:
+    """The token vocabulary a merge table induces: every SYMBOL that
+    can appear in an encode output — the single characters the merges
+    mention plus each rank's merged token, first-occurrence order,
+    deduplicated. (Characters never seen by any merge pass through
+    encode unchanged, so like every real BPE tokenizer the persisted
+    vocab is open: unseen characters are their own tokens.)"""
+    seen: dict = {}
+    for left, right in merges:
+        for sym in (left, right):
+            if len(sym) == 1:
+                seen.setdefault(sym, None)
+        seen.setdefault(left + right, None)
+    return list(seen)
+
+
+def save_tokenizer(merges: List[Tuple[str, str]], path: str, spark=None) -> None:
+    """Persist a trained tokenizer as ONE portable parquet table at
+    ``path``: ``(rank int, left string, right string, merged string)``
+    — the real pipeline shape (train once on the big corpus, encode
+    everywhere from the artifact). The table is vocabulary-sized
+    (thousands of rows), written as a single file via ``coalesce(1)``
+    so the artifact is one object on S3/HDFS; the induced vocab is
+    derivable (:func:`bpe_vocab`), so merges are the only state worth
+    shipping. Overwrites ``path``. ``spark`` defaults to the active
+    session."""
+    from pyspark.sql import SparkSession
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError("no active SparkSession; pass spark=")
+    bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_tokenizer(spark, path: str) -> List[Tuple[str, str]]:
+    """Load a :func:`save_tokenizer` artifact back into the in-memory
+    ``[(left, right), ...]`` rank-ordered merge list :func:`bpe_encode`
+    / :func:`bpe_token_count` take. The collect is bounded by the
+    artifact itself (vocabulary-sized — a 32k-merge production
+    tokenizer is 32k rows). Round-trip contract:
+    ``load_tokenizer(spark, p)`` after ``save_tokenizer(m, p)`` == m,
+    pinned by test and by the ``bpe_encode_loaded`` driver query.
+    Fails fast if ranks are not the contiguous run 0..n-1 (a corrupt
+    or hand-edited artifact would otherwise silently reorder merges)."""
+    rows = spark.read.parquet(path).select("rank", "left", "right").collect()
+    rows.sort(key=lambda r: r["rank"])
+    if [r["rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"tokenizer at {path!r} has non-contiguous ranks; refusing to "
+            "guess the merge order"
+        )
+    return [(r["left"], r["right"]) for r in rows]
 
 
 def _bpe_enc_col(col: ColumnOrName, merges: List[Tuple[str, str]]) -> Column:

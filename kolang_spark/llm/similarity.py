@@ -439,6 +439,62 @@ def kmeans_centroids(
     ).withColumn("g_n", _norm("g_v", dims))
 
 
+def _coarse_centroids(
+    df: DataFrame,
+    dims: int,
+    id_col: str,
+    vec_col: str,
+    centroid_stride: Optional[int] = None,
+    centroid_k: Optional[int] = None,
+    kmeans_iters: int = 3,
+    kmeans_sample_mod: Optional[int] = None,
+) -> DataFrame:
+    """Resolve the coarse-quantizer table ``(cent_id, g_v, g_n)`` for
+    :func:`ivf_topk` / :func:`ivf_pq_topk`.
+
+    * explicit ``centroid_stride`` → the deterministic stride subset
+      ``id % stride == 0``. Fully lazy and SQL-oracle-replayable, but
+      C grows ∝ N with the corpus (index build N·C turns superlinear —
+      the r9 sweep measured 2.2× time at 4× data). Replay/benchmark
+      use.
+    * otherwise (the DEFAULT since r10, per the r9 scale review) →
+      fixed-k sampled k-means via :func:`kmeans_centroids`:
+      ``k = centroid_k or min(4096, isqrt(N))`` and the Lloyd sample
+      capped near 4M rows, so index build stays ~linear in N and the
+      probe fan-out constant as the corpus grows — the FAISS
+      ``IndexIVFFlat`` posture. This path runs Spark jobs at call time
+      (one count + ``kmeans_iters`` Lloyd iterations): it is an index
+      TRAIN step, not a lazy transform. Still deterministic
+      (fixed-point means, stride seeds), so same inputs → identical
+      index on any cluster.
+    """
+    if centroid_stride is not None:
+        return (
+            df.where(F.col(id_col) % centroid_stride == 0)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                _as_double(F.col(vec_col)).alias("g_v"),
+            )
+            .withColumn("g_n", _norm("g_v", dims))
+        )
+    k, sample_mod = centroid_k, kmeans_sample_mod
+    if k is None or sample_mod is None:
+        n = df.count()
+        if k is None:
+            k = max(1, min(4096, math.isqrt(max(1, n))))
+        if sample_mod is None:
+            sample_mod = max(1, n // 4_000_000)
+    return kmeans_centroids(
+        df,
+        k=k,
+        dims=dims,
+        iters=kmeans_iters,
+        sample_mod=sample_mod,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def _sub_slice(vec: str, j: int, dsub: int) -> Column:
     """Subvector j (0-based) of an array column: elements
     ``[j·dsub, (j+1)·dsub)``. ``F.slice`` is 1-based."""
@@ -621,8 +677,11 @@ def ivf_pq_topk(
     nprobe: int = 2,
     m: int = 8,
     ksub: int = 256,
-    centroid_stride: int = 25,
+    centroid_stride: Optional[int] = None,
     codebook_stride: int = 25,
+    centroid_k: Optional[int] = None,
+    kmeans_iters: int = 3,
+    kmeans_sample_mod: Optional[int] = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -646,9 +705,13 @@ def ivf_pq_topk(
     codegen-compiled expression per candidate, no explode, no second
     join. Recall < 1 by design twice over (unprobed cells +
     quantization error); raise ``nprobe``/``m``/``ksub`` to trade cost
-    for recall. Default codebooks/centroids are stride-deterministic
-    (oracle-rebuildable); pass :func:`kmeans_centroids` /
-    ``pq_codebooks(method='kmeans')`` tables for production quality.
+    for recall. Coarse centroids default to fixed-k sampled k-means
+    (see :func:`_coarse_centroids` — runs Spark jobs at call time;
+    pass ``centroid_stride=`` for the lazy oracle-replayable stride
+    subset). Default codebooks are stride-deterministic — a FIXED
+    ``ksub`` codes per subspace, so unlike the old stride centroids
+    they never grow with N; pass ``pq_codebooks(method='kmeans')``
+    for production quality.
 
     PQ collapses near-identical vectors onto the same codes, so fine
     intra-cluster order is quantized away — by construction it is a
@@ -668,13 +731,15 @@ def ivf_pq_topk(
         if "g_n" not in cents.columns:
             cents = cents.withColumn("g_n", _norm("g_v", dims))
     else:
-        cents = (
-            df.where(F.col(id_col) % centroid_stride == 0)
-            .select(
-                F.col(id_col).alias("cent_id"),
-                _as_double(F.col(vec_col)).alias("g_v"),
-            )
-            .withColumn("g_n", _norm("g_v", dims))
+        cents = _coarse_centroids(
+            df,
+            dims,
+            id_col,
+            vec_col,
+            centroid_stride=centroid_stride,
+            centroid_k=centroid_k,
+            kmeans_iters=kmeans_iters,
+            kmeans_sample_mod=kmeans_sample_mod,
         )
     if codebooks is None:
         codebooks = pq_codebooks(
@@ -827,13 +892,16 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,
-    centroid_stride: int = 25,
+    centroid_stride: Optional[int] = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
+    centroid_k: Optional[int] = None,
+    kmeans_iters: int = 3,
+    kmeans_sample_mod: Optional[int] = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: cell-probe search.
 
@@ -845,13 +913,15 @@ def ivf_topk(
     * **search** — each query scores only the vectors in its ``nprobe``
       nearest cells (equi-join on ``cell``), then exact cosine top-k.
 
-    Default centroids are the deterministic stride subset
-    ``id % centroid_stride == 0`` — the same "pick ~sqrt(N) data points
-    as coarse quantizer" used to seed k-means, kept stride-deterministic
-    so any engine (and the DuckDB oracle) rebuilds the identical index.
-    For production quality pass ``centroids=`` a
-    :func:`kmeans_centroids` table (``cent_id, g_v[, g_n]``) — every
-    phase downstream of the centroid table is unchanged.
+    Coarse quantizer (see :func:`_coarse_centroids`): the DEFAULT is
+    fixed-k sampled k-means — ``centroid_k or min(4096, isqrt(N))``
+    centroids, so the index build stays ~linear in N (the r9 scale
+    review flagged the old stride default's C ∝ N growth). NOTE the
+    default therefore runs Spark jobs at call time (index TRAIN).
+    Pass ``centroid_stride=`` for the fully-lazy, SQL-oracle-replayable
+    stride subset ``id % stride == 0``, or ``centroids=`` your own
+    ``(cent_id, g_v[, g_n])`` table — every phase downstream of the
+    centroid table is unchanged.
 
     Scale: with C ≈ sqrt(N) centroids, build is N·C broadcast-side dot
     products (no shuffle of the corpus), search is Q·C + Q·nprobe·N/C —
@@ -865,13 +935,15 @@ def ivf_topk(
         if "g_n" not in cents.columns:
             cents = cents.withColumn("g_n", _norm("g_v", dims))
     else:
-        cents = (
-            df.where(F.col(id_col) % centroid_stride == 0)
-            .select(
-                F.col(id_col).alias("cent_id"),
-                _as_double(F.col(vec_col)).alias("g_v"),
-            )
-            .withColumn("g_n", _norm("g_v", dims))
+        cents = _coarse_centroids(
+            df,
+            dims,
+            id_col,
+            vec_col,
+            centroid_stride=centroid_stride,
+            centroid_k=centroid_k,
+            kmeans_iters=kmeans_iters,
+            kmeans_sample_mod=kmeans_sample_mod,
         )
 
     def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:

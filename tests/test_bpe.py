@@ -229,3 +229,46 @@ def test_encode_arrow_large_vocab_smoke(spark):
     out = bpe_encode(df, merges)  # auto -> arrow
     for r in out.collect():
         assert "".join(r.bpe_tokens) == r.text.replace(" ", "")
+
+
+def test_save_load_tokenizer_roundtrip(spark, tmp_path):
+    """r10 persistence surface: save_tokenizer → one-file parquet
+    artifact → load_tokenizer returns the identical rank-ordered merge
+    list, and encoding with the loaded tokenizer equals the in-session
+    encode token-for-token."""
+    from kolang_spark.llm.bpe import load_tokenizer, save_tokenizer
+
+    texts = ["low lower lowest", "new newer newest", "low low new"]
+    df = _train_df(spark, texts)
+    merges = bpe_train(df, num_merges=12, max_words=100)
+    path = str(tmp_path / "tok")
+    save_tokenizer(merges, path, spark=spark)
+    loaded = load_tokenizer(spark, path)
+    assert loaded == merges
+    a = [r.bpe_tokens for r in bpe_encode(df, merges).collect()]
+    b = [r.bpe_tokens for r in bpe_encode(df, loaded).collect()]
+    assert a == b
+    # single-object artifact: exactly one parquet part file
+    import pathlib
+
+    parts = [p for p in pathlib.Path(path).iterdir() if p.suffix == ".parquet"]
+    assert len(parts) == 1
+
+
+def test_load_tokenizer_rejects_non_contiguous_ranks(spark, tmp_path):
+    path = str(tmp_path / "tok_bad")
+    spark.createDataFrame(
+        [(0, "a", "b", "ab"), (2, "c", "d", "cd")],
+        "rank int, left string, right string, merged string",
+    ).write.parquet(path)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        from kolang_spark.llm.bpe import load_tokenizer
+
+        load_tokenizer(spark, path)
+
+
+def test_bpe_vocab_induced_symbols():
+    from kolang_spark.llm.bpe import bpe_vocab
+
+    vocab = bpe_vocab([("l", "o"), ("lo", "w")])
+    assert vocab == ["l", "o", "lo", "w", "low"]

@@ -1,5 +1,7 @@
 """LLM-pipeline extension operators over the documents/embeddings tables."""
 
+import math
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -807,6 +809,40 @@ def test_kmeans_centroids_deterministic_and_plan_size_independent_of_k(spark, em
     # centroids moved off their seeds (the k smallest vec_ids)
     seeds = emb.orderBy("vec_id").limit(4).collect()
     assert [list(map(float, s.embedding)) for s in seeds] != [r.g_v for r in a]
+
+
+def test_ivf_default_coarse_quantizer_is_fixed_k_kmeans(spark, emb):
+    """r10 default flip (r9 scale review): with neither centroids= nor
+    centroid_stride= given, ivf_topk trains a FIXED-k kmeans coarse
+    quantizer (k = min(4096, isqrt(N))) — C no longer grows ∝ N — and
+    the result equals the explicit kmeans_centroids path bit-for-bit.
+    Explicit centroid_stride still selects the lazy stride subset."""
+    from kolang_spark.llm import ivf_topk, kmeans_centroids
+
+    anchors = emb.where(F.col("vec_id") % 100 == 0)
+    n = emb.count()
+    k = min(4096, math.isqrt(n))
+    cents = kmeans_centroids(emb, k=k, dims=64, iters=3)
+    want = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, anchors, k=5, nprobe=2, dims=64, centroids=cents
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in ivf_topk(emb, anchors, k=5, nprobe=2, dims=64).collect()
+    }
+    assert got == want
+    stride = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, anchors, k=5, nprobe=2, dims=64, centroid_stride=25
+        ).collect()
+    }
+    # different quantizer, same contract; on this corpus the cells
+    # genuinely differ so the result sets must not be identical
+    assert stride != got
 
     # the assignment expression must not inline centroids as literals:
     # plan text size stays flat as k grows (O(dims), not O(k*dims)).
