@@ -5172,13 +5172,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped OLS, attribution) — the simulation proves the whole
     backlog absorbs within three windows."""
     return {
-        # --- positions 1-50: the external round-9 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py 9:
-        #     zero hard-bound queries this round, so 50 never-
-        #     externally-green debuts in priority order, led by the
-        #     two longest-waiting veterans (hll_users_monthly still
-        #     shows its r1 nanos crash externally; sketch_rollup_users
-        #     its r6 no_oracle) ---
+        # --- positions 1-50: the external round-10 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 10:
+        #     the five cadence-due r6 veterans, then EVERY
+        #     never-externally-green debut in priority order — the
+        #     full 44-query r9 backlog, ann_ivf_kmeans_topk, and the
+        #     r10 debut bpe_encode_loaded. This window zeroes the
+        #     never-green set except the two r10 AVI debuts, which
+        #     lead the r11 window. Greening ~45 young queries at once
+        #     makes the cohort come due together at r14; veteran
+        #     promotion at TWO greens (next_window.py r10 re-tier)
+        #     absorbs that resonance — the 12-round simulation test
+        #     proves it ---
+        "resample_events_hourly": _q_resample_events_hourly,
+        "lm_score_documents": _q_lm_score_documents,
+        "multimodal_audio_frames": _q_multimodal_audio_frames,
+        "pandas_bridge_region": _q_pandas_bridge_region,
+        "bloom_users_events": _q_bloom_users_events,
+        "jl_project_embeddings": _q_jl_project_embeddings,
+        "blocked_terms_documents": _q_blocked_terms_documents,
+        "corpus_report_documents": _q_corpus_report_documents,
+        "oov_stats_documents": _q_oov_stats_documents,
+        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
+        "incremental_cdc_batches": _q_incremental_cdc_batches,
+        "web_graph_pagerank": _q_web_graph_pagerank,
+        "langid_train_classify": _q_langid_train_classify,
+        "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
+        "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "hard_negatives_planted": _q_hard_negatives_planted,
+        "gopher_rules_documents": _q_gopher_rules_documents,
+        "contrastive_rows_planted": _q_contrastive_rows_planted,
+        "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
+        "langid_corpus_report": _q_langid_corpus_report,
+        "duplication_mass_documents": _q_duplication_mass_documents,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "retention_weekly_events": _q_retention_weekly_events,
+        "snapshot_diff_customer": _q_snapshot_diff_customer,
+        "scd2_customer_history": _q_scd2_customer_history,
+        "k_anonymity_events": _q_k_anonymity_events,
+        "seasonal_anomaly_events": _q_seasonal_anomaly_events,
+        "label_propagation_purchases": _q_label_propagation_purchases,
+        "join_key_profile_orders": _q_join_key_profile_orders,
+        "psi_drift_events": _q_psi_drift_events,
+        "trailing_features_events": _q_trailing_features_events,
+        "cusum_daily_errors": _q_cusum_daily_errors,
+        "contracts_orders": _q_contracts_orders,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "target_encode_orders": _q_target_encode_orders,
+        "event_transitions_users": _q_event_transitions_users,
+        "ab_test_events": _q_ab_test_events,
+        "entity_resolution_customers": _q_entity_resolution_customers,
+        "correlation_lineitem": _q_correlation_lineitem,
+        "grouped_ols_orders": _q_grouped_ols_orders,
+        "attribution_purchases": _q_attribution_purchases,
+        "session_stats_events": _q_session_stats_events,
+        "funnel_counts_events": _q_funnel_counts_events,
+        "pii_columns_documents": _q_pii_columns_documents,
+        "dp_counts_events": _q_dp_counts_events,
+        "funnel_stream_batch": _q_funnel_stream_batch,
+        "bloom_anti_join_orders": _q_bloom_anti_join_orders,
+        "k_anonymize_events": _q_k_anonymize_events,
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        "bpe_encode_loaded": _q_bpe_encode_loaded,
+        # --- tail: the cadence rotation pool (the two r10 AVI debuts
+        #     sit at the very end and lead the r11 window as
+        #     never-greens) — everything below stays hash-checked
+        #     every run by tests/test_oracle_parity.py ---
+        "pca_embeddings": _q_pca_embeddings,
         "hll_users_monthly": _q_hll_users_monthly,
         "sketch_rollup_users": _q_sketch_rollup_users,
         "split_documents": _q_split_documents,
@@ -5225,56 +5285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
         "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
-        "jl_project_embeddings": _q_jl_project_embeddings,
         "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
-        # --- tail: remaining never-green debuts (6) — lead the r10
-        #     window together with this round's new operators ---
-        "blocked_terms_documents": _q_blocked_terms_documents,
-        "corpus_report_documents": _q_corpus_report_documents,
-        "oov_stats_documents": _q_oov_stats_documents,
-        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
-        "incremental_cdc_batches": _q_incremental_cdc_batches,
-        "web_graph_pagerank": _q_web_graph_pagerank,
-        "langid_train_classify": _q_langid_train_classify,
-        "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
-        "multimodal_decode_gif": _q_multimodal_decode_gif,
-        "hard_negatives_planted": _q_hard_negatives_planted,
-        "gopher_rules_documents": _q_gopher_rules_documents,
-        "contrastive_rows_planted": _q_contrastive_rows_planted,
-        "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
-        "langid_corpus_report": _q_langid_corpus_report,
-        "duplication_mass_documents": _q_duplication_mass_documents,
-        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
-        "retention_weekly_events": _q_retention_weekly_events,
-        "snapshot_diff_customer": _q_snapshot_diff_customer,
-        "scd2_customer_history": _q_scd2_customer_history,
-        "k_anonymity_events": _q_k_anonymity_events,
-        "seasonal_anomaly_events": _q_seasonal_anomaly_events,
-        "label_propagation_purchases": _q_label_propagation_purchases,
-        "join_key_profile_orders": _q_join_key_profile_orders,
-        "psi_drift_events": _q_psi_drift_events,
-        "trailing_features_events": _q_trailing_features_events,
-        "cusum_daily_errors": _q_cusum_daily_errors,
-        "contracts_orders": _q_contracts_orders,
-        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
-        "target_encode_orders": _q_target_encode_orders,
-        "event_transitions_users": _q_event_transitions_users,
-        "ab_test_events": _q_ab_test_events,
-        "entity_resolution_customers": _q_entity_resolution_customers,
-        "correlation_lineitem": _q_correlation_lineitem,
-        "grouped_ols_orders": _q_grouped_ols_orders,
-        "attribution_purchases": _q_attribution_purchases,
-        "session_stats_events": _q_session_stats_events,
-        "funnel_counts_events": _q_funnel_counts_events,
-        "pii_columns_documents": _q_pii_columns_documents,
-        "dp_counts_events": _q_dp_counts_events,
-        "funnel_stream_batch": _q_funnel_stream_batch,
-        "bloom_anti_join_orders": _q_bloom_anti_join_orders,
-        "k_anonymize_events": _q_k_anonymize_events,
-        # --- tail: r8 window greens (50) — veteran cadence 6,
-        #     fresh until r12 ---
         "percent_by_returnflag": _q_percent_by_returnflag,
         "exact_dedup_documents": _q_exact_dedup_documents,
         "fingerprint_documents": _q_fingerprint_documents,
@@ -5325,16 +5338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
-        # --- tail: r6 greens displaced from the r8 window (5) ---
-        "resample_events_hourly": _q_resample_events_hourly,
-        "lm_score_documents": _q_lm_score_documents,
-        "multimodal_audio_frames": _q_multimodal_audio_frames,
-        "pandas_bridge_region": _q_pandas_bridge_region,
-        "bloom_users_events": _q_bloom_users_events,
-        # --- tail: r7 window greens — veteran cadence 6, fresh
-        #     until r13; oldest-first spare slots re-green them
-        #     incrementally before that ---
-        "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
         "quantize_embeddings": _q_quantize_embeddings,
         "incremental_exact_batches": _q_incremental_exact_batches,
@@ -5384,14 +5387,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "union_customers_suppliers": _q_union_customers_suppliers,
-        # --- tail: upgraded rows-only -> oracle-backed r8 (fixed-point
-        #     Lloyd means -> full SQL replay); recall also pinned by
-        #     ann_ivf_recall_planted ---
-        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
-        # --- round-10 additions (debut externally in the r11 window;
-        #     placed at the tail so they cannot displace the 44-debut
-        #     backlog the r10 window clears) ---
-        "bpe_encode_loaded": _q_bpe_encode_loaded,
         "multimodal_decode_avi": _q_multimodal_decode_avi,
         "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
     }

@@ -58,6 +58,19 @@ BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 # across rounds as long as this constant never changes.
 CANARY_EVERY = int(os.environ.get("SPARK_GRAFT_BENCH_CANARY_EVERY", "20"))
 CANARY_NOMINAL_S = 0.35
+# Tiered repeats (round-10, VERDICT r9 item 7): min-of-3 over the whole
+# registry stops fitting BUDGET_S on a stalling host somewhere past
+# ~220 queries (198 queries ≈ 16 min worst case at r9). Policy, also
+# documented in BASELINE.md §bench-policy: EVERY query always runs
+# (coverage never shrinks); once the registry exceeds TIER_AT entries,
+# only the DEEP tier keeps min-of-REPEATS — the external first-50
+# window plus any query with no entry in the latest BENCH_r*.json
+# record (i.e. new since the last round) — and the veteran tail drops
+# to min-of-2 (warm-up + timed). Inactive below TIER_AT, so records
+# stay directly comparable until the registry actually crosses the
+# line. The wall-budget degradation below still applies on top.
+TIER_AT = int(os.environ.get("SPARK_GRAFT_BENCH_TIER_AT", "220"))
+DEEP_WINDOW = 50
 # Second canary (round-8 verdict item 7): the r8 JIT code-cache cliff
 # was INVISIBLE to the small-plan canary above — its tiny codegen body
 # stayed compiled while the suite's giant unrolled expressions
@@ -162,6 +175,23 @@ def main() -> None:
     _run_canary_codegen(spark)
 
     qs = entry_mod.queries()
+    deep: set = set(qs)
+    tiered = len(qs) > TIER_AT
+    if tiered:
+        # "new since last round" = absent from the bench's own last
+        # full record (BENCH_LOCAL_FULL.json is rewritten every run and
+        # committed by the driver, so it is exactly last round's
+        # coverage; the driver's BENCH_r*.json files truncate stdout
+        # and don't carry a full keyed dict)
+        recorded: set = set()
+        prev = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_FULL.json"
+        )
+        try:
+            recorded = set(json.load(open(prev)).get("queries", {}))
+        except Exception:
+            recorded = set()
+        deep = set(list(qs)[:DEEP_WINDOW]) | (set(qs) - recorded)
     timings: dict[str, float] = {}
     canary_samples: list[float] = []
     canary2_samples: list[float] = []
@@ -175,6 +205,8 @@ def main() -> None:
             canary_positions.append(pos)
         best = None
         reps = max(1, REPEATS)
+        if tiered and name not in deep:
+            reps = min(reps, 2)  # veteran tail past TIER_AT: warm + timed
         if time.perf_counter() - suite_t0 > BUDGET_S:
             budget_hit = True
             reps = min(reps, 2)  # warm-up + timed, never cold-only
@@ -207,6 +239,8 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf else None,
         "budget_hit": budget_hit,
+        "tiered": tiered,
+        "deep_n": len(deep) if tiered else len(qs),
         "canary": {
             "samples": canary_samples,
             "positions": canary_positions,

@@ -55,7 +55,16 @@ WINDOW = 50
 # every 6 rounds; younger queries every 4. A 50-slot window bounds a
 # c-round cadence at 50*c queries: all-veteran steady state supports
 # 300 registry queries with ~23 spare slots/round for debuts.
-VETERAN_GREENS = 3
+#
+# VETERAN_GREENS dropped 3 -> 2 in r10: the r10 window greens ~45
+# young queries at once (the 44-debut backlog), and under
+# promotion-at-3 that entire cohort stays cadence-4 through its SECOND
+# green too — so it comes due simultaneously twice, and the second
+# resonance (r14) overflows the 50-slot window by one at 201 registry
+# queries (test_next_window_simulation caught it). Two independent
+# external proofs are sufficient confidence to stretch to cadence 6;
+# the 24-round simulation is clean under promotion-at-2.
+VETERAN_GREENS = 2
 CADENCE_VETERAN = 6
 CADENCE_YOUNG = 4
 
