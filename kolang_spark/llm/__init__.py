@@ -98,7 +98,9 @@ from kolang_spark.llm.bpe import (  # noqa: F401
     bpe_merges_df,
     bpe_token_count,
     bpe_train,
+    bpe_encode_ids,
     bpe_vocab,
+    bpe_vocab_ids,
     load_tokenizer,
     save_tokenizer,
 )

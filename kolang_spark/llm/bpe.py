@@ -51,6 +51,8 @@ __all__ = [
     "bpe_merges_df",
     "bpe_vocab",
     "save_tokenizer",
+    "bpe_vocab_ids",
+    "bpe_encode_ids",
     "load_tokenizer",
     "encode_text",
     "FIXPOINT_PASSES",
@@ -202,6 +204,85 @@ def load_tokenizer(spark, path: str) -> List[Tuple[str, str]]:
             "guess the merge order"
         )
     return [(r["left"], r["right"]) for r in rows]
+
+
+def bpe_vocab_ids(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-fixed id vocabulary for :func:`bpe_encode_ids`: every
+    DISTINCT token the merge table produces over ``df``, assigned
+    dense ids 0..n-1 in token-ascending order — the deterministic
+    "freeze the alphabet at train time" step every real tokenizer
+    performs. Returns ``(token_id int, token string)``.
+
+    Scale shape: one encode pass + explode + distinct (map-side
+    combinable; output is vocabulary-sized, thousands of rows), then a
+    row_number over the POST-AGGREGATE distinct set — bounded by the
+    vocabulary, never by the corpus (the documented post-aggregate
+    global-window class). Persist next to the merge table
+    (:func:`save_tokenizer`) so encode jobs share one id space.
+    """
+    from pyspark.sql import Window
+
+    enc = bpe_encode(df, merges, text_col=text_col, out_col="__ks_toks__")
+    toks = enc.select(F.explode("__ks_toks__").alias("token")).distinct()
+    w = Window.orderBy("token")
+    return toks.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"), "token"
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_ids",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode text straight to integer token ids — what a training
+    pipeline actually materializes (ids pack into fixed-width arrays;
+    strings don't). Adds ``out_col`` (``array<int>``): the
+    :func:`bpe_encode` token sequence mapped through ``vocab``
+    (``token_id``/``token``, e.g. :func:`bpe_vocab_ids`); tokens
+    outside the vocabulary get ``oov_id``.
+
+    Scale shape — no shuffle of the corpus and no UDF: the vocabulary
+    folds into ONE map value (``map_from_entries`` over a bounded
+    vocabulary-sized aggregate) broadcast onto every row via the
+    package's one-row ``crossJoin(broadcast(...))`` idiom, and the id
+    lookup is a ``transform`` + ``element_at`` per token — pure Column
+    algebra riding the scan. A 32k-entry production vocab is a few
+    hundred KB of DATA in the broadcast row, not expression nodes, so
+    codegen never sees vocabulary-sized plans.
+    """
+    mp = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("token"), F.col("token_id").cast("int").alias("token_id")
+                )
+            )
+        ).alias("__ks_vocab_map__")
+    )
+    enc = bpe_encode(df, merges, text_col=text_col, out_col="__ks_toks__")
+    out = (
+        enc.join(F.broadcast(mp), how="cross")
+        .withColumn(
+            out_col,
+            F.transform(
+                "__ks_toks__",
+                lambda t: F.coalesce(
+                    F.element_at("__ks_vocab_map__", t),
+                    F.lit(int(oov_id)).cast("int"),
+                ),
+            ),
+        )
+        .drop("__ks_toks__", "__ks_vocab_map__")
+    )
+    return out
 
 
 def _bpe_enc_col(col: ColumnOrName, merges: List[Tuple[str, str]]) -> Column:

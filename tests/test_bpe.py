@@ -272,3 +272,31 @@ def test_bpe_vocab_induced_symbols():
 
     vocab = bpe_vocab([("l", "o"), ("lo", "w")])
     assert vocab == ["l", "o", "lo", "w", "low"]
+
+
+def test_bpe_vocab_ids_and_encode_ids(spark):
+    """Token-id pipeline shape: corpus-fixed dense vocabulary (token
+    asc), broadcast-map lookup, OOV -> -1 for tokens the vocab never
+    saw (e.g. a held-out document's unseen characters)."""
+    from kolang_spark.llm.bpe import bpe_encode_ids, bpe_vocab_ids
+
+    texts = ["low lower", "new newest", "low new"]
+    df = _train_df(spark, texts)
+    merges = bpe_train(df, num_merges=8, max_words=100)
+    vocab = bpe_vocab_ids(df, merges)
+    vrows = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # dense ids 0..n-1 in token-ascending order
+    assert sorted(vrows.values()) == list(range(len(vrows)))
+    assert [t for t, _ in sorted(vrows.items())] == sorted(vrows)
+    assert [i for _, i in sorted(vrows.items())] == list(range(len(vrows)))
+
+    out = {r.text: r.token_ids for r in bpe_encode_ids(df, merges, vocab).collect()}
+    enc = {r.text: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    for t in texts:
+        assert out[t] == [vrows[tok] for tok in enc[t]]
+
+    # OOV: a document with characters the corpus never produced
+    held = _train_df(spark, ["zzz low"])
+    got = bpe_encode_ids(held, merges, vocab).head().token_ids
+    assert -1 in got  # 'z' is outside the vocabulary
+    assert all(i == -1 or i in vrows.values() for i in got)

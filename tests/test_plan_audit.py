@@ -55,6 +55,13 @@ PANDAS_ALLOWED = {
     # same boundary; the downstream frame sampling + aHash are pure
     # Column algebra over the decoded index arrays
     "multimodal_gif_frame_ahash",
+    # MJPEG-in-AVI: RIFF container walk + per-frame baseline-JPEG
+    # decode (synthesis too — huffman bitstreams have no Column
+    # expression); same sanctioned container-decode boundary
+    "multimodal_decode_avi",
+    # same boundary; downstream frame sampling, 8x-block downsample,
+    # and aHash are pure Column algebra over the decoded pixel arrays
+    "multimodal_avi_frame_ahash",
 }
 
 # Single-partition-fed Window nodes are the SURVEY §4 scale hazard. The
@@ -80,6 +87,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # counts swapped in upstream) — same bucket-totals-only window
     "assign_shards_documents",  # same rewrite: the global window runs
     # over the ≤ n_buckets-row per-bucket offset table only
+    "bpe_encode_ids",  # vocabulary id assignment: row_number over the
+    # post-DISTINCT token set — vocabulary-sized (thousands of rows),
+    # bounded at any corpus scale; the documents themselves never
+    # touch a global window
 }
 
 
