@@ -2268,6 +2268,7 @@ def _q_multimodal_avi_frame_ahash(spark, sf_dir):
     The oracle replays every hash closed-form from doc_id over the
     constant-block layout."""
     from kolang_spark.llm.multimodal import (
+        block_downsample,
         decode_avi_frames,
         frame_index_ahash,
         synth_avi_blobs,
@@ -2277,21 +2278,8 @@ def _q_multimodal_avi_frame_ahash(spark, sf_dir):
     blobs = synth_avi_blobs(dc.select("doc_id"))
     frames = decode_avi_frames(blobs, include_pixels=True)
     sampled = frames.where(F.col("frame_idx") % 2 == 0)
-    bw = (F.col("width") / F.lit(8)).cast("int")
-    bh = (F.col("height") / F.lit(8)).cast("int")
-    # block b's value = its first pixel (blocks are 8x8-constant for
-    # this synthesis; for general frames this is plain 8x-stride
-    # downsampling): row-major pixel index floor(b/bw)*8*width + (b%bw)*8
-    blocks = F.transform(
-        F.sequence(F.lit(0), bw * bh - 1),
-        lambda b: F.element_at(
-            "pixels",
-            (
-                F.floor(b / bw).cast("int") * 8 * F.col("width")
-                + (b % bw) * 8
-                + 1
-            ).cast("int"),
-        ),
+    blocks = block_downsample(
+        F.col("pixels"), F.col("width"), F.col("height"), block=8
     )
     return sampled.select(
         "doc_id",

@@ -82,6 +82,7 @@ from kolang_spark.llm.decontam import (  # noqa: F401
 )
 from kolang_spark.llm.multimodal import (  # noqa: F401
     audio_frame_features,
+    block_downsample,
     decode_avi_frames,
     decode_gif_frames,
     image_ahash,

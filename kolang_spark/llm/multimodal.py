@@ -52,6 +52,7 @@ __all__ = [
     "decode_image",
     "decode_gif_frames",
     "decode_avi_frames",
+    "block_downsample",
     "decode_audio",
     "extract_features",
     "sample_frames",
@@ -1691,6 +1692,39 @@ def decode_avi_frames(
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(frame_batches, schema=schema)
+
+
+def block_downsample(
+    pixels: "F.Column",
+    width: "F.Column",
+    height: "F.Column",
+    block: int = 8,
+) -> "F.Column":
+    """Downsample a row-major frame pixel array to ONE value per
+    ``block``×``block`` tile (the tile's top-left pixel) — pure Column
+    algebra, no UDF. The standard pre-step before
+    :func:`frame_index_ahash`: the aHash contract is 64 bits, so any
+    frame larger than 64 pixels must shrink first (real aHash resizes
+    to 8×8 for the same reason); top-left sampling is exact for
+    block-constant content (every codec synth in this module) and
+    plain stride decimation otherwise. ``width``/``height`` must be
+    divisible by ``block`` — tile (by, bx) reads pixel
+    ``by·block·width + bx·block``."""
+    if block < 1:
+        raise ValueError("block must be >= 1")
+    bw = (width / F.lit(block)).cast("int")
+    bh = (height / F.lit(block)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), bw * bh - 1),
+        lambda b: F.element_at(
+            pixels,
+            (
+                F.floor(b / bw).cast("int") * block * width
+                + (b % bw) * block
+                + 1
+            ).cast("int"),
+        ),
+    )
 
 
 def decode_audio(

@@ -115,3 +115,29 @@ def test_include_pixels_feeds_column_side(spark):
     r = out.where((F.col("doc_id") == 1) & (F.col("frame_idx") == 0)).head()
     assert len(r["pixels"]) == r["n_pixels"]
     assert sum(r["pixels"]) == r["sum_pixel"]
+
+
+def test_block_downsample_and_ahash_chain(spark):
+    """block_downsample picks each 8x8 tile's top-left pixel in
+    row-major tile order; chained into frame_index_ahash it reproduces
+    the closed-form hash over per-block values."""
+    from kolang_spark.llm.multimodal import block_downsample, frame_index_ahash
+
+    df = spark.range(2, 3).select(F.col("id").alias("doc_id"))  # 24x8, 4 frames
+    frames = decode_avi_frames(synth_avi_blobs(df), include_pixels=True)
+    out = frames.select(
+        "doc_id",
+        "frame_idx",
+        block_downsample(
+            F.col("pixels"), F.col("width"), F.col("height")
+        ).alias("blocks"),
+        frame_index_ahash(
+            block_downsample(F.col("pixels"), F.col("width"), F.col("height"))
+        ).alias("ahash"),
+    ).collect()
+    for r in out:
+        f = r["frame_idx"]
+        want = [2 * ((2 * 17 + f * 31 + b * 29) % 128) for b in range(3)]
+        assert r["blocks"] == want
+        s, n = sum(want), len(want)
+        assert r["ahash"] == sum(1 << p for p, v in enumerate(want) if v * n > s)
