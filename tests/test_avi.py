@@ -141,3 +141,47 @@ def test_block_downsample_and_ahash_chain(spark):
         assert r["blocks"] == want
         s, n = sum(want), len(want)
         assert r["ahash"] == sum(1 << p for p, v in enumerate(want) if v * n > s)
+
+
+def test_avi_roundtrip_property_fuzz():
+    """Property fuzz (no Spark): arbitrary frame counts, block-grid
+    dimensions, and frame rates round-trip through _build_avi →
+    _parse_avi → _parse_jpeg with every pixel intact (even values are
+    exact through the flat quant-16 JPEG)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kolang_spark.llm.multimodal import _parse_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(min_value=1, max_value=5),
+        bw=st.integers(min_value=1, max_value=3),
+        bh=st.integers(min_value=1, max_value=2),
+        usec=st.integers(min_value=1, max_value=1_000_000),
+        seed=st.integers(min_value=0, max_value=10_000),
+    )
+    def check(nf, bw, bh, usec, seed):
+        w, h = bw * 8, bh * 8
+        imgs = []
+        for f in range(nf):
+            img = np.zeros((h, w), dtype=np.uint8)
+            for b in range(bw * bh):
+                by, bx = divmod(b, bw)
+                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 2 * (
+                    (seed * 13 + f * 7 + b * 3) % 128
+                )
+            imgs.append(img)
+        avi = _build_avi([_encode_jpeg_gray(i) for i in imgs], w, h, usec)
+        parsed = _parse_avi(avi)
+        assert parsed is not None
+        got_usec, declared, payloads = parsed
+        assert got_usec == usec and declared == nf and len(payloads) == nf
+        for img, payload in zip(imgs, payloads):
+            dec = _parse_jpeg(payload)
+            assert dec is not None
+            fmt, dw, dh, ch, px = dec
+            assert (dw, dh, ch) == (w, h, 1)
+            assert np.array_equal(px.reshape(h, w), img)
+
+    check()
