@@ -96,5 +96,63 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--newops" not in sys.argv:
     main()
+
+
+def sweep_new_ops():
+    """Second r10 sweep: the round's new operators at 1x/4x/16x.
+
+    - decode_avi_frames: expected linear in total container bytes —
+      embarrassingly parallel Arrow batches, no shuffle (the GIF
+      precedent, r9).
+    - bpe_encode_ids: expected linear in documents — encode is pure
+      Column algebra riding the scan; the vocabulary map is ONE
+      broadcast row, so id lookup adds no shuffle and no per-row join.
+    """
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("sweep-r10-newops")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kolang_spark.llm.bpe import bpe_encode_ids, bpe_train, bpe_vocab_ids
+    from kolang_spark.llm.multimodal import decode_avi_frames, synth_avi_blobs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    merges = bpe_train(docs, num_merges=24, max_words=500)
+    vocab = bpe_vocab_ids(docs, merges).cache()
+    vocab.count()
+
+    for copies in (1, 4, 16):
+        d = replicate(docs, "doc_id", copies).cache()
+        n_in = d.count()
+        dt, n = timed(
+            lambda d=d: bpe_encode_ids(d, merges, vocab)
+            .select(F.sum(F.size("token_ids")).alias("s"))
+            .collect()[0]["s"]
+        )
+        print(json.dumps({"sweep": "bpe_encode_ids", "copies": copies,
+                          "rows": n_in, "total_ids": int(n),
+                          "sec": round(dt, 2)}), flush=True)
+        blobs = synth_avi_blobs(d.select("doc_id")).cache()
+        blobs.count()
+        dt, n = timed(lambda b=blobs: decode_avi_frames(b).count())
+        print(json.dumps({"sweep": "decode_avi_frames", "copies": copies,
+                          "rows": n_in, "frames": n,
+                          "sec": round(dt, 2)}), flush=True)
+        blobs.unpersist()
+        d.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__" and "--newops" in sys.argv:
+    sweep_new_ops()
