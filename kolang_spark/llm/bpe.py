@@ -241,6 +241,7 @@ def bpe_encode_ids(
     text_col: str = "text",
     out_col: str = "token_ids",
     oov_id: int = -1,
+    validate_vocab: bool = True,
 ) -> DataFrame:
     """Encode text straight to integer token ids — what a training
     pipeline actually materializes (ids pack into fixed-width arrays;
@@ -257,7 +258,27 @@ def bpe_encode_ids(
     algebra riding the scan. A 32k-entry production vocab is a few
     hundred KB of DATA in the broadcast row, not expression nodes, so
     codegen never sees vocabulary-sized plans.
+
+    ``validate_vocab`` (default True) runs one BOUNDED eager check
+    (vocabulary-sized aggregate → ≤1-row collect) that ``token`` is
+    unique: a duplicate (e.g. the naive union of two id spaces) would
+    otherwise die mid-job in ``map_from_entries`` with an opaque
+    "duplicate map key" RuntimeException. Pass False to skip the extra
+    job when the vocab provably comes from :func:`bpe_vocab_ids`.
     """
+    if validate_vocab:
+        dup = (
+            vocab.groupBy("token")
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"vocab has duplicate token {dup[0]['token']!r}; ids would "
+                "be ambiguous — dedupe (or re-derive via bpe_vocab_ids) first"
+            )
     mp = vocab.agg(
         F.map_from_entries(
             F.collect_list(

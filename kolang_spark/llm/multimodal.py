@@ -1708,13 +1708,24 @@ def block_downsample(
     to 8×8 for the same reason); top-left sampling is exact for
     block-constant content (every codec synth in this module) and
     plain stride decimation otherwise. ``width``/``height`` must be
-    divisible by ``block`` — tile (by, bx) reads pixel
-    ``by·block·width + bx·block``."""
+    divisible by ``block`` (and at least one block wide/tall) — tile
+    (by, bx) reads pixel ``by·block·width + bx·block``. Rows violating
+    that FAIL the job via ``raise_error`` rather than silently yielding
+    NULL-poisoned hashes (r10 review: a 4-px-wide frame used to produce
+    ``[NULL, NULL]`` through a 0 block count and a NULL division)."""
     if block < 1:
         raise ValueError("block must be >= 1")
     bw = (width / F.lit(block)).cast("int")
     bh = (height / F.lit(block)).cast("int")
-    return F.transform(
+    ok = (
+        width.isNotNull()
+        & height.isNotNull()
+        & (width % block == 0)
+        & (height % block == 0)
+        & (width >= block)
+        & (height >= block)
+    )
+    tiles = F.transform(
         F.sequence(F.lit(0), bw * bh - 1),
         lambda b: F.element_at(
             pixels,
@@ -1724,6 +1735,16 @@ def block_downsample(
                 + 1
             ).cast("int"),
         ),
+    )
+    return F.when(ok, tiles).otherwise(
+        F.raise_error(
+            F.format_string(
+                "block_downsample: frame %sx%s not divisible by block "
+                + str(block),
+                width.cast("string"),
+                height.cast("string"),
+            )
+        )
     )
 
 

@@ -483,7 +483,9 @@ def _coarse_centroids(
         if k is None:
             k = max(1, min(4096, math.isqrt(max(1, n))))
         if sample_mod is None:
-            sample_mod = max(1, n // 4_000_000)
+            # ceil, not floor: floor admits up to just-under-8M rows
+            # right below each 4M multiple (r10 review finding)
+            sample_mod = max(1, -(-n // 4_000_000))
     return kmeans_centroids(
         df,
         k=k,

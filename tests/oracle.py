@@ -66,7 +66,10 @@ def _reject_non_atomic(cols: List[str], rows: List[tuple], side: str):
     on ANY non-atomic cell so the class can't pass locally again."""
     for r in rows[:1000]:
         for i, v in enumerate(r):
-            if isinstance(v, (list, tuple, dict, set, bytearray)):
+            # bytes included: Spark collect() yields bytearray for
+            # binary columns but DuckDB fetchall() yields bytes — both
+            # sides of the same external-canonicalizer hazard
+            if isinstance(v, (list, tuple, dict, set, bytearray, bytes)):
                 return (
                     f"{side} column {cols[i]!r} has non-atomic cell type "
                     f"{type(v).__name__}; the driver's pandas canonicalizer "

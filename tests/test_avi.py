@@ -185,3 +185,20 @@ def test_avi_roundtrip_property_fuzz():
             assert np.array_equal(px.reshape(h, w), img)
 
     check()
+
+
+def test_block_downsample_rejects_indivisible_frames(spark):
+    """A frame not divisible by the block (e.g. 4px wide) must FAIL
+    loudly, not emit NULL-poisoned tiles (r10 review finding)."""
+    import pytest
+
+    from kolang_spark.llm.multimodal import block_downsample
+
+    df = spark.createDataFrame(
+        [(1, list(range(8)), 4, 2)], "doc_id long, pixels array<int>, w int, h int"
+    )
+    bad = df.select(
+        block_downsample(F.col("pixels"), F.col("w"), F.col("h")).alias("t")
+    )
+    with pytest.raises(Exception, match="block_downsample"):
+        bad.collect()

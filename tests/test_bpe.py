@@ -300,3 +300,18 @@ def test_bpe_vocab_ids_and_encode_ids(spark):
     got = bpe_encode_ids(held, merges, vocab).head().token_ids
     assert -1 in got  # 'z' is outside the vocabulary
     assert all(i == -1 or i in vrows.values() for i in got)
+
+
+def test_bpe_encode_ids_rejects_duplicate_vocab(spark):
+    """A duplicate vocab token must fail fast with a clear error at
+    call time, not an opaque duplicate-map-key RuntimeException
+    mid-job (r10 review finding)."""
+    from kolang_spark.llm.bpe import bpe_encode_ids
+
+    df = _train_df(spark, ["ab"])
+    merges = [("a", "b")]
+    dup = spark.createDataFrame(
+        [(0, "ab"), (1, "ab")], "token_id int, token string"
+    )
+    with pytest.raises(ValueError, match="duplicate token"):
+        bpe_encode_ids(df, merges, dup)

@@ -810,6 +810,33 @@ def test_kmeans_centroids_deterministic_and_plan_size_independent_of_k(spark, em
     seeds = emb.orderBy("vec_id").limit(4).collect()
     assert [list(map(float, s.embedding)) for s in seeds] != [r.g_v for r in a]
 
+    # the assignment expression must not inline centroids as literals:
+    # plan text size stays flat as k grows (O(dims), not O(k*dims)).
+    # Explain the per-iteration *assignment* frame itself — the final
+    # centroid table is a trivial LocalTableScan and would pass for any
+    # implementation.
+    import io as _io
+    from contextlib import redirect_stdout
+
+    from kolang_spark.llm.similarity import _as_double, _kmeans_assign
+
+    def plan_len(k):
+        pts = emb.select(
+            F.col("vec_id").alias("p_id"), _as_double(F.col("embedding")).alias("p_v")
+        )
+        cent_rows = [(i, [float(i)] * 64) for i in range(k)]
+        cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            _kmeans_assign(pts, cent_df, dims=64).explain("formatted")
+        return len(buf.getvalue())
+
+    small, large = plan_len(2), plan_len(32)
+    # 16x the centroids, ~same plan text (allow slack for row-count
+    # annotations); an O(k*dims) literal-inlined distance would blow
+    # this up ~16x
+    assert large < small * 1.5
+
 
 def test_ivf_default_coarse_quantizer_is_fixed_k_kmeans(spark, emb):
     """r10 default flip (r9 scale review): with neither centroids= nor
@@ -843,33 +870,6 @@ def test_ivf_default_coarse_quantizer_is_fixed_k_kmeans(spark, emb):
     # different quantizer, same contract; on this corpus the cells
     # genuinely differ so the result sets must not be identical
     assert stride != got
-
-    # the assignment expression must not inline centroids as literals:
-    # plan text size stays flat as k grows (O(dims), not O(k*dims)).
-    # Explain the per-iteration *assignment* frame itself — the final
-    # centroid table is a trivial LocalTableScan and would pass for any
-    # implementation.
-    import io as _io
-    from contextlib import redirect_stdout
-
-    from kolang_spark.llm.similarity import _as_double, _kmeans_assign
-
-    def plan_len(k):
-        pts = emb.select(
-            F.col("vec_id").alias("p_id"), _as_double(F.col("embedding")).alias("p_v")
-        )
-        cent_rows = [(i, [float(i)] * 64) for i in range(k)]
-        cent_df = spark.createDataFrame(cent_rows, "cent_id int, g_v array<double>")
-        buf = _io.StringIO()
-        with redirect_stdout(buf):
-            _kmeans_assign(pts, cent_df, dims=64).explain("formatted")
-        return len(buf.getvalue())
-
-    small, large = plan_len(2), plan_len(32)
-    # 16x the centroids, ~same plan text (allow slack for row-count
-    # annotations); an O(k*dims) literal-inlined distance would blow
-    # this up ~16x
-    assert large < small * 1.5
 
 
 def test_kmeans_centroids_empty_cell_keeps_seed(spark):

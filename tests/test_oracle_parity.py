@@ -37,8 +37,12 @@ def test_registry_schemas_atomic(spark):
     invariant at the schema level for EVERY registry entry: top-level
     output columns must be atomic types. BinaryType is also rejected:
     collect() yields bytearray, which the value hash treats
-    inconsistently across engines. One looped test (not parametrized):
-    plan construction is the only cost per query."""
+    inconsistently across engines. One looped test (not parametrized)
+    to keep pytest overhead flat; NOTE the loop is not free — a handful
+    of registry entries run eager Spark jobs at CONSTRUCTION time (the
+    BPE queries train merges; ab_test collects its control row), so
+    this test re-pays those, a bounded cost the schema invariant is
+    worth."""
     from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
 
     bad = []
