@@ -5125,32 +5125,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round, tail oracle-backed queries swap with in-window queries
     already green in recent external rounds, so every oracle-backed
     query keeps earning *external* green rows on a bounded PER-QUERY
-    cadence (r9 re-tiering): stable veterans — queries externally
-    green in >= 3 distinct rounds — re-green every 6 rounds, younger
-    queries every 4. A uniform 4-round cadence at 162 queries spends
-    ~40 of 50 slots/round on maintenance, so an entire 50-strong past
-    window cohort comes due simultaneously and starves debuts (the
-    failure test_next_window_simulation caught when CORRECTNESS_r08
-    landed); veteran cadence 6 plus oldest-first spare-slot filling
-    spreads the cohorts and frees ~13 slots/round for debuts.
+    cadence (r9 re-tiering, r10 promotion re-tune): stable veterans —
+    queries externally green in >= 2 distinct rounds — re-green every
+    6 rounds, younger queries every 4. A uniform 4-round cadence at
+    162 queries spends ~40 of 50 slots/round on maintenance, so an
+    entire 50-strong past window cohort comes due simultaneously and
+    starves debuts (the failure test_next_window_simulation caught
+    when CORRECTNESS_r08 landed); veteran cadence 6 plus oldest-first
+    spare-slot filling spreads the cohorts and frees ~13 slots/round
+    for debuts. Promotion moved from 3 greens to 2 in r10: the
+    45-young-query r10 window otherwise stays cadence-4 through its
+    SECOND green too and resonates over the window capacity at r14
+    (the 24-round simulation is clean at promotion-2).
 
-    Round-9 rotation — COMPUTED by ``scripts/next_window.py 9`` (not
+    Round-10 rotation — COMPUTED by ``scripts/next_window.py 10`` (not
     hand-picked; the r6 mistake), from the per-query external-green
     history in CORRECTNESS_r0*.json:
 
-    IN: zero hard-bound queries (everything ever-green is fresh from
-    r7/r8), so all 50 slots go to never-externally-green debuts, led
-    by the two longest-waiting veterans: hll_users_monthly (external
-    record still shows its r1 nanos-timestamp crash; the read_table
-    fix has never been driver-confirmed) and sketch_rollup_users (r6
-    ``no_oracle``, predating its invariant upgrade), then the debut
-    backlog in registry order.
+    IN: the five cadence-due r6 veterans (resample_events_hourly,
+    lm_score_documents, multimodal_audio_frames, pandas_bridge_region,
+    bloom_users_events — last green r6, cadence 4, hard bound), then
+    EVERY never-externally-green debut in priority order: the r9
+    backlog's jl_project_embeddings (r9's one external err, output
+    shape fixed this round) and the other 43, ann_ivf_kmeans_topk,
+    and the r10 debut bpe_encode_loaded.
 
-    OUT: everything ever-green (the r8 window cohort is fresh until
-    r12 at veteran cadence; the r7 cohort until r13), plus the 6
-    debuts past slot 50 and this round's new operators — they lead
-    the r10 window (the simulation proves total absorption within 3
-    rounds).
+    OUT: everything ever-green (fresh within cadence), plus the two
+    r10 AVI debuts and bpe_encode_ids at the registry tail — they
+    lead the r11 window as never-greens (the simulation proves total
+    absorption within 3 rounds).
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5163,7 +5166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     every window, so debuts ranked below them starve forever; a
     displaced stale green becomes next round's guaranteed hard bound,
     so the cadence survives (simulation-proven in
-    tests/test_oracle_parity.py::test_next_window_simulation, 12
+    tests/test_oracle_parity.py::test_next_window_simulation, 24
     rounds ahead). All-veteran steady state supports 300 registry
     queries (50-slot window x cadence 6) with ~23 debut slots/round;
     next_window.py prints an overdue WARNING if the hard bound ever

@@ -99,16 +99,20 @@ def test_next_window_simulation():
     2. cadence — once green, no query's last external green ever ages
        past its per-query cadence bound (tier-0 queries always fit,
        i.e. the scheduler's own overdue warning never fires). The
-       cadence is per-query as of r9: stable veterans (>= 3 distinct
-       external greens) re-green every 6 rounds, younger queries
-       every 4. A uniform 4-round cadence at 162 queries spends ~40
-       of 50 slots/round on maintenance, so an entire 50-strong past
-       window cohort comes due at once and starves debuts — the
-       failure THIS test caught when CORRECTNESS_r08 landed.
+       cadence is per-query: stable veterans (>= 2 distinct external
+       greens as of the r10 re-tune; was 3) re-green every 6 rounds,
+       younger queries every 4. A uniform 4-round cadence at 162
+       queries spends ~40 of 50 slots/round on maintenance, so an
+       entire 50-strong past window cohort comes due at once and
+       starves debuts — the failure THIS test caught when
+       CORRECTNESS_r08 landed.
 
-    Guards the r8 tiering fix (debuts preempt non-overdue greens) and
-    the r9 re-tiering (veteran cadence 6 + oldest-first spare filling
-    drains upcoming cohorts early, so no cohort resonance).
+    Guards the r8 tiering fix (debuts preempt non-overdue greens), the
+    r9 re-tiering (veteran cadence 6 + oldest-first spare filling),
+    and the r10 promotion-at-2 re-tune (a 45-young-query window
+    otherwise stays cadence-4 through its second green and resonates
+    over the 50-slot capacity at +4 rounds — THIS test caught that
+    too, with the original 12-round horizon; now simulated 24 ahead).
     """
     import importlib.util
     import os
@@ -129,7 +133,7 @@ def test_next_window_simulation():
     for q in list(QUERIES)[:50]:
         hist.setdefault(q, set()).add(this_round)
 
-    for rnd in range(this_round + 1, this_round + 13):
+    for rnd in range(this_round + 1, this_round + 25):
         window = nw.rank(backed, hist, rnd)[: nw.WINDOW]
         overdue_missed = [
             q
