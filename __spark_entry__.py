@@ -3140,6 +3140,24 @@ def _q_pack_examples_documents(spark, sf_dir):
     return pack_examples(dc, example_tokens=256, bucket_size=100)
 
 
+def _q_pack_balanced_documents(spark, sf_dir):
+    """Length-balanced whole-document bin packing (`kolang_spark/llm/
+    prep.py::pack_balanced` — the dataloader's length-grouped batching:
+    documents dealt whole to bins in (tokens desc, id) snake order so
+    per-bin token totals come out near-equal). The global sort-rank is
+    distributed via exact-percentile range buckets + broadcast offsets
+    (the equi_depth_bin pattern); the only un-partitioned window runs
+    over the ≤32-row bucket-count table. capacity mode: n_bins =
+    ceil(total/3000) folds in through a broadcast one-row aggregate.
+    The oracle replays the full order, the snake arithmetic, and the
+    bin count — an off-by-one in rank, direction flip, or total breaks
+    the hash."""
+    from kolang_spark.llm import pack_balanced
+
+    dc = _t(spark, sf_dir, "documents")
+    return pack_balanced(dc, capacity=3000)
+
+
 def _q_zorder_key_parts(spark, sf_dir):
     """Z-order layout key derivation (`kolang_spark/operators/
     layout.py::with_zorder_key`, the exact key `zorder_by` clusters on):
@@ -5408,6 +5426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_avi": _q_multimodal_decode_avi,
         "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
         "bpe_encode_ids": _q_bpe_encode_ids,
+        "pack_balanced_documents": _q_pack_balanced_documents,
     }
 
 
@@ -11150,5 +11169,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(t.toks) AS BIGINT) AS n_tokens,
                coalesce(g.joined, '') AS ids_joined
         FROM toksets t LEFT JOIN ids g USING (doc_id)
+    """
+    # pack_balanced: full (tokens desc, id) order + snake arithmetic
+    # + the lazy total-derived bin count, replayed exactly.
+    sqls["pack_balanced_documents"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+'))
+                   AS BIGINT) AS n_tokens
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_tokens,
+                 CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1
+                   AS BIGINT) AS pos
+          FROM t
+        ), nb AS (
+          SELECT GREATEST(CAST(ceil(SUM(n_tokens) / 3000.0) AS BIGINT),
+                          CAST(1 AS BIGINT)) AS n
+          FROM t
+        )
+        SELECT r.doc_id, r.n_tokens, r.pos AS pack_rank,
+               CAST(CASE WHEN (r.pos // nb.n) % 2 = 0 THEN r.pos % nb.n
+                         ELSE nb.n - 1 - (r.pos % nb.n) END AS BIGINT)
+                 AS bin_id
+        FROM r CROSS JOIN nb
     """
     return sqls

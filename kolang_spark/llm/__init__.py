@@ -130,6 +130,7 @@ from kolang_spark.llm.pca import (  # noqa: F401
 from kolang_spark.llm.prep import (  # noqa: F401
     assign_shards,
     chunk_documents,
+    pack_balanced,
     pack_examples,
 )
 from kolang_spark.llm.retrieval import (  # noqa: F401

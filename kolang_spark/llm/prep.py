@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from kolang_spark.llm.textstats import tokenize
 
-__all__ = ["chunk_documents", "pack_examples"]
+__all__ = ["chunk_documents", "pack_examples", "pack_balanced"]
 
 
 def chunk_documents(
@@ -150,6 +150,120 @@ def pack_examples(
         F.when(nonempty, last - first + 1).otherwise(F.lit(0)).cast("long").alias(
             "n_examples"
         ),
+    )
+
+
+def pack_balanced(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+    n_bins: Optional[int] = None,
+    capacity: Optional[int] = None,
+    out_col: str = "bin_id",
+    range_buckets: int = 32,
+) -> DataFrame:
+    """Length-balanced bin assignment — the other packing discipline
+    next to :func:`pack_examples`' concat-and-chunk: documents are
+    never split; instead each goes whole into one of ``n_bins`` bins
+    such that per-bin token totals come out near-equal (the
+    length-grouped batching every dataloader wants: no bin dominated
+    by long documents, no cross-document attention). Deterministic:
+    documents are globally ordered by (``n_tokens`` desc, ``id_col``
+    asc) and dealt to bins in SNAKE order (longest-processing-time
+    round-robin with direction reversal each pass — the classic
+    multiway-partitioning heuristic, within one max-document of
+    optimal for sorted input).
+
+    Give either ``n_bins`` (fixed bin count) or ``capacity`` (target
+    tokens per bin → ``n_bins = ceil(total_tokens / capacity)``, the
+    total folded in lazily via a broadcast one-row aggregate). Returns
+    ``(id_col, n_tokens, pack_rank, out_col)`` — ``pack_rank`` is the
+    0-based global position in the sorted deal order.
+
+    Scale shape — the global sort-rank is the classic one-partition
+    window hazard, so it runs distributed: exact interpolated
+    percentiles of ``n_tokens`` split the corpus into
+    ``range_buckets`` value-range-aligned buckets (the
+    :func:`~kolang_spark.operators.binning.equi_depth_bin` pattern —
+    equal values always share a bucket, so within-bucket row_number
+    plus a broadcast per-bucket offset IS the exact global rank);
+    the only un-partitioned window runs over the ≤``range_buckets``-row
+    count table. Caveat: a corpus where most documents share one exact
+    token count cannot be range-split — that run lands in one bucket
+    and bounds the window (inherent to any value-aligned scheme).
+    ``id_col`` values must be unique (they break length ties; a
+    duplicate would make the deal order ambiguous).
+    """
+    if (n_bins is None) == (capacity is None):
+        raise ValueError("pass exactly one of n_bins / capacity")
+    if n_bins is not None and n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if capacity is not None and capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if range_buckets < 2:
+        raise ValueError("range_buckets must be >= 2")
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(tokenize(F.col(text_col)))
+    )
+    base = df.select(
+        F.col(id_col), F.coalesce(toks.cast("long"), F.lit(0)).alias("n_tokens")
+    )
+    # value-range bucketing by exact percentiles (bucket CHOICE cannot
+    # affect the final rank — only value alignment matters)
+    probs = [i / range_buckets for i in range(1, range_buckets)]
+    bounds = base.agg(
+        F.percentile(F.col("n_tokens"), F.array(*[F.lit(p) for p in probs])).alias(
+            "__ks_pb_bounds__"
+        )
+    )
+    v = F.col("n_tokens")
+    with_bkt = (
+        base.join(F.broadcast(bounds), how="cross")
+        .withColumn(
+            "__ks_pb_bkt__",
+            F.size(F.filter(F.col("__ks_pb_bounds__"), lambda b: v > b)),
+        )
+        .drop("__ks_pb_bounds__")
+    )
+    counts = with_bkt.groupBy("__ks_pb_bkt__").agg(
+        F.count(F.lit(1)).alias("__ks_pb_n__")
+    )
+    # offsets over the tiny bucket-count table (post-aggregate window,
+    # <= range_buckets rows): higher-value buckets rank first
+    w_off = (
+        Window.orderBy(F.col("__ks_pb_bkt__").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__ks_pb_off__", F.coalesce(F.sum("__ks_pb_n__").over(w_off), F.lit(0))
+    ).drop("__ks_pb_n__")
+    joined = with_bkt.join(F.broadcast(offs), "__ks_pb_bkt__")
+    w_in = Window.partitionBy("__ks_pb_bkt__").orderBy(
+        v.desc(), F.col(id_col).asc()
+    )
+    pos = (F.row_number().over(w_in) + F.col("__ks_pb_off__") - 1).cast("long")
+    if capacity is not None:
+        tot = base.agg(F.sum("n_tokens").alias("__ks_pb_tot__"))
+        joined = joined.join(F.broadcast(tot), how="cross")
+        nb = F.greatest(
+            F.ceil(F.col("__ks_pb_tot__") / F.lit(float(capacity))).cast("long"),
+            F.lit(1),
+        )
+    else:
+        nb = F.lit(int(n_bins)).cast("long")
+    rnd = F.floor(pos / nb)
+    within = F.pmod(pos, nb)
+    bin_id = F.when(F.pmod(rnd, F.lit(2)) == 0, within).otherwise(
+        nb - 1 - within
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        pos.alias("pack_rank"),
+        bin_id.cast("long").alias(out_col),
     )
 
 

@@ -374,3 +374,48 @@ def test_jl_project_preserves_pairwise_distances(spark):
             assert 0.3 * d0 <= d1 <= 1.7 * d0, (a, b, d0, d1)
     with pytest.raises(ValueError):
         jl_project(df, 0, dims)
+
+
+# ---------- pack_balanced ----------
+
+
+def test_pack_balanced_matches_snake_replica(spark):
+    """Exact contract: global (tokens desc, id asc) order, snake deal,
+    near-equal bin totals — checked against a pure-Python replica."""
+    from kolang_spark.llm import pack_balanced
+
+    rows = [(i, "w " * ((i * 37) % 50 + 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.pack_rank, r.bin_id)
+        for r in pack_balanced(df, n_bins=5).collect()
+    }
+    toks = {i: (i * 37) % 50 + 1 for i in range(200)}
+    order = sorted(toks, key=lambda i: (-toks[i], i))
+    want, bins = {}, {}
+    for pos, i in enumerate(order):
+        rnd, within = divmod(pos, 5)
+        b = within if rnd % 2 == 0 else 4 - within
+        want[i] = (pos, b)
+        bins[b] = bins.get(b, 0) + toks[i]
+    assert got == want
+    assert max(bins.values()) - min(bins.values()) <= max(toks.values())
+
+
+def test_pack_balanced_capacity_mode_and_edges(spark):
+    from kolang_spark.llm import pack_balanced
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pack_balanced(df, capacity=3).collect()}
+    # total = 5 tokens -> ceil(5/3) = 2 bins; NULL/empty count 0 tokens
+    assert {r.bin_id for r in out.values()} <= {0, 1}
+    assert out[1].n_tokens == 0 and out[2].n_tokens == 0
+    # order: doc3 (3 toks) rank 0, doc4 (2) rank 1, then 1, 2 by id
+    assert [out[i].pack_rank for i in (3, 4, 1, 2)] == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_balanced(df, n_bins=2, capacity=3)
+    with pytest.raises(ValueError, match="exactly one"):
+        pack_balanced(df)

@@ -91,6 +91,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # post-DISTINCT token set — vocabulary-sized (thousands of rows),
     # bounded at any corpus scale; the documents themselves never
     # touch a global window
+    "pack_balanced_documents",  # the un-partitioned window runs over
+    # the <= range_buckets-row bucket-count aggregate only (the
+    # equi_depth_bin two-pass rank); documents rank within value-range
+    # buckets
 }
 
 
