@@ -174,6 +174,11 @@ class KolangFrame:
 
         return KolangFrame(pack_examples(self._df, **kw))
 
+    def pack_balanced(self, **kw) -> "KolangFrame":
+        from kolang_spark.llm.prep import pack_balanced
+
+        return KolangFrame(pack_balanced(self._df, **kw))
+
 
 def kl(df: DataFrame) -> KolangFrame:
     """Enter the fluent layer: ``kl(df).percent("count").df``."""

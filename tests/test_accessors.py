@@ -78,3 +78,7 @@ def test_accessor_round6_operators(spark):
         tokens_col="tok", example_tokens=4
     ).df
     assert {"token_offset", "first_example"} <= set(packed.columns)
+    binned = kl(
+        df.selectExpr("doc_id", "CAST(v AS LONG) tok")
+    ).pack_balanced(tokens_col="tok", n_bins=2).df
+    assert {"pack_rank", "bin_id"} <= set(binned.columns)
