@@ -11175,8 +11175,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["pack_balanced_documents"] = r"""
         WITH t AS (
           SELECT doc_id,
-                 CAST(len(string_split_regex(trim(text), '\s+'))
-                   AS BIGINT) AS n_tokens
+                 CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                      ELSE len(string_split_regex(trim(text), '\s+'))
+                      END AS BIGINT) AS n_tokens
           FROM documents
         ), r AS (
           SELECT doc_id, n_tokens,

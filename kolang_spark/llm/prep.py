@@ -176,8 +176,9 @@ def pack_balanced(
     optimal for sorted input).
 
     Give either ``n_bins`` (fixed bin count) or ``capacity`` (target
-    tokens per bin → ``n_bins = ceil(total_tokens / capacity)``, the
-    total folded in lazily via a broadcast one-row aggregate). Returns
+    tokens per bin → ``n_bins = ceil(total_tokens / capacity)``; the
+    total rides the same broadcast one-row aggregate as the range
+    boundaries, so capacity mode costs no extra corpus pass). Returns
     ``(id_col, n_tokens, pack_rank, out_col)`` — ``pack_rank`` is the
     0-based global position in the sorted deal order.
 
@@ -212,12 +213,18 @@ def pack_balanced(
         F.col(id_col), F.coalesce(toks.cast("long"), F.lit(0)).alias("n_tokens")
     )
     # value-range bucketing by exact percentiles (bucket CHOICE cannot
-    # affect the final rank — only value alignment matters)
+    # affect the final rank — only value alignment matters; boundary
+    # and strict-below tie semantics deliberately match
+    # operators/binning.py::equi_depth_bin — a parity test pins the
+    # two against each other). The token TOTAL rides the same one-row
+    # aggregate so capacity mode never pays a second corpus scan
+    # (r10 review finding).
     probs = [i / range_buckets for i in range(1, range_buckets)]
     bounds = base.agg(
         F.percentile(F.col("n_tokens"), F.array(*[F.lit(p) for p in probs])).alias(
             "__ks_pb_bounds__"
-        )
+        ),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("__ks_pb_tot__"),
     )
     v = F.col("n_tokens")
     with_bkt = (
@@ -246,8 +253,6 @@ def pack_balanced(
     )
     pos = (F.row_number().over(w_in) + F.col("__ks_pb_off__") - 1).cast("long")
     if capacity is not None:
-        tot = base.agg(F.sum("n_tokens").alias("__ks_pb_tot__"))
-        joined = joined.join(F.broadcast(tot), how="cross")
         nb = F.greatest(
             F.ceil(F.col("__ks_pb_tot__") / F.lit(float(capacity))).cast("long"),
             F.lit(1),

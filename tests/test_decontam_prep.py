@@ -419,3 +419,65 @@ def test_pack_balanced_capacity_mode_and_edges(spark):
         pack_balanced(df, n_bins=2, capacity=3)
     with pytest.raises(ValueError, match="exactly one"):
         pack_balanced(df)
+
+
+def test_pack_balanced_bucketing_matches_equi_depth_bin(spark):
+    """pack_balanced's inline range bucketing deliberately mirrors
+    operators/binning.py::equi_depth_bin (boundaries + strict-below
+    ties); this parity test keeps the two from silently diverging
+    (r10 review finding)."""
+    from kolang_spark.operators import equi_depth_bin
+
+    rows = [(i, ((i * 7) % 23) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    rb = 8
+    probs = [i / rb for i in range(1, rb)]
+    bounds = df.agg(
+        F.percentile(F.col("n_tokens"), F.array(*[F.lit(p) for p in probs]))
+        .alias("b")
+    ).head()["b"]
+    inline = {
+        r.doc_id: sum(1 for b in bounds if r.n_tokens > b)
+        for r in df.collect()
+    }
+    via_op = {
+        r.doc_id: r.bin - 1  # equi_depth_bin is 1-based
+        for r in equi_depth_bin(df, "n_tokens", n_bins=rb).collect()
+    }
+    assert inline == via_op
+
+
+def test_pack_balanced_oracle_handles_empty_and_null_text(spark):
+    """The driver oracle must agree with Spark on empty/whitespace/NULL
+    documents (DuckDB's len(string_split_regex(trim(''), ...)) is 1,
+    not 0 — the guard added after the r10 review). Replays the real
+    oracle SQL against an in-memory documents view containing all
+    three degenerate shapes."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from kolang_spark.llm import pack_balanced
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "a b c d"),
+        (5, "e f"),
+        (6, "g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.pack_rank, r.bin_id)
+        for r in pack_balanced(df, capacity=3000).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, NULL), (2, ''), (3, '   '), (4, 'a b c d'), (5, 'e f'), "
+        "(6, 'g')) AS t(doc_id, text)"
+    )
+    res = con.execute(entry_mod.oracle_sql()["pack_balanced_documents"])
+    want = sorted(tuple(r) for r in res.fetchall())
+    con.close()
+    assert got == want
