@@ -4783,24 +4783,31 @@ def _q_target_encode_orders(spark, sf_dir):
     order's priority encoded by the mean order value (integer cents)
     of its priority class, excluding the row itself — the standard
     leakage-guarded tabular-ML feature. One groupBy + the broadcast
-    NULL-safe re-attach; detail rows never shuffle. Sums are exact
-    longs and the division order is fixed, so the oracle reproduces
-    the doubles bit-for-bit (rounded 6 for the tolerant hash)."""
+    NULL-safe re-attach; detail rows never shuffle. The encoding is
+    emitted in exact integer micro-units (``units=1_000_000``, the
+    ``p_micro`` idiom): ``(s − cents)·10⁶ DIV (n − 1)``, all-long
+    arithmetic — the r10 external red traced to ``ROUND(te, 6)`` on
+    a ~1.5e7-magnitude double (≈14 significant digits, where engine
+    round implementations diverge). Cents derive via the shared
+    bit-stable ``floor(x·100 + 0.5)`` — pure IEEE *, +, floor on
+    both engines, no round() version dependence (totalprice > 0)."""
     from kolang_spark.operators.features import target_encode
 
     od = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
     )
     out = target_encode(
-        od, "o_orderpriority", "cents", leave_one_out=True
+        od, "o_orderpriority", "cents", leave_one_out=True, units=1_000_000
     )
     return out.select(
         "o_orderkey",
         "o_orderpriority",
         "cents",
-        F.round("o_orderpriority_te", 6).alias("te"),
+        F.col("o_orderpriority_te").alias("te_micro"),
     )
 
 
@@ -10640,19 +10647,27 @@ def oracle_sql() -> dict[str, str]:
                     6) AS psi_term
             FROM h CROSS JOIN t
         """,
-        # trailing_window_agg: identical RANGE frames over epoch_ms —
+        # trailing_window_agg: identical RANGE frames over epoch ms —
         # tie-inclusive, so integer counts/cent-sums replay exactly.
+        # r10 external red fix, two version/canonicalizer-stable
+        # changes: (1) ts_ms via explicit integer epoch_us(ts)//1000 —
+        # floor semantics matching Spark's `ts div 1000000` on the ns
+        # longs, where epoch_ms()'s ns→ms step is version-dependent;
+        # (2) the window SUMs CAST AS BIGINT — DuckDB's SUM(BIGINT) is
+        # HUGEINT, which the driver's pandas canonicalizer does not
+        # hash like an int64 (COUNT already lands BIGINT).
         "trailing_features_events": """
             WITH e AS (
-              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+              SELECT event_id, user_id,
+                     CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms,
                      CAST(round(value*100) AS BIGINT) AS cents
               FROM events
             )
             SELECT event_id, user_id, ts_ms,
               COUNT(*) OVER w1 AS n_1h,
-              SUM(cents) OVER w1 AS sum_1h,
+              CAST(SUM(cents) OVER w1 AS BIGINT) AS sum_1h,
               COUNT(*) OVER w2 AS n_24h,
-              SUM(cents) OVER w2 AS sum_24h
+              CAST(SUM(cents) OVER w2 AS BIGINT) AS sum_24h
             FROM e
             WINDOW
               w1 AS (PARTITION BY user_id ORDER BY ts_ms
@@ -10720,23 +10735,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT c_custkey FROM customer WHERE c_acctbal > 9000
             )
         """,
-        # target_encode LOO: (Σcents − own) / (n − 1), exact longs in,
-        # one fixed division out.
+        # target_encode LOO in exact integer micro-units: te_micro =
+        # (Σcents − own)·10⁶ DIV (n − 1). All-integer on both engines
+        # (DuckDB's SUM(BIGINT) is HUGEINT — the // stays exact, the
+        # final CAST pins the wire type). Cents via the shared
+        # bit-stable floor(x·100 + 0.5): identical IEEE *, +, floor on
+        # both sides, no round() version dependence (r10 red fix).
         "target_encode_orders": """
             WITH o AS (
               SELECT o_orderkey, o_orderpriority,
-                     CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                     CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
               FROM orders
             ), m AS (
               SELECT o_orderpriority,
                      COUNT(cents) AS n,
-                     SUM(CAST(cents AS DOUBLE)) AS s
+                     SUM(cents) AS s
               FROM o GROUP BY 1
             )
             SELECT o.o_orderkey, o.o_orderpriority, o.cents,
               CASE WHEN m.n - 1 > 0 THEN
-                ROUND((m.s - CAST(o.cents AS DOUBLE))
-                      / (CAST(m.n AS DOUBLE) - 1.0), 6) END AS te
+                CAST(((m.s - o.cents) * 1000000) // (m.n - 1) AS BIGINT)
+              END AS te_micro
             FROM o JOIN m USING (o_orderpriority)
         """,
         # event_transitions: LEAD over the identical (ts_ms, event_id)

@@ -79,6 +79,7 @@ def target_encode(
     out_col: Optional[str] = None,
     smoothing: int = 0,
     leave_one_out: bool = False,
+    units: Optional[int] = None,
 ) -> DataFrame:
     """Target (mean) encoding of a categorical column — the classic
     high-cardinality-category feature for tabular models. Adds
@@ -102,6 +103,17 @@ def target_encode(
     the statistics but still receive the category's encoding; a NULL
     category is its own group (NULL-safe join).
 
+    ``units=k`` (requires an integral target and ``smoothing=0``)
+    switches the output to an exact LONG in 1/k units —
+    ``(numerator · k) DIV denominator``, all-integer arithmetic, the
+    package's ``p_micro`` idiom (``event_transitions`` below): no
+    double ever materializes, so the value replays bit-for-bit on any
+    engine/version — double ROUND at ~1e7 magnitude needs ~14
+    significant digits and is exactly where engine rounding
+    implementations diverge (round-10 external red). DIV truncates
+    toward zero (floor for the non-negative targets this mode is
+    meant for).
+
     Scale shape: one map-side-combinable groupBy on the category (plus
     one global aggregate when priors are needed) re-attached with the
     package's broadcast NULL-safe join — detail rows never shuffle.
@@ -111,6 +123,36 @@ def target_encode(
     if smoothing < 0:
         raise ValueError("smoothing must be >= 0")
     out_col = out_col or f"{cat_col}_te"
+    if units is not None:
+        if smoothing:
+            raise ValueError(
+                "units (exact integer output) requires smoothing=0 — "
+                "the m-estimate prior is a global mean (a double)"
+            )
+        if units <= 0:
+            raise ValueError("units must be a positive integer")
+        yl = F.col(target_col).cast("long")
+        stats = df.groupBy(cat_col).agg(
+            F.count(yl).alias("__te_n__"), F.sum(yl).alias("__te_s__")
+        )
+        joined = broadcast_join_nullsafe(df, stats, [cat_col])
+        num = F.coalesce(F.col("__te_s__"), F.lit(0).cast("long"))
+        den = F.col("__te_n__")
+        if leave_one_out:
+            num = num - F.coalesce(yl, F.lit(0).cast("long"))
+            den = den - F.when(yl.isNotNull(), 1).otherwise(0)
+        return (
+            joined.withColumn("__te_num__", num * F.lit(int(units)))
+            .withColumn("__te_den__", den)
+            .withColumn(
+                out_col,
+                F.when(
+                    F.col("__te_den__") > 0,
+                    F.expr("`__te_num__` DIV `__te_den__`"),
+                ),
+            )
+            .drop("__te_n__", "__te_s__", "__te_num__", "__te_den__")
+        )
     y = F.col(target_col).cast("double")
     stats = df.groupBy(cat_col).agg(
         F.count(y).alias("__te_n__"), F.sum(y).alias("__te_s__")
