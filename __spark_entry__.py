@@ -5150,35 +5150,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     each round, tail oracle-backed queries swap with in-window queries
     already green in recent external rounds, so every oracle-backed
     query keeps earning *external* green rows on a bounded PER-QUERY
-    cadence (r9 re-tiering, r10 promotion re-tune): stable veterans —
-    queries externally green in >= 2 distinct rounds — re-green every
-    6 rounds, younger queries every 4. A uniform 4-round cadence at
-    162 queries spends ~40 of 50 slots/round on maintenance, so an
-    entire 50-strong past window cohort comes due simultaneously and
-    starves debuts (the failure test_next_window_simulation caught
-    when CORRECTNESS_r08 landed); veteran cadence 6 plus oldest-first
-    spare-slot filling spreads the cohorts and frees ~13 slots/round
-    for debuts. Promotion moved from 3 greens to 2 in r10: the
-    45-young-query r10 window otherwise stays cadence-4 through its
-    SECOND green too and resonates over the window capacity at r14
-    (the 24-round simulation is clean at promotion-2).
+    cadence (r9 re-tiering, r10 promotion re-tune, r11 red-absorption
+    re-tune): stable veterans — queries externally green in >= 2
+    distinct rounds — re-green every 6 rounds, younger queries every
+    5. A uniform 4-round cadence at 162 queries spends ~40 of 50
+    slots/round on maintenance, so an entire 50-strong past window
+    cohort comes due simultaneously and starves debuts (the failure
+    test_next_window_simulation caught when CORRECTNESS_r08 landed);
+    veteran cadence 6 plus oldest-first spare-slot filling spreads
+    the cohorts and frees ~13 slots/round for debuts. Promotion moved
+    from 3 greens to 2 in r10: the 45-young-query r10 window
+    otherwise stays cadence-4 through its SECOND green too and
+    resonates over the window capacity at r14. Young cadence moved
+    from 4 to 5 in r11: the r8/r9/r10 one-green cohorts' re-green
+    waves otherwise saturate r12-r14 back-to-back with ZERO slack, so
+    any red round overflows four rounds later; at 5 the waves
+    de-phase and the 25-round simulation absorbs five reds per round
+    (see scripts/next_window.py CADENCE_YOUNG comment).
 
-    Round-10 rotation — COMPUTED by ``scripts/next_window.py 10`` (not
+    Round-11 rotation — COMPUTED by ``scripts/next_window.py 11`` (not
     hand-picked; the r6 mistake), from the per-query external-green
-    history in CORRECTNESS_r0*.json:
+    history in CORRECTNESS_r0*.json INCLUDING the real r10 record
+    (48/50 green — the first partially-red round since r6):
 
-    IN: the five cadence-due r6 veterans (resample_events_hourly,
-    lm_score_documents, multimodal_audio_frames, pandas_bridge_region,
-    bloom_users_events — last green r6, cadence 4, hard bound), then
-    EVERY never-externally-green debut in priority order: the r9
-    backlog's jl_project_embeddings (r9's one external err, output
-    shape fixed this round) and the other 43, ann_ivf_kmeans_topk,
-    and the r10 debut bpe_encode_loaded.
+    IN: ALL six never-externally-green entries first — the two r10
+    hash-reds (trailing_features_events, target_encode_orders — both
+    made oracle-portable this round: integer te_micro via the p_micro
+    idiom; epoch_us//1000 + BIGINT-pinned window sums) and the four
+    r10 tail debuts (multimodal_decode_avi, multimodal_avi_frame_ahash,
+    bpe_encode_ids, pack_balanced_documents) — then the whole r7
+    cohort: the eight cadence-5 young queries (pca_embeddings,
+    vocabulary_documents, quantize_embeddings,
+    incremental_exact_batches, read_blobs_metadata,
+    overwrite_partitions_idempotent, sessionize_stream_semantics,
+    incremental_minhash_batches — last green r7, stale tier) and the
+    cadence-6 veterans oldest-first.
 
-    OUT: everything ever-green (fresh within cadence), plus the two
-    r10 AVI debuts and bpe_encode_ids at the registry tail — they
-    lead the r11 window as never-greens (the simulation proves total
-    absorption within 3 rounds).
+    OUT: everything green in r8-r10 (fresh within cadence). A green
+    r11 window zeroes the never-green set registry-wide for the first
+    time.
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5215,18 +5225,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped OLS, attribution) — the simulation proves the whole
     backlog absorbs within three windows."""
     return {
-        # --- positions 1-50: the external round-10 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py 10:
-        #     the five cadence-due r6 veterans, then EVERY
-        #     never-externally-green debut in priority order — the
-        #     full 44-query r9 backlog, ann_ivf_kmeans_topk, and the
-        #     r10 debut bpe_encode_loaded. This window zeroes the
-        #     never-green set except the two r10 AVI debuts, which
-        #     lead the r11 window. Greening ~45 young queries at once
-        #     makes the cohort come due together at r14; veteran
-        #     promotion at TWO greens (next_window.py r10 re-tier)
-        #     absorbs that resonance — the 12-round simulation test
-        #     proves it ---
+        # --- positions 1-50: the external round-11 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 11
+        #     from the REAL r10 history (48/50 green): the six
+        #     never-externally-green entries first — the two r10
+        #     hash-reds (trailing_features_events,
+        #     target_encode_orders, both made oracle-portable this
+        #     round) and the four r10 tail debuts — then the r7
+        #     cohort (cadence-5 young, then cadence-6 veterans,
+        #     oldest-first). Greening this window zeroes the
+        #     never-green set registry-wide for the first time. ---
+        "trailing_features_events": _q_trailing_features_events,
+        "target_encode_orders": _q_target_encode_orders,
+        "multimodal_decode_avi": _q_multimodal_decode_avi,
+        "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
+        "bpe_encode_ids": _q_bpe_encode_ids,
+        "pack_balanced_documents": _q_pack_balanced_documents,
+        "pca_embeddings": _q_pca_embeddings,
+        "vocabulary_documents": _q_vocabulary_documents,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "incremental_exact_batches": _q_incremental_exact_batches,
+        "read_blobs_metadata": _q_read_blobs_metadata,
+        "overwrite_partitions_idempotent": _q_overwrite_partitions_idempotent,
+        "sessionize_stream_semantics": _q_sessionize_stream_semantics,
+        "incremental_minhash_batches": _q_incremental_minhash_batches,
+        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
+        "cond_count_orders": _q_cond_count_orders,
+        "weighted_avg_discount": _q_weighted_avg_discount,
+        "bin_part_sizes": _q_bin_part_sizes,
+        "str_array_roundtrip": _q_str_array_roundtrip,
+        "is_null_or_in": _q_is_null_or_in,
+        "sum_columns_lineitem": _q_sum_columns_lineitem,
+        "array_contains": _q_array_contains,
+        "persian_number": _q_persian_number,
+        "number_normalize_documents": _q_number_normalize_documents,
+        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
+        "moving_average_revenue": _q_moving_average_revenue,
+        "cube_percent_parts": _q_cube_percent_parts,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "range_join_error_clicks": _q_range_join_error_clicks,
+        "hypertable_rollup_events": _q_hypertable_rollup_events,
+        "cosine_topk": _q_cosine_topk,
+        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
+        "add_trend_line_deg2": _q_add_trend_line_deg2,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "count_distinct_with_nulls": _q_count_distinct_with_nulls,
+        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
+        "curation_pipeline": _q_curation_pipeline,
+        "dedup_components": _q_dedup_components,
+        "deterministic_sample_orders": _q_deterministic_sample_orders,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "events_json_extract": _q_events_json_extract,
+        "ewma_users": _q_ewma_users,
+        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
+        "jalali_orders_by_month": _q_jalali_orders_by_month,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "multimodal_decode": _q_multimodal_decode,
+        "multimodal_sample_frames": _q_multimodal_sample_frames,
+        "quality_documents": _q_quality_documents,
+        "repetition_documents": _q_repetition_documents,
+        # --- tail: the cadence rotation pool — everything below
+        #     stays hash-checked every run by
+        #     tests/test_oracle_parity.py and re-enters the window
+        #     on its per-query cadence ---
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
@@ -5257,11 +5319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_purchases": _q_label_propagation_purchases,
         "join_key_profile_orders": _q_join_key_profile_orders,
         "psi_drift_events": _q_psi_drift_events,
-        "trailing_features_events": _q_trailing_features_events,
         "cusum_daily_errors": _q_cusum_daily_errors,
         "contracts_orders": _q_contracts_orders,
         "bloom_semi_join_orders": _q_bloom_semi_join_orders,
-        "target_encode_orders": _q_target_encode_orders,
         "event_transitions_users": _q_event_transitions_users,
         "ab_test_events": _q_ab_test_events,
         "entity_resolution_customers": _q_entity_resolution_customers,
@@ -5277,11 +5337,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize_events": _q_k_anonymize_events,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         "bpe_encode_loaded": _q_bpe_encode_loaded,
-        # --- tail: the cadence rotation pool (the two r10 AVI debuts
-        #     sit at the very end and lead the r11 window as
-        #     never-greens) — everything below stays hash-checked
-        #     every run by tests/test_oracle_parity.py ---
-        "pca_embeddings": _q_pca_embeddings,
         "hll_users_monthly": _q_hll_users_monthly,
         "sketch_rollup_users": _q_sketch_rollup_users,
         "split_documents": _q_split_documents,
@@ -5381,59 +5436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
-        "vocabulary_documents": _q_vocabulary_documents,
-        "quantize_embeddings": _q_quantize_embeddings,
-        "incremental_exact_batches": _q_incremental_exact_batches,
-        "read_blobs_metadata": _q_read_blobs_metadata,
-        "overwrite_partitions_idempotent": _q_overwrite_partitions_idempotent,
-        "sessionize_stream_semantics": _q_sessionize_stream_semantics,
-        "incremental_minhash_batches": _q_incremental_minhash_batches,
-        "median_acctbal_by_segment": _q_median_acctbal_by_segment,
-        "cond_count_orders": _q_cond_count_orders,
-        "weighted_avg_discount": _q_weighted_avg_discount,
-        "bin_part_sizes": _q_bin_part_sizes,
-        "str_array_roundtrip": _q_str_array_roundtrip,
-        "is_null_or_in": _q_is_null_or_in,
-        "sum_columns_lineitem": _q_sum_columns_lineitem,
-        "array_contains": _q_array_contains,
-        "persian_number": _q_persian_number,
-        "number_normalize_documents": _q_number_normalize_documents,
-        "cumulative_orders_by_day": _q_cumulative_orders_by_day,
-        "moving_average_revenue": _q_moving_average_revenue,
-        "cube_percent_parts": _q_cube_percent_parts,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "range_join_error_clicks": _q_range_join_error_clicks,
-        "hypertable_rollup_events": _q_hypertable_rollup_events,
-        "cosine_topk": _q_cosine_topk,
-        "skew_safe_distinct_users": _q_skew_safe_distinct_users,
-        "add_trend_line_deg2": _q_add_trend_line_deg2,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "count_distinct_with_nulls": _q_count_distinct_with_nulls,
-        "cumulative_revenue_by_shipdate": _q_cumulative_revenue_by_shipdate,
-        "curation_pipeline": _q_curation_pipeline,
-        "dedup_components": _q_dedup_components,
-        "deterministic_sample_orders": _q_deterministic_sample_orders,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "events_json_extract": _q_events_json_extract,
-        "ewma_users": _q_ewma_users,
-        "jaccard_pairs_documents": _q_jaccard_pairs_documents,
-        "jalali_orders_by_month": _q_jalali_orders_by_month,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
-        "minhash_pairs_documents": _q_minhash_pairs_documents,
-        "multimodal_decode": _q_multimodal_decode,
-        "multimodal_sample_frames": _q_multimodal_sample_frames,
-        "quality_documents": _q_quality_documents,
-        "repetition_documents": _q_repetition_documents,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "session_count_by_user": _q_session_count_by_user,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "union_customers_suppliers": _q_union_customers_suppliers,
-        "multimodal_decode_avi": _q_multimodal_decode_avi,
-        "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
-        "bpe_encode_ids": _q_bpe_encode_ids,
-        "pack_balanced_documents": _q_pack_balanced_documents,
     }
 
 

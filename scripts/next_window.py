@@ -9,14 +9,15 @@ green history, and fill the 50 slots by priority:
 
 1. hard cadence bound — queries whose last green would exceed their
    re-green cadence after the next round. The cadence is PER-QUERY
-   (r9 re-tiering): a query externally green in >= 3 distinct rounds
+   (r9 re-tiering): a query externally green in >= 2 distinct rounds
    is a *stable veteran* and re-greens every 6 rounds; anything
-   younger re-greens every 4. Rationale: at 162+ registry queries a
-   uniform 4-round cadence consumes ~40 of the 50 slots per round in
-   maintenance, so a 50-strong green cohort (an entire past window)
-   comes due *simultaneously* and starves debuts — the exact failure
+   younger re-greens every 5 (r11 re-tune — see the CADENCE_YOUNG
+   comment). Rationale: at 162+ registry queries a uniform 4-round
+   cadence consumes ~40 of the 50 slots per round in maintenance, so
+   a 50-strong green cohort (an entire past window) comes due
+   *simultaneously* and starves debuts — the exact failure
    ``test_next_window_simulation`` caught after r8 landed. Stable
-   veterans carry 3+ independent external proofs already; stretching
+   veterans carry independent external proofs already; stretching
    them to 6 rounds frees ~13 slots/round and moves whole-cohort due
    dates past any debut backlog.
 2. never-externally-green oracle-backed debuts;
@@ -66,12 +67,26 @@ WINDOW = 50
 # the 24-round simulation is clean under promotion-at-2.
 VETERAN_GREENS = 2
 CADENCE_VETERAN = 6
-CADENCE_YOUNG = 4
+# CADENCE_YOUNG raised 4 -> 5 in r11 (the red-absorption re-tune):
+# the r8/r9/r10 windows each greened a ~45-wide one-green cohort, so
+# at young cadence 4 their re-green waves saturate rounds 12-14
+# back-to-back-to-back with ZERO slack — the all-green steady state
+# drains to exactly 48/50 at r14, and even r10's real two-red round
+# overflows the window four rounds later (the transiently-red scenario
+# in test_next_window_simulation). Cadence 5 de-phases the waves by a
+# round (due r13/r14/r15), restoring a full spare round of pre-drain;
+# the 25-round simulation then absorbs FIVE reds per round. (A
+# deterministic per-query cadence jitter was tried first and REJECTED:
+# it pulls half of every wave one round EARLIER, tripling the r13
+# collision.)
+CADENCE_YOUNG = 5
 
 
-def cadence(greens) -> int:
+def cadence(greens, name: str = "") -> int:
     """Per-query re-green cadence from its external green history
-    (an iterable of distinct green round numbers)."""
+    (an iterable of distinct green round numbers). ``name`` is
+    accepted for call-site stability (a hash-jitter experiment used
+    it; see the CADENCE_YOUNG comment for why it was rejected)."""
     return CADENCE_VETERAN if len(greens) >= VETERAN_GREENS else CADENCE_YOUNG
 
 
@@ -90,7 +105,7 @@ def rank(backed, hist, next_round):
             # they starve forever at 150+ queries)
             return (1, -1, order[q])
         last = max(greens)
-        c = cadence(greens)
+        c = cadence(greens, q)
         gap = next_round - last
         if gap >= c:
             tier = 0  # hard cadence bound
@@ -135,13 +150,13 @@ def main() -> None:
     for q in window:
         greens = hist.get(q)
         if greens:
-            note = f"last green: r{max(greens)}, cadence {cadence(greens)}"
+            note = f"last green: r{max(greens)}, cadence {cadence(greens, q)}"
         else:
             note = "last green: never"
         print(f"  {q}  ({note})")
     overdue = [
         q for q in tail
-        if hist.get(q) and next_round - max(hist[q]) >= cadence(hist[q])
+        if hist.get(q) and next_round - max(hist[q]) >= cadence(hist[q], q)
     ]
     if overdue:
         print(f"# WARNING: {len(overdue)} overdue queries do not fit: {overdue}")

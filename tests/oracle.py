@@ -3,8 +3,11 @@
 Runs a Spark query and the matching oracle SQL side-by-side on the same
 parquet tables, then compares row count, schema (column names), and an
 order-insensitive value comparison (columns sorted by name, rows sorted,
-floats rounded to 6 significant decimals before comparison — mirroring a
-tolerant value-hash).
+floats compared EXACTLY — the driver's value-hash is exact, and the old
+6-significant-digit normalization green-lit precisely the ROUND(x, 6)
+double divergence that shipped target_encode_orders externally red in
+r10; registry outputs are integer/rounded by contract, so exactness
+costs nothing locally and restores gate fidelity).
 """
 
 from __future__ import annotations
@@ -41,9 +44,11 @@ def _norm_cell(v):
         if math.isnan(v):
             return "NaN"
         if v == 0:
-            return 0.0
-        # 6 significant digits, tolerant of engine-level float noise
-        return float(f"{v:.6g}")
+            return 0.0  # fold -0.0 into 0.0 (hashes identically downstream)
+        # EXACT — mirrors the driver's exact value-hash (r10 lesson:
+        # any engine-level float noise the driver would reject must
+        # fail here too)
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
@@ -63,9 +68,20 @@ def _reject_non_atomic(cols: List[str], rows: List[tuple], side: str):
     """Driver fidelity: the external harness canonicalizes with pandas
     ``sort_values``, which raises ``unhashable type`` on list/dict cells
     (how ``jl_project_embeddings`` shipped red in r9). Fail loudly here
-    on ANY non-atomic cell so the class can't pass locally again."""
-    for r in rows[:1000]:
-        for i, v in enumerate(r):
+    on ANY non-atomic cell so the class can't pass locally again.
+
+    Scans ALL rows, but retires each column once a non-NULL cell has
+    been type-checked — cheap, and immune to the leading-all-NULL
+    prefix that defeated the old ``rows[:1000]`` sample (r10 advisor
+    finding)."""
+    pending = set(range(len(cols)))
+    for r in rows:
+        if not pending:
+            break
+        for i in list(pending):
+            v = r[i]
+            if v is None:
+                continue
             # bytes included: Spark collect() yields bytearray for
             # binary columns but DuckDB fetchall() yields bytes — both
             # sides of the same external-canonicalizer hazard
@@ -76,6 +92,7 @@ def _reject_non_atomic(cols: List[str], rows: List[tuple], side: str):
                     "cannot sort it — emit atomic columns (explode or "
                     "concat_ws) in the driver query"
                 )
+            pending.discard(i)
     return None
 
 

@@ -89,8 +89,23 @@ def test_external_window_composition():
 
 def test_next_window_simulation():
     """The rotation scheduler's two load-bearing properties, proven by
-    simulating rounds ahead from the recorded history (plus the
-    assumption that the CURRENT first-50 window goes green this round):
+    simulating rounds ahead from the on-disk history EXACTLY as the
+    driver sees it (r11 rewrite, verdict item 3: the old version
+    fabricated "the pinned first-50 goes green this round", which
+    turned red the moment the real 48/50 CORRECTNESS_r10.json landed —
+    no hypothetical greens anymore; each simulated round's window is
+    the scheduler's own rank(), which is also how the registry gets
+    re-pinned each round). Simulated twice: all-green (steady state),
+    and transiently-red — every round the THREE highest-priority
+    window slots (the overdue/debut tiers: the adversarial place for
+    a red) fail on their first such attempt and green on the retry, a
+    strictly harsher version of r10's two one-off debut reds; the
+    cadence bound must absorb the retry echo (an overdue red
+    re-enters at tier 0 next round), and absorption gets one extra
+    round of slack. (A WHOLE-window failure is deliberately not
+    modeled: shifting a 44-query cohort by a round collides with the
+    next cohort's due date by design — that is a driver catastrophe,
+    not a scheduling property.)
 
     1. no starvation — every oracle-backed debut earns an external
        green within three simulated rounds (the policy's true
@@ -101,18 +116,21 @@ def test_next_window_simulation():
        i.e. the scheduler's own overdue warning never fires). The
        cadence is per-query: stable veterans (>= 2 distinct external
        greens as of the r10 re-tune; was 3) re-green every 6 rounds,
-       younger queries every 4. A uniform 4-round cadence at 162
-       queries spends ~40 of 50 slots/round on maintenance, so an
-       entire 50-strong past window cohort comes due at once and
-       starves debuts — the failure THIS test caught when
-       CORRECTNESS_r08 landed.
+       younger queries every 5 (r11 re-tune; was 4). A uniform
+       4-round cadence at 162 queries spends ~40 of 50 slots/round on
+       maintenance, so an entire 50-strong past window cohort comes
+       due at once and starves debuts — the failure THIS test caught
+       when CORRECTNESS_r08 landed.
 
     Guards the r8 tiering fix (debuts preempt non-overdue greens), the
     r9 re-tiering (veteran cadence 6 + oldest-first spare filling),
-    and the r10 promotion-at-2 re-tune (a 45-young-query window
-    otherwise stays cadence-4 through its second green and resonates
-    over the 50-slot capacity at +4 rounds — THIS test caught that
-    too, with the original 12-round horizon; now simulated 24 ahead).
+    the r10 promotion-at-2 re-tune (a 45-young-query window otherwise
+    stays cadence-4 through its second green and resonates over the
+    50-slot capacity at +4 rounds — THIS test caught that too), and
+    the r11 young-cadence-5 re-tune (at 4 the r8/r9/r10 cohorts'
+    re-green waves saturate r12-r14 with zero slack, so the
+    transiently-red scenario below overflows at r14 — THIS test
+    caught that as well).
     """
     import importlib.util
     import os
@@ -125,26 +143,35 @@ def test_next_window_simulation():
     spec.loader.exec_module(nw)
 
     backed = [q for q in QUERIES if q in ORACLES]
-    hist, last_round = nw.load_history(root)
-    # the current round's record (not yet on disk while building):
-    # assume the pinned first-50 window goes green, as every round
-    # since r7 has
-    this_round = last_round + 1
-    for q in list(QUERIES)[:50]:
-        hist.setdefault(q, set()).add(this_round)
 
-    for rnd in range(this_round + 1, this_round + 25):
-        window = nw.rank(backed, hist, rnd)[: nw.WINDOW]
-        overdue_missed = [
-            q
-            for q in backed
-            if q not in window
-            and hist.get(q)
-            and rnd - max(hist[q]) >= nw.cadence(hist[q])
-        ]
-        assert not overdue_missed, (rnd, overdue_missed)
-        for q in window:
-            hist.setdefault(q, set()).add(rnd)
-        if rnd >= this_round + 3:
-            never = [q for q in backed if not hist.get(q)]
-            assert not never, (rnd, never)
+    def simulate(fail_first_attempt: bool):
+        hist, last_round = nw.load_history(root)
+        start = last_round + 1
+        failed_once = set()
+        for rnd in range(start, start + 25):
+            window = nw.rank(backed, hist, rnd)[: nw.WINDOW]
+            overdue_missed = [
+                q
+                for q in backed
+                if q not in window
+                and hist.get(q)
+                and rnd - max(hist[q]) >= nw.cadence(hist[q], q)
+            ]
+            assert not overdue_missed, (fail_first_attempt, rnd, overdue_missed)
+            reds = set()
+            if fail_first_attempt:
+                reds = set(
+                    [q for q in window if q not in failed_once][:3]
+                )
+                failed_once |= reds  # red this round, retries next
+            for q in window:
+                if q in reds:
+                    continue
+                hist.setdefault(q, set()).add(rnd)
+            slack = 4 if fail_first_attempt else 3
+            if rnd >= start + slack - 1:
+                never = [q for q in backed if not hist.get(q)]
+                assert not never, (fail_first_attempt, rnd, never)
+
+    simulate(fail_first_attempt=False)
+    simulate(fail_first_attempt=True)
