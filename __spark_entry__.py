@@ -792,6 +792,7 @@ def _q_minhash_sink_stream_batch(spark, sf_dir):
             stream,
             os.path.join(base, "state"),
             os.path.join(base, "out"),
+            hash_fn="md5",
             checkpoint=os.path.join(base, "ckpt"),
         )
         _drain_stream(q)
@@ -1403,7 +1404,7 @@ def _q_minhash_pairs_documents(spark, sf_dir):
     from kolang_spark.llm import minhash_candidate_pairs
 
     dc = _t(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+    return minhash_candidate_pairs(dc, num_hashes=6, bands=3, hash_fn="md5")
 
 
 def _q_dedup_components(spark, sf_dir):
@@ -1414,7 +1415,7 @@ def _q_dedup_components(spark, sf_dir):
     from kolang_spark.llm import dedup_keep_list, minhash_candidate_pairs
 
     dc = _t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3, hash_fn="md5")
     return dedup_keep_list(dc, pairs)
 
 
@@ -1422,7 +1423,9 @@ def _q_simhash_documents(spark, sf_dir):
     from kolang_spark.llm import simhash
 
     dc = _t(spark, sf_dir, "documents")
-    return dc.select("doc_id", simhash("text", bits=16).alias("sim_sig"))
+    return dc.select(
+        "doc_id", simhash("text", bits=16, hash_fn="md5").alias("sim_sig")
+    )
 
 
 def _q_simhash_hamming_pairs(spark, sf_dir):
@@ -1433,7 +1436,7 @@ def _q_simhash_hamming_pairs(spark, sf_dir):
     from kolang_spark.llm import simhash_hamming_pairs
 
     dc = _t(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(dc, bits=16, max_distance=2)
+    return simhash_hamming_pairs(dc, bits=16, max_distance=2, hash_fn="md5")
 
 
 def _q_embedding_neardup_pairs(spark, sf_dir):
@@ -3968,7 +3971,7 @@ def _q_incremental_minhash_batches(spark, sf_dir):
         frozen = []
         for batch_no, parity in ((1, 0), (2, 1)):
             b = dc.where(F.col("doc_id") % 4 == parity)
-            m = incremental_minhash_dedup(spark, b, state).select(
+            m = incremental_minhash_dedup(spark, b, state, hash_fn="md5").select(
                 "doc_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
             )
             # freeze this batch's flags BEFORE the next call appends to
@@ -4225,11 +4228,45 @@ def _q_minhash_recall_planted(spark, sf_dir):
         F.array_join(kept, " ").alias("text"),
     )
     pairs = minhash_candidate_pairs(
-        dc.unionAll(planted), num_hashes=6, bands=3
+        dc.unionAll(planted), num_hashes=6, bands=3, hash_fn="md5"
     )
     hits = pairs.where(F.col("id_b") == F.col("id_a") + 100000).select(
         F.col("id_a").alias("doc_id"), F.lit(True).alias("_hit")
     )
+    return (
+        src.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("_hit", F.lit(False)).alias("found")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_minhash_xxhash64_exact_planted(spark, sf_dir):
+    """Planted-EXACT-duplicate recall under the r11 PRODUCTION default
+    hash (`hash_fn='xxhash64'` — deliberately NOT passed, this query
+    proves the default): every fourth document gets a verbatim copy
+    planted at id + 10,000,000; identical text means identical shingle
+    sets, identical signatures, and collision in EVERY band, under ANY
+    hash function — so the found flag is hash-fn-INDEPENDENT and the
+    oracle needs no hash replay at all: found ⟺ the doc clears the
+    banding's >= n-token gate (docs shorter than n=5 tokens have no
+    signature; `kolang_spark/llm/dedup.py::_minhash_band_keys`). The
+    near-dup S-curve evidence stays with the md5 twin
+    (`minhash_recall_planted`); this one pins the production path's
+    wiring externally."""
+    from kolang_spark.llm import minhash_candidate_pairs
+
+    dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = dc.where(F.col("doc_id") % 4 == 0)
+    planted = src.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    pairs = minhash_candidate_pairs(dc.unionAll(planted))
+    hits = pairs.where(
+        F.col("id_b") == F.col("id_a") + 10_000_000
+    ).select(F.col("id_a").alias("doc_id"), F.lit(True).alias("_hit"))
     return (
         src.select("doc_id")
         .join(hits, "doc_id", "left")
@@ -4419,7 +4456,7 @@ def _q_dedup_keep_best_documents(spark, sf_dir):
     )
 
     dc = _t(spark, sf_dir, "documents")
-    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3)
+    pairs = minhash_candidate_pairs(dc, num_hashes=6, bands=3, hash_fn="md5")
     score = quality_metrics(F.col("text"))["quality_score"]
     return dedup_keep_best(
         dc, pairs, score=score, score_col="quality_score"
@@ -5442,6 +5479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "union_customers_suppliers": _q_union_customers_suppliers,
+        # r11 debut (leads the r12 window as a never-green): the
+        # xxhash64 production-default wiring, externally checkable
+        # because exact-dup recall is hash-fn-independent
+        "minhash_xxhash64_exact_planted": _q_minhash_xxhash64_exact_planted,
     }
 
 
@@ -7683,6 +7724,18 @@ def oracle_sql() -> dict[str, str]:
                        WHERE id_b = id_a + 100000) p
               ON d.doc_id = p.doc_id
             ORDER BY d.doc_id
+        """,
+        # exact-dup recall is hash-fn-independent: identical text ⇒
+        # identical signature ⇒ every band collides. found ⟺ the doc
+        # clears the >= 5-token banding gate — no hash replay needed,
+        # which is precisely what makes the xxhash64 PRODUCTION
+        # default externally checkable.
+        "minhash_xxhash64_exact_planted": r"""
+            SELECT doc_id,
+                   COALESCE(text IS NOT NULL AND trim(text) <> ''
+                            AND len(string_split_regex(trim(text), '\s+')) >= 5,
+                            false) AS found
+            FROM documents WHERE doc_id % 4 = 0 ORDER BY doc_id
         """,
         # closed-form prediction: residue 0 → exact hit 'bad{k}.com',
         # residue 1 → subdomain hit on 'tracker{k}.net' (most-specific

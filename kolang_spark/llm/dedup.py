@@ -2,9 +2,13 @@
 embedding-cosine — each designed around the join strategy that survives
 100 TB (inverted-index / banding joins, never O(n²) cross products).
 
-All text-path operators are pure Column algebra (md5-based hashing keeps
-values engine-portable for the DuckDB oracle; swap ``xxhash64`` in for
-pure-Spark production runs — noted per function).
+All text-path operators are pure Column algebra. The minhash/simhash
+family hashes with ``xxhash64`` by DEFAULT (r11 promotion — one JVM
+hash per shingle/token; md5 hex strings through 100 TB of shingles are
+the known production tax, BASELINE.md r4/r11): pass
+``hash_fn='md5'`` to get engine-portable values a DuckDB oracle can
+recompute bit-exact — the oracle-replayed driver queries pin it
+explicitly (oracle isolation), noted per function.
 """
 
 from __future__ import annotations
@@ -346,22 +350,24 @@ def edit_distance_pairs(
 
 
 def _minhash_signature(
-    shingles: Column, num_hashes: int, hash_fn: str = "md5"
+    shingles: Column, num_hashes: int, hash_fn: str = "xxhash64"
 ) -> List[Column]:
     """MinHash signature: for hash *i*, min over shingles of a per-i
     keyed hash. Min of a uniformly-distributed value is an
     order-isomorphic stand-in for min of a uniform integer hash, so the
     MinHash estimator property holds under either hash.
 
-    ``hash_fn='md5'`` (default): ``md5(i || ':' || shingle)`` hex
-    strings — engine-portable, the DuckDB oracle computes the same
-    values bit-exact.
+    ``hash_fn='xxhash64'`` (default since r11 — the production hash):
+    ``xxhash64(i, shingle)`` longs — one JVM hash, no hex string
+    materialization, ~10× cheaper per shingle. Signatures differ from
+    md5 by construction but the candidate-pair *semantics* (equal docs
+    collide, similar docs collide with the same S-curve probability)
+    are identical.
 
-    ``hash_fn='xxhash64'``: ``xxhash64(i, shingle)`` longs — one JVM
-    hash, no hex string materialization, ~10× cheaper per shingle; the
-    production knob. Signatures differ from md5 by construction but the
-    candidate-pair *semantics* (equal docs collide, similar docs
-    collide with the same S-curve probability) are identical.
+    ``hash_fn='md5'``: ``md5(i || ':' || shingle)`` hex strings —
+    engine-portable, the DuckDB oracle computes the same values
+    bit-exact; the knob the oracle-replayed driver queries pin
+    explicitly (oracle isolation).
     """
     if hash_fn == "xxhash64":
         return [
@@ -438,7 +444,7 @@ def minhash_candidate_pairs(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-duplicate pairs.
 
@@ -453,9 +459,10 @@ def minhash_candidate_pairs(
     ``(band_id, band_key)``), which at 100 TB is the standard LSH
     bucket join — no cross product anywhere.
 
-    ``hash_fn``: ``'md5'`` (oracle-portable, default) or ``'xxhash64'``
-    (production — JVM longs instead of md5 hex strings; see
-    :func:`_minhash_signature`).
+    ``hash_fn``: ``'xxhash64'`` (production default since r11 — JVM
+    longs instead of md5 hex strings; see :func:`_minhash_signature`)
+    or ``'md5'`` (engine-portable, pinned by the oracle-replayed
+    driver queries).
 
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
@@ -1192,6 +1199,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash-collision candidate pairs (equal full signature).
 
@@ -1201,7 +1209,8 @@ def simhash_near_dup_pairs(
     Returns ``(id_a, id_b, sim_sig)`` with ``id_a < id_b``.
     """
     sig = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, hash_fn=hash_fn).alias("sig"),
     )
     a, b = sig.alias("a"), sig.alias("b")
     return a.join(
@@ -1243,7 +1252,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     bits: int = 16,
     max_distance: int = 2,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs within Hamming distance ≤
     ``max_distance`` — banded (pigeonhole) candidate generation, exact
@@ -1972,7 +1981,7 @@ def incremental_minhash_dedup(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """NEAR-duplicate dedup for INCREMENTAL ingest — the MinHash+LSH
     counterpart of :func:`incremental_exact_dedup`: each new batch is
@@ -2021,7 +2030,7 @@ def _incremental_minhash_flagged(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
     exclude_batch: Optional[int] = None,
 ):
     """The flag computation of :func:`incremental_minhash_dedup`
@@ -2030,11 +2039,36 @@ def _incremental_minhash_flagged(
     append to ``state_path`` itself. Exists so sinks can order their
     writes for crash safety (materialize flags → write output → append
     state; see :func:`kolang_spark.streaming.minhash_dedup_sink`) —
-    the plain operator appends state before returning."""
+    the plain operator appends state before returning.
+
+    The state is STAMPED with its ``hash_fn`` (a constant column on
+    every novel row) and probing with a different hash_fn RAISES:
+    band keys from different hash functions never collide, so an
+    md5-era state probed under the r11 xxhash64 default would silently
+    accept every duplicate — the worst possible failure mode for a
+    dedup operator. A state written before the stamp existed counts
+    as 'md5' (the historical default)."""
+    from kolang_spark.sources.io import path_exists
+
+    if path_exists(spark, state_path):
+        head = spark.read.parquet(state_path)
+        state_fn = (
+            [r[0] for r in head.select("hash_fn").distinct().collect()]
+            if "hash_fn" in head.columns
+            else ["md5"]  # pre-stamp state: the historical default
+        )
+        if state_fn != [hash_fn]:
+            raise ValueError(
+                f"minhash state at {state_path} was written with "
+                f"hash_fn={state_fn}, probed with hash_fn='{hash_fn}' — "
+                "band keys from different hash functions never collide, "
+                "so every duplicate would be silently accepted. Pass the "
+                "state's hash_fn, or start a fresh state_path."
+            )
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
-    return _incremental_banded_flagged(
+    marked, novel = _incremental_banded_flagged(
         spark,
         new_df,
         banded,
@@ -2043,6 +2077,9 @@ def _incremental_minhash_flagged(
         "is_near_duplicate",
         exclude_batch=exclude_batch,
     )
+    # stamp the state rows with the hash_fn that produced them — the
+    # probe-time guard above depends on it
+    return marked, novel.withColumn("hash_fn", F.lit(hash_fn))
 
 
 def _incremental_banded_flagged(

@@ -1712,7 +1712,11 @@ def block_downsample(
     (by, bx) reads pixel ``by·block·width + bx·block``. Rows violating
     that FAIL the job via ``raise_error`` rather than silently yielding
     NULL-poisoned hashes (r10 review: a 4-px-wide frame used to produce
-    ``[NULL, NULL]`` through a 0 block count and a NULL division)."""
+    ``[NULL, NULL]`` through a 0 block count and a NULL division).
+    The pixels array itself is guarded the same way (r10 advisor): a
+    NULL array, or one shorter than ``width·height``, would otherwise
+    pass the dimension checks and ``element_at`` (ANSI off) would
+    silently re-introduce per-tile NULLs."""
     if block < 1:
         raise ValueError("block must be >= 1")
     bw = (width / F.lit(block)).cast("int")
@@ -1724,6 +1728,8 @@ def block_downsample(
         & (height % block == 0)
         & (width >= block)
         & (height >= block)
+        & pixels.isNotNull()
+        & (F.size(pixels) == width * height)
     )
     tiles = F.transform(
         F.sequence(F.lit(0), bw * bh - 1),
@@ -1739,10 +1745,12 @@ def block_downsample(
     return F.when(ok, tiles).otherwise(
         F.raise_error(
             F.format_string(
-                "block_downsample: frame %sx%s not divisible by block "
-                + str(block),
+                "block_downsample: frame %sx%s (pixels size %s) not "
+                + "divisible by block " + str(block)
+                + " or pixels/dimension mismatch",
                 width.cast("string"),
                 height.cast("string"),
+                F.size(pixels).cast("string"),
             )
         )
     )

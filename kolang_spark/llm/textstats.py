@@ -233,18 +233,18 @@ def repetition_metrics(col: ColumnOrName, ngram: int = 2) -> Dict[str, Column]:
     return {k: bound[k] for k in keys}
 
 
-def _token_hash60(token: Column, hash_fn: str = "md5") -> Column:
+def _token_hash60(token: Column, hash_fn: str = "xxhash64") -> Column:
     """60-bit integer hash of a token.
 
-    ``hash_fn='md5'`` (default): md5 hex → conv of 15 hex chars.
-    Engine-portable: DuckDB computes the same value with
-    ``('0x' || substr(md5(t), 18, 15))::BIGINT`` — keeps oracle runs
-    bit-exact.
+    ``hash_fn='xxhash64'`` (default since r11 — the production hash):
+    one JVM hash, no hex string round-trip — ~10× cheaper per token.
+    Signed 64-bit, but simhash only inspects bits 0..59, where two's
+    complement agrees with the unsigned bit pattern.
 
-    ``hash_fn='xxhash64'``: one JVM hash, no hex string round-trip —
-    ~10× cheaper per token; the production knob. Signed 64-bit, but
-    simhash only inspects bits 0..59, where two's complement agrees
-    with the unsigned bit pattern.
+    ``hash_fn='md5'``: md5 hex → conv of 15 hex chars.
+    Engine-portable: DuckDB computes the same value with
+    ``('0x' || substr(md5(t), 18, 15))::BIGINT`` — the knob the
+    oracle-replayed driver queries pin explicitly (oracle isolation).
     """
     if hash_fn == "xxhash64":
         return F.xxhash64(token)
@@ -255,7 +255,7 @@ def _token_hash60(token: Column, hash_fn: str = "md5") -> Column:
     )
 
 
-def simhash(col: ColumnOrName, bits: int = 16, hash_fn: str = "md5") -> Column:
+def simhash(col: ColumnOrName, bits: int = 16, hash_fn: str = "xxhash64") -> Column:
     """SimHash of the whitespace-token set (default 16 bits).
 
     Per bit *b*: set iff a strict majority of token hashes have bit *b*
@@ -264,10 +264,11 @@ def simhash(col: ColumnOrName, bits: int = 16, hash_fn: str = "md5") -> Column:
     hashes computed once into an array, then ``bits`` filter-counts; no
     explode, no shuffle, no UDF.
 
-    ``hash_fn``: ``'md5'`` (oracle-portable, default) or ``'xxhash64'``
-    (production — one JVM hash per token instead of an md5 hex
-    round-trip). Signatures differ across hash_fns by construction;
-    the *semantics* (near-dups ⇒ low Hamming distance) are identical.
+    ``hash_fn``: ``'xxhash64'`` (production default since r11 — one
+    JVM hash per token) or ``'md5'`` (engine-portable hex round-trip,
+    pinned by the oracle-replayed driver queries). Signatures differ
+    across hash_fns by construction; the *semantics* (near-dups ⇒ low
+    Hamming distance) are identical.
     """
     if not 1 <= bits <= 60:
         raise ValueError("bits must be in [1, 60]")

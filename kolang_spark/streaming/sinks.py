@@ -97,6 +97,7 @@ def minhash_dedup_sink(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
+    hash_fn: str = "xxhash64",
     keep_duplicates: bool = False,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
@@ -149,7 +150,7 @@ def minhash_dedup_sink(
         # but before the streaming checkpoint commit.
         marked, novel = _incremental_minhash_flagged(
             spark, batch_df, state_path, id_col, text_col, n, num_hashes,
-            bands, exclude_batch=batch_id,
+            bands, hash_fn, exclude_batch=batch_id,
         )
         out = (
             marked

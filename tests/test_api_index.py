@@ -40,3 +40,35 @@ def test_api_index_covers_the_surface():
     assert len(calls) >= 250
     linked = sum(1 for _, (m, n, d) in calls.items() if usage.get(n))
     assert linked / len(calls) >= 0.6, (linked, len(calls))
+
+
+def test_usage_matching_ignores_docstrings():
+    """A callable mentioned only in a _q_* docstring (prose like
+    'pack_examples(...)') must NOT be credited as exercised by that
+    query — the bare-name regex runs on the docstring-stripped body
+    (r10 advisor finding)."""
+    _, gen = _load_gen()
+
+    import __spark_entry__ as entry
+    import inspect
+
+    usage = gen.query_usage()
+    hits = 0
+    for qname, fn in entry.queries().items():
+        doc = inspect.getdoc(fn) or ""
+        src = inspect.getsource(fn)
+        body = src.replace(doc, "")  # crude body-minus-doc for the probe
+        for tok, queries in usage.items():
+            if qname in queries:
+                # every credit must be visible OUTSIDE the docstring
+                import re as _re
+
+                ok = (
+                    _re.search(rf"\b{_re.escape(tok)}\b", body) is not None
+                )
+                assert ok, (
+                    f"{qname} credited with {tok} but it appears only "
+                    "in the docstring"
+                )
+                hits += 1
+    assert hits > 100  # the matcher still links a real surface

@@ -202,3 +202,24 @@ def test_block_downsample_rejects_indivisible_frames(spark):
     )
     with pytest.raises(Exception, match="block_downsample"):
         bad.collect()
+
+
+def test_block_downsample_rejects_bad_pixels_array(spark):
+    """A NULL pixels array, or one shorter than width*height, passes
+    the dimension checks but would NULL-poison every tile through
+    element_at with ANSI off — the guard must fail it loudly too
+    (r10 advisor finding)."""
+    import pytest
+
+    from kolang_spark.llm.multimodal import block_downsample
+
+    for pixels in (None, list(range(32))):  # NULL / 32 < 8*8
+        df = spark.createDataFrame(
+            [(1, pixels, 8, 8)],
+            "doc_id long, pixels array<int>, w int, h int",
+        )
+        bad = df.select(
+            block_downsample(F.col("pixels"), F.col("w"), F.col("h")).alias("t")
+        )
+        with pytest.raises(Exception, match="block_downsample"):
+            bad.collect()

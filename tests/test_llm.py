@@ -1810,3 +1810,43 @@ def test_duplication_mass_report(spark):
     assert rows[3].n_groups == 1 and rows[3].n_docs == 3  # "z" x3
     assert rows[3].total_tokens == 3
     assert abs(sum(r.token_share for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_incremental_minhash_state_hash_fn_guard(spark, tmp_path):
+    """r11: the minhash state is stamped with its hash_fn and probing
+    with a DIFFERENT hash_fn raises — md5-era state probed under the
+    new xxhash64 default would otherwise silently accept every
+    duplicate (band keys from different hashes never collide). A
+    pre-stamp state (no hash_fn column) counts as md5."""
+    import pytest
+
+    from kolang_spark.llm import incremental_minhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    # state written under md5, probed under the xxhash64 default
+    state = str(tmp_path / "mh_state_md5")
+    incremental_minhash_dedup(spark, b, state, hash_fn="md5")
+    with pytest.raises(ValueError, match="hash_fn"):
+        incremental_minhash_dedup(spark, b, state)
+    # same hash_fn keeps working, and the dup is caught
+    again = incremental_minhash_dedup(spark, b, state, hash_fn="md5")
+    assert again.collect()[0].is_near_duplicate is True
+
+    # pre-stamp legacy state (hash_fn column absent) counts as md5
+    legacy = str(tmp_path / "mh_state_legacy")
+    incremental_minhash_dedup(spark, b, legacy, hash_fn="md5")
+    spark.read.parquet(legacy).drop("hash_fn").write.mode(
+        "overwrite"
+    ).parquet(legacy + "2")
+    with pytest.raises(ValueError, match="hash_fn"):
+        incremental_minhash_dedup(spark, b, legacy + "2")
+    ok = incremental_minhash_dedup(spark, b, legacy + "2", hash_fn="md5")
+    assert ok.collect()[0].is_near_duplicate is True
+
+    # the default-path state round-trips under the default
+    state_x = str(tmp_path / "mh_state_xx")
+    incremental_minhash_dedup(spark, b, state_x)
+    dup = incremental_minhash_dedup(spark, b, state_x)
+    assert dup.collect()[0].is_near_duplicate is True
