@@ -164,9 +164,16 @@ def lang_id(col: ColumnOrName, default: str = "und") -> Column:
 
 def doc_fingerprint(col: ColumnOrName) -> Column:
     """Deterministic document fingerprint: md5 of the canonical text
-    (lowercased, whitespace-collapsed, trimmed). md5 keeps the value
-    engine-portable (identical in DuckDB/Spark) — at pure-Spark scale,
-    ``xxhash64`` on the same canonical form is ~10× cheaper.
+    (lowercased, whitespace-collapsed, trimmed).
+
+    Deliberately NOT flipped to xxhash64 with the r11 minhash/simhash
+    default: EXACT dedup rides on hash equality alone, and a 64-bit
+    hash has ~40% birthday-collision odds at 4B docs (real at 100 TB)
+    — a collision here silently DELETES a distinct document. md5's
+    128 bits make that ~2⁻⁶⁴-scale; the hex cost is per-doc (not
+    per-shingle like minhash), so the production tax is ~100× smaller
+    than the one the r11 flip removed. Engine-portability for the
+    DuckDB oracle comes free with the same choice.
     """
     canon = F.trim(F.regexp_replace(F.lower(to_col(col)), r"\s+", " "))
     return F.md5(F.encode(canon, "UTF-8"))
