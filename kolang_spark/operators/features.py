@@ -141,14 +141,26 @@ def target_encode(
         if leave_one_out:
             num = num - F.coalesce(yl, F.lit(0).cast("long"))
             den = den - F.when(yl.isNotNull(), 1).otherwise(0)
+        # overflow-safe scaled division: num·u DIV den would overflow
+        # LONG once a group's target sum passes 2⁶³/u (~9.2e12 in
+        # micro-units — reachable at 100 TB group sizes). Decompose by
+        # the division identity num = q·den + r:
+        # trunc(num·u/den) = q·u + trunc(r·u/den), with |r| < den so
+        # r·u can only overflow if den itself exceeds 2⁶³/u. Exact
+        # under trunc semantics for either sign; no double ever
+        # materializes.
         return (
-            joined.withColumn("__te_num__", num * F.lit(int(units)))
+            joined.withColumn("__te_num__", num)
             .withColumn("__te_den__", den)
             .withColumn(
                 out_col,
                 F.when(
                     F.col("__te_den__") > 0,
-                    F.expr("`__te_num__` DIV `__te_den__`"),
+                    F.expr(
+                        f"(`__te_num__` DIV `__te_den__`) * {int(units)}L"
+                        f" + ((`__te_num__` % `__te_den__`) * {int(units)}L)"
+                        " DIV `__te_den__`"
+                    ),
                 ),
             )
             .drop("__te_n__", "__te_s__", "__te_num__", "__te_den__")

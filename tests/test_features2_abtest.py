@@ -160,3 +160,60 @@ def test_ab_test_degenerate_pooled_rate(spark):
     )
     got = {r["variant"]: r for r in ab_test_report(df, "variant", "conv", "c").collect()}
     assert got["t"]["z"] is None  # pooled rate 0 → no variance to test
+
+
+def test_target_encode_units_exact_integer(spark):
+    """r11: units=k emits the encoding as an exact LONG in 1/k units
+    (the p_micro idiom) — all-integer arithmetic, no double anywhere."""
+    import pytest
+
+    from kolang_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 200), (3, "a", 250), (4, "b", 70)],
+        ["id", "cat", "cents"],
+    )
+    out = {
+        r.id: r.cat_te
+        for r in target_encode(
+            df, "cat", "cents", leave_one_out=True, units=1_000_000
+        ).collect()
+    }
+    # LOO means: id1 -> (200+250)/2, id2 -> (100+250)/2, id3 -> 150
+    assert out[1] == 225_000_000
+    assert out[2] == 175_000_000
+    assert out[3] == 150_000_000
+    assert out[4] is None  # singleton: nothing left to average
+    # dtype is LONG, not double
+    enc = target_encode(df, "cat", "cents", units=1000)
+    assert dict(enc.dtypes)["cat_te"] == "bigint"
+    assert {
+        r.id: r.cat_te for r in enc.collect()
+    }[4] == 70_000  # plain mean, 1/1000 units
+    # units requires smoothing=0
+    with pytest.raises(ValueError, match="units"):
+        target_encode(df, "cat", "cents", smoothing=2, units=1000)
+
+
+def test_target_encode_units_survives_huge_sums(spark):
+    """The naive num·units DIV den overflows LONG once a group's sum
+    passes 2^63/units (~9.2e12 micro-units — reachable at 100 TB group
+    sizes); the overflow-safe decomposition q·u + (r·u) DIV den must
+    stay exact there."""
+    from kolang_spark.operators.features import target_encode
+
+    big = 5_000_000_000_000  # 5e12 cents per row; LOO sum 1e13
+    df = spark.createDataFrame(
+        [(1, "a", big), (2, "a", big), (3, "a", big)],
+        ["id", "cat", "cents"],
+    )
+    out = {
+        r.id: r.cat_te
+        for r in target_encode(
+            df, "cat", "cents", leave_one_out=True, units=1_000_000
+        ).collect()
+    }
+    # (2·5e12)/2 = 5e12 cents -> 5e18 micro-units; the naive product
+    # 1e13·1e6 = 1e19 > 2^63-1 would have wrapped negative
+    assert out[1] == 5_000_000_000_000_000_000
+    assert out[1] > 0
