@@ -2053,7 +2053,18 @@ def _incremental_minhash_flagged(
     if path_exists(spark, state_path):
         head = spark.read.parquet(state_path)
         state_fn = (
-            [r[0] for r in head.select("hash_fn").distinct().collect()]
+            # NULL-coalesce to md5: a legacy state continued under md5
+            # gains stamped files next to unstamped ones, and the
+            # unstamped rows read as NULL through the merged schema —
+            # they are md5-era rows, not a mismatch
+            [
+                r[0]
+                for r in head.select(
+                    F.coalesce("hash_fn", F.lit("md5")).alias("hash_fn")
+                )
+                .distinct()
+                .collect()
+            ]
             if "hash_fn" in head.columns
             else ["md5"]  # pre-stamp state: the historical default
         )

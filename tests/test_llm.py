@@ -1844,6 +1844,14 @@ def test_incremental_minhash_state_hash_fn_guard(spark, tmp_path):
         incremental_minhash_dedup(spark, b, legacy + "2")
     ok = incremental_minhash_dedup(spark, b, legacy + "2", hash_fn="md5")
     assert ok.collect()[0].is_near_duplicate is True
+    # the md5 probe above appended STAMPED rows next to the unstamped
+    # legacy files (mixed parquet schemas; legacy rows read as NULL
+    # hash_fn) — a further md5 probe must still pass, and a default
+    # probe must still raise
+    ok2 = incremental_minhash_dedup(spark, b, legacy + "2", hash_fn="md5")
+    assert ok2.collect()[0].is_near_duplicate is True
+    with pytest.raises(ValueError, match="hash_fn"):
+        incremental_minhash_dedup(spark, b, legacy + "2")
 
     # the default-path state round-trips under the default
     state_x = str(tmp_path / "mh_state_xx")
