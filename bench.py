@@ -81,6 +81,23 @@ DEEP_WINDOW = 50
 # inflation. Nominal pinned r9: 0.46 s = idle-host median of 7 samples
 # at sf0.1 after one compile warm-up (BASELINE.md r9).
 CANARY2_NOMINAL_S = 0.46
+# Third canary (round-11): the r8 and r10 inflation episodes both
+# concentrated in MULTI-JOB queries (iterative/incremental classes —
+# oov_stats, langid_corpus_report, funnel_stream_batch...) and were
+# INVISIBLE to the two canaries above, because each of those is a
+# single job while the stall class lives BETWEEN jobs (host/scheduler
+# hiccups at job boundaries; both interleaved A/Bs — r9 and r11 —
+# attributed the inflation to host windows, not code). This canary is
+# FIVE tiny scheduler-bound jobs back-to-back (range-sum: no scan, no
+# shuffle, ~fixed per-job overhead), so a between-job stall window
+# inflates it in the record while the single-job canaries stay
+# nominal — exactly the signature that previously needed a worktree
+# A/B to diagnose. Nominal pinned r11: 0.76 s = idle-host median of
+# 2×7 samples (0.755/0.773 medians; ~150 ms fixed overhead per tiny
+# job on local[32] — BASELINE.md r11). Diagnostic only — normalization
+# stays on the first canary so normalized totals remain comparable
+# across rounds.
+CANARY3_NOMINAL_S = 0.76
 
 
 def build_spark() -> SparkSession:
@@ -150,6 +167,15 @@ def _run_canary_codegen(spark: SparkSession) -> float:
     return time.perf_counter() - t0
 
 
+def _run_canary_multijob(spark: SparkSession) -> float:
+    t0 = time.perf_counter()
+    for _ in range(5):
+        spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -171,8 +197,9 @@ def main() -> None:
     except Exception:
         pass
 
-    _run_canary(spark)  # untimed: compile both canaries' codegen once
+    _run_canary(spark)  # untimed: compile all three canaries' codegen once
     _run_canary_codegen(spark)
+    _run_canary_multijob(spark)
 
     qs = entry_mod.queries()
     deep: set = set(qs)
@@ -195,6 +222,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     canary_samples: list[float] = []
     canary2_samples: list[float] = []
+    canary3_samples: list[float] = []
     canary_positions: list[int] = []
     suite_t0 = time.perf_counter()
     budget_hit = False
@@ -202,6 +230,7 @@ def main() -> None:
         if pos % max(1, CANARY_EVERY) == 0:
             canary_samples.append(round(_run_canary(spark), 3))
             canary2_samples.append(round(_run_canary_codegen(spark), 3))
+            canary3_samples.append(round(_run_canary_multijob(spark), 3))
             canary_positions.append(pos)
         best = None
         reps = max(1, REPEATS)
@@ -219,6 +248,7 @@ def main() -> None:
         timings[name] = round(best, 2)
     canary_samples.append(round(_run_canary(spark), 3))
     canary2_samples.append(round(_run_canary_codegen(spark), 3))
+    canary3_samples.append(round(_run_canary_multijob(spark), 3))
     canary_positions.append(len(qs))
     total = round(sum(timings.values()), 2)
 
@@ -253,6 +283,12 @@ def main() -> None:
             "median": canary2_median,
             "nominal": CANARY2_NOMINAL_S,
         },
+        "canary_multijob": {
+            "samples": canary3_samples,
+            "positions": canary_positions,
+            "median": _median(canary3_samples),
+            "nominal": CANARY3_NOMINAL_S,
+        },
         "normalized_total": normalized_total,
         "queries": timings,
     }
@@ -284,6 +320,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "canary_median": canary_median,
                 "canary_codegen_median": canary2_median,
+                "canary_multijob_median": _median(canary3_samples),
                 "normalized_total": normalized_total,
                 "order": "registry",
                 "full_record": "BENCH_LOCAL_FULL.json",
