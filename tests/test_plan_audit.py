@@ -233,3 +233,22 @@ def test_scan_column_pruning_exact(spark, name):
         f"{name}: scan reads {sorted(cols)}, expected "
         f"{sorted(PRUNING_EXPECTED[name])}"
     )
+
+
+def test_minhash_default_plan_uses_xxhash64_not_md5(spark):
+    """r11 default-flip audit: the production default must actually
+    reach the physical plan — minhash_candidate_pairs with no hash_fn
+    argument plans xxhash64 expressions and NO md5 (an md5 hex
+    round-trip per shingle is the production tax the flip removed);
+    the pinned-md5 oracle path still plans md5."""
+    from kolang_spark.llm import minhash_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven")], ["doc_id", "text"]
+    )
+    plan_default = minhash_candidate_pairs(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan_default
+    assert "md5" not in plan_default
+    plan_md5 = minhash_candidate_pairs(df, hash_fn="md5")._jdf.queryExecution().optimizedPlan().toString()
+    assert "md5" in plan_md5
+    assert "xxhash64" not in plan_md5
