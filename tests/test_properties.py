@@ -905,3 +905,60 @@ def test_mix_datasets_token_weighted(spark):
     out_docs = mix_datasets(df, "dom", {"A": 0.5, "B": 0.5}, "key")
     n_a_docs = out_docs.where(F.col("dom") == "A").count()
     assert n_a_docs >= 9  # capacity 80 -> A keeps ~100% of its 10 docs
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # category
+            st.one_of(
+                st.none(),
+                st.integers(-(10**13), 10**13),  # into the overflow regime
+            ),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    units=st.sampled_from([1, 1000, 1_000_000]),
+    loo=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_target_encode_units_matches_bigint_model(spark, rows, units, loo):
+    """r11 `units` mode exactness model: for ANY integer targets
+    (NULLs included, magnitudes deep in the num·units-overflow
+    regime), the encoding equals the Python big-int truncating
+    division trunc(num·units / den) — the overflow-safe scaled-
+    division decomposition must be indistinguishable from unbounded
+    integer arithmetic, for either sign."""
+    from kolang_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [(i, f"c{c}", v) for i, (c, v) in enumerate(rows)],
+        "id long, cat string, y long",
+    )
+    got = {
+        r.id: r.cat_te
+        for r in target_encode(
+            df, "cat", "y", leave_one_out=loo, units=units
+        ).collect()
+    }
+    # python big-int reference (no overflow possible)
+    from collections import defaultdict
+
+    s = defaultdict(int)
+    n = defaultdict(int)
+    for c, v in rows:
+        if v is not None:
+            s[c] += v
+            n[c] += 1
+    for i, (c, v) in enumerate(rows):
+        num, den = s[c], n[c]
+        if loo and v is not None:
+            num, den = num - v, den - 1
+        if den > 0:
+            q = num * units
+            # trunc toward zero, like Spark's DIV
+            expect = abs(q) // den * (1 if q >= 0 else -1)
+            assert got[i] == expect, (i, rows, units, loo)
+        else:
+            assert got[i] is None
