@@ -252,3 +252,32 @@ def test_minhash_default_plan_uses_xxhash64_not_md5(spark):
     plan_md5 = minhash_candidate_pairs(df, hash_fn="md5")._jdf.queryExecution().optimizedPlan().toString()
     assert "md5" in plan_md5
     assert "xxhash64" not in plan_md5
+
+
+def test_repaired_r10_queries_shuffle_counts_pinned(spark):
+    """Structural pins for the two queries repaired this round — their
+    scale story is a plan shape, so a regression should be a plan-audit
+    failure, not a bench surprise:
+
+    - trailing_features_events: all four trailing features (two RANGE
+      windows x count+sum) ride ONE hash exchange + ONE sort (the
+      same-spec frames share the window pass; the naive shape is a
+      self-join per window);
+    - target_encode_orders: ONE exchange total (the category-stats
+      aggregate), re-attached by broadcast — detail rows never
+      shuffle, and the integer micro-units path plans no Sort."""
+    import re
+
+    import __spark_entry__ as entry
+
+    def counts(name):
+        df = entry.queries()[name](spark, SF_ORACLE)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        return (
+            len(re.findall(r"\bExchange hashpartitioning", p)),
+            len(re.findall(r"BroadcastExchange", p)),
+            len(re.findall(r"\bSort \[", p)),
+        )
+
+    assert counts("trailing_features_events") == (1, 0, 1)
+    assert counts("target_encode_orders") == (1, 1, 0)
