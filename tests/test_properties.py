@@ -962,3 +962,46 @@ def test_target_encode_units_matches_bigint_model(spark, rows, units, loo):
             assert got[i] == expect, (i, rows, units, loo)
         else:
             assert got[i] is None
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),    # user
+            st.integers(0, 12),   # ts (small range -> heavy ties)
+            st.integers(-50, 50),  # value
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    w=st.sampled_from([1, 3, 7]),
+)
+@settings(**_SETTINGS)
+def test_trailing_window_agg_matches_bruteforce(spark, rows, w):
+    """trailing_window_agg vs the O(n²) definition: for every row,
+    count/sum over SAME-USER rows with ts in [cur−w, cur] — RANGE
+    frames are tie-INCLUSIVE (all peers at the current ts belong to
+    every peer's frame, regardless of row order), which is exactly
+    what makes integer counts/sums order-independent and
+    oracle-replayable (the r10-red repair relies on it)."""
+    from kolang_spark.operators.features import trailing_window_agg
+
+    df = spark.createDataFrame(
+        [(i, u, t, v) for i, (u, t, v) in enumerate(rows)],
+        "id long, user long, ts long, v long",
+    )
+    got = {
+        r.id: (r[f"n_{w}ms"], r[f"sum_{w}ms"])
+        for r in trailing_window_agg(
+            df, ["user"], ts_col="ts", windows_ms=[w], value_col="v"
+        ).collect()
+    }
+    for i, (u, t, v) in enumerate(rows):
+        peers = [
+            (u2, t2, v2)
+            for (u2, t2, v2) in rows
+            if u2 == u and t - w <= t2 <= t
+        ]
+        assert got[i] == (len(peers), sum(p[2] for p in peers)), (
+            i, rows, w,
+        )
