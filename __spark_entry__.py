@@ -6633,9 +6633,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "session_count_by_user": """
             WITH ev AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms,
-                     LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
-                                             ORDER BY epoch_ms(ts)) AS prev_ms
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms,
+                     LAG((epoch_us(ts) // 1000)) OVER (PARTITION BY user_id
+                                             ORDER BY (epoch_us(ts) // 1000)) AS prev_ms
               FROM events
             )
             SELECT user_id,
@@ -6704,9 +6704,9 @@ def oracle_sql() -> dict[str, str]:
               WHERE event_type = 'purchase'
             )
             SELECT v.event_id, v.user_id,
-                   epoch_ms(v.ts) AS ts_ms,
+                   (epoch_us(v.ts) // 1000) AS ts_ms,
                    p.value AS purchase_value,
-                   epoch_ms(p.ts) AS purchase_ts_ms
+                   (epoch_us(p.ts) // 1000) AS purchase_ts_ms
             FROM views v ASOF LEFT JOIN purchases p
               ON v.user_id = p.user_id AND v.ts >= p.ts
         """,
@@ -10433,7 +10433,7 @@ def oracle_sql() -> dict[str, str]:
         # identical integers.
         "funnel_view_click_purchase": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_type FROM events
             ), s1 AS (
               SELECT user_id, MIN(ts_ms) AS t1 FROM e
               WHERE event_type = 'view' GROUP BY 1
@@ -10823,9 +10823,9 @@ def oracle_sql() -> dict[str, str]:
         # order; probabilities in exact integer micro-units.
         "event_transitions_users": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_id, event_type,
                 LEAD(event_type) OVER (PARTITION BY user_id
-                  ORDER BY epoch_ms(ts), event_id) AS nxt
+                  ORDER BY (epoch_us(ts) // 1000), event_id) AS nxt
               FROM events
             ), pairs AS (
               SELECT event_type AS from_state, nxt AS to_state,
@@ -10986,10 +10986,10 @@ def oracle_sql() -> dict[str, str]:
         # strictly-preceding frame, (ts_ms, event_id) order.
         "attribution_purchases": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type,
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_id, event_type,
                 last_value(CASE WHEN event_type <> 'purchase'
                                 THEN event_type END IGNORE NULLS)
-                  OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                  OVER (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000), event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   AS attributed
               FROM events
@@ -11001,9 +11001,9 @@ def oracle_sql() -> dict[str, str]:
         # with the same LAG gap-marker + running SUM, then one rollup.
         "session_stats_events": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type,
-                LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
-                  ORDER BY epoch_ms(ts)) AS prev
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_type,
+                LAG((epoch_us(ts) // 1000)) OVER (PARTITION BY user_id
+                  ORDER BY (epoch_us(ts) // 1000)) AS prev
               FROM events
             ), m AS (
               SELECT user_id, ts_ms, event_type,
@@ -11031,7 +11031,7 @@ def oracle_sql() -> dict[str, str]:
         # user counts; conv_bp = n·10000 DIV n_step1 (floor, exact).
         "funnel_counts_events": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_type FROM events
             ), s1 AS (
               SELECT user_id, MIN(ts_ms) AS t1 FROM e
               WHERE event_type = 'view' GROUP BY 1
@@ -11148,7 +11148,7 @@ def oracle_sql() -> dict[str, str]:
         # the SAME oracle as funnel_view_click_purchase.
         "funnel_stream_batch": """
             WITH e AS (
-              SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events
+              SELECT user_id, (epoch_us(ts) // 1000) AS ts_ms, event_type FROM events
             ), s1 AS (
               SELECT user_id, MIN(ts_ms) AS t1 FROM e
               WHERE event_type = 'view' GROUP BY 1
