@@ -321,3 +321,43 @@ def test_gate_non_atomic_scan_survives_leading_nulls():
     assert msg and "'b'" in msg
     # clean columns retire after their first non-NULL cell — no error
     assert _reject_non_atomic(["a", "b"], [(1, "x")] * 10, "spark") is None
+
+
+def test_oracle_output_types_portable():
+    """r11 hardening, locked in: the two constructs behind the r10
+    external reds must never reappear anywhere in the oracle set —
+
+    - no oracle may call epoch_ms(): its ns→ms step is
+      engine-version-dependent; derive ms as epoch_us(x) // 1000
+      (explicit integer floor matching Spark's `ts div 1000000`);
+    - no oracle OUTPUT column may be HUGEINT (DuckDB's SUM(BIGINT)
+      result — the driver's pandas canonicalizer hashes it unlike an
+      int64; CAST AS BIGINT), and DECIMAL outputs are whitelisted
+      (exact-half values, r10 driver-proven) rather than free.
+
+    DESCRIBE is plan-only, so this sweeps all 200+ oracles in
+    seconds."""
+    from tests.oracle import duckdb_conn
+
+    allowed_decimal = {
+        ("pandas_bridge_region", "key_f"),
+        ("psi_drift_events", "lo"),
+        ("psi_drift_events", "hi"),
+    }
+    bad = []
+    con = duckdb_conn()
+    try:
+        for name, sql in ORACLES.items():
+            if "epoch_ms(" in sql:
+                bad.append(f"{name}: uses epoch_ms()")
+            for col, typ, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) q"
+            ).fetchall():
+                up = typ.upper()
+                if "HUGEINT" in up:
+                    bad.append(f"{name}.{col}: {typ}")
+                elif "DECIMAL" in up and (name, col) not in allowed_decimal:
+                    bad.append(f"{name}.{col}: {typ} (not whitelisted)")
+    finally:
+        con.close()
+    assert not bad, bad
