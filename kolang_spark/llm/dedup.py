@@ -2052,22 +2052,22 @@ def _incremental_minhash_flagged(
 
     if path_exists(spark, state_path):
         head = spark.read.parquet(state_path)
-        state_fn = (
+        if "hash_fn" in head.columns:
             # NULL-coalesce to md5: a legacy state continued under md5
             # gains stamped files next to unstamped ones, and the
             # unstamped rows read as NULL through the merged schema —
-            # they are md5-era rows, not a mismatch
-            [
-                r[0]
-                for r in head.select(
-                    F.coalesce("hash_fn", F.lit("md5")).alias("hash_fn")
-                )
-                .distinct()
-                .collect()
-            ]
-            if "hash_fn" in head.columns
-            else ["md5"]  # pre-stamp state: the historical default
-        )
+            # they are md5-era rows, not a mismatch. collect_set is one
+            # map-side-combinable aggregate (a constant per file), not
+            # a distinct shuffle — the guard costs one short job.
+            state_fn = sorted(
+                head.agg(
+                    F.collect_set(
+                        F.coalesce("hash_fn", F.lit("md5"))
+                    ).alias("fns")
+                ).collect()[0][0]
+            )
+        else:
+            state_fn = ["md5"]  # pre-stamp state: the historical default
         if state_fn != [hash_fn]:
             raise ValueError(
                 f"minhash state at {state_path} was written with "

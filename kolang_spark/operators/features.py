@@ -112,7 +112,12 @@ def target_encode(
     significant digits and is exactly where engine rounding
     implementations diverge (round-10 external red). DIV truncates
     toward zero (floor for the non-negative targets this mode is
-    meant for).
+    meant for). The arithmetic is overflow-safe for any group SUM
+    (scaled-division decomposition), but the RESULT itself —
+    ``|mean|·units`` — must fit a signed 64-bit long; when it cannot
+    (no correct long exists) the expression raises
+    ``ARITHMETIC_OVERFLOW`` under ANSI rather than wrapping — pick
+    smaller ``units`` for extreme target magnitudes.
 
     Scale shape: one map-side-combinable groupBy on the category (plus
     one global aggregate when priors are needed) re-attached with the

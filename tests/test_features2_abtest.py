@@ -217,3 +217,28 @@ def test_target_encode_units_survives_huge_sums(spark):
     # 1e13·1e6 = 1e19 > 2^63-1 would have wrapped negative
     assert out[1] == 5_000_000_000_000_000_000
     assert out[1] > 0
+
+
+def test_target_encode_units_unrepresentable_result_fails_loudly(spark):
+    """When the TRUE result mean*units itself exceeds int64 (no
+    correct long exists), the units mode must fail loudly under ANSI
+    rather than wrap — found by the hypothesis model's original
+    unbounded generator (a lone 9_223_372_036_855-cent row at
+    units=1e6)."""
+    import pytest
+
+    from kolang_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 9_223_372_036_855)], ["id", "cat", "cents"]
+    )
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(Exception, match="(?i)overflow"):
+            target_encode(df, "cat", "cents", units=1_000_000).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)

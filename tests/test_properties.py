@@ -911,9 +911,18 @@ def test_mix_datasets_token_weighted(spark):
     rows=st.lists(
         st.tuples(
             st.integers(0, 3),  # category
+            # Magnitude cap 9e12: the per-category MEAN is bounded by
+            # the max element, so mean·units ≤ 9e12·1e6 = 9e18 < 2⁶³−1
+            # and the TRUE result always fits a long — while the
+            # intermediate num·units (Σ up to 25·9e12 = 2.25e14, ×1e6)
+            # still blows far past int64, exercising the overflow-safe
+            # decomposition. Values whose true result doesn't fit
+            # (e.g. a lone 9.23e12 at units=1e6) correctly raise
+            # ARITHMETIC_OVERFLOW under ANSI — covered by the explicit
+            # test below, not by this model.
             st.one_of(
                 st.none(),
-                st.integers(-(10**13), 10**13),  # into the overflow regime
+                st.integers(-(9 * 10**12), 9 * 10**12),
             ),
         ),
         min_size=1,
