@@ -1981,7 +1981,7 @@ def incremental_minhash_dedup(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "xxhash64",
+    hash_fn: Optional[str] = None,
 ) -> DataFrame:
     """NEAR-duplicate dedup for INCREMENTAL ingest — the MinHash+LSH
     counterpart of :func:`incremental_exact_dedup`: each new batch is
@@ -2018,7 +2018,105 @@ def incremental_minhash_dedup(
         hash_fn,
     )
     novel.write.mode("append").parquet(state_path)
+    # pin the sidecar immediately after the first append (no-op once
+    # it exists) so later probes never pay the column scan
+    _check_and_pin_state_hashfn(spark, state_path, hash_fn)
     return marked
+
+
+_DEFAULT_HASH_FN = "xxhash64"
+
+
+def _hashfn_meta_path(state_path: str) -> str:
+    # leading underscore: Spark's file listing skips _-prefixed files,
+    # so the meta can live inside the parquet dir without breaking
+    # reads. Plain '/' join, never os.path — the path may be a
+    # fully-qualified object-store URI.
+    return state_path.rstrip("/") + "/_ks_hashfn.json"
+
+
+def _check_and_pin_state_hashfn(spark, state_path: str, hash_fn) -> str:
+    """Resolve + verify the hash_fn for a minhash band-key state.
+
+    Band keys from different hash functions never collide, so probing
+    a state with the wrong hash_fn silently accepts every duplicate —
+    the worst possible failure mode for a dedup operator. The state's
+    hash_fn is pinned by a one-line ``_ks_hashfn.json`` sidecar (O(1)
+    to check — review r11: the first guard scanned the whole state
+    table per probe, linear forever on a sink's hot path):
+
+    - sidecar present → must equal the resolved hash_fn;
+    - no sidecar, ``hash_fn`` column present (early-r11 states) → one
+      full-column scan (NULL rows count as md5: unstamped files next
+      to stamped ones read as NULL through the merged schema); an
+      EMPTY state has no keys and is safe under any hash (review r11:
+      collect_set over 0 rows used to poison the path permanently);
+      on success the sidecar is written so the scan never re-runs;
+    - no sidecar, no column (pre-r11 state) → the builder could have
+      used EITHER documented knob, so there is nothing safe to
+      assume: require the caller to pass hash_fn EXPLICITLY (their
+      assertion is pinned into the sidecar; review r11: hard-coding
+      'md5' here told legacy-xxhash64 users to switch to md5, which
+      passes the guard and silently accepts every duplicate).
+
+    ``hash_fn=None`` means "the package default" — distinguishable
+    from an explicit choice exactly so the legacy case can refuse to
+    guess. Returns the resolved hash_fn.
+    """
+    import json as _json
+
+    from kolang_spark.sources.io import fs_read_text, fs_write_text, path_exists
+
+    explicit = hash_fn is not None
+    resolved = hash_fn or _DEFAULT_HASH_FN
+    if resolved not in ("md5", "xxhash64"):
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
+    if not path_exists(spark, state_path):
+        return resolved
+    raw = fs_read_text(spark, _hashfn_meta_path(state_path))
+    if raw is not None:
+        pinned = _json.loads(raw).get("hash_fn")
+        if pinned != resolved:
+            raise ValueError(
+                f"minhash state at {state_path} is pinned to "
+                f"hash_fn='{pinned}', probed with hash_fn='{resolved}' — "
+                "band keys from different hash functions never collide, "
+                "so every duplicate would be silently accepted. Pass "
+                f"hash_fn='{pinned}', or start a fresh state_path."
+            )
+        return resolved
+    head = spark.read.parquet(state_path)
+    if "hash_fn" in head.columns:
+        fns = sorted(
+            head.agg(
+                F.collect_set(
+                    F.coalesce("hash_fn", F.lit("md5"))
+                ).alias("fns")
+            ).collect()[0][0]
+        )
+        if fns and fns != [resolved]:
+            raise ValueError(
+                f"minhash state at {state_path} was written with "
+                f"hash_fn={fns}, probed with hash_fn='{resolved}' — "
+                "band keys from different hash functions never collide, "
+                "so every duplicate would be silently accepted. Pass the "
+                "state's hash_fn, or start a fresh state_path."
+            )
+    else:
+        # pre-stamp legacy state: only rows, no provenance. Refuse to
+        # guess unless it is actually empty (no keys -> safe).
+        if not explicit and head.limit(1).count() > 0:
+            raise ValueError(
+                f"minhash state at {state_path} predates hash_fn "
+                "stamping, so the hash that built it cannot be "
+                "verified. Pass hash_fn='md5' or hash_fn='xxhash64' "
+                "EXPLICITLY to assert what it was built with (the "
+                "assertion is then pinned for future probes)."
+            )
+    fs_write_text(
+        spark, _hashfn_meta_path(state_path), _json.dumps({"hash_fn": resolved})
+    )
+    return resolved
 
 
 def _incremental_minhash_flagged(
@@ -2030,7 +2128,7 @@ def _incremental_minhash_flagged(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "xxhash64",
+    hash_fn: Optional[str] = None,
     exclude_batch: Optional[int] = None,
 ):
     """The flag computation of :func:`incremental_minhash_dedup`
@@ -2041,41 +2139,13 @@ def _incremental_minhash_flagged(
     state; see :func:`kolang_spark.streaming.minhash_dedup_sink`) —
     the plain operator appends state before returning.
 
-    The state is STAMPED with its ``hash_fn`` (a constant column on
-    every novel row) and probing with a different hash_fn RAISES:
-    band keys from different hash functions never collide, so an
-    md5-era state probed under the r11 xxhash64 default would silently
-    accept every duplicate — the worst possible failure mode for a
-    dedup operator. A state written before the stamp existed counts
-    as 'md5' (the historical default)."""
-    from kolang_spark.sources.io import path_exists
-
-    if path_exists(spark, state_path):
-        head = spark.read.parquet(state_path)
-        if "hash_fn" in head.columns:
-            # NULL-coalesce to md5: a legacy state continued under md5
-            # gains stamped files next to unstamped ones, and the
-            # unstamped rows read as NULL through the merged schema —
-            # they are md5-era rows, not a mismatch. collect_set is one
-            # map-side-combinable aggregate (a constant per file), not
-            # a distinct shuffle — the guard costs one short job.
-            state_fn = sorted(
-                head.agg(
-                    F.collect_set(
-                        F.coalesce("hash_fn", F.lit("md5"))
-                    ).alias("fns")
-                ).collect()[0][0]
-            )
-        else:
-            state_fn = ["md5"]  # pre-stamp state: the historical default
-        if state_fn != [hash_fn]:
-            raise ValueError(
-                f"minhash state at {state_path} was written with "
-                f"hash_fn={state_fn}, probed with hash_fn='{hash_fn}' — "
-                "band keys from different hash functions never collide, "
-                "so every duplicate would be silently accepted. Pass the "
-                "state's hash_fn, or start a fresh state_path."
-            )
+    ``hash_fn=None`` = the package default (xxhash64). The state's
+    hash_fn is verified and pinned via
+    :func:`_check_and_pin_state_hashfn` (sidecar, O(1) per probe) and
+    every novel row additionally carries a ``hash_fn`` column
+    (defense in depth; also how early-r11 sidecar-less states are
+    recognized)."""
+    hash_fn = _check_and_pin_state_hashfn(spark, state_path, hash_fn)
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )

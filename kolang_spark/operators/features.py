@@ -136,6 +136,17 @@ def target_encode(
             )
         if units <= 0:
             raise ValueError("units must be a positive integer")
+        # enforce the documented integral-target precondition: with
+        # ANSI off, cast('long') on a double column TRUNCATES each
+        # value toward zero and the "exact" encoding is silently wrong
+        # (review r11: all-0.9 scores -> te 0 instead of 900)
+        t_dtype = dict(df.dtypes).get(target_col)
+        if t_dtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"units mode requires an integral target column; "
+                f"{target_col!r} is {t_dtype!r} — convert to integer "
+                "units first (e.g. cents via floor(x*100 + 0.5))"
+            )
         yl = F.col(target_col).cast("long")
         stats = df.groupBy(cat_col).agg(
             F.count(yl).alias("__te_n__"), F.sum(yl).alias("__te_s__")

@@ -97,7 +97,7 @@ def minhash_dedup_sink(
     n: int = 5,
     num_hashes: int = 6,
     bands: int = 3,
-    hash_fn: str = "xxhash64",
+    hash_fn: Optional[str] = None,
     keep_duplicates: bool = False,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
@@ -164,6 +164,11 @@ def minhash_dedup_sink(
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(state_path)
+        from kolang_spark.llm.dedup import _check_and_pin_state_hashfn
+
+        # pin the hash_fn sidecar after the first state append (no-op
+        # once present) so every later micro-batch probe is O(1)
+        _check_and_pin_state_hashfn(spark, state_path, hash_fn)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:

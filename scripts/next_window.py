@@ -53,7 +53,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 WINDOW = 50
 # stable veterans (>= VETERAN_GREENS distinct external greens) re-green
-# every 6 rounds; younger queries every 4. A 50-slot window bounds a
+# every 6 rounds; younger queries every 5. A 50-slot window bounds a
 # c-round cadence at 50*c queries: all-veteran steady state supports
 # 300 registry queries with ~23 spare slots/round for debuts.
 #
@@ -82,11 +82,9 @@ CADENCE_VETERAN = 6
 CADENCE_YOUNG = 5
 
 
-def cadence(greens, name: str = "") -> int:
+def cadence(greens) -> int:
     """Per-query re-green cadence from its external green history
-    (an iterable of distinct green round numbers). ``name`` is
-    accepted for call-site stability (a hash-jitter experiment used
-    it; see the CADENCE_YOUNG comment for why it was rejected)."""
+    (an iterable of distinct green round numbers)."""
     return CADENCE_VETERAN if len(greens) >= VETERAN_GREENS else CADENCE_YOUNG
 
 
@@ -105,7 +103,7 @@ def rank(backed, hist, next_round):
             # they starve forever at 150+ queries)
             return (1, -1, order[q])
         last = max(greens)
-        c = cadence(greens, q)
+        c = cadence(greens)
         gap = next_round - last
         if gap >= c:
             tier = 0  # hard cadence bound
@@ -150,13 +148,13 @@ def main() -> None:
     for q in window:
         greens = hist.get(q)
         if greens:
-            note = f"last green: r{max(greens)}, cadence {cadence(greens, q)}"
+            note = f"last green: r{max(greens)}, cadence {cadence(greens)}"
         else:
             note = "last green: never"
         print(f"  {q}  ({note})")
     overdue = [
         q for q in tail
-        if hist.get(q) and next_round - max(hist[q]) >= cadence(hist[q], q)
+        if hist.get(q) and next_round - max(hist[q]) >= cadence(hist[q])
     ]
     if overdue:
         print(f"# WARNING: {len(overdue)} overdue queries do not fit: {overdue}")

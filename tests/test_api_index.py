@@ -54,15 +54,29 @@ def test_usage_matching_ignores_docstrings():
 
     usage = gen.query_usage()
     hits = 0
+    import ast
+    import re as _re
+    import textwrap
+
     for qname, fn in entry.queries().items():
-        doc = inspect.getdoc(fn) or ""
         src = inspect.getsource(fn)
-        body = src.replace(doc, "")  # crude body-minus-doc for the probe
+        # strip the docstring the same way gen_api_index does — an
+        # inspect.getdoc + str.replace probe never matches the
+        # INDENTED multi-line source, leaving the docstring in the
+        # body and making the check vacuous (review r11)
+        tree = ast.parse(textwrap.dedent(src))
+        fdef = tree.body[0]
+        if (
+            fdef.body
+            and isinstance(fdef.body[0], ast.Expr)
+            and isinstance(fdef.body[0].value, ast.Constant)
+            and isinstance(fdef.body[0].value.value, str)
+        ):
+            fdef.body = fdef.body[1:] or [ast.Pass()]
+        body = ast.unparse(fdef)
         for tok, queries in usage.items():
             if qname in queries:
                 # every credit must be visible OUTSIDE the docstring
-                import re as _re
-
                 ok = (
                     _re.search(rf"\b{_re.escape(tok)}\b", body) is not None
                 )

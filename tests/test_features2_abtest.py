@@ -242,3 +242,22 @@ def test_target_encode_units_unrepresentable_result_fails_loudly(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_target_encode_units_rejects_non_integral_target(spark):
+    """Review r11: units mode on a double column would silently
+    truncate every value toward zero (cast long, ANSI off) and emit a
+    confidently exact-looking but wrong encoding — the documented
+    integral-target precondition is now enforced."""
+    import pytest
+
+    from kolang_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.9), (2, "a", 0.9)], ["id", "cat", "score"]
+    )
+    with pytest.raises(ValueError, match="integral"):
+        target_encode(df, "cat", "score", units=1000)
+    # the double path (no units) still works on doubles
+    out = target_encode(df, "cat", "score").collect()
+    assert abs(out[0].cat_te - 0.9) < 1e-12

@@ -1858,3 +1858,59 @@ def test_incremental_minhash_state_hash_fn_guard(spark, tmp_path):
     incremental_minhash_dedup(spark, b, state_x)
     dup = incremental_minhash_dedup(spark, b, state_x)
     assert dup.collect()[0].is_near_duplicate is True
+
+
+def test_incremental_minhash_empty_state_never_poisons(spark, tmp_path):
+    """Review r11 finding (reproduced live there): a first batch whose
+    docs are all shorter than n tokens writes a 0-row state; the guard
+    used to collect an empty hash_fn set and raise forever after. An
+    empty state has no keys — any hash is safe, and the path must keep
+    working."""
+    from kolang_spark.llm import incremental_minhash_dedup
+
+    state = str(tmp_path / "mh_state_empty")
+    short = spark.createDataFrame([(1, "too short text")], ["doc_id", "text"])
+    m1 = incremental_minhash_dedup(spark, short, state)
+    assert m1.collect()[0].is_near_duplicate is False
+    # second batch against the empty state: must NOT raise
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b2 = spark.createDataFrame([(2, text)], ["doc_id", "text"])
+    m2 = incremental_minhash_dedup(spark, b2, state)
+    assert m2.collect()[0].is_near_duplicate is False
+    # and the state now has real keys that catch a dup
+    b3 = spark.createDataFrame([(3, text)], ["doc_id", "text"])
+    assert incremental_minhash_dedup(spark, b3, state).collect()[0].is_near_duplicate is True
+
+
+def test_incremental_minhash_legacy_state_requires_explicit_hash_fn(
+    spark, tmp_path
+):
+    """Review r11 finding: a pre-stamp legacy state could have been
+    built with EITHER documented knob (md5 was the old default,
+    xxhash64 the advertised production setting) — assuming md5 would
+    tell a legacy-xxhash64 user to switch to md5, which passes the
+    guard and silently accepts every duplicate. The guard must refuse
+    to guess: a default probe raises, an EXPLICIT assertion (either
+    value) is accepted and pinned."""
+    import pytest
+
+    from kolang_spark.llm import incremental_minhash_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    b = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+
+    # fabricate a legacy state: built under xxhash64, then stripped of
+    # both the stamp column and the sidecar
+    src = str(tmp_path / "src_state")
+    incremental_minhash_dedup(spark, b, src, hash_fn="xxhash64")
+    legacy = str(tmp_path / "legacy_state")
+    spark.read.parquet(src).drop("hash_fn").write.parquet(legacy)
+
+    with pytest.raises(ValueError, match="EXPLICITLY"):
+        incremental_minhash_dedup(spark, b, legacy)
+    # the explicit (correct) assertion works and catches the dup...
+    m = incremental_minhash_dedup(spark, b, legacy, hash_fn="xxhash64")
+    assert m.collect()[0].is_near_duplicate is True
+    # ...and is pinned: the default (xxhash64) probe now passes O(1)
+    m2 = incremental_minhash_dedup(spark, b, legacy)
+    assert m2.collect()[0].is_near_duplicate is True

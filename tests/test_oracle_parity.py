@@ -268,7 +268,7 @@ def test_next_window_simulation():
                 for q in backed
                 if q not in window
                 and hist.get(q)
-                and rnd - max(hist[q]) >= nw.cadence(hist[q], q)
+                and rnd - max(hist[q]) >= nw.cadence(hist[q])
             ]
             assert not overdue_missed, (fail_first_attempt, rnd, overdue_missed)
             reds = set()
