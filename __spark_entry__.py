@@ -5210,22 +5210,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     history in CORRECTNESS_r0*.json INCLUDING the real r10 record
     (48/50 green — the first partially-red round since r6):
 
-    IN: ALL six never-externally-green entries first — the two r10
+    IN: ALL seven never-externally-green entries first — the two r10
     hash-reds (trailing_features_events, target_encode_orders — both
     made oracle-portable this round: integer te_micro via the p_micro
-    idiom; epoch_us//1000 + BIGINT-pinned window sums) and the four
-    r10 tail debuts (multimodal_decode_avi, multimodal_avi_frame_ahash,
-    bpe_encode_ids, pack_balanced_documents) — then the whole r7
-    cohort: the eight cadence-5 young queries (pca_embeddings,
-    vocabulary_documents, quantize_embeddings,
-    incremental_exact_batches, read_blobs_metadata,
-    overwrite_partitions_idempotent, sessionize_stream_semantics,
-    incremental_minhash_batches — last green r7, stale tier) and the
-    cadence-6 veterans oldest-first.
+    idiom; epoch_us//1000 + BIGINT-pinned window sums), the four r10
+    tail debuts (multimodal_decode_avi, multimodal_avi_frame_ahash,
+    bpe_encode_ids, pack_balanced_documents), and this round's
+    minhash_xxhash64_exact_planted debut (the production-default
+    wiring; exact-dup recall is hash-fn-independent so its oracle
+    needs no hash replay) — then the whole r7 cohort: the eight
+    cadence-5 young queries (pca_embeddings, vocabulary_documents,
+    quantize_embeddings, incremental_exact_batches,
+    read_blobs_metadata, overwrite_partitions_idempotent,
+    sessionize_stream_semantics, incremental_minhash_batches — last
+    green r7, stale tier) and the cadence-6 veterans oldest-first
+    (repetition_documents, the lowest-priority veteran, is displaced
+    by the debut and re-enters on its cadence).
 
     OUT: everything green in r8-r10 (fresh within cadence). A green
     r11 window zeroes the never-green set registry-wide for the first
-    time.
+    time — including this round's own debut.
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5264,20 +5268,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- positions 1-50: the external round-11 window, all
         #     oracle-backed, COMPUTED by scripts/next_window.py 11
-        #     from the REAL r10 history (48/50 green): the six
+        #     from the REAL r10 history (48/50 green): the SEVEN
         #     never-externally-green entries first — the two r10
         #     hash-reds (trailing_features_events,
         #     target_encode_orders, both made oracle-portable this
-        #     round) and the four r10 tail debuts — then the r7
+        #     round), the four r10 tail debuts, and this round's
+        #     minhash_xxhash64_exact_planted debut — then the r7
         #     cohort (cadence-5 young, then cadence-6 veterans,
-        #     oldest-first). Greening this window zeroes the
-        #     never-green set registry-wide for the first time. ---
+        #     oldest-first). A green window zeroes the never-green
+        #     set registry-wide for the first time. ---
         "trailing_features_events": _q_trailing_features_events,
         "target_encode_orders": _q_target_encode_orders,
         "multimodal_decode_avi": _q_multimodal_decode_avi,
         "multimodal_avi_frame_ahash": _q_multimodal_avi_frame_ahash,
         "bpe_encode_ids": _q_bpe_encode_ids,
         "pack_balanced_documents": _q_pack_balanced_documents,
+        "minhash_xxhash64_exact_planted": _q_minhash_xxhash64_exact_planted,
         "pca_embeddings": _q_pca_embeddings,
         "vocabulary_documents": _q_vocabulary_documents,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -5321,11 +5327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
         "quality_documents": _q_quality_documents,
-        "repetition_documents": _q_repetition_documents,
         # --- tail: the cadence rotation pool — everything below
         #     stays hash-checked every run by
         #     tests/test_oracle_parity.py and re-enters the window
         #     on its per-query cadence ---
+        "repetition_documents": _q_repetition_documents,
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
@@ -5479,10 +5485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders_per_priority": _q_topk_orders_per_priority,
         "tumbling_events_hourly": _q_tumbling_events_hourly,
         "union_customers_suppliers": _q_union_customers_suppliers,
-        # r11 debut (leads the r12 window as a never-green): the
-        # xxhash64 production-default wiring, externally checkable
-        # because exact-dup recall is hash-fn-independent
-        "minhash_xxhash64_exact_planted": _q_minhash_xxhash64_exact_planted,
     }
 
 
