@@ -5205,31 +5205,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     de-phase and the 25-round simulation absorbs five reds per round
     (see scripts/next_window.py CADENCE_YOUNG comment).
 
-    Round-11 rotation — COMPUTED by ``scripts/next_window.py 11`` (not
+    Round-12 rotation — COMPUTED by ``scripts/next_window.py 12`` (not
     hand-picked; the r6 mistake), from the per-query external-green
-    history in CORRECTNESS_r0*.json INCLUDING the real r10 record
-    (48/50 green — the first partially-red round since r6):
+    history in CORRECTNESS_r0*.json INCLUDING the real r11 record
+    (50/50 green — the round that zeroed the never-green set):
 
-    IN: ALL seven never-externally-green entries first — the two r10
-    hash-reds (trailing_features_events, target_encode_orders — both
-    made oracle-portable this round: integer te_micro via the p_micro
-    idiom; epoch_us//1000 + BIGINT-pinned window sums), the four r10
-    tail debuts (multimodal_decode_avi, multimodal_avi_frame_ahash,
-    bpe_encode_ids, pack_balanced_documents), and this round's
-    minhash_xxhash64_exact_planted debut (the production-default
-    wiring; exact-dup recall is hash-fn-independent so its oracle
-    needs no hash replay) — then the whole r7 cohort: the eight
-    cadence-5 young queries (pca_embeddings, vocabulary_documents,
-    quantize_embeddings, incremental_exact_batches,
-    read_blobs_metadata, overwrite_partitions_idempotent,
-    sessionize_stream_semantics, incremental_minhash_batches — last
-    green r7, stale tier) and the cadence-6 veterans oldest-first
-    (repetition_documents, the lowest-priority veteran, is displaced
-    by the debut and re-enters on its cadence).
+    IN: with zero never-green queries remaining this is the first
+    pure cadence-maintenance window in the project's history. The
+    seven-strong r7 veteran cohort leads (repetition_documents,
+    scale_percent_by_nation, session_count_by_user,
+    simhash_hamming_pairs, topk_orders_per_priority,
+    tumbling_events_hourly, union_customers_suppliers — last green
+    r7, their cadence-6 hard bound hits at r13), then the r8 cohort
+    oldest-first fills the remaining 43 slots, draining that
+    45-strong cohort one round before ITS bound.
 
-    OUT: everything green in r8-r10 (fresh within cadence). A green
-    r11 window zeroes the never-green set registry-wide for the first
-    time — including this round's own debut.
+    OUT: everything green in r9-r11 (fresh within cadence). New r12
+    queries (state-pin round trips, checkpointed-iteration variants)
+    debut at the registry TAIL and enter the r13 window as
+    never-green leaders per the priority tiers below.
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5266,17 +5260,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped OLS, attribution) — the simulation proves the whole
     backlog absorbs within three windows."""
     return {
-        # --- positions 1-50: the external round-11 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py 11
-        #     from the REAL r10 history (48/50 green): the SEVEN
-        #     never-externally-green entries first — the two r10
-        #     hash-reds (trailing_features_events,
-        #     target_encode_orders, both made oracle-portable this
-        #     round), the four r10 tail debuts, and this round's
-        #     minhash_xxhash64_exact_planted debut — then the r7
-        #     cohort (cadence-5 young, then cadence-6 veterans,
-        #     oldest-first). A green window zeroes the never-green
-        #     set registry-wide for the first time. ---
+        # --- positions 1-50: the external round-12 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 12
+        #     from the REAL r11 history (50/50 green — zero
+        #     never-green queries remain, so this is the first pure
+        #     cadence-maintenance window): the seven-strong r7
+        #     veteran cohort leads (repetition_documents,
+        #     scale_percent_by_nation, session_count_by_user,
+        #     simhash_hamming_pairs, topk_orders_per_priority,
+        #     tumbling_events_hourly, union_customers_suppliers —
+        #     last green r7, cadence-6 hard bound hits at r13), then
+        #     the r8 cohort oldest-first. New r12 queries debut at
+        #     the registry TAIL per the window-pinning rule. ---
+        "repetition_documents": _q_repetition_documents,
+        "scale_percent_by_nation": _q_scale_percent_by_nation,
+        "session_count_by_user": _q_session_count_by_user,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "topk_orders_per_priority": _q_topk_orders_per_priority,
+        "tumbling_events_hourly": _q_tumbling_events_hourly,
+        "union_customers_suppliers": _q_union_customers_suppliers,
+        "percent_by_returnflag": _q_percent_by_returnflag,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "fingerprint_documents": _q_fingerprint_documents,
+        "lang_id_documents": _q_lang_id_documents,
+        "text_clean_documents": _q_text_clean_documents,
+        "token_stats_documents": _q_token_stats_documents,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "pii_scrub_documents": _q_pii_scrub_documents,
+        "contamination_documents": _q_contamination_documents,
+        "skew_report_events": _q_skew_report_events,
+        "url_domain_stats": _q_url_domain_stats,
+        "stratified_sample_documents": _q_stratified_sample_documents,
+        "cms_user_counts_events": _q_cms_user_counts_events,
+        "quantiles_events": _q_quantiles_events,
+        "boilerplate_lines_documents": _q_boilerplate_lines_documents,
+        "chunk_documents": _q_chunk_documents,
+        "winsorize_events": _q_winsorize_events,
+        "zscore_events": _q_zscore_events,
+        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
+        "zorder_key_parts": _q_zorder_key_parts,
+        "profile_orders": _q_profile_orders,
+        "compact_parquet_stats": _q_compact_parquet_stats,
+        "scale_cumulative_revenue": _q_scale_cumulative_revenue,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "multimodal_decode_png": _q_multimodal_decode_png,
+        "safe_union_mismatched": _q_safe_union_mismatched,
+        "mad_outliers_events": _q_mad_outliers_events,
+        "ann_recall_planted": _q_ann_recall_planted,
+        "multimodal_ahash_pairs": _q_multimodal_ahash_pairs,
+        "upsert_partitions_orders": _q_upsert_partitions_orders,
+        "transpose_region_stats": _q_transpose_region_stats,
+        "interval_join_events": _q_interval_join_events,
+        "load_or_calc_partitions": _q_load_or_calc_partitions,
+        "ann_ivf_recall_planted": _q_ann_ivf_recall_planted,
+        "tfidf_top_documents": _q_tfidf_top_documents,
+        "equi_depth_bin_events": _q_equi_depth_bin_events,
+        "stratified_fixed_documents": _q_stratified_fixed_documents,
+        "pack_examples_documents": _q_pack_examples_documents,
+        "multimodal_decode_wav": _q_multimodal_decode_wav,
+        "dedup_stream_batch": _q_dedup_stream_batch,
+        "percent_partitioned": _q_percent_partitioned,
+        "jalali_roundtrip": _q_jalali_roundtrip,
+        "sliding_events": _q_sliding_events,
+        # --- tail: the cadence rotation pool — everything below
+        #     stays hash-checked every run by
+        #     tests/test_oracle_parity.py and re-enters the window
+        #     on its per-query cadence ---
         "trailing_features_events": _q_trailing_features_events,
         "target_encode_orders": _q_target_encode_orders,
         "multimodal_decode_avi": _q_multimodal_decode_avi,
@@ -5327,11 +5376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_sample_frames": _q_multimodal_sample_frames,
         "quality_documents": _q_quality_documents,
-        # --- tail: the cadence rotation pool — everything below
-        #     stays hash-checked every run by
-        #     tests/test_oracle_parity.py and re-enters the window
-        #     on its per-query cadence ---
-        "repetition_documents": _q_repetition_documents,
         "resample_events_hourly": _q_resample_events_hourly,
         "lm_score_documents": _q_lm_score_documents,
         "multimodal_audio_frames": _q_multimodal_audio_frames,
@@ -5429,49 +5473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
-        "percent_by_returnflag": _q_percent_by_returnflag,
-        "exact_dedup_documents": _q_exact_dedup_documents,
-        "fingerprint_documents": _q_fingerprint_documents,
-        "lang_id_documents": _q_lang_id_documents,
-        "text_clean_documents": _q_text_clean_documents,
-        "token_stats_documents": _q_token_stats_documents,
-        "unpivot_lineitem": _q_unpivot_lineitem,
-        "pii_scrub_documents": _q_pii_scrub_documents,
-        "contamination_documents": _q_contamination_documents,
-        "skew_report_events": _q_skew_report_events,
-        "url_domain_stats": _q_url_domain_stats,
-        "stratified_sample_documents": _q_stratified_sample_documents,
-        "cms_user_counts_events": _q_cms_user_counts_events,
-        "quantiles_events": _q_quantiles_events,
-        "boilerplate_lines_documents": _q_boilerplate_lines_documents,
-        "chunk_documents": _q_chunk_documents,
-        "winsorize_events": _q_winsorize_events,
-        "zscore_events": _q_zscore_events,
-        "multimodal_decode_jpeg": _q_multimodal_decode_jpeg,
-        "zorder_key_parts": _q_zorder_key_parts,
-        "profile_orders": _q_profile_orders,
-        "compact_parquet_stats": _q_compact_parquet_stats,
-        "scale_cumulative_revenue": _q_scale_cumulative_revenue,
-        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
-        "multimodal_decode_png": _q_multimodal_decode_png,
-        "safe_union_mismatched": _q_safe_union_mismatched,
-        "mad_outliers_events": _q_mad_outliers_events,
-        "ann_recall_planted": _q_ann_recall_planted,
-        "multimodal_ahash_pairs": _q_multimodal_ahash_pairs,
-        "upsert_partitions_orders": _q_upsert_partitions_orders,
-        "transpose_region_stats": _q_transpose_region_stats,
-        "interval_join_events": _q_interval_join_events,
-        "load_or_calc_partitions": _q_load_or_calc_partitions,
-        "ann_ivf_recall_planted": _q_ann_ivf_recall_planted,
-        "tfidf_top_documents": _q_tfidf_top_documents,
-        "equi_depth_bin_events": _q_equi_depth_bin_events,
-        "stratified_fixed_documents": _q_stratified_fixed_documents,
-        "pack_examples_documents": _q_pack_examples_documents,
-        "multimodal_decode_wav": _q_multimodal_decode_wav,
-        "dedup_stream_batch": _q_dedup_stream_batch,
-        "percent_partitioned": _q_percent_partitioned,
-        "jalali_roundtrip": _q_jalali_roundtrip,
-        "sliding_events": _q_sliding_events,
         "salted_join_revenue": _q_salted_join_revenue,
         "simhash_documents": _q_simhash_documents,
         "multimodal_blob_metadata": _q_multimodal_blob_metadata,
@@ -5479,12 +5480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
-        "scale_percent_by_nation": _q_scale_percent_by_nation,
-        "session_count_by_user": _q_session_count_by_user,
-        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
-        "topk_orders_per_priority": _q_topk_orders_per_priority,
-        "tumbling_events_hourly": _q_tumbling_events_hourly,
-        "union_customers_suppliers": _q_union_customers_suppliers,
     }
 
 
