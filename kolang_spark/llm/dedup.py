@@ -1007,7 +1007,29 @@ def incremental_line_dedup(
         spark, new_df, state_path, id_col, text_col, delim
     )
     novel.write.mode("append").parquet(state_path)
+    _check_line_state(spark, state_path, delim)
     return _rebuild_deduped_lines(new_df, marked, id_col, text_col, delim, out_col)
+
+
+def _check_line_state(spark, state_path: str, delim: str) -> None:
+    """Verify-or-pin the line-hash state's construction param (r12 —
+    the minhash guard generalized per the r11 verdict): the state's
+    keys are md5 of lines SPLIT BY ``delim``, so probing with a
+    different delimiter hashes different line boundaries — state hits
+    are missed (duplicated lines survive) and the batch's re-assembled
+    documents use the wrong separator."""
+    from kolang_spark.sources.state import check_state_meta
+
+    check_state_meta(
+        spark,
+        state_path,
+        "line_hashes",
+        {"delim": delim},
+        consequence=(
+            "line keys hashed under a different delimiter never match "
+            "the state's, so duplicated lines would silently survive"
+        ),
+    )
 
 
 def _incremental_lines_flagged(
@@ -1050,9 +1072,18 @@ def _incremental_lines_flagged(
     keyed = lines.withColumn("_key", F.md5(F.trim(F.col("_line")))).withColumn(
         "_ws", F.trim(F.col("_line")) == ""
     )
+    _check_line_state(spark, state_path, delim)
     if path_exists(spark, state_path):
-        raw = spark.read.parquet(state_path)
-        if exclude_batch is not None and "batch_id" in raw.columns:
+        # EXPLICIT read schema (advisor r12): batch operator and sink
+        # append mixed schemas (batch rows carry no batch_id), and the
+        # default single-footer schema pick could nondeterministically
+        # hide the column and silently disable the replay-idempotence
+        # filter below. Files missing batch_id read it as NULL (=
+        # foreign), deterministically, with no mergeSchema footer sweep.
+        raw = spark.read.schema("line_key string, batch_id bigint").parquet(
+            state_path
+        )
+        if exclude_batch is not None:
             raw = raw.where(
                 F.col("batch_id").isNull()
                 | (F.col("batch_id") != F.lit(int(exclude_batch)))
@@ -1551,11 +1582,14 @@ def incremental_exact_dedup(
     from kolang_spark.llm.textstats import doc_fingerprint
     from kolang_spark.sources.io import fs_delete, path_exists
 
+    _check_exact_state(spark, state_path)
     batch = new_df.withColumn("fingerprint", doc_fingerprint(text_col))
     if path_exists(spark, state_path):
-        state = spark.read.parquet(state_path).select(
-            F.col("fingerprint").alias("__fp__")
-        )
+        # explicit schema: deterministic under mixed-schema appends and
+        # immune to a foreign footer's column layout (advisor r12)
+        state = spark.read.schema("fingerprint string").parquet(
+            state_path
+        ).select(F.col("fingerprint").alias("__fp__"))
     else:
         state = spark.createDataFrame([], "__fp__ string")
     state_flagged = state.withColumn("__seen__", F.lit(True))
@@ -1662,7 +1696,30 @@ def incremental_exact_dedup(
         # the sidecar is read), never here — the returned `marked`
         # plan still references the current bloom files
     novel.write.mode("append").parquet(state_path)
+    _check_exact_state(spark, state_path)
     return marked
+
+
+def _check_exact_state(spark, state_path: str) -> None:
+    """Verify-or-pin the exact-dedup state's KIND (r12): its keys are
+    unparameterized md5 document fingerprints (deliberately not under
+    the xxhash64 flip — portability of persisted state), so there are
+    no construction params to pin, but the kind stamp still catches
+    the cross-family mistake (pointing incremental_exact_dedup at a
+    minhash/line/CMS state dir), which would otherwise join
+    fingerprints against band keys and accept everything."""
+    from kolang_spark.sources.state import check_state_meta
+
+    check_state_meta(
+        spark,
+        state_path,
+        "exact_fingerprints",
+        {},
+        consequence=(
+            "fingerprints joined against another state family's keys "
+            "never match, so every duplicate would be silently accepted"
+        ),
+    )
 
 
 def _maybe_compact_bloom(
@@ -1807,7 +1864,16 @@ def incremental_embedding_dedup(
     both hash-partitioned; state grows by ``bands`` rows per accepted
     vector; ``state_path`` may be an object-store URI (Hadoop FS
     probes).
+
+    The state's construction params ``{dims, planes_per_band, bands}``
+    are pinned by the ``_ks_state.json`` sidecar
+    (:func:`kolang_spark.sources.state.check_state_meta`): sign
+    signatures under different plane families never collide, so a
+    mismatched probe raises instead of silently accepting every
+    duplicate (r12; pre-r12 states carry no provenance — the first
+    probe's params become the assertion of record).
     """
+    _check_embedding_state(spark, state_path, dims, planes_per_band, bands)
     banded = _embedding_band_keys(
         new_df, id_col, vec_col, dims, planes_per_band, bands
     )
@@ -1815,7 +1881,34 @@ def incremental_embedding_dedup(
         spark, new_df, banded, state_path, id_col, "is_near_duplicate"
     )
     novel.write.mode("append").parquet(state_path)
+    _check_embedding_state(spark, state_path, dims, planes_per_band, bands)
     return marked
+
+
+def _check_embedding_state(
+    spark, state_path: str, dims: int, planes_per_band: int, bands: int
+) -> None:
+    """Verify-or-pin the sign-LSH state's construction params (r12 —
+    the minhash hash_fn guard generalized per the r11 verdict): a
+    different random-plane family (``planes_per_band``/``bands``) or
+    input dimensionality produces band keys that never collide with
+    the state's, which would silently accept every duplicate."""
+    from kolang_spark.sources.state import check_state_meta
+
+    check_state_meta(
+        spark,
+        state_path,
+        "embedding_signlsh",
+        {
+            "dims": int(dims),
+            "planes_per_band": int(planes_per_band),
+            "bands": int(bands),
+        },
+        consequence=(
+            "sign-LSH band keys from different plane families never "
+            "collide, so every duplicate would be silently accepted"
+        ),
+    )
 
 
 def duplicate_spans(
@@ -2020,7 +2113,9 @@ def incremental_minhash_dedup(
     novel.write.mode("append").parquet(state_path)
     # pin the sidecar immediately after the first append (no-op once
     # it exists) so later probes never pay the column scan
-    _check_and_pin_state_hashfn(spark, state_path, hash_fn)
+    _check_and_pin_minhash_state(
+        spark, state_path, hash_fn, n, num_hashes, bands
+    )
     return marked
 
 
@@ -2035,29 +2130,45 @@ def _hashfn_meta_path(state_path: str) -> str:
     return state_path.rstrip("/") + "/_ks_hashfn.json"
 
 
-def _check_and_pin_state_hashfn(spark, state_path: str, hash_fn) -> str:
-    """Resolve + verify the hash_fn for a minhash band-key state.
+_MINHASH_CONSEQUENCE = (
+    "band keys built under different MinHash construction parameters "
+    "never collide, so every duplicate would be silently accepted"
+)
 
-    Band keys from different hash functions never collide, so probing
-    a state with the wrong hash_fn silently accepts every duplicate —
-    the worst possible failure mode for a dedup operator. The state's
-    hash_fn is pinned by a one-line ``_ks_hashfn.json`` sidecar (O(1)
-    to check — review r11: the first guard scanned the whole state
-    table per probe, linear forever on a sink's hot path):
 
-    - sidecar present → must equal the resolved hash_fn;
-    - no sidecar, ``hash_fn`` column present (early-r11 states) → one
-      full-column scan (NULL rows count as md5: unstamped files next
-      to stamped ones read as NULL through the merged schema); an
-      EMPTY state has no keys and is safe under any hash (review r11:
-      collect_set over 0 rows used to poison the path permanently);
-      on success the sidecar is written so the scan never re-runs;
-    - no sidecar, no column (pre-r11 state) → the builder could have
-      used EITHER documented knob, so there is nothing safe to
-      assume: require the caller to pass hash_fn EXPLICITLY (their
-      assertion is pinned into the sidecar; review r11: hard-coding
-      'md5' here told legacy-xxhash64 users to switch to md5, which
-      passes the guard and silently accepts every duplicate).
+def _check_and_pin_minhash_state(
+    spark, state_path: str, hash_fn, n: int, num_hashes: int, bands: int
+) -> str:
+    """Resolve + verify the FULL construction params for a minhash
+    band-key state — ``{hash_fn, n, num_hashes, bands}``. Band keys
+    from a different hash function, shingle width, signature length,
+    or banding never collide, so probing a state with ANY mismatched
+    parameter silently accepts every duplicate — the worst possible
+    failure mode for a dedup operator (r11 verdict item 1: the first
+    guard pinned hash_fn only). The params are pinned by the generic
+    ``_ks_state.json`` sidecar (O(1) per probe, atomic write,
+    corrupt-sidecar self-healing —
+    :func:`kolang_spark.sources.state.check_state_meta`).
+
+    Legacy resolution (no valid sidecar), in order:
+
+    - r11 twin sidecar ``_ks_hashfn.json`` → its hash_fn must equal
+      the resolved one; the numeric params become the caller's
+      assertion of record (pre-r12 states never stamped them — the
+      same trust the r11 code extended on every probe), and the full
+      sidecar is pinned so every FUTURE probe verifies all four.
+    - ``hash_fn`` column present (early-r11 states) → one full-column
+      scan, read with ``mergeSchema`` so stamped rows are seen even
+      next to unstamped files (advisor r12: the single-footer read
+      could nondeterministically miss the column and pin a wrong
+      explicit assertion); NULL rows count as md5; an EMPTY state has
+      no keys and is safe under any hash.
+    - no column (pre-r11 state) → the builder could have used EITHER
+      documented knob, so there is nothing safe to assume: require
+      the caller to pass hash_fn EXPLICITLY (their assertion is
+      pinned; hard-coding 'md5' here would tell legacy-xxhash64 users
+      to switch to md5, which passes the guard and silently accepts
+      every duplicate).
 
     ``hash_fn=None`` means "the package default" — distinguishable
     from an explicit choice exactly so the legacy case can refuse to
@@ -2065,56 +2176,73 @@ def _check_and_pin_state_hashfn(spark, state_path: str, hash_fn) -> str:
     """
     import json as _json
 
-    from kolang_spark.sources.io import fs_read_text, fs_write_text, path_exists
+    from kolang_spark.sources.io import fs_read_text
+    from kolang_spark.sources.state import check_state_meta
 
     explicit = hash_fn is not None
     resolved = hash_fn or _DEFAULT_HASH_FN
     if resolved not in ("md5", "xxhash64"):
         raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
-    if not path_exists(spark, state_path):
-        return resolved
-    raw = fs_read_text(spark, _hashfn_meta_path(state_path))
-    if raw is not None:
-        pinned = _json.loads(raw).get("hash_fn")
-        if pinned != resolved:
-            raise ValueError(
-                f"minhash state at {state_path} is pinned to "
-                f"hash_fn='{pinned}', probed with hash_fn='{resolved}' — "
-                "band keys from different hash functions never collide, "
-                "so every duplicate would be silently accepted. Pass "
-                f"hash_fn='{pinned}', or start a fresh state_path."
+    params = {
+        "hash_fn": resolved,
+        "n": int(n),
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+    }
+
+    def _legacy():
+        raw = fs_read_text(spark, _hashfn_meta_path(state_path))
+        if raw is not None:
+            try:
+                pinned = _json.loads(raw).get("hash_fn")
+            except (ValueError, TypeError, AttributeError):
+                pinned = None
+            if pinned is not None:
+                if pinned != resolved:
+                    raise ValueError(
+                        f"minhash state at {state_path} is pinned to "
+                        f"hash_fn='{pinned}', probed with "
+                        f"hash_fn='{resolved}' — {_MINHASH_CONSEQUENCE}. "
+                        f"Pass hash_fn='{pinned}', or start a fresh "
+                        "state_path."
+                    )
+                return params
+        head = spark.read.option("mergeSchema", "true").parquet(state_path)
+        if "hash_fn" in head.columns:
+            fns = sorted(
+                head.agg(
+                    F.collect_set(
+                        F.coalesce("hash_fn", F.lit("md5"))
+                    ).alias("fns")
+                ).collect()[0][0]
             )
-        return resolved
-    head = spark.read.parquet(state_path)
-    if "hash_fn" in head.columns:
-        fns = sorted(
-            head.agg(
-                F.collect_set(
-                    F.coalesce("hash_fn", F.lit("md5"))
-                ).alias("fns")
-            ).collect()[0][0]
-        )
-        if fns and fns != [resolved]:
-            raise ValueError(
-                f"minhash state at {state_path} was written with "
-                f"hash_fn={fns}, probed with hash_fn='{resolved}' — "
-                "band keys from different hash functions never collide, "
-                "so every duplicate would be silently accepted. Pass the "
-                "state's hash_fn, or start a fresh state_path."
-            )
-    else:
-        # pre-stamp legacy state: only rows, no provenance. Refuse to
-        # guess unless it is actually empty (no keys -> safe).
-        if not explicit and head.limit(1).count() > 0:
-            raise ValueError(
-                f"minhash state at {state_path} predates hash_fn "
-                "stamping, so the hash that built it cannot be "
-                "verified. Pass hash_fn='md5' or hash_fn='xxhash64' "
-                "EXPLICITLY to assert what it was built with (the "
-                "assertion is then pinned for future probes)."
-            )
-    fs_write_text(
-        spark, _hashfn_meta_path(state_path), _json.dumps({"hash_fn": resolved})
+            if fns and fns != [resolved]:
+                raise ValueError(
+                    f"minhash state at {state_path} was written with "
+                    f"hash_fn={fns}, probed with hash_fn='{resolved}' — "
+                    f"{_MINHASH_CONSEQUENCE}. Pass the state's hash_fn, "
+                    "or start a fresh state_path."
+                )
+        else:
+            # pre-stamp legacy state: only rows, no provenance. Refuse
+            # to guess unless it is actually empty (no keys -> safe).
+            if not explicit and head.limit(1).count() > 0:
+                raise ValueError(
+                    f"minhash state at {state_path} predates hash_fn "
+                    "stamping, so the hash that built it cannot be "
+                    "verified. Pass hash_fn='md5' or hash_fn='xxhash64' "
+                    "EXPLICITLY to assert what it was built with (the "
+                    "assertion is then pinned for future probes)."
+                )
+        return params
+
+    check_state_meta(
+        spark,
+        state_path,
+        "minhash_bands",
+        params,
+        legacy_resolve=_legacy,
+        consequence=_MINHASH_CONSEQUENCE,
     )
     return resolved
 
@@ -2140,12 +2268,14 @@ def _incremental_minhash_flagged(
     the plain operator appends state before returning.
 
     ``hash_fn=None`` = the package default (xxhash64). The state's
-    hash_fn is verified and pinned via
-    :func:`_check_and_pin_state_hashfn` (sidecar, O(1) per probe) and
-    every novel row additionally carries a ``hash_fn`` column
-    (defense in depth; also how early-r11 sidecar-less states are
-    recognized)."""
-    hash_fn = _check_and_pin_state_hashfn(spark, state_path, hash_fn)
+    full construction params ``{hash_fn, n, num_hashes, bands}`` are
+    verified and pinned via :func:`_check_and_pin_minhash_state`
+    (sidecar, O(1) per probe) and every novel row additionally carries
+    a ``hash_fn`` column (defense in depth; also how early-r11
+    sidecar-less states are recognized)."""
+    hash_fn = _check_and_pin_minhash_state(
+        spark, state_path, hash_fn, n, num_hashes, bands
+    )
     banded = _minhash_band_keys(
         new_df, id_col, text_col, n, num_hashes, bands, hash_fn
     )
@@ -2195,8 +2325,17 @@ def _incremental_banded_flagged(
     # is one cheap job that halves the query's wall-clock.
     banded = banded.localCheckpoint(eager=True)
     if path_exists(spark, state_path):
-        raw = spark.read.parquet(state_path)
-        if exclude_batch is not None and "batch_id" in raw.columns:
+        # EXPLICIT read schema (advisor r12): batch-operator and sink
+        # appends produce mixed schemas (batch rows carry no batch_id,
+        # minhash rows carry hash_fn, embedding rows don't), and the
+        # default single-footer schema pick could nondeterministically
+        # hide batch_id and silently disable the replay-idempotence
+        # filter. Files missing batch_id read it as NULL (= foreign),
+        # deterministically, with no mergeSchema footer sweep per batch.
+        raw = spark.read.schema(
+            "band_id int, band_key string, batch_id bigint"
+        ).parquet(state_path)
+        if exclude_batch is not None:
             raw = raw.where(
                 F.col("batch_id").isNull()
                 | (F.col("batch_id") != F.lit(int(exclude_batch)))

@@ -115,9 +115,12 @@ def target_encode(
     meant for). The arithmetic is overflow-safe for any group SUM
     (scaled-division decomposition), but the RESULT itself —
     ``|mean|·units`` — must fit a signed 64-bit long; when it cannot
-    (no correct long exists) the expression raises
-    ``ARITHMETIC_OVERFLOW`` under ANSI rather than wrapping — pick
-    smaller ``units`` for extreme target magnitudes.
+    (no correct long exists) an in-plan guard raises loudly UNDER ANY
+    SESSION CONFIG (advisor r12: the previous behavior raised only
+    under ANSI and silently wrapped negative in the package's default
+    ANSI-off sessions) — pick smaller ``units`` for extreme target
+    magnitudes. The guard is one representable value conservative at
+    the exact ``2⁶³−1`` boundary.
 
     Scale shape: one map-side-combinable groupBy on the category (plus
     one global aggregate when priors are needed) re-attached with the
@@ -165,6 +168,29 @@ def target_encode(
         # r·u can only overflow if den itself exceeds 2⁶³/u. Exact
         # under trunc semantics for either sign; no double ever
         # materializes.
+        u = int(units)
+        # in-plan representability guard (advisor r12): under the
+        # package's default ANSI-OFF sessions the q·u term would WRAP
+        # silently — the "exact" encoding came back as a garbage
+        # negative long with no error, and the documented
+        # ARITHMETIC_OVERFLOW only existed under ANSI. Raise loudly in
+        # either config. |q| ≥ 2⁶³DIV u ⇒ q·u + r-term can exceed
+        # int64 (the ≥ is one representable value conservative at the
+        # exact boundary — the message says to pick smaller units);
+        # den > 2⁶³DIV u ⇒ the r·u term itself can wrap. Sign-safe
+        # compares, not abs() (abs(-2⁶³) overflows under ANSI).
+        lim = (2**63 - 1) // u
+        qcol = F.expr("`__te_num__` DIV `__te_den__`")
+        overflow = (
+            (qcol >= F.lit(lim))
+            | (qcol <= F.lit(-lim))
+            | (F.col("__te_den__") > F.lit(lim))
+        )
+        exact = F.expr(
+            f"(`__te_num__` DIV `__te_den__`) * {u}L"
+            f" + ((`__te_num__` % `__te_den__`) * {u}L)"
+            " DIV `__te_den__`"
+        )
         return (
             joined.withColumn("__te_num__", num)
             .withColumn("__te_den__", den)
@@ -172,11 +198,22 @@ def target_encode(
                 out_col,
                 F.when(
                     F.col("__te_den__") > 0,
-                    F.expr(
-                        f"(`__te_num__` DIV `__te_den__`) * {int(units)}L"
-                        f" + ((`__te_num__` % `__te_den__`) * {int(units)}L)"
-                        " DIV `__te_den__`"
-                    ),
+                    F.when(
+                        overflow,
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "target_encode units mode: "
+                                    "|mean|*units would overflow BIGINT "
+                                    "for a category group (num="
+                                ),
+                                F.col("__te_num__").cast("string"),
+                                F.lit(", den="),
+                                F.col("__te_den__").cast("string"),
+                                F.lit(f", units={u}) — pick smaller units"),
+                            )
+                        ),
+                    ).otherwise(exact),
                 ),
             )
             .drop("__te_n__", "__te_s__", "__te_num__", "__te_den__")

@@ -15,3 +15,9 @@ from kolang_spark.sources.io import (  # noqa: F401
     read_table,
     write_table,
 )
+from kolang_spark.sources.state import (  # noqa: F401
+    check_state_meta,
+    pin_state_meta,
+    read_state_meta,
+    state_meta_path,
+)

@@ -7,6 +7,7 @@ from kolang_spark.streaming.sessions import sessionize  # noqa: F401
 from kolang_spark.streaming.sinks import (  # noqa: F401
     cms_sink,
     cms_state,
+    cms_state_params,
     embedding_dedup_sink,
     line_dedup_sink,
     minhash_dedup_sink,
