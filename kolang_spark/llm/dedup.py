@@ -690,6 +690,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     jump_frac: float = 0.05,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph: the step that
     turns near-duplicate *pairs* into duplicate *clusters* (A~B and B~C
@@ -739,6 +740,15 @@ def connected_components(
     where ``component`` is the minimum vertex id of the cluster. The
     returned frame reads the final round's checkpoint (that one block
     set stays alive for the caller).
+
+    ``checkpoint_dir`` (r11 verdict item 5) switches every pin (the
+    graph table and each round's labels) to a RELIABLE checkpoint
+    under that fault-tolerant path: ``localCheckpoint`` blocks die
+    with their executor, so outside local mode one preempted node
+    past round 1 kills the whole O(log D) chain. Reliable checkpoints
+    pin no executor blocks, so the release machinery above is a
+    natural no-op; checkpoint files under the dir are the caller's to
+    clean. Default None keeps the fast local behavior.
     """
     from kolang_spark.utils import release_checkpoints, tracked_local_checkpoint
 
@@ -750,7 +760,8 @@ def connected_components(
     # union+join reference trips attribute dedup on checkpointed plans)
     verts = sym.select("a").distinct()
     sym, sym_ids = tracked_local_checkpoint(
-        sym.union(verts.select("a", F.col("a").alias("b"))).distinct()
+        sym.union(verts.select("a", F.col("a").alias("b"))).distinct(),
+        checkpoint_dir,
     )
     n_verts = sym.where(F.col("a") == F.col("b")).count()
 
@@ -796,7 +807,7 @@ def connected_components(
                 )
             except (PySparkException, NotImplementedError):
                 obs = None
-        propagated, ck_ids = tracked_local_checkpoint(agg)
+        propagated, ck_ids = tracked_local_checkpoint(agg, checkpoint_dir)
         # this round's propagation re-materialized everything the
         # previous round's checkpoints held — they are now unreadable by
         # any future plan; drop their blocks
@@ -832,7 +843,8 @@ def connected_components(
         # the jump is safe and deterministic; checkpointing `propagated`
         # first keeps the self-join from recomputing the aggregation.
         labels, jump_ids = tracked_local_checkpoint(
-            propagated.alias("x")
+            checkpoint_dir=checkpoint_dir,
+            df=propagated.alias("x")
             .join(
                 propagated.select(
                     F.col("id").alias("pid"), F.col("lbl").alias("plbl")

@@ -37,6 +37,7 @@ def pagerank(
     rank_col: str = "rank_fp",
     broadcast_ranks: bool = False,
     weight_col: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node_col, rank_col)``
     with ``rank_col`` the node's rank in integer micro-units of
@@ -94,6 +95,15 @@ def pagerank(
     round is < 1/scale of total mass — ranking order is unaffected for
     any graph below ~1e8 nodes; raise ``scale`` (up to ~1e15 before
     BIGINT overflow risk at num·(in+dang)) for larger graphs.
+
+    ``checkpoint_dir`` (r11 verdict item 5) switches every
+    per-iteration pin — the node spine, the degree-joined edge frame,
+    and each round's rank frame — from ``localCheckpoint`` (blocks die
+    with their executor; one preempted node past round 1 kills the
+    job outside local mode) to a RELIABLE checkpoint under that
+    fault-tolerant path, so long rank chains survive executor loss.
+    One distributed write per round; the caller owns the dir's
+    lifecycle. Default None keeps the fast local behavior.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -132,7 +142,7 @@ def pagerank(
         from pyspark.sql import Observation
     except ImportError:  # pragma: no cover - Observation ships with 3.3+
         Observation = None
-    from kolang_spark.utils import observation_value
+    from kolang_spark.utils import iter_checkpoint, observation_value
 
     nodes = (
         e.select(F.col("src").alias(node_col))
@@ -160,11 +170,11 @@ def pagerank(
             F.count(F.lit(1)).alias("n"),
             F.sum((~F.col("_has_out")).cast("long")).alias("nd"),
         )
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = iter_checkpoint(nodes, checkpoint_dir)
         n = observation_value(setup_obs, "n", timeout=5.0)
         n_dangling = observation_value(setup_obs, "nd", timeout=5.0)
     else:  # pragma: no cover - pre-3.3 fallback
-        nodes = nodes.localCheckpoint(eager=True)
+        nodes = iter_checkpoint(nodes, checkpoint_dir)
     if n is None:
         n = nodes.count()
     if n == 0:
@@ -179,7 +189,7 @@ def pagerank(
 
     # edges never change across iterations: attach out-degrees once and
     # pin the frame so each round scans it instead of re-joining.
-    e_od = e.join(outdeg, "src").localCheckpoint(eager=True)
+    e_od = iter_checkpoint(e.join(outdeg, "src"), checkpoint_dir)
 
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.withColumn("r", F.lit(int(scale // n)).cast("long"))
@@ -225,10 +235,10 @@ def pagerank(
                     )
                 ).alias("dang"),
             )
-            ranks = nxt.localCheckpoint(eager=True)
+            ranks = iter_checkpoint(nxt, checkpoint_dir)
             d = observation_value(obs, "dang", timeout=5.0)
         else:  # pragma: no cover - pre-3.3 fallback
-            ranks = nxt.localCheckpoint(eager=True)
+            ranks = iter_checkpoint(nxt, checkpoint_dir)
         if d is None:
             d = (
                 ranks.where(~F.col("_has_out"))
@@ -248,6 +258,7 @@ def label_propagation(
     node_col: str = "node",
     label_col: str = "label",
     broadcast_labels: bool = False,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007, made deterministic) → ``(node_col, label_col)``.
@@ -283,8 +294,14 @@ def label_propagation(
     label frame (|V| rows) is checkpointed per round so the plan stays
     O(1) deep. ``broadcast_labels=True`` broadcasts the label table
     into the per-round join when |V| fits in executor memory — the
-    edge frame is then never re-shuffled.
+    edge frame is then never re-shuffled. ``checkpoint_dir`` switches
+    every pin (node spine, symmetrized edges, per-round labels) to a
+    RELIABLE checkpoint that survives executor loss (r11 verdict item
+    5 — see :func:`pagerank`); default None keeps the fast
+    ``localCheckpoint`` behavior.
     """
+    from kolang_spark.utils import iter_checkpoint
+
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
 
@@ -296,8 +313,8 @@ def label_propagation(
         e_raw.select(F.col("u").alias(node_col))
         .unionAll(e_raw.select(F.col("v").alias(node_col)))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = iter_checkpoint(nodes, checkpoint_dir)
     sym = (
         e_raw.where(F.col("u") != F.col("v"))
         .select("u", "v")
@@ -307,8 +324,8 @@ def label_propagation(
             )
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    sym = iter_checkpoint(sym, checkpoint_dir)
 
     labels = nodes.select(node_col, F.col(node_col).alias("__lbl__"))
     for _ in range(iterations):
@@ -329,14 +346,14 @@ def label_propagation(
             )
             .select(F.col("v"), F.col("__best__.l").alias("__new__"))
         )
-        labels = (
+        labels = iter_checkpoint(
             nodes.join(best, nodes[node_col] == best["v"], "left")
             .select(
                 nodes[node_col],
                 F.coalesce(F.col("__new__"), nodes[node_col]).alias(
                     "__lbl__"
                 ),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     return labels.select(node_col, F.col("__lbl__").alias(label_col))

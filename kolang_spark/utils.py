@@ -134,11 +134,39 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
-def tracked_local_checkpoint(df):
+def iter_checkpoint(df, checkpoint_dir=None):
+    """Per-iteration lineage pin for iterative operators (PageRank,
+    label propagation): eager ``localCheckpoint`` by default — the
+    fastest truncation, blocks in executor-local storage — or a
+    RELIABLE ``checkpoint`` into ``checkpoint_dir`` when given (r11
+    verdict item 5). ``localCheckpoint`` state dies with its executor:
+    fine on ``local[*]``, but on a real cluster one lost executor past
+    round 1 makes the truncated lineage unrecomputable and kills the
+    whole job. A reliable checkpoint writes each round's state to the
+    fault-tolerant ``checkpoint_dir`` filesystem (HDFS/object store)
+    and survives executor loss, at the cost of one distributed write
+    per round — opt in for long iteration chains on preemptible
+    fleets. The caller owns the directory's lifecycle (Spark only
+    auto-cleans it with ``spark.cleaner.referenceTracking
+    .cleanCheckpoints``)."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
+def tracked_local_checkpoint(df, checkpoint_dir=None):
     """``localCheckpoint(eager=True)`` that also reports which RDD ids
     the checkpoint registered, so iterative operators can *release*
     superseded checkpoints deterministically (see
     :func:`release_checkpoints`).
+
+    ``checkpoint_dir`` switches to a RELIABLE checkpoint (same
+    contract as :func:`iter_checkpoint`: survives executor loss, one
+    distributed write per call); reliable checkpoints pin no
+    executor-local blocks, so the returned id set is empty and
+    release is a natural no-op — checkpoint FILES under the dir are
+    the caller's to clean.
 
     ``DataFrame.unpersist()`` only talks to the SQL cache manager and
     leaves localCheckpoint's RDD-level blocks pinned until JVM GC — in
@@ -159,6 +187,8 @@ def tracked_local_checkpoint(df):
     (one driver thread builds one query); in a multi-threaded driver,
     serialize calls or skip release.
     """
+    if checkpoint_dir is not None:
+        return iter_checkpoint(df, checkpoint_dir), frozenset()
     try:
         jctx = df.sparkSession._jsparkSession.sparkContext()
         before = _persistent_rdd_ids(jctx)

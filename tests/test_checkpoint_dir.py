@@ -1,0 +1,77 @@
+"""Reliable-checkpoint knob on the iterative operators (r11 verdict
+item 5): PageRank / label propagation / connected components pin
+per-iteration state with ``localCheckpoint``, whose blocks die with
+their executor — fine on local[*], fatal on a real cluster past round
+1. ``checkpoint_dir=`` opts into a reliable checkpoint (survives
+executor loss); these tests assert the knob actually routes through
+the reliable path (files land under the dir), the lineage is truncated
+(no source scan left in the returned plan), and results are
+bit-identical to the default path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+EDGES = [
+    (1, 2), (2, 3), (3, 1), (3, 4), (5, 6), (6, 5), (7, 7), (4, 8),
+]
+
+
+def _edges_parquet(spark, tmp_path, cols):
+    p = str(tmp_path / "edges")
+    spark.createDataFrame(EDGES, cols).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pagerank_checkpoint_dir_truncates_and_matches(spark, tmp_path):
+    from kolang_spark.operators.graph import pagerank
+
+    e = _edges_parquet(spark, tmp_path, ["src", "dst"])
+    ck = str(tmp_path / "ck")
+    base = {r.node: r.rank_fp for r in pagerank(e, iterations=3).collect()}
+    got_df = pagerank(e, iterations=3, checkpoint_dir=ck)
+    got = {r.node: r.rank_fp for r in got_df.collect()}
+    assert got == base  # reliable path is bit-identical
+    # reliable checkpoint actually wrote state under the dir
+    assert any(files for _, _, files in os.walk(ck))
+    # lineage truncated: the returned plan reads the checkpoint RDD,
+    # not the parquet source
+    plan = _plan(got_df)
+    assert "parquet" not in plan.lower()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_label_propagation_checkpoint_dir_matches(spark, tmp_path):
+    from kolang_spark.operators.graph import label_propagation
+
+    e = _edges_parquet(spark, tmp_path, ["src", "dst"])
+    ck = str(tmp_path / "ck")
+    base = {
+        r.node: r.label for r in label_propagation(e, iterations=2).collect()
+    }
+    got_df = label_propagation(e, iterations=2, checkpoint_dir=ck)
+    got = {r.node: r.label for r in got_df.collect()}
+    assert got == base
+    assert any(files for _, _, files in os.walk(ck))
+    assert "parquet" not in _plan(got_df).lower()
+
+
+def test_connected_components_checkpoint_dir_matches(spark, tmp_path):
+    from kolang_spark.llm.dedup import connected_components
+
+    e = _edges_parquet(spark, tmp_path, ["id_a", "id_b"])
+    ck = str(tmp_path / "ck")
+    base = {
+        r.id: r.component for r in connected_components(e).collect()
+    }
+    got_df = connected_components(e, checkpoint_dir=ck)
+    got = {r.id: r.component for r in got_df.collect()}
+    assert got == base
+    assert got[1] == got[2] == got[3] == got[4] == got[8] == 1
+    assert got[5] == got[6] == 5 and got[7] == 7
+    assert any(files for _, _, files in os.walk(ck))
+    assert "parquet" not in _plan(got_df).lower()
