@@ -3983,6 +3983,70 @@ def _q_incremental_minhash_batches(spark, sf_dir):
     return frozen[0].union(frozen[1])
 
 
+def _q_minhash_pinned_state_roundtrip(spark, sf_dir):
+    """r12 debut: the construction-params sidecar round trip (r11
+    verdict item 1 — `kolang_spark/sources/state.py` +
+    `llm/dedup.py::_check_and_pin_minhash_state`). The two-batch
+    incremental minhash ingest of `incremental_minhash_batches`, but
+    under NON-default banding (num_hashes=8, bands=4; hash_fn='md5'
+    pinned for the oracle replay): batch 1 pins the full params into
+    the state's `_ks_state.json`; the query then ASSERTS the sidecar
+    content and that a deliberately mismatched probe (bands=3) raises
+    before batch 2 is flagged under the pinned params. A pin failure,
+    a silent mismatched probe, or wrong flags under the custom banding
+    all turn this row red externally. The oracle replays the same
+    8-hash/4-band chain in SQL."""
+    import shutil
+    import tempfile
+
+    from kolang_spark.llm.dedup import (
+        _check_and_pin_minhash_state,
+        incremental_minhash_dedup,
+    )
+    from kolang_spark.sources.state import read_state_meta
+
+    kw = dict(n=5, num_hashes=8, bands=4, hash_fn="md5")
+    base = tempfile.mkdtemp(prefix="ks_pin_mh_q_")
+    try:
+        state = os.path.join(base, "state")
+        # a QUARTER of the corpus (doc_id % 8 < 2): the pin/guard
+        # machinery and the custom-banding replay are fully exercised
+        # at any slice size; incremental_minhash_batches covers the
+        # operator itself at %4
+        dc = (
+            _t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 8 < 2)
+            .select("doc_id", "text")
+        )
+        frozen = []
+        for batch_no, parity in ((1, 0), (2, 1)):
+            b = dc.where(F.col("doc_id") % 8 == parity)
+            m = incremental_minhash_dedup(spark, b, state, **kw).select(
+                "doc_id", F.lit(batch_no).alias("batch"), "is_near_duplicate"
+            )
+            frozen.append(m.localCheckpoint(eager=True))
+            if batch_no == 1:
+                meta = read_state_meta(spark, state)
+                want = {"kind": "minhash_bands", "params": dict(kw)}
+                if meta != want:
+                    raise RuntimeError(
+                        f"state sidecar not pinned: {meta} != {want}"
+                    )
+                try:
+                    _check_and_pin_minhash_state(
+                        spark, state, "md5", n=5, num_hashes=8, bands=3
+                    )
+                except ValueError:
+                    pass  # the guard fired, as it must
+                else:
+                    raise RuntimeError(
+                        "mismatched-bands probe did NOT raise"
+                    )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return frozen[0].union(frozen[1])
+
+
 def _q_web_curation_pipeline(spark, sf_dir):
     """End-to-end web-curation funnel wiring the round-8 surface
     together: robots.txt permission (`sources/robots.py`) → domain
@@ -5480,6 +5544,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans_documents": _q_duplicate_spans_documents,
         "strip_spans_documents": _q_strip_spans_documents,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        # r12 debut (registry tail -> r13 window leader): the
+        # construction-params sidecar round trip under non-default
+        # banding
+        "minhash_pinned_state_roundtrip": _q_minhash_pinned_state_roundtrip,
     }
 
 
@@ -9533,6 +9601,58 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN flag1 f1 ON d.doc_id % 4 = 0 AND f1.doc_id = d.doc_id
             LEFT JOIN flag2 f2 ON d.doc_id % 4 = 1 AND f2.doc_id = d.doc_id
             WHERE d.doc_id % 4 < 2
+        """,
+        # The r12 pinned-state round trip: the SAME two-batch replay
+        # as incremental_minhash_batches but under the query's
+        # non-default 8-hash/4-band construction — correct flags here
+        # prove the state was probed under the pinned params (a
+        # mismatch would have raised and turned the row red).
+        "minhash_pinned_state_roundtrip": _minhash_banded_cte(
+            num_hashes=8, bands=4
+        )
+        + """
+            , b1 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 8 = 0
+            ), b1m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b1
+            ), flag1 AS (
+              SELECT doc_id,
+                     MAX(CASE WHEN fm < doc_id THEN 1 ELSE 0 END) AS f
+              FROM b1m GROUP BY doc_id
+            ), state1 AS (
+              SELECT DISTINCT b.band_id, b.band_key
+              FROM b1 b JOIN flag1 f1 USING (doc_id)
+              WHERE f1.f = 0
+            ), b2 AS (
+              SELECT doc_id, band_id, band_key FROM banded
+              WHERE doc_id % 8 = 1
+            ), b2m AS (
+              SELECT doc_id, band_id, band_key,
+                     MIN(doc_id) OVER (PARTITION BY band_id, band_key)
+                       AS fm
+              FROM b2
+            ), flag2 AS (
+              SELECT x.doc_id,
+                     MAX(CASE WHEN st.band_key IS NOT NULL
+                               OR x.fm < x.doc_id
+                              THEN 1 ELSE 0 END) AS f
+              FROM b2m x LEFT JOIN state1 st
+                ON x.band_id = st.band_id AND x.band_key = st.band_key
+              GROUP BY x.doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id % 8 = 0 THEN 1 ELSE 2 END AS batch,
+                   coalesce(CASE WHEN d.doc_id % 8 = 0
+                                 THEN f1.f ELSE f2.f END = 1,
+                            false) AS is_near_duplicate
+            FROM documents d
+            LEFT JOIN flag1 f1 ON d.doc_id % 8 = 0 AND f1.doc_id = d.doc_id
+            LEFT JOIN flag2 f2 ON d.doc_id % 8 = 1 AND f2.doc_id = d.doc_id
+            WHERE d.doc_id % 8 < 2
         """,
         # The sink writes exactly the accepted set of the two-batch
         # incremental replay above; n_chars pins the row content.

@@ -1019,8 +1019,14 @@ def incremental_line_dedup(
         spark, new_df, state_path, id_col, text_col, delim
     )
     novel.write.mode("append").parquet(state_path)
-    _check_line_state(spark, state_path, delim)
+    _ensure_line_state_pinned(spark, state_path, delim)
     return _rebuild_deduped_lines(new_df, marked, id_col, text_col, delim, out_col)
+
+
+def _ensure_line_state_pinned(spark, state_path: str, delim: str) -> None:
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    ensure_state_pinned(spark, state_path, "line_hashes", {"delim": delim})
 
 
 def _check_line_state(spark, state_path: str, delim: str) -> None:
@@ -1708,8 +1714,14 @@ def incremental_exact_dedup(
         # the sidecar is read), never here — the returned `marked`
         # plan still references the current bloom files
     novel.write.mode("append").parquet(state_path)
-    _check_exact_state(spark, state_path)
+    _ensure_exact_state_pinned(spark, state_path)
     return marked
+
+
+def _ensure_exact_state_pinned(spark, state_path: str) -> None:
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    ensure_state_pinned(spark, state_path, "exact_fingerprints", {})
 
 
 def _check_exact_state(spark, state_path: str) -> None:
@@ -1893,8 +1905,27 @@ def incremental_embedding_dedup(
         spark, new_df, banded, state_path, id_col, "is_near_duplicate"
     )
     novel.write.mode("append").parquet(state_path)
-    _check_embedding_state(spark, state_path, dims, planes_per_band, bands)
+    _ensure_embedding_state_pinned(
+        spark, state_path, dims, planes_per_band, bands
+    )
     return marked
+
+
+def _ensure_embedding_state_pinned(
+    spark, state_path: str, dims: int, planes_per_band: int, bands: int
+) -> None:
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    ensure_state_pinned(
+        spark,
+        state_path,
+        "embedding_signlsh",
+        {
+            "dims": int(dims),
+            "planes_per_band": int(planes_per_band),
+            "bands": int(bands),
+        },
+    )
 
 
 def _check_embedding_state(
@@ -2123,9 +2154,12 @@ def incremental_minhash_dedup(
         hash_fn,
     )
     novel.write.mode("append").parquet(state_path)
-    # pin the sidecar immediately after the first append (no-op once
-    # it exists) so later probes never pay the column scan
-    _check_and_pin_minhash_state(
+    # fast pin after the first append: the probe-time guard already
+    # verified-or-pinned any PRE-existing state, so this only stamps a
+    # state this very call created — one metadata read, no column-scan
+    # jobs (the r12 A/B measured the full re-check at ~0.5-0.8 s per
+    # sink run)
+    _ensure_minhash_state_pinned(
         spark, state_path, hash_fn, n, num_hashes, bands
     )
     return marked
@@ -2140,6 +2174,24 @@ def _hashfn_meta_path(state_path: str) -> str:
     # reads. Plain '/' join, never os.path — the path may be a
     # fully-qualified object-store URI.
     return state_path.rstrip("/") + "/_ks_hashfn.json"
+
+
+def _ensure_minhash_state_pinned(
+    spark, state_path: str, hash_fn, n: int, num_hashes: int, bands: int
+) -> None:
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    ensure_state_pinned(
+        spark,
+        state_path,
+        "minhash_bands",
+        {
+            "hash_fn": hash_fn or _DEFAULT_HASH_FN,
+            "n": int(n),
+            "num_hashes": int(num_hashes),
+            "bands": int(bands),
+        },
+    )
 
 
 _MINHASH_CONSEQUENCE = (

@@ -59,11 +59,11 @@ import json
 from typing import Callable, Mapping, Optional
 
 __all__ = [
-    "STATE_META_NAME",
     "state_meta_path",
     "read_state_meta",
     "pin_state_meta",
     "check_state_meta",
+    "ensure_state_pinned",
 ]
 
 STATE_META_NAME = "_ks_state.json"
@@ -184,3 +184,19 @@ def check_state_meta(
     resolved = dict(legacy_resolve()) if legacy_resolve is not None else dict(params)
     pin_state_meta(spark, state_path, kind, resolved)
     return resolved
+
+
+def ensure_state_pinned(spark, state_path: str, kind: str, params: Mapping) -> None:
+    """Post-append fast pin: write the sidecar iff none exists — NO
+    verification, NO legacy resolution. ONLY valid when the caller ran
+    :func:`check_state_meta` against the same path earlier in the same
+    call (every incremental operator does, at probe time): if the
+    state pre-existed, that check already verified-or-pinned, so the
+    sidecar is present and this is one O(1) metadata read; if the
+    state was created by this very call's append, the caller's params
+    ARE the construction truth and are pinned directly. Exists because
+    the r12 A/B measured the naive alternative — re-running the full
+    check (with its legacy column-scan Spark jobs) after every first
+    append — at ~0.5-0.8 s per streaming-sink run (BASELINE.md r12)."""
+    if read_state_meta(spark, state_path) is None:
+        pin_state_meta(spark, state_path, kind, params)

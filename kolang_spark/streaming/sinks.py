@@ -165,12 +165,12 @@ def minhash_dedup_sink(
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(state_path)
-        from kolang_spark.llm.dedup import _check_and_pin_minhash_state
+        from kolang_spark.llm.dedup import _ensure_minhash_state_pinned
 
-        # pin the construction-params sidecar after the first state
-        # append (no-op once present) so every later micro-batch probe
-        # is O(1)
-        _check_and_pin_minhash_state(
+        # fast pin after the first state append (no-op once present):
+        # the probe-time guard inside the flagged helper already
+        # verified any pre-existing state this batch
+        _ensure_minhash_state_pinned(
             spark, state_path, hash_fn, n, num_hashes, bands
         )
 
@@ -249,11 +249,11 @@ def line_dedup_sink(
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(state_path)
-        from kolang_spark.llm.dedup import _check_line_state
+        from kolang_spark.llm.dedup import _ensure_line_state_pinned
 
-        # pin the delim sidecar after the first state append (no-op
-        # once present); probes verify it inside the flagged helper
-        _check_line_state(spark, state_path, delim)
+        # fast pin after the first state append (no-op once present);
+        # probes verify inside the flagged helper
+        _ensure_line_state_pinned(spark, state_path, delim)
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:
@@ -337,9 +337,11 @@ def embedding_dedup_sink(
         novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(state_path)
-        # pin the params sidecar after the first state append (no-op
-        # once present) so every later micro-batch probe is O(1)
-        _check_embedding_state(
+        from kolang_spark.llm.dedup import _ensure_embedding_state_pinned
+
+        # fast pin after the first state append (no-op once present);
+        # the pre-probe check above verified any pre-existing state
+        _ensure_embedding_state_pinned(
             spark, state_path, dims, planes_per_band, bands
         )
 
@@ -408,8 +410,16 @@ def cms_sink(
             state_path,
             partition_by=["batch_id"],
         )
-        # pin after the first batch lands (no-op once present)
-        _check_cms_state(batch_df.sparkSession, state_path, depth, width, salt)
+        # fast pin after the first batch lands (no-op once present);
+        # the pre-write check above verified any pre-existing state
+        from kolang_spark.sources.state import ensure_state_pinned
+
+        ensure_state_pinned(
+            batch_df.sparkSession,
+            state_path,
+            "cms",
+            {"depth": int(depth), "width": int(width), "salt": salt},
+        )
 
     writer = stream_df.writeStream.foreachBatch(handle)
     if checkpoint is not None:
