@@ -1718,6 +1718,52 @@ def incremental_exact_dedup(
     return marked
 
 
+_CDC_CONSEQUENCE = (
+    "content-defined chunk boundaries (and so chunk keys) depend on "
+    "window/mask_bits/base/mod, so keys from different parameters "
+    "never match the store's — every chunk would be reported novel "
+    "and the dedup ledger silently wrong"
+)
+
+
+def _cdc_params(window, mask_bits, base, mod) -> dict:
+    return {
+        "window": int(window),
+        "mask_bits": int(mask_bits),
+        "base": int(base),
+        "mod": int(mod),
+    }
+
+
+def _check_cdc_state(spark, state_path, window, mask_bits, base, mod) -> None:
+    """Verify-or-pin the CDC chunk store's construction params (r12 —
+    the minhash guard generalized per the r11 verdict; this family was
+    found in the same round's audit for persisted states the first
+    pass missed)."""
+    from kolang_spark.sources.state import check_state_meta
+
+    check_state_meta(
+        spark,
+        state_path,
+        "cdc_chunks",
+        _cdc_params(window, mask_bits, base, mod),
+        consequence=_CDC_CONSEQUENCE,
+    )
+
+
+def _ensure_cdc_state_pinned(
+    spark, state_path, window, mask_bits, base, mod
+) -> None:
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    ensure_state_pinned(
+        spark,
+        state_path,
+        "cdc_chunks",
+        _cdc_params(window, mask_bits, base, mod),
+    )
+
+
 def _ensure_exact_state_pinned(spark, state_path: str) -> None:
     from kolang_spark.sources.state import ensure_state_pinned
 
@@ -2601,9 +2647,17 @@ def incremental_cdc_ingest(
     Returns one row per input document: ``(id_col, n_chunks,
     n_novel_chunks, total_bytes, novel_bytes, dup_bytes)``; empty
     documents get all zeros.
+
+    The store's construction params ``{window, mask_bits, base, mod}``
+    are pinned by the ``_ks_state.json`` sidecar (r12): chunk
+    boundaries depend on all four, so a mismatched probe raises
+    instead of silently reporting every chunk novel. Pre-r12 stores
+    carry no provenance — the first stamped probe's params become the
+    assertion of record.
     """
     from kolang_spark.sources.io import path_exists
 
+    _check_cdc_state(spark, state_path, window, mask_bits, base, mod)
     chunks = cdc_chunks(new_df, id_col, text_col, window, mask_bits, base, mod)
     if path_exists(spark, state_path):
         # explicit schema, never inference: a crash DURING the very
@@ -2642,6 +2696,7 @@ def incremental_cdc_ingest(
         F.col("chunk_hash").alias("chunk_key"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
     ).write.mode("append").parquet(state_path)
+    _ensure_cdc_state_pinned(spark, state_path, window, mask_bits, base, mod)
     report = (
         marked.groupBy(id_col)
         .agg(

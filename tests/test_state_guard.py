@@ -110,6 +110,12 @@ def _mk_lines(spark, state, **kw):
     incremental_line_dedup(spark, _docs(spark, 1), state, **kw)
 
 
+def _mk_cdc(spark, state, **kw):
+    from kolang_spark.llm.dedup import incremental_cdc_ingest
+
+    incremental_cdc_ingest(spark, _docs(spark, 1), state, **kw)
+
+
 @pytest.mark.parametrize(
     "family,build,good,bad,err",
     [
@@ -131,6 +137,14 @@ def _mk_lines(spark, state, **kw):
         ),
         ("embedding", _mk_embedding, {"bands": 2}, {"bands": 3}, "bands"),
         ("lines", _mk_lines, {"delim": "\n"}, {"delim": "\r\n"}, "delim"),
+        (
+            "cdc",
+            _mk_cdc,
+            {"mask_bits": 6},
+            {"mask_bits": 5},
+            "mask_bits: pinned=6 probed=5",
+        ),
+        ("cdc", _mk_cdc, {"window": 8}, {"window": 4}, "window"),
     ],
 )
 def test_state_family_mismatched_probe_raises(
@@ -160,6 +174,13 @@ def test_state_family_mismatched_probe_raises(
                 spark, _vecs(spark, 2), state, dims=8, **good
             )
         assert m.collect()[0].is_near_duplicate is True
+    elif family == "cdc":
+        from kolang_spark.llm.dedup import incremental_cdc_ingest
+
+        out = incremental_cdc_ingest(
+            spark, _docs(spark, 2), state, **good
+        ).collect()[0]
+        assert out.n_chunks > 0 and out.n_novel_chunks == 0  # all stored
     else:
         from kolang_spark.llm import incremental_line_dedup
 
