@@ -348,7 +348,11 @@ def fs_read_text(spark: SparkSession, path: str) -> Optional[str]:
         try:
             with open(path, encoding="utf-8") as f:
                 return f.read()
-        except OSError:
+        except (OSError, UnicodeDecodeError):
+            # undecodable bytes are "unreadable" per the contract —
+            # binary corruption must read as missing, not crash the
+            # probe path (the JVM branch already swallows this; found
+            # by the r12 sidecar junk-bytes property test)
             return None
     fs, jpath = pair
     try:

@@ -92,7 +92,7 @@ def read_state_meta(spark, state_path: str) -> Optional[dict]:
         return None
     try:
         meta = json.loads(raw)
-        if not isinstance(meta, dict) or "kind" not in meta:
+        if not isinstance(meta, dict) or not isinstance(meta.get("kind"), str):
             return None
         params = meta.get("params")
         if not isinstance(params, dict):

@@ -89,6 +89,46 @@ def test_legacy_resolve_hook_refines_and_pins(spark, tmp_path):
     assert read_state_meta(spark, state)["params"] == {"a": 99}
 
 
+def test_sidecar_property_roundtrip_and_junk_never_crashes(spark, tmp_path):
+    """Property sweep (deterministic examples — the sidecar is pure
+    JSON IO, no need for per-run generation): any JSON-scalar params
+    dict round-trips bit-exactly through pin/read, a probe with any
+    single key changed raises, and ARBITRARY junk bytes in the sidecar
+    never crash read_state_meta — they read as missing (the
+    self-healing contract)."""
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    cases = [
+        {},
+        {"a": 0},
+        {"n": -(2**62), "m": 2**62, "s": "", "t": "x" * 500},
+        {"delim": "\r\n", "uni": "καλάνγκ—🙂", "b": True, "f": None},
+        {"salt": '"};{\\', "w": 1024},
+    ]
+    for i, params in enumerate(cases):
+        kind = f"k{i}"
+        pin_state_meta(spark, state, kind, params)
+        assert read_state_meta(spark, state) == {
+            "kind": kind,
+            "params": params,
+        }
+        check_state_meta(spark, state, kind, params)  # exact match passes
+        for key in params:
+            bad = dict(params)
+            bad[key] = "___different___"
+            with pytest.raises(ValueError):
+                check_state_meta(spark, state, kind, bad)
+    junk_cases = [
+        b"", b"\x00\xff\xfe", b"{", b'{"kind"', b"[1,2,3]", b"true",
+        b'{"kind": 7, "params": {}}', b'{"kind": "k", "params": 3}',
+        "𝕜𝕠𝕝𝕒𝕟𝕘".encode(), b"\x80\x81",  # invalid utf-8
+    ]
+    for junk in junk_cases:
+        with open(state_meta_path(state), "wb") as f:
+            f.write(junk)
+        assert read_state_meta(spark, state) is None, junk
+
+
 # ---------- per-family mismatch guards (parametrized) ----------
 
 
