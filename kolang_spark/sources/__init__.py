@@ -17,6 +17,7 @@ from kolang_spark.sources.io import (  # noqa: F401
 )
 from kolang_spark.sources.state import (  # noqa: F401
     check_state_meta,
+    ensure_state_pinned,
     pin_state_meta,
     read_state_meta,
     state_meta_path,

@@ -188,7 +188,7 @@ def check_state_meta(
 
 def ensure_state_pinned(spark, state_path: str, kind: str, params: Mapping) -> None:
     """Post-append fast pin: write the sidecar iff none exists — NO
-    verification, NO legacy resolution. ONLY valid when the caller ran
+    legacy resolution, no Spark jobs. ONLY valid when the caller ran
     :func:`check_state_meta` against the same path earlier in the same
     call (every incremental operator does, at probe time): if the
     state pre-existed, that check already verified-or-pinned, so the
@@ -197,6 +197,32 @@ def ensure_state_pinned(spark, state_path: str, kind: str, params: Mapping) -> N
     ARE the construction truth and are pinned directly. Exists because
     the r12 A/B measured the naive alternative — re-running the full
     check (with its legacy column-scan Spark jobs) after every first
-    append — at ~0.5-0.8 s per streaming-sink run (BASELINE.md r12)."""
-    if read_state_meta(spark, state_path) is None:
+    append — at ~0.5-0.8 s per streaming-sink run (BASELINE.md r12).
+
+    An EXISTING sidecar is still compared (O(1), review r12): two
+    concurrent first-writers racing on a fresh state_path both pass
+    the probe-time check (nothing existed to verify), both append,
+    and one pins — without this compare the loser would no-op
+    silently and the mixed-key state would accept every duplicate
+    forever; instead the loser raises, naming both param sets. The
+    state is still mixed (plain parquet has no transactional append —
+    start a fresh state_path), but loudly."""
+    meta = read_state_meta(spark, state_path)
+    if meta is None:
         pin_state_meta(spark, state_path, kind, params)
+        return
+    bad = {
+        k: (meta["params"].get(k), v)
+        for k, v in params.items()
+        if meta["params"].get(k) != v
+    }
+    if meta["kind"] != kind or bad:
+        detail = ", ".join(
+            f"{k}: pinned={p!r} ours={v!r}" for k, (p, v) in sorted(bad.items())
+        ) or f"kind: pinned={meta['kind']!r} ours={kind!r}"
+        raise ValueError(
+            f"state at {state_path} was pinned by a concurrent writer "
+            f"with different construction parameters ({detail}) — the "
+            "state now holds keys from both and cannot be trusted; "
+            "start a fresh state_path."
+        )

@@ -447,18 +447,45 @@ def cms_state(
     estimating with a different width or salt probes the wrong buckets
     and returns garbage counts with no error. Omitted params are not
     checked — prefer :func:`cms_state_params` to read the pinned
-    values instead of re-supplying them at all."""
+    values instead of re-supplying them at all.
+
+    Readers verify but never PIN (review r12): an unstamped pre-r12
+    state stays unstamped here — the next stamping WRITER pins the
+    full truth. The first cut pinned the reader's partial probe (e.g.
+    just ``width``) as the assertion of record, after which every
+    correct full-params sink batch raised against the partial pin —
+    and a mis-remembering reader could block the correct writer."""
     probe = {
         k: v
         for k, v in (("depth", depth), ("width", width), ("salt", salt))
         if v is not None
     }
     if probe:
-        from kolang_spark.sources.state import check_state_meta
+        from kolang_spark.sources.state import read_state_meta
 
-        check_state_meta(
-            spark, state_path, "cms", probe, consequence=_CMS_CONSEQUENCE
-        )
+        meta = read_state_meta(spark, state_path)
+        if meta is not None:
+            if meta["kind"] != "cms":
+                raise ValueError(
+                    f"state at {state_path} is pinned as kind="
+                    f"'{meta['kind']}', not a cms_sink state."
+                )
+            bad = {
+                k: (meta["params"].get(k), v)
+                for k, v in probe.items()
+                if meta["params"].get(k) != v
+            }
+            if bad:
+                detail = ", ".join(
+                    f"{k}: pinned={p!r} probed={v!r}"
+                    for k, (p, v) in sorted(bad.items())
+                )
+                raise ValueError(
+                    f"cms state at {state_path} was built with "
+                    f"different construction parameters ({detail}) — "
+                    f"{_CMS_CONSEQUENCE}. Use cms_state_params() for "
+                    "the pinned values."
+                )
     return (
         spark.read.parquet(state_path)
         .groupBy("row", "bucket")

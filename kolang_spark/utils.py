@@ -148,10 +148,35 @@ def iter_checkpoint(df, checkpoint_dir=None):
     per round — opt in for long iteration chains on preemptible
     fleets. The caller owns the directory's lifecycle (Spark only
     auto-cleans it with ``spark.cleaner.referenceTracking
-    .cleanCheckpoints``)."""
+    .cleanCheckpoints``).
+
+    Caveats (review r12) — reliable checkpointing rides
+    ``SparkContext.setCheckpointDir``, which is SESSION-GLOBAL and has
+    no faithful restore (the getter returns the per-set UUID subdir,
+    not the value to re-set): (a) after an operator call with
+    ``checkpoint_dir``, the session's checkpoint dir stays pointed
+    there — re-issue your own ``setCheckpointDir`` before unrelated
+    ``df.checkpoint()`` calls, and don't delete the scratch dir while
+    frames that checkpointed into it are alive; (b) concurrent
+    operators in different driver threads with DIFFERENT
+    checkpoint_dirs race on the global setting — serialize them or
+    share one dir (the same one-driver-thread caveat as
+    :func:`tracked_local_checkpoint`'s release tracking). The set is
+    skipped when the session already points under ``checkpoint_dir``,
+    so an N-round loop issues one mkdir, not N."""
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
-    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = df.sparkSession.sparkContext
+    want = checkpoint_dir.rstrip("/")
+    try:
+        cur = sc.getCheckpointDir()
+    except Exception:  # pragma: no cover - Connect without the getter
+        cur = None
+    # cur is the fully-qualified UUID SUBDIR of the last set (possibly
+    # scheme-prefixed, e.g. file:/...), so membership — not equality —
+    # detects "already pointed under want"
+    if cur is None or want not in cur:
+        sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)
 
 

@@ -12,10 +12,13 @@ hash-partitioned, no driver folds), and the CMS sink's is one
 map-side-combinable groupBy into ≤ depth×width rows regardless of
 batch size. A superlinear point = a cliff to file for r13.
 
-Each point runs a REAL foreachBatch StreamingQuery (availableNow,
-maxFilesPerTrigger=1 → exactly two micro-batches) against fresh
-scratch state, warm best-of-2. One JSON line per point; paste the
-summary into BASELINE.md.
+Each point runs a REAL foreachBatch StreamingQuery (availableNow)
+against fresh scratch state, warm best-of-2. Each half of the input
+is written as 4 files with pinned mtimes and the source reads with
+maxFilesPerTrigger=4, so the stream drains in exactly two
+micro-batches (half 1, then half 2) with 4-way read parallelism
+inside each. One JSON line per point; paste the summary into
+BASELINE.md.
 """
 
 import json

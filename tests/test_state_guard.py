@@ -379,6 +379,55 @@ def test_cms_state_params_pinned_and_mismatch_raises(spark, tmp_path):
         _run_cms_sink(spark, tmp_path, "b", depth=3, width=64, salt="OTHER")
 
 
+def test_cms_state_reader_never_pins(spark, tmp_path):
+    """Review r12: a READER must verify-only. The first cut pinned the
+    reader's partial probe onto an unstamped pre-r12 state, after
+    which every correct full-params sink batch raised against the
+    partial pin — and a mis-remembering reader could block the
+    correct writer."""
+    from kolang_spark.streaming import cms_state
+
+    state = str(tmp_path / "cms_state")
+    _run_cms_sink(spark, tmp_path, "a", depth=3, width=64, salt="s1")
+    # simulate a pre-r12 unstamped state
+    os.remove(state_meta_path(state))
+    # reader probe (even a WRONG one) must neither raise nor pin
+    cms_state(spark, state, width=128).count()
+    assert read_state_meta(spark, state) is None
+    # the next stamping writer pins the full truth and keeps working
+    _run_cms_sink(spark, tmp_path, "b", depth=3, width=64, salt="s1")
+    assert read_state_meta(spark, state)["params"] == {
+        "depth": 3,
+        "width": 64,
+        "salt": "s1",
+    }
+    # with the sidecar back, a wrong reader probe DOES raise
+    with pytest.raises(ValueError, match="width"):
+        cms_state(spark, state, width=128)
+
+
+def test_ensure_state_pinned_detects_concurrent_writer_conflict(
+    spark, tmp_path
+):
+    """Review r12: two first-writers racing on a fresh state_path both
+    pass the probe-time check (nothing existed), both append, one
+    pins — the loser's post-append fast pin must RAISE on the
+    conflicting sidecar, not no-op into a silently mixed state."""
+    from kolang_spark.sources.state import ensure_state_pinned
+
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    ensure_state_pinned(spark, state, "minhash_bands", {"hash_fn": "md5"})
+    with pytest.raises(ValueError, match="concurrent"):
+        ensure_state_pinned(
+            spark, state, "minhash_bands", {"hash_fn": "xxhash64"}
+        )
+    with pytest.raises(ValueError, match="concurrent"):
+        ensure_state_pinned(spark, state, "cms", {"hash_fn": "md5"})
+    # same params: clean no-op
+    ensure_state_pinned(spark, state, "minhash_bands", {"hash_fn": "md5"})
+
+
 def test_cms_estimate_with_pinned_params_roundtrip(spark, tmp_path):
     """End-to-end: estimate frequencies using ONLY the pinned params —
     the reader-side workflow the sidecar exists for."""
