@@ -330,6 +330,32 @@ def test_minhash_legacy_column_scan_sees_stamped_rows_mixed_schema(
     assert ok.collect()[0].is_near_duplicate is True
 
 
+def test_pinned_state_guard_runs_zero_spark_jobs(spark, tmp_path):
+    """The A/B-backed performance contract (BASELINE.md r12): once a
+    state is pinned, both the probe-time check and the post-append
+    fast pin are pure driver-side metadata reads — ZERO Spark jobs.
+    The r11 guard's column scan (and the first r12 cut's post-append
+    full re-check) each cost jobs on the sink hot path; this pins the
+    fix structurally, not just in the bench record."""
+    from kolang_spark.llm import incremental_minhash_dedup
+    from kolang_spark.llm.dedup import (
+        _check_and_pin_minhash_state,
+        _ensure_minhash_state_pinned,
+    )
+
+    state = str(tmp_path / "mh")
+    incremental_minhash_dedup(spark, _docs(spark, 1), state)
+    sc = spark.sparkContext
+    sc.setJobGroup("ks_guard_probe", "guard-only")
+    try:
+        _check_and_pin_minhash_state(spark, state, None, 5, 6, 3)
+        _ensure_minhash_state_pinned(spark, state, None, 5, 6, 3)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ks_guard_probe")
+    assert len(jobs) == 0, f"guard ran Spark jobs: {jobs}"
+
+
 # ---------- CMS sink / reader ----------
 
 
