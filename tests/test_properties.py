@@ -1014,3 +1014,93 @@ def test_trailing_window_agg_matches_bruteforce(spark, rows, w):
         assert got[i] == (len(peers), sum(p[2] for p in peers)), (
             i, rows, w,
         )
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_minhash_matches_python_model(
+    spark, tmp_path_factory, docs, split
+):
+    """Random-corpus model of the ENTIRE incremental minhash contract
+    (r12 — the DuckDB oracle replays it on the fixed testdata corpus;
+    this replays it on adversarial tiny inputs: empty docs, sub-n
+    docs, heavy shingle collisions, arbitrary batch splits). The
+    Python reference re-derives banding (md5 path, bit-exact:
+    trim/\\s+ tokenize -> distinct word n-grams -> per-i min of
+    md5('i:'||gram) -> '|'-joined band rows) and the documented
+    accept rule: flagged ⟺ any band in state OR an earlier-id doc in
+    the SAME batch shares a band; accepted docs' bands extend the
+    state; no-band docs are always accepted and never persisted."""
+    import hashlib
+    import re
+
+    from kolang_spark.llm import incremental_minhash_dedup
+
+    N, H, B = 2, 4, 2
+    R = H // B
+
+    def bands_of(text):
+        t = text.strip()
+        toks = [] if t == "" else re.split(r"\s+", t)
+        if len(toks) < N:
+            return None
+        grams = {
+            " ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)
+        }
+        mh = [
+            min(
+                hashlib.md5(f"{i}:{g}".encode()).hexdigest() for g in grams
+            )
+            for i in range(H)
+        ]
+        return [
+            (b, "|".join(mh[b * R : b * R + R])) for b in range(B)
+        ]
+
+    rows = list(enumerate(docs))
+    b1 = [(i, t) for i, t in rows if (split >> (i % 32)) & 1 == 0]
+    b2 = [(i, t) for i, t in rows if (split >> (i % 32)) & 1 == 1]
+    batches = [b for b in (b1, b2) if b]
+
+    # ---- python reference ----
+    state: set = set()
+    want = {}
+    for batch in batches:
+        bm = {i: bands_of(t) for i, t in batch}
+        first: dict = {}
+        for i in sorted(bm):
+            for bk in bm[i] or []:
+                first.setdefault(bk, i)
+        for i, _t in batch:
+            bks = bm[i]
+            want[i] = bool(bks) and (
+                any(bk in state for bk in bks)
+                or any(first[bk] < i for bk in bks)
+            )
+        for i, _t in batch:
+            if not want[i]:
+                state.update(bm[i] or [])
+
+    # ---- the operator ----
+    base = tmp_path_factory.mktemp("incr_mh_model")
+    sp = str(base / "state")
+    got = {}
+    for batch in batches:
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        out = incremental_minhash_dedup(
+            spark, df, sp, n=N, num_hashes=H, bands=B, hash_fn="md5"
+        )
+        got.update(
+            {r.doc_id: r.is_near_duplicate for r in out.collect()}
+        )
+    assert got == want, (docs, split)
