@@ -5269,25 +5269,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     de-phase and the 25-round simulation absorbs five reds per round
     (see scripts/next_window.py CADENCE_YOUNG comment).
 
-    Round-12 rotation — COMPUTED by ``scripts/next_window.py 12`` (not
+    Round-13 rotation — COMPUTED by ``scripts/next_window.py 13`` (not
     hand-picked; the r6 mistake), from the per-query external-green
-    history in CORRECTNESS_r0*.json INCLUDING the real r11 record
-    (50/50 green — the round that zeroed the never-green set):
+    history in CORRECTNESS_r*.json INCLUDING the real r12 record
+    (50/50 green — the second consecutive fully-green window):
 
-    IN: with zero never-green queries remaining this is the first
-    pure cadence-maintenance window in the project's history. The
-    seven-strong r7 veteran cohort leads (repetition_documents,
-    scale_percent_by_nation, session_count_by_user,
-    simhash_hamming_pairs, topk_orders_per_priority,
-    tumbling_events_hourly, union_customers_suppliers — last green
-    r7, their cadence-6 hard bound hits at r13), then the r8 cohort
-    oldest-first fills the remaining 43 slots, draining that
-    45-strong cohort one round before ITS bound.
+    IN: the lone r12 debut ``minhash_pinned_state_roundtrip`` leads
+    as the only never-externally-green entry; then the r8-cohort
+    remainder at its cadence-6 hard bound (salted_join_revenue,
+    simhash_documents, multimodal_blob_metadata, add_trend_line,
+    duplicate_spans_documents, strip_spans_documents,
+    weighted_sample_documents); then hll_users_monthly and the r9
+    cohort oldest-first fill the remaining slots, draining that
+    cohort one round before ITS cadence-5 bound hits at r14.
 
-    OUT: everything green in r9-r11 (fresh within cadence). New r12
-    queries (state-pin round trips, checkpointed-iteration variants)
-    debut at the registry TAIL and enter the r13 window as
-    never-green leaders per the priority tiers below.
+    OUT: everything green in r10-r12 (fresh within cadence). Any new
+    r13 queries debut at the registry TAIL and enter the r14 window
+    as never-green leaders per the priority tiers below.
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5324,18 +5322,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped OLS, attribution) — the simulation proves the whole
     backlog absorbs within three windows."""
     return {
-        # --- positions 1-50: the external round-12 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py 12
-        #     from the REAL r11 history (50/50 green — zero
-        #     never-green queries remain, so this is the first pure
-        #     cadence-maintenance window): the seven-strong r7
-        #     veteran cohort leads (repetition_documents,
-        #     scale_percent_by_nation, session_count_by_user,
-        #     simhash_hamming_pairs, topk_orders_per_priority,
-        #     tumbling_events_hourly, union_customers_suppliers —
-        #     last green r7, cadence-6 hard bound hits at r13), then
-        #     the r8 cohort oldest-first. New r12 queries debut at
-        #     the registry TAIL per the window-pinning rule. ---
+        # --- positions 1-50: the external round-13 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 13
+        #     from the REAL r12 history (50/50 green): the lone r12
+        #     debut minhash_pinned_state_roundtrip leads as the only
+        #     never-externally-green entry, then the r8 cohort
+        #     remainder at its cadence-6 hard bound
+        #     (salted_join_revenue ... weighted_sample_documents),
+        #     then hll_users_monthly and the r9 cohort oldest-first —
+        #     draining that cohort one round before ITS cadence-5
+        #     bound hits at r14. ---
+        "minhash_pinned_state_roundtrip": _q_minhash_pinned_state_roundtrip,
+        "salted_join_revenue": _q_salted_join_revenue,
+        "simhash_documents": _q_simhash_documents,
+        "multimodal_blob_metadata": _q_multimodal_blob_metadata,
+        "add_trend_line": _q_add_trend_line,
+        "duplicate_spans_documents": _q_duplicate_spans_documents,
+        "strip_spans_documents": _q_strip_spans_documents,
+        "weighted_sample_documents": _q_weighted_sample_documents,
+        "hll_users_monthly": _q_hll_users_monthly,
+        "sketch_rollup_users": _q_sketch_rollup_users,
+        "split_documents": _q_split_documents,
+        "mix_documents_by_lang": _q_mix_documents_by_lang,
+        "multimodal_resize": _q_multimodal_resize,
+        "io_roundtrip_formats": _q_io_roundtrip_formats,
+        "html_extract_documents": _q_html_extract_documents,
+        "warc_parse_documents": _q_warc_parse_documents,
+        "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
+        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
+        "bpe_merges_documents": _q_bpe_merges_documents,
+        "bpe_encode_documents": _q_bpe_encode_documents,
+        "pack_examples_bpe": _q_pack_examples_bpe,
+        "incremental_embedding_batches": _q_incremental_embedding_batches,
+        "web_ingest_pipeline": _q_web_ingest_pipeline,
+        "assign_shards_documents": _q_assign_shards_documents,
+        "canonical_urls": _q_canonical_urls,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "quality_classifier_documents": _q_quality_classifier_documents,
+        "dsir_weights_documents": _q_dsir_weights_documents,
+        "dsir_resample_documents": _q_dsir_resample_documents,
+        "bm25_topk_documents": _q_bm25_topk_documents,
+        "bigram_lm_score_documents": _q_bigram_lm_score_documents,
+        "pagerank_purchases": _q_pagerank_purchases,
+        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
+        "fix_mojibake_documents": _q_fix_mojibake_documents,
+        "dedup_lines_documents": _q_dedup_lines_documents,
+        "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
+        "mix_temperature_documents": _q_mix_temperature_documents,
+        "blocked_domains_documents": _q_blocked_domains_documents,
+        "minhash_recall_planted": _q_minhash_recall_planted,
+        "fold_confusables_documents": _q_fold_confusables_documents,
+        "robots_documents": _q_robots_documents,
+        "incremental_lines_batches": _q_incremental_lines_batches,
+        "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
+        "web_curation_pipeline": _q_web_curation_pipeline,
+        "ccnet_buckets_documents": _q_ccnet_buckets_documents,
+        "lines_sink_stream_batch": _q_lines_sink_stream_batch,
+        "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
+        "containment_pairs_documents": _q_containment_pairs_documents,
+        # --- tail: the cadence rotation pool — everything below
+        #     stays hash-checked every run by
+        #     tests/test_oracle_parity.py and re-enters the window
+        #     on its per-query cadence ---
         "repetition_documents": _q_repetition_documents,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "session_count_by_user": _q_session_count_by_user,
@@ -5386,10 +5436,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percent_partitioned": _q_percent_partitioned,
         "jalali_roundtrip": _q_jalali_roundtrip,
         "sliding_events": _q_sliding_events,
-        # --- tail: the cadence rotation pool — everything below
-        #     stays hash-checked every run by
-        #     tests/test_oracle_parity.py and re-enters the window
-        #     on its per-query cadence ---
         "trailing_features_events": _q_trailing_features_events,
         "target_encode_orders": _q_target_encode_orders,
         "multimodal_decode_avi": _q_multimodal_decode_avi,
@@ -5488,48 +5534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymize_events": _q_k_anonymize_events,
         "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         "bpe_encode_loaded": _q_bpe_encode_loaded,
-        "hll_users_monthly": _q_hll_users_monthly,
-        "sketch_rollup_users": _q_sketch_rollup_users,
-        "split_documents": _q_split_documents,
-        "mix_documents_by_lang": _q_mix_documents_by_lang,
-        "multimodal_resize": _q_multimodal_resize,
-        "io_roundtrip_formats": _q_io_roundtrip_formats,
-        "html_extract_documents": _q_html_extract_documents,
-        "warc_parse_documents": _q_warc_parse_documents,
-        "warc_gzip_parse_documents": _q_warc_gzip_parse_documents,
-        "minhash_sink_stream_batch": _q_minhash_sink_stream_batch,
-        "bpe_merges_documents": _q_bpe_merges_documents,
-        "bpe_encode_documents": _q_bpe_encode_documents,
-        "pack_examples_bpe": _q_pack_examples_bpe,
-        "incremental_embedding_batches": _q_incremental_embedding_batches,
-        "web_ingest_pipeline": _q_web_ingest_pipeline,
-        "assign_shards_documents": _q_assign_shards_documents,
-        "canonical_urls": _q_canonical_urls,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "multimodal_blob_embed_ann": _q_multimodal_blob_embed_ann,
-        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
-        "quality_classifier_documents": _q_quality_classifier_documents,
-        "dsir_weights_documents": _q_dsir_weights_documents,
-        "dsir_resample_documents": _q_dsir_resample_documents,
-        "bm25_topk_documents": _q_bm25_topk_documents,
-        "bigram_lm_score_documents": _q_bigram_lm_score_documents,
-        "pagerank_purchases": _q_pagerank_purchases,
-        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
-        "fix_mojibake_documents": _q_fix_mojibake_documents,
-        "dedup_lines_documents": _q_dedup_lines_documents,
-        "semantic_contamination_embeddings": _q_semantic_contamination_embeddings,
-        "mix_temperature_documents": _q_mix_temperature_documents,
-        "blocked_domains_documents": _q_blocked_domains_documents,
-        "minhash_recall_planted": _q_minhash_recall_planted,
-        "fold_confusables_documents": _q_fold_confusables_documents,
-        "robots_documents": _q_robots_documents,
-        "incremental_lines_batches": _q_incremental_lines_batches,
-        "pagerank_weighted_purchases": _q_pagerank_weighted_purchases,
-        "web_curation_pipeline": _q_web_curation_pipeline,
-        "ccnet_buckets_documents": _q_ccnet_buckets_documents,
-        "lines_sink_stream_batch": _q_lines_sink_stream_batch,
-        "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
-        "containment_pairs_documents": _q_containment_pairs_documents,
         "cms_sink_stream_batch": _q_cms_sink_stream_batch,
         "ngram_novelty_documents": _q_ngram_novelty_documents,
         "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
@@ -5537,17 +5541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
-        "salted_join_revenue": _q_salted_join_revenue,
-        "simhash_documents": _q_simhash_documents,
-        "multimodal_blob_metadata": _q_multimodal_blob_metadata,
-        "add_trend_line": _q_add_trend_line,
-        "duplicate_spans_documents": _q_duplicate_spans_documents,
-        "strip_spans_documents": _q_strip_spans_documents,
-        "weighted_sample_documents": _q_weighted_sample_documents,
-        # r12 debut (registry tail -> r13 window leader): the
-        # construction-params sidecar round trip under non-default
-        # banding
-        "minhash_pinned_state_roundtrip": _q_minhash_pinned_state_roundtrip,
     }
 
 

@@ -338,6 +338,37 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
         return False
 
 
+def fs_rename_overwrite(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename-onto-existing-target where the filesystem supports
+    it: Hadoop ``FileContext.rename(src, dst, Options.Rename.OVERWRITE)``
+    replaces ``dst`` in ONE metadata op (HDFS, local FS), so a
+    concurrent reader sees either the old file or the new one — never
+    'no file'. Driver-local fallback is ``os.replace`` (same guarantee
+    on POSIX). Returns False when neither path works (e.g. an object
+    store with no AbstractFileSystem binding) — callers fall back to
+    the documented delete-then-rename window (:func:`fs_rename`)."""
+    pair = _hadoop_fs(spark, src)
+    if pair is None:
+        try:
+            os.replace(src, dst)
+            return True
+        except OSError:
+            return False
+    try:
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        fctx = jvm.org.apache.hadoop.fs.FileContext.getFileContext(hconf)
+        RenameOpt = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
+        opts = sc._gateway.new_array(RenameOpt, 1)
+        opts[0] = RenameOpt.OVERWRITE
+        jpath = jvm.org.apache.hadoop.fs.Path
+        fctx.rename(jpath(src), jpath(dst), opts)
+        return True
+    except Exception:
+        return False
+
+
 def fs_read_text(spark: SparkSession, path: str) -> Optional[str]:
     """Read a small UTF-8 text file (sidecar meta, marker files)
     through the Hadoop ``FileSystem`` API; ``None`` when the file is

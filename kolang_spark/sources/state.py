@@ -104,17 +104,31 @@ def read_state_meta(spark, state_path: str) -> Optional[dict]:
 
 def pin_state_meta(spark, state_path: str, kind: str, params: Mapping) -> None:
     """Atomically write the sidecar: temp name (also ``_``-prefixed,
-    so Spark never lists a half-written file) then rename. Hadoop
-    rename is atomic on HDFS and local FS; on object stores it is a
-    copy, but the copy is of a COMPLETE temp file, so no reader ever
-    sees truncated JSON — the crash windows leave either the old
-    sidecar, no sidecar (heals via legacy), or the new one."""
-    from kolang_spark.sources.io import fs_delete, fs_rename, fs_write_text
+    so Spark never lists a half-written file) then rename-with-
+    OVERWRITE in one metadata op (``fs_rename_overwrite``), so a
+    concurrent prober sees either the previous sidecar or the new one
+    — never 'no sidecar' (a no-sidecar read would fall into legacy
+    resolution and could re-pin unverified params; advisor r12).
+    Only where overwrite-rename is unsupported (object stores with no
+    AbstractFileSystem binding) does this degrade to delete-then-
+    rename, whose brief missing-sidecar window can at worst trigger
+    one spurious legacy resolution — which re-pins from the state
+    itself, so the healed sidecar still reflects construction truth.
+    Every path renames a COMPLETE temp file, so no reader ever sees
+    truncated JSON."""
+    from kolang_spark.sources.io import (
+        fs_delete,
+        fs_rename,
+        fs_rename_overwrite,
+        fs_write_text,
+    )
 
     dst = state_meta_path(state_path)
     tmp = dst + ".tmp"
     content = json.dumps({"kind": kind, "params": dict(params)}, sort_keys=True)
     fs_write_text(spark, tmp, content)
+    if fs_rename_overwrite(spark, tmp, dst):
+        return
     fs_delete(spark, dst, recursive=False)
     if not fs_rename(spark, tmp, dst):
         # rename unsupported or raced (two concurrent pinners of the

@@ -162,7 +162,12 @@ def minhash_dedup_sink(
         )
         # (2) output before (3) state — see docstring
         out.write.mode("append").parquet(output_path)
-        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        # cast("long"): py4j materializes a Python int literal as
+        # IntegerType, so without the cast state files hold Parquet
+        # INT32 while the explicit read schema says bigint — Spark 4.x
+        # widens silently, Spark 3.x throws
+        # SchemaColumnConvertNotSupportedException (advisor r12)
+        novel.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(state_path)
         from kolang_spark.llm.dedup import _ensure_minhash_state_pinned
@@ -246,7 +251,7 @@ def line_dedup_sink(
         )
         # (2) output before (3) state — see docstring
         out.write.mode("append").parquet(output_path)
-        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        novel.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(state_path)
         from kolang_spark.llm.dedup import _ensure_line_state_pinned
@@ -334,7 +339,7 @@ def embedding_dedup_sink(
         )
         # (2) output before (3) state — see minhash_dedup_sink
         out.write.mode("append").parquet(output_path)
-        novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+        novel.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(state_path)
         from kolang_spark.llm.dedup import _ensure_embedding_state_pinned
@@ -406,7 +411,7 @@ def cms_sink(
             batch_df, col, depth=depth, width=width, weight=weight, salt=salt
         )
         overwrite_partitions(
-            sk.withColumn("batch_id", F.lit(int(batch_id))),
+            sk.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
             state_path,
             partition_by=["batch_id"],
         )

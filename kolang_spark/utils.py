@@ -167,17 +167,38 @@ def iter_checkpoint(df, checkpoint_dir=None):
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
-    want = checkpoint_dir.rstrip("/")
     try:
         cur = sc.getCheckpointDir()
     except Exception:  # pragma: no cover - Connect without the getter
         cur = None
     # cur is the fully-qualified UUID SUBDIR of the last set (possibly
-    # scheme-prefixed, e.g. file:/...), so membership — not equality —
-    # detects "already pointed under want"
-    if cur is None or want not in cur:
+    # scheme-prefixed, e.g. file:/...). Strip the UUID leaf and compare
+    # its PARENT to checkpoint_dir on whole-path boundaries, qualifying
+    # both through the Hadoop FileSystem so schemes/relative paths
+    # normalize identically. A substring test here (advisor r12) would
+    # falsely skip the set when a *prior* dir merely contains
+    # checkpoint_dir as a path substring ('/data/ck-old' vs '/data/ck'),
+    # silently landing reliable checkpoints in the other directory.
+    if cur is None or _qualify_dir(df.sparkSession, cur.rstrip("/").rsplit("/", 1)[0]) != _qualify_dir(df.sparkSession, checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)
+
+
+def _qualify_dir(spark, path: str) -> str:
+    """Fully-qualified, trailing-slash-free form of ``path`` through the
+    Hadoop FileSystem (``file:/abs`` for local, scheme-preserved for
+    object stores), so checkpoint-dir comparisons are whole-segment
+    exact regardless of how the caller spelled the path. Falls back to
+    a driver-local abspath on Spark Connect (local paths only there)."""
+    from kolang_spark.sources.io import _hadoop_fs
+
+    pair = _hadoop_fs(spark, path)
+    if pair is None:
+        import os
+
+        return os.path.abspath(path).rstrip("/")
+    fs, jpath = pair
+    return fs.makeQualified(jpath).toString().rstrip("/")
 
 
 def tracked_local_checkpoint(df, checkpoint_dir=None):

@@ -75,3 +75,42 @@ def test_connected_components_checkpoint_dir_matches(spark, tmp_path):
     assert got[5] == got[6] == 5 and got[7] == 7
     assert any(files for _, _, files in os.walk(ck))
     assert "parquet" not in _plan(got_df).lower()
+
+
+def test_iter_checkpoint_prior_substring_dir_does_not_skip_set(spark, tmp_path):
+    """Advisor r13: the 'already pointed under checkpoint_dir' probe
+    must compare on whole-path boundaries. A prior checkpoint dir whose
+    path merely CONTAINS the wanted dir as a substring ('/x/ck-old' vs
+    '/x/ck') must not skip setCheckpointDir — otherwise reliable
+    checkpoints silently land in the other directory, which the caller
+    neither owns nor cleans."""
+    from kolang_spark.utils import iter_checkpoint
+
+    sc = spark.sparkContext
+    old = str(tmp_path / "ck-old")  # contains "ck" + tmp prefix of want
+    want = str(tmp_path / "ck")
+    sc.setCheckpointDir(old)
+    df = spark.range(5)
+    out = iter_checkpoint(df, want)
+    assert out.count() == 5
+    cur = sc.getCheckpointDir()  # fully-qualified UUID subdir
+    parent = cur.rstrip("/").rsplit("/", 1)[0]
+    assert parent.endswith("/ck"), cur
+    assert not parent.endswith("ck-old"), cur
+    # and the checkpoint files actually landed under want
+    assert any(files for _, _, files in os.walk(want))
+
+
+def test_iter_checkpoint_same_dir_skips_reset(spark, tmp_path):
+    """The N-round loop contract: consecutive calls with the SAME dir
+    issue one setCheckpointDir (the UUID subdir is stable across the
+    second call), regardless of how the path is spelled."""
+    from kolang_spark.utils import iter_checkpoint
+
+    sc = spark.sparkContext
+    want = str(tmp_path / "ck")
+    iter_checkpoint(spark.range(3), want)
+    cur1 = sc.getCheckpointDir()
+    iter_checkpoint(spark.range(4), want + "/")  # trailing-slash spelling
+    cur2 = sc.getCheckpointDir()
+    assert cur1 == cur2  # second call skipped the re-set

@@ -471,3 +471,35 @@ def test_cms_estimate_with_pinned_params_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert est["u0"] == 10 and est["u1"] == 10
+
+
+def test_fs_rename_overwrite_atomic_swap(spark, tmp_path):
+    """fs_rename_overwrite replaces an existing target in one metadata
+    op (FileContext OVERWRITE rename locally) — target holds the new
+    content, source is gone, and no intermediate 'missing' state is
+    required (advisor r13 sidecar-window item)."""
+    from kolang_spark.sources.io import fs_rename_overwrite, fs_read_text
+
+    src = str(tmp_path / "_m.tmp")
+    dst = str(tmp_path / "_m")
+    open(src, "w").write("new")
+    open(dst, "w").write("old")
+    assert fs_rename_overwrite(spark, src, dst) is True
+    assert fs_read_text(spark, dst) == "new"
+    assert not os.path.exists(src)
+
+
+def test_pin_state_meta_replaces_existing_sidecar_no_tmp_residue(
+    spark, tmp_path
+):
+    """Re-pinning over an existing sidecar lands the new params and
+    leaves no .tmp residue; on the overwrite-rename path the old
+    sidecar is never deleted ahead of the swap, so a concurrent prober
+    can never observe 'no sidecar' and fall into legacy resolution."""
+    state = str(tmp_path / "s")
+    os.makedirs(state)
+    pin_state_meta(spark, state, "k", {"n": 1})
+    pin_state_meta(spark, state, "k", {"n": 2})
+    assert read_state_meta(spark, state) == {"kind": "k", "params": {"n": 2}}
+    sidecar = state_meta_path(state)
+    assert not os.path.exists(sidecar + ".tmp")

@@ -600,3 +600,39 @@ def test_cms_sink_replay_is_idempotent(spark, tmp_path):
     twice = sorted((r.row, r.bucket, r.cnt)
                    for r in cms_state(spark, state).collect())
     assert once == twice
+
+
+def test_sink_state_batch_id_is_parquet_int64(spark, tmp_path):
+    """Advisor r13: the sinks stamp batch_id with F.lit(int), which
+    py4j materializes as IntegerType — without an explicit cast the
+    state files hold Parquet INT32 while the explicit read schema says
+    bigint, a silent Spark-4-only widening dependency (Spark 3.x
+    throws SchemaColumnConvertNotSupportedException). Assert the
+    physical type written by the minhash sink is INT64."""
+    import os
+
+    import pyarrow.parquet as pq
+    from kolang_spark.streaming import minhash_dedup_sink
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "some unique text for the int64 stamp test")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    state = str(tmp_path / "state")
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = minhash_dedup_sink(
+        stream, state, str(tmp_path / "out"), checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    files = [
+        os.path.join(root, f)
+        for root, _, fs in os.walk(state)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files, "sink wrote no state files"
+    for f in files:
+        field = pq.read_schema(f).field("batch_id")
+        assert str(field.type) == "int64", (f, field.type)
