@@ -32,6 +32,32 @@ __all__ = [
 ]
 
 
+def _write_sink_output(
+    out: DataFrame, output_path: str, batch_id: int, idempotent: bool
+) -> None:
+    """The dedup sinks' output write. Default: plain parquet append —
+    at-least-once (a batch replayed after a crash-post-output appends
+    its rows again; duplicates are removable downstream by id).
+    ``idempotent=True`` opts into the batch-id-keyed dynamic-partition
+    OVERWRITE idiom :func:`cms_sink` uses for its state: the output
+    table gains a ``_batch_id`` hive partition column and each replay
+    REPLACES its own partition, so the final output is exactly-once —
+    the same rows, not just no lost rows (r12 verdict item 4). Cost:
+    one directory per micro-batch (compact with
+    :func:`kolang_spark.sources.io.compact_parquet` on long streams)
+    and readers see the extra ``_batch_id`` column."""
+    if idempotent:
+        from kolang_spark.sources.io import overwrite_partitions
+
+        overwrite_partitions(
+            out.withColumn("_batch_id", F.lit(int(batch_id)).cast("long")),
+            output_path,
+            partition_by=["_batch_id"],
+        )
+    else:
+        out.write.mode("append").parquet(output_path)
+
+
 def upsert_sink(
     stream_df: DataFrame,
     path: str,
@@ -102,6 +128,7 @@ def minhash_dedup_sink(
     keep_duplicates: bool = False,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
+    idempotent_output: bool = False,
 ):
     """Streaming NEAR-duplicate ingest: each micro-batch is flagged
     against (and then extends) the persisted MinHash band-key state —
@@ -126,9 +153,12 @@ def minhash_dedup_sink(
     own keys are excluded. Either way the only artifact is duplicate
     IDENTICAL output rows, removable downstream by doc_id; accepted
     docs are never lost. At-least-once output + never-lose is the
-    strongest contract a plain-parquet append sink can offer; wrap
-    ``output_path`` in a table format with atomic commits when
-    exactly-once matters.
+    strongest contract a plain-parquet APPEND sink can offer;
+    ``idempotent_output=True`` upgrades the output side to
+    exactly-once without a table format: each batch writes into its
+    own ``_batch_id`` hive partition with dynamic-partition OVERWRITE,
+    so a replay REPLACES its previous partial instead of appending
+    beside it (see :func:`_write_sink_output` for the trade-offs).
 
     Within-batch semantics, state growth, and the candidate-only
     flagging caveat are the batch operator's (see its docstring).
@@ -161,7 +191,7 @@ def minhash_dedup_sink(
             )
         )
         # (2) output before (3) state — see docstring
-        out.write.mode("append").parquet(output_path)
+        _write_sink_output(out, output_path, batch_id, idempotent_output)
         # cast("long"): py4j materializes a Python int literal as
         # IntegerType, so without the cast state files hold Parquet
         # INT32 while the explicit read schema says bigint — Spark 4.x
@@ -197,6 +227,7 @@ def line_dedup_sink(
     out_col: Optional[str] = None,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
+    idempotent_output: bool = False,
 ):
     """Streaming LINE-level dedup ingest (the RefinedWeb corpus-wide
     keep-first rule, applied per micro-batch): each batch's lines are
@@ -221,6 +252,9 @@ def line_dedup_sink(
     removable downstream by ``id_col``, never the silently-emptied
     documents a state-first order (or an unstamped state) would
     produce.
+    ``idempotent_output=True`` upgrades the output side from
+    at-least-once to exactly-once via the batch-id-partitioned
+    overwrite (see :func:`_write_sink_output`).
 
     Within-batch semantics (state hit removes every occurrence, novel
     lines keep their first by ``(id, pos)``, whitespace-only lines
@@ -250,7 +284,7 @@ def line_dedup_sink(
             batch_df, marked, id_col, text_col, delim, out_col
         )
         # (2) output before (3) state — see docstring
-        out.write.mode("append").parquet(output_path)
+        _write_sink_output(out, output_path, batch_id, idempotent_output)
         novel.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(state_path)
@@ -280,6 +314,7 @@ def embedding_dedup_sink(
     keep_duplicates: bool = False,
     checkpoint: Optional[str] = None,
     available_now: bool = True,
+    idempotent_output: bool = False,
 ):
     """Streaming NEAR-dup ingest over EMBEDDINGS — the sign-LSH member
     of the sink family (exact stream dedup → :func:`minhash_dedup_sink`
@@ -297,9 +332,11 @@ def embedding_dedup_sink(
     foreachBatch ``batch_id`` — and the flag computation ignores the
     replaying batch's OWN state rows, so a replay recomputes identical
     flags in every crash window: duplicate output rows at worst, never
-    a lost or flag-inverted accepted vector. Within-batch semantics
-    (band-key-first-wins, malformed embeddings always accepted and
-    never persisted) are the batch operator's.
+    a lost or flag-inverted accepted vector — and
+    ``idempotent_output=True`` removes even those via the batch-id-
+    partitioned overwrite (see :func:`_write_sink_output`).
+    Within-batch semantics (band-key-first-wins, malformed embeddings
+    always accepted and never persisted) are the batch operator's.
     """
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -338,7 +375,7 @@ def embedding_dedup_sink(
             )
         )
         # (2) output before (3) state — see minhash_dedup_sink
-        out.write.mode("append").parquet(output_path)
+        _write_sink_output(out, output_path, batch_id, idempotent_output)
         novel.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(state_path)

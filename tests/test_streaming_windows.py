@@ -636,3 +636,164 @@ def test_sink_state_batch_id_is_parquet_int64(spark, tmp_path):
     for f in files:
         field = pq.read_schema(f).field("batch_id")
         assert str(field.type) == "int64", (f, field.type)
+
+
+def _delete_last_commit(ckpt: str) -> int:
+    """Simulate a crash AFTER batch N's writes but BEFORE its streaming
+    checkpoint commit: delete the newest <ckpt>/commits/N marker. On
+    restart the engine sees offsets/N without commits/N and REPLAYS
+    batch N with the same batch_id over the same input slice — the
+    exact window the sinks' replay contract covers. Returns N."""
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    ids = sorted(int(f) for f in os.listdir(commits) if f.isdigit())
+    os.remove(os.path.join(commits, str(ids[-1])))
+    # the Hadoop local FS keeps a checksum sibling; leaving it behind
+    # makes the replay's commit rename fail and Spark misreport it as
+    # 'multiple streaming queries are concurrently using' the dir
+    crc = os.path.join(commits, f".{ids[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    return ids[-1]
+
+
+def _two_batch_source(spark, tmp_path, rows1, rows2, schema):
+    src = tmp_path / "src"
+    src.mkdir(parents=True)
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    _pin_mtimes(src / "f1", src / "f2")
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+
+
+def test_minhash_sink_idempotent_output_replay_exact_rows(spark, tmp_path):
+    """r12 verdict item 4: with idempotent_output=True a crash-replayed
+    batch REPLACES its own _batch_id output partition, so the final
+    output is EXACTLY the same rows — not merely no-lost-rows. The
+    negative control shows default append-mode replay duplicating the
+    replayed batch's rows (the documented at-least-once artifact)."""
+    from kolang_spark.streaming import minhash_dedup_sink
+
+    t_a = "the quick brown fox jumps over the lazy dog today"
+    t_c = "a third document that shares nothing with the others at all"
+    schema = "doc_id long, text string"
+    b1 = [(1, t_a), (2, "completely different content many unique words"), (3, t_a)]
+    b2 = [(4, t_a), (5, t_c)]
+
+    stream = _two_batch_source(spark, tmp_path, b1, b2, schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = minhash_dedup_sink(
+        stream, str(tmp_path / "state"), out, checkpoint=ckpt,
+        idempotent_output=True,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r.doc_id, r["_batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert [d for d, _ in first] == [1, 2, 5]
+    assert {b for _, b in first} == {0, 1}  # one hive partition per batch
+
+    replayed = _delete_last_commit(ckpt)
+    assert replayed == 1
+    q2 = minhash_dedup_sink(
+        stream, str(tmp_path / "state"), out, checkpoint=ckpt,
+        idempotent_output=True,
+    )
+    q2.awaitTermination(120)
+    second = sorted(
+        (r.doc_id, r["_batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert second == first  # exactly the same rows — not just no loss
+
+    # negative control: default append mode duplicates the replayed
+    # batch's output rows (at-least-once, removable by doc_id)
+    stream_c = _two_batch_source(
+        spark, tmp_path / "ctl", b1, b2, schema
+    )
+    out_c, ckpt_c = str(tmp_path / "out_c"), str(tmp_path / "ckpt_c")
+    qc = minhash_dedup_sink(
+        stream_c, str(tmp_path / "state_c"), out_c, checkpoint=ckpt_c
+    )
+    qc.awaitTermination(120)
+    _delete_last_commit(ckpt_c)
+    qc2 = minhash_dedup_sink(
+        stream_c, str(tmp_path / "state_c"), out_c, checkpoint=ckpt_c
+    )
+    qc2.awaitTermination(120)
+    dup = sorted(r.doc_id for r in spark.read.parquet(out_c).collect())
+    assert dup == [1, 2, 5, 5]  # batch 1's accepted row appended twice
+
+
+def test_line_sink_idempotent_output_replay_exact_rows(spark, tmp_path):
+    """Same exactly-once upgrade for the line-dedup sink family."""
+    from kolang_spark.streaming import line_dedup_sink
+
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha one\nshared line")]
+    b2 = [(2, "shared line\nbeta two"), (3, "beta two\ngamma three")]
+    stream = _two_batch_source(spark, tmp_path, b1, b2, schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = line_dedup_sink(
+        stream, str(tmp_path / "state"), out, checkpoint=ckpt,
+        idempotent_output=True,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r.doc_id, r.text_deduped, r["_batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert _delete_last_commit(ckpt) == 1
+    q2 = line_dedup_sink(
+        stream, str(tmp_path / "state"), out, checkpoint=ckpt,
+        idempotent_output=True,
+    )
+    q2.awaitTermination(120)
+    second = sorted(
+        (r.doc_id, r.text_deduped, r["_batch_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert second == first
+
+
+def test_embedding_sink_idempotent_output_replay_exact_rows(
+    spark, tmp_path
+):
+    """Same exactly-once upgrade for the embedding-dedup sink family."""
+    from kolang_spark.streaming import embedding_dedup_sink
+
+    dims = 8
+    va = [float(i) for i in range(dims)]
+    vb = [float(dims - i) for i in range(dims)]
+    vc = [1.0, -1.0] * (dims // 2)
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(1, va), (2, vb)]
+    b2 = [(3, va), (4, vc)]
+    stream = _two_batch_source(spark, tmp_path, b1, b2, schema)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = embedding_dedup_sink(
+        stream, str(tmp_path / "state"), out, dims=dims,
+        checkpoint=ckpt, idempotent_output=True,
+    )
+    q.awaitTermination(120)
+    first = sorted(
+        (r.vec_id, r["_batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert _delete_last_commit(ckpt) == 1
+    q2 = embedding_dedup_sink(
+        stream, str(tmp_path / "state"), out, dims=dims,
+        checkpoint=ckpt, idempotent_output=True,
+    )
+    q2.awaitTermination(120)
+    second = sorted(
+        (r.vec_id, r["_batch_id"]) for r in spark.read.parquet(out).collect()
+    )
+    assert second == first
