@@ -6,12 +6,17 @@ the join only touches same-bucket vectors, turning O(N·Q) into
 O(N·Q/2^planes) at a recall cost controlled by the plane count.
 
 Hot-path arithmetic is generated as **single SQL strings** (``F.expr``)
-when the embedding width is known: a 64-term unrolled sum is one py4j
-call and one codegen-compiled expression, versus ~200 driver round
-trips for the equivalent Column-by-Column chain and an interpreted
-fold for the ``aggregate`` HOF form. All forms accumulate
-left-to-right from 0.0, so values are bit-identical across the three
-implementations (and against a DuckDB oracle evaluating in list
+when the embedding width is known — one py4j call, versus ~200 driver
+round trips for the equivalent Column-by-Column chain. The FORM is
+width-dispatched (:data:`UNROLL_DIMS_LIMIT`, r13): narrow vectors get
+an unrolled product chain (static arithmetic inside a JIT-compilable
+whole-stage-codegen method), wider ones an ``aggregate(zip_with(...))``
+fold whose tiny expression tree keeps codegen compiled and JIT-hot at
+production widths (768-4096) — the unrolled chain passes the JVM
+JIT's 8 KB method limit long before janino's 64 KB hard limit, and an
+un-JITted chain measured 3-14x slower than the fold. All forms
+accumulate left-to-right from 0.0, so values are bit-identical across
+the implementations (and against a DuckDB oracle evaluating in list
 order); no pandas UDF anywhere.
 """
 
@@ -44,15 +49,53 @@ __all__ = [
 # SQL fragment (a column reference like "v" or "a.v") or a Column
 _Ref = Union[Column, str]
 
+#: Widest embedding for which the unrolled product-chain form is used.
+#: MEASURED boundary (r13 width sweep — scripts/sweep_r13.py + a
+#: fresh-JVM-per-config A/B at dims 16/64/128, BASELINE.md r13). TWO
+#: cliffs stack against the unrolled form in the fused
+#: BroadcastNestedLoopJoin+Sort subtrees every scoring path compiles
+#: into (codegen cannot split an expression whose inputs are deferred
+#: join-side variables there):
+#:
+#: * janino hard-fails ('Code grows beyond 64 KB') at >= 192 dims —
+#:   the subtree then runs INTERPRETED plus a wasted ~2 s failed
+#:   compile per action;
+#: * long before that, the generated method passes the JVM JIT's
+#:   8 KB HugeMethodLimit (24-46 KB bytecode at 64 dims measured), so
+#:   the 'compiled' chain executes in the BYTECODE INTERPRETER — the
+#:   fresh-JVM A/B reads unrolled 2.6-11.1 s vs HOF 0.75-0.92 s at
+#:   dims 64-128 (2.8-13.8x) on identical data.
+#:
+#: The HOF twin (aggregate over zip_with, coefficients as array
+#: literals) is a tiny expression tree: always compilable, JITs as a
+#: hot loop, bit-equal values (identical left-to-right accumulation
+#: from 0.0). Unrolled only wins while the whole fused method stays
+#: JIT-compilable — measured true at 16 dims (lsh 8-plane signature
+#: 0.89 vs 1.62 s), gone by 64. Hence 16.
+UNROLL_DIMS_LIMIT = 16
+
 
 def _dot(a: _Ref, b: _Ref, dims: Optional[int] = None) -> Column:
     """Dot product. With ``dims`` and SQL-name inputs: one unrolled
     ``F.expr`` sum (codegen-compiled static arithmetic, built in a
-    single driver call). Fallback: interpreted ``aggregate`` fold for
-    unknown widths / Column inputs."""
+    single driver call) up to :data:`UNROLL_DIMS_LIMIT`; past it, the
+    HOF fold form (same accumulation order — bit-equal, and the
+    expression tree stays small enough for whole-stage codegen at
+    production widths, 768-4096). Fallback: interpreted ``aggregate``
+    fold for unknown widths / Column inputs."""
     if dims is not None and isinstance(a, str) and isinstance(b, str):
-        terms = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dims))
-        return F.expr(f"0.0D + {terms}")
+        if dims <= UNROLL_DIMS_LIMIT:
+            terms = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dims))
+            return F.expr(f"0.0D + {terms}")
+        # slice to dims: zip_with pads the SHORTER side with nulls, so
+        # an over-length vector would null the whole fold (and in the
+        # signature path collapse every such vector onto one bucket);
+        # the unrolled form reads the dims-prefix — keep that contract
+        return F.expr(
+            f"aggregate(zip_with(slice({a}, 1, {dims}), "
+            f"slice({b}, 1, {dims}), (x, y) -> x*y), 0.0D, "
+            "(acc, x) -> acc + x)"
+        )
     a, b = _as_col(a), _as_col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -63,8 +106,14 @@ def _dot(a: _Ref, b: _Ref, dims: Optional[int] = None) -> Column:
 
 def _norm(a: _Ref, dims: Optional[int] = None) -> Column:
     if dims is not None and isinstance(a, str):
-        terms = " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(dims))
-        return F.expr(f"sqrt(0.0D + {terms})")
+        if dims <= UNROLL_DIMS_LIMIT:
+            terms = " + ".join(f"{a}[{i}]*{a}[{i}]" for i in range(dims))
+            return F.expr(f"sqrt(0.0D + {terms})")
+        # dims-prefix like the unrolled form (not the whole array)
+        return F.expr(
+            f"sqrt(aggregate(slice({a}, 1, {dims}), 0.0D, "
+            "(acc, x) -> acc + x*x))"
+        )
     a = _as_col(a)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
@@ -182,10 +231,18 @@ def lsh_signature(
     ``offset..offset+n_planes-1``) — the multi-table LSH lever used by
     banded variants (each band = its own plane family).
 
+    Width dispatch (r13): past :data:`UNROLL_DIMS_LIMIT` dims the
+    per-plane product chain is the same unsplittable unit that kills
+    whole-stage codegen in the scoring paths, so wide signatures route
+    to :func:`lsh_signature_hof` automatically (bit-equal values —
+    identical accumulation order).
+
     Memoized per active session (see ``_SIG_CACHE``): an unresolved
     Column is immutable and attachable to any DataFrame OF THE SAME
     backend, so the cache drops the repeat parse cost to zero without
     leaking Columns across session/backend boundaries."""
+    if dims > UNROLL_DIMS_LIMIT:
+        return lsh_signature_hof(vec, n_planes, dims, plane_offset)
 
     def build() -> Column:
         plane_cases = []
@@ -225,8 +282,14 @@ def lsh_signature_hof(
                 f"{_plane_component(plane_offset + p, d)!r}D"
                 for d in range(dims)
             )
+            # slice to dims: zip_with pads the shorter side with
+            # nulls, so an over-length vector would null every
+            # plane's fold and collapse onto ONE all-zero bucket —
+            # mass false duplicates downstream (r13 review); the
+            # unrolled twin reads the dims-prefix, so read it here too
             dot = (
-                f"aggregate(zip_with({vec}, array({coefs}), (x, c) -> x*c), "
+                f"aggregate(zip_with(slice({vec}, 1, {dims}), "
+                f"array({coefs}), (x, c) -> x*c), "
                 f"0.0D, (a, x) -> a + x)"
             )
             cases.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
@@ -310,8 +373,9 @@ def _kmeans_assign(pts: DataFrame, cent_df: DataFrame, dims: int) -> DataFrame:
     """One Lloyd's assignment step: each ``(p_id, p_v)`` point gets the
     ``cent_id`` of its nearest centroid in ``cent_df``.
 
-    The squared distance is an unrolled left-to-right O(dims)
-    expression over the *joined* ``g_v`` column — plan size is
+    The squared distance is a left-to-right O(dims) expression over
+    the *joined* ``g_v`` column (:func:`_d2_arrays` — unrolled at
+    narrow widths, HOF fold past :data:`UNROLL_DIMS_LIMIT`) — plan size is
     independent of k (the regression this guards against inlined the
     k×dims centroid components as literals and stopped planning at
     production centroid counts; tests explain() this frame and assert
@@ -321,10 +385,7 @@ def _kmeans_assign(pts: DataFrame, cent_df: DataFrame, dims: int) -> DataFrame:
     nested-loop join, so the hash aggregate completes the min map-side
     and the shuffle carries one reduced row per point.
     """
-    d2 = F.expr(
-        "0.0D + "
-        + " + ".join(f"(p_v[{i}]-g_v[{i}])*(p_v[{i}]-g_v[{i}])" for i in range(dims))
-    )
+    d2 = _d2_arrays("p_v", "g_v", dims)
     return (
         pts.crossJoin(F.broadcast(cent_df))
         .select(
@@ -504,15 +565,30 @@ def _sub_slice(vec: str, j: int, dsub: int) -> Column:
 
 
 def _d2_arrays(a: str, b: str, dsub: int) -> Column:
-    """Unrolled squared L2 distance between two length-``dsub`` array
-    columns — left-to-right from 0.0 (bit-replayable in DuckDB)."""
-    terms = " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(dsub))
-    return F.expr(f"0.0D + {terms}")
+    """Squared L2 distance between two length-``dsub`` array columns —
+    left-to-right from 0.0 (bit-replayable in DuckDB); unrolled up to
+    :data:`UNROLL_DIMS_LIMIT`, HOF fold past it (same order — at
+    dims=1536/m=8 a subspace is already 192 wide, past the measured
+    codegen boundary)."""
+    if dsub <= UNROLL_DIMS_LIMIT:
+        terms = " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(dsub)
+        )
+        return F.expr(f"0.0D + {terms}")
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x-y)*(x-y)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
 
 
 def _dot_arrays(a: str, b: str, dsub: int) -> Column:
-    terms = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dsub))
-    return F.expr(f"0.0D + {terms}")
+    if dsub <= UNROLL_DIMS_LIMIT:
+        terms = " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(dsub))
+        return F.expr(f"0.0D + {terms}")
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x*y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
 
 
 def pq_codebooks(

@@ -90,8 +90,19 @@ def codegen_method_sizes(spark, df) -> list[int]:
     CODEGEN prints). Empty list = no codegen subtree (all interpreted
     — itself a finding on these paths)."""
     jvm = spark.sparkContext._jvm
-    dbg = getattr(jvm, "org.apache.spark.sql.execution.debug.package$").MODULE$
-    txt = dbg.codegenString(df._jdf.queryExecution().executedPlan())
+    dbg = getattr(
+        getattr(jvm, "org.apache.spark.sql.execution.debug.package$"),
+        "MODULE$",
+    )
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        # AQE wraps the plan in AdaptiveSparkPlanExec, which
+        # codegenString does NOT recurse into (reports 0 subtrees);
+        # after execution the materialized final plan is inspectable
+        plan = plan.finalPhysicalPlan()
+    except Exception:
+        pass
+    txt = dbg.codegenString(plan)
     return [int(m) for m in re.findall(r"maxMethodCodeSize:(\d+)", txt)]
 
 
