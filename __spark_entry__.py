@@ -1507,6 +1507,34 @@ def _q_cosine_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
 
 
+def _q_cosine_topk_wide(spark, sf_dir):
+    """Production-WIDTH twin of ``cosine_topk`` (r13 debut): the 64-d
+    testdata embeddings are widened 4x to 256 dims by deterministic
+    element transforms (``v || 0.5v+0.125 || -v || 0.25v^2``), putting
+    the wide-dims arithmetic path — the ``aggregate(zip_with(slice))``
+    HOF fold that replaces the unrolled chain above
+    ``UNROLL_DIMS_LIMIT`` (`llm/similarity.py`, measured in
+    BASELINE.md r13: the unrolled form passes the JVM JIT's 8 KB
+    method limit by 64 dims and janino's 64 KB by 192) — under the
+    external oracle gate. The DuckDB oracle rebuilds the identical
+    widened vectors with list comprehensions and replays the exact
+    brute-force ranking."""
+    from kolang_spark.llm import brute_force_topk
+
+    em = _t(spark, sf_dir, "embeddings")
+    d = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    wide = em.select(
+        "vec_id",
+        F.expr(
+            f"concat({d}, transform({d}, x -> x*0.5D + 0.125D), "
+            f"transform({d}, x -> -x), transform({d}, x -> x*x*0.25D))"
+        ).alias("embedding"),
+    )
+    anchors = wide.where(F.col("vec_id") % 200 == 0)
+    out = brute_force_topk(wide, anchors, k=5, dims=256)
+    return out.select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+
+
 def _q_jl_project_embeddings(spark, sf_dir):
     """Johnson–Lindenstrauss random projection (`llm/pca.py::
     jl_project`): md5-derived Achlioptas ±sqrt(3/k)/0 matrix inlined as
@@ -5541,6 +5569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
         "cdc_chunks_documents": _q_cdc_chunks_documents,
         "pmi_collocations_documents": _q_pmi_collocations_documents,
+        # r13 debut (registry tail -> r14 window as never-green):
+        "cosine_topk_wide": _q_cosine_topk_wide,
     }
 
 
@@ -11308,6 +11338,35 @@ def oracle_sql() -> dict[str, str]:
         #   an approximate ANN; the decode itself is oracle-backed via
         #   multimodal_decode above).
     }
+    # cosine_topk_wide (r13): the widened 256-d vectors are rebuilt with
+    # list comprehensions; scoring replays brute-force exactly (round-6,
+    # the same tolerance as cosine_topk absorbs fold-order ULPs).
+    sqls["cosine_topk_wide"] = """
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+        ), w AS (
+          SELECT vec_id,
+                 v0 || [x*0.5 + 0.125 for x in v0]
+                    || [-x for x in v0]
+                    || [x*x*0.25 for x in v0] AS v
+          FROM e
+        ), q AS (
+          SELECT vec_id AS query_id, v FROM w WHERE vec_id % 200 = 0
+        ), scored AS (
+          SELECT q.query_id, b.vec_id,
+                 list_dot_product(q.v, b.v)
+                   /(sqrt(list_dot_product(q.v, q.v))
+                     *sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+          FROM w b CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos_raw DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cos, rank
+        FROM ranked WHERE rank <= 5
+    """
     # bpe_encode_loaded: the LOADED tokenizer must encode bit-identically
     # to the in-session one, so it shares the full train+encode replay.
     sqls["bpe_encode_loaded"] = sqls["bpe_encode_documents"]

@@ -114,3 +114,38 @@ def test_iter_checkpoint_same_dir_skips_reset(spark, tmp_path):
     iter_checkpoint(spark.range(4), want + "/")  # trailing-slash spelling
     cur2 = sc.getCheckpointDir()
     assert cur1 == cur2  # second call skipped the re-set
+
+
+def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
+    """The real-cluster failure the checkpoint_dir= knob exists for
+    (r12 verdict item 6), simulated the strongest way local[*] allows:
+    after checkpointing, EVERY persistent RDD block is dropped from
+    the block manager — the local stand-in for losing the executors
+    that held them. A reliable checkpoint reads FILES under
+    checkpoint_dir, so the frame recomputes and answers correctly; the
+    localCheckpoint negative control has nothing but those blocks
+    behind its truncated lineage and must fail — the exact cliff the
+    knob closes on a real cluster."""
+    import pytest
+
+    from kolang_spark.utils import iter_checkpoint
+
+    def drop_all_blocks():
+        jctx = spark._jsparkSession.sparkContext()
+        m = jctx.getPersistentRDDs()
+        it = m.iterator()
+        while it.hasNext():
+            it.next()._2().unpersist(True)  # blocking drop
+
+    expect = list(range(0, 100, 7))
+    df = spark.range(100).where("id % 7 = 0")
+
+    reliable = iter_checkpoint(df, str(tmp_path / "ck"))
+    drop_all_blocks()
+    got = sorted(r.id for r in reliable.collect())
+    assert got == expect  # recomputed from checkpoint FILES
+
+    local = df.localCheckpoint(eager=True)
+    drop_all_blocks()
+    with pytest.raises(Exception, match="[Cc]heckpoint|[Bb]lock"):
+        local.collect()
