@@ -1446,7 +1446,8 @@ def embedding_near_dup_pairs(
 
     Inside the quadratic loop the engineering is still tight: norms are
     precomputed once per vector and carried through the join, and with
-    ``dims`` the dot product is unrolled static arithmetic,
+    ``dims`` the dot product is width-dispatched static arithmetic
+    (`llm/similarity.py::UNROLL_DIMS_LIMIT`),
     codegen-compiled.
 
     Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``.

@@ -126,8 +126,9 @@ def cosine(a: _Ref, b: _Ref, dims: Optional[int] = None) -> Column:
     """Cosine similarity of two double-array columns.
 
     Pass ``dims`` (and plain column names) when the embedding width is
-    fixed and known — the normal case: the expression unrolls into
-    static arithmetic that whole-stage codegen compiles. Norms here are
+    fixed and known — the normal case: the expression becomes static
+    arithmetic whole-stage codegen compiles AND the JIT keeps hot
+    (width-dispatched, :data:`UNROLL_DIMS_LIMIT`). Norms here are
     recomputed per call — pairwise operators below precompute them once
     per vector instead.
     """
@@ -271,8 +272,11 @@ def lsh_signature_hof(
     bands in one projection) cannot blow whole-stage codegen's 64 KB
     method limit the way the unrolled chain does (failed compile +
     interpreted fallback anyway, plus seconds of wasted compile per
-    action). Use the unrolled form for few planes in hot scoring
-    paths; this form when planes·bands·dims is large. Memoized per
+    action). :func:`lsh_signature` routes here automatically above
+    :data:`UNROLL_DIMS_LIMIT` (r13 — the fresh-JVM A/B also measured
+    this form 2.8-13.8x faster from 64 dims up, where the unrolled
+    method exceeds the JIT's 8 KB limit and runs un-JITted); call it
+    directly only to force the fold at narrow widths. Memoized per
     active session like :func:`lsh_signature`."""
 
     def build() -> Column:
