@@ -8,6 +8,15 @@ Float-determinism policy: every query is designed so Spark and DuckDB
 compute bit-identical (or rounding-stable) values — integer measures
 where possible, rounding applied at group level before any cumulative
 pass, identical left-to-right arithmetic otherwise.
+
+Output-order policy (r13): queries do NOT sort their result. The
+correctness harness canonicalizes row order on both sides (pandas
+sort_values externally, sorted-rows compare in tests/oracle.py), so a
+final ``orderBy`` adds a range-partition exchange + sampling job per
+execution — at production scale a full global sort of the output —
+purely for cosmetics. The one exception is ``transpose_region_stats``,
+where input row order determines the transposed COLUMN order and the
+sort is semantic.
 """
 
 from __future__ import annotations
@@ -861,7 +870,7 @@ def _q_lines_sink_stream_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return out.orderBy("doc_id")
+    return out
 
 
 def _q_sessionize_stream_semantics(spark, sf_dir):
@@ -1975,7 +1984,7 @@ def _q_embedding_sink_stream_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return out.orderBy("vec_id")
+    return out
 
 
 def _q_canonical_urls(spark, sf_dir):
@@ -2875,7 +2884,7 @@ def _q_ccnet_buckets_documents(spark, sf_dir):
 
     dc = _t(spark, sf_dir, "documents")
     out = perplexity_buckets(dc, lang_col="lang")
-    return out.orderBy("doc_id")
+    return out
 
 
 def _q_quality_classifier_documents(spark, sf_dir):
@@ -4165,7 +4174,6 @@ def _q_web_curation_pipeline(spark, sf_dir):
                 & (F.col("_rn") == 1)
             ).alias("keep_final"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4213,7 +4221,7 @@ def _q_incremental_lines_batches(spark, sf_dir):
             frozen.append(m.localCheckpoint(eager=True))
     finally:
         shutil.rmtree(base, ignore_errors=True)
-    return frozen[0].union(frozen[1]).orderBy("doc_id")
+    return frozen[0].union(frozen[1])
 
 
 def _q_robots_documents(spark, sf_dir):
@@ -4263,7 +4271,6 @@ def _q_robots_documents(spark, sf_dir):
     return (
         robots_allowed(urls, rules)
         .select("doc_id", "crawl_allowed", "matched_rule")
-        .orderBy("doc_id")
     )
 
 
@@ -4296,7 +4303,7 @@ def _q_fold_confusables_documents(spark, sf_dir):
         .cast("long")
         .alias("len_delta"),
         (fold_confusables(folded) == folded).alias("idempotent"),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_minhash_recall_planted(spark, sf_dir):
@@ -4331,7 +4338,6 @@ def _q_minhash_recall_planted(spark, sf_dir):
         .select(
             "doc_id", F.coalesce("_hit", F.lit(False)).alias("found")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4365,7 +4371,6 @@ def _q_minhash_xxhash64_exact_planted(spark, sf_dir):
         .select(
             "doc_id", F.coalesce("_hit", F.lit(False)).alias("found")
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4407,9 +4412,7 @@ def _q_blocked_domains_documents(spark, sf_dir):
     out = filter_blocked_domains(
         dc.withColumn("url", url), "url", blocklist
     )
-    return out.select("doc_id", "blocked_domain", "is_blocked").orderBy(
-        "doc_id"
-    )
+    return out.select("doc_id", "blocked_domain", "is_blocked")
 
 
 def _q_mix_temperature_documents(spark, sf_dir):
@@ -4448,7 +4451,7 @@ def _q_semantic_contamination_embeddings(spark, sf_dir):
     tr = e.where(F.col("vec_id") % 50 != 0)
     return semantic_contamination(
         tr, ev, id_col="vec_id", threshold=0.30
-    ).orderBy("vec_id")
+    )
 
 
 def _q_dedup_lines_documents(spark, sf_dir):
@@ -4471,7 +4474,7 @@ def _q_dedup_lines_documents(spark, sf_dir):
         lambda i: F.array_join(F.slice(words, i * F.lit(2) + F.lit(1), 2), " "),
     )
     multi = dc.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    return dedup_lines_global(multi).orderBy("doc_id")
+    return dedup_lines_global(multi)
 
 
 def _q_fix_mojibake_documents(spark, sf_dir):
@@ -4505,7 +4508,7 @@ def _q_fix_mojibake_documents(spark, sf_dir):
         (fix_mojibake(F.col("text")) == F.col("text")).alias(
             "clean_unchanged"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 def _q_pagerank_weighted_purchases(spark, sf_dir):
@@ -4530,7 +4533,7 @@ def _q_pagerank_weighted_purchases(spark, sf_dir):
         iterations=4,
         weight_col="wt",
         broadcast_ranks=True,
-    ).orderBy("node")
+    )
 
 
 def _q_dedup_keep_best_documents(spark, sf_dir):
@@ -4552,7 +4555,7 @@ def _q_dedup_keep_best_documents(spark, sf_dir):
     score = quality_metrics(F.col("text"))["quality_score"]
     return dedup_keep_best(
         dc, pairs, score=score, score_col="quality_score"
-    ).orderBy("doc_id")
+    )
 
 
 def _q_web_graph_pagerank(spark, sf_dir):
@@ -4612,9 +4615,7 @@ def _q_pagerank_purchases(spark, sf_dir):
     # broadcast_ranks: |V| here is customers+suppliers (~1.6k at
     # sf0.01) — the rank table broadcasts and the checkpointed edge
     # frame is scanned in place instead of re-shuffled each round
-    return pagerank(edges, iterations=4, broadcast_ranks=True).orderBy(
-        "node"
-    )
+    return pagerank(edges, iterations=4, broadcast_ranks=True)
 
 
 def _q_funnel_view_click_purchase(spark, sf_dir):

@@ -87,6 +87,10 @@ _DOUBLE_OUTPUT_WHITELIST = {
     "contrastive_rows_planted": {"neg_cos", "pos_cos"},
     "corpus_report_documents": {"avg_quality", "chars_per_token"},
     "cosine_topk": {"cos"},
+    # same claim as cosine_topk: ROUND(cos, 6) of a cosine in [-1, 1]
+    # — comfortable magnitude, fixed-order HOF-fold arithmetic both
+    # sides (the widened 256-d twin; local gate green at exact-float)
+    "cosine_topk_wide": {"cos"},
     "cube_percent_parts": {"pct"},
     "cumulative_orders_by_day": {"cum_pct"},
     "cumulative_revenue_by_shipdate": {"cum_revenue", "revenue"},
