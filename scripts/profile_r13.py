@@ -103,6 +103,8 @@ def main() -> None:
         if not plans_only:
             out[name] = {"sec": round(best, 3), "jobs": jobs}
             print(f"{best:7.2f}s {jobs:4d} jobs  {name}", flush=True)
+            with open("/tmp/profile_r13.json", "w") as f:
+                json.dump(out, f, indent=1, sort_keys=True)
         else:
             print(f"plan captured  {name}", flush=True)
         spark.sparkContext.setJobDescription(None)
