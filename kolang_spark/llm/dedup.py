@@ -759,13 +759,57 @@ def connected_components(
     # each round references the label table exactly once (a dual
     # union+join reference trips attribute dedup on checkpointed plans)
     verts = sym.select("a").distinct()
-    sym, sym_ids = tracked_local_checkpoint(
-        sym.union(verts.select("a", F.col("a").alias("b"))).distinct(),
-        checkpoint_dir,
+    # r13: lay the graph out by the per-round join key BEFORE the
+    # checkpoint. repartition("b") satisfies the following distinct's
+    # clustering requirement (same (a,b) ⇒ same b ⇒ same partition),
+    # so dedup costs no second exchange, and ``localCheckpoint``
+    # preserves the physical hashpartitioning(b) — every propagation
+    # round then shuffles ONLY the label table; the edge frame (the
+    # big one at scale) is never re-exchanged after setup.
+    full = (
+        sym.union(verts.select("a", F.col("a").alias("b")))
+        .repartition("b")
+        .distinct()
     )
-    n_verts = sym.where(F.col("a") == F.col("b")).count()
+    # the vertex count rides the checkpoint's own materialization
+    # (observe on the self-loop rows) instead of a separate count job
+    n_obs = None
+    try:
+        from pyspark.sql import Observation
+    except ImportError:
+        n_obs = None
+    else:
+        try:
+            from pyspark.errors import PySparkException
+        except ImportError:  # pragma: no cover - ancient pyspark
+            PySparkException = Exception  # type: ignore[misc]
+        n_obs = Observation()
+        try:
+            full = full.observe(
+                n_obs,
+                F.sum(
+                    (F.col("a") == F.col("b")).cast("long")
+                ).alias("n_verts"),
+            )
+        except (PySparkException, NotImplementedError):
+            n_obs = None
+    sym, sym_ids = tracked_local_checkpoint(
+        full, checkpoint_dir, keep_partitioning=True
+    )
+    n_verts = None
+    if n_obs is not None:
+        from kolang_spark.utils import observation_value
 
-    labels = verts.select(F.col("a").alias("id"), F.col("a").alias("lbl"))
+        v = observation_value(n_obs, "n_verts", 60.0)
+        n_verts = None if v is None else int(v or 0)
+    if n_verts is None:
+        n_verts = sym.where(F.col("a") == F.col("b")).count()
+
+    # initial labels come straight off the checkpointed self-loops —
+    # no second edge scan + distinct for the vertex set
+    labels = sym.where(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("lbl")
+    )
     prev_changed = float("inf")
     stale_ids: set = set()  # checkpoints no future round reads
     live_ids: set = set()  # previous round's checkpoints (still readable)
@@ -1206,11 +1250,20 @@ def dedup_keep_best(
     Returns every ``df`` row id with its ``component`` (singletons keep
     their own id), the evaluated ``score_col``, and a ``keep`` flag.
 
-    Scale shape: the iterative stage (connected components) carries
-    ids only; scoring/argmax is two map-side-combinable aggregates
-    (best score per component, then min id among the best) plus
-    component equi-joins — no window over data rows, no driver-side
-    loop over clusters.
+    Scale shape (r13): the iterative stage (connected components)
+    carries ids only; the argmax is ONE struct-ordered aggregate —
+    ``max(struct(score, ~id))`` (``min(struct(score IS NULL, score,
+    id))`` for ``prefer='min'``), relying on Spark's struct ordering
+    where a NULL field sorts below any value, so "NULL scores lose,
+    all-NULL cluster → min id" falls out of the comparator — over a
+    frame explicitly repartitioned by ``component``. The winner join
+    consumes the SAME exchange (ReusedExchange), so the scored table
+    is computed and shuffled exactly once (the r12 shape computed it
+    three times through two groupBy+join rounds). ``~id`` (bitwise
+    NOT) is the overflow-free order-reversal of the id tie-break so
+    one max aggregate can prefer the highest score but the lowest id.
+    No window over data rows (a hot component would straggle a window
+    task), no driver-side loop over clusters.
     """
     if prefer not in ("max", "min"):
         raise ValueError("prefer must be 'max' or 'min'")
@@ -1224,22 +1277,33 @@ def dedup_keep_best(
             F.coalesce("component", F.col("id")).alias("component"),
             F.col("_score"),
         )
+        .repartition("component")
     )
-    agg = F.max if prefer == "max" else F.min
-    best = labeled.groupBy("component").agg(agg("_score").alias("_best"))
-    winner = (
-        labeled.join(best, "component")
-        # eqNullSafe: an all-NULL cluster has _best = NULL and must
-        # still elect a keeper (min id among its rows)
-        .where(F.col("_score").eqNullSafe(F.col("_best")))
-        .groupBy("component")
-        .agg(F.min("id").alias("_keep_id"))
-    )
+    if prefer == "max":
+        # NULL field < any value under struct ordering → NULL scores
+        # lose; ~id flips the id order so the max takes the MIN id on
+        # score ties (and among the rows of an all-NULL cluster)
+        key = F.struct(
+            F.col("_score").alias("s"),
+            F.bitwise_not(F.col("id")).alias("t"),
+        )
+        winner = labeled.groupBy("component").agg(F.max(key).alias("_w"))
+        keep_id = F.bitwise_not(F.col("_w.t"))
+    else:
+        # min must NOT prefer NULL scores, so lead with an IS NULL
+        # rank field; id needs no flip (min already takes the min id)
+        key = F.struct(
+            F.col("_score").isNull().alias("nu"),
+            F.col("_score").alias("s"),
+            F.col("id").alias("t"),
+        )
+        winner = labeled.groupBy("component").agg(F.min(key).alias("_w"))
+        keep_id = F.col("_w.t")
     return labeled.join(winner, "component").select(
         F.col("id").alias(id_col),
         F.col("component"),
         F.col("_score").alias(score_col),
-        (F.col("id") == F.col("_keep_id")).alias("keep"),
+        (F.col("id") == keep_id).alias("keep"),
     )
 
 
@@ -2493,13 +2557,14 @@ def _incremental_banded_flagged(
         flag_col,
         F.coalesce(flag_col, F.lit(False)),
     )
-    novel = (
-        banded.join(
-            flags.where(F.col(flag_col)).select("id"), "id", "left_anti"
-        )
-        .select("band_id", "band_key")
-        .distinct()
-    )
+    # no distinct (r13): accepted docs' band keys are unique BY
+    # CONSTRUCTION — if two batch docs share (band_id, band_key), the
+    # window's first-wins rule flags every one but the min id, so at
+    # most one accepted doc ever emits a given key. A distinct here
+    # re-proved that at the price of one more exchange per batch.
+    novel = banded.join(
+        flags.where(F.col(flag_col)).select("id"), "id", "left_anti"
+    ).select("band_id", "band_key")
     return marked, novel
 
 

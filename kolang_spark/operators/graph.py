@@ -189,7 +189,19 @@ def pagerank(
 
     # edges never change across iterations: attach out-degrees once and
     # pin the frame so each round scans it instead of re-joining.
-    e_od = iter_checkpoint(e.join(outdeg, "src"), checkpoint_dir)
+    # r13: under broadcast ranks, lay the pinned frame out by ``dst``
+    # first — the broadcast join preserves the streamed side's
+    # partitioning, so the per-round ``groupBy("dst")`` then aggregates
+    # in place and an iteration shuffles NOTHING edge-sized (the |E|
+    # contrib exchange per round was the dominant iteration cost at
+    # scale). Non-broadcast keeps the join-keyed layout: there the
+    # per-round SMJ on ``src`` is what must not re-shuffle the edges.
+    e_att = e.join(outdeg, "src")
+    if broadcast_ranks:
+        e_att = e_att.repartition("dst")
+    e_od = iter_checkpoint(
+        e_att, checkpoint_dir, keep_partitioning=broadcast_ranks
+    )
 
     teleport = (scale * (damping_den - damping_num)) // (damping_den * n)
     ranks = nodes.withColumn("r", F.lit(int(scale // n)).cast("long"))
@@ -315,6 +327,15 @@ def label_propagation(
         .distinct()
     )
     nodes = iter_checkpoint(nodes, checkpoint_dir)
+    # r13: pick the pinned edge layout by how each round consumes it.
+    # Broadcast labels: the join is shuffle-free, so partition by the
+    # AGGREGATION key ``v`` — hash(v) satisfies both the following
+    # distinct's (u,v) clustering and both per-round groupBys ((v,lbl)
+    # then (v)), making a broadcast round shuffle nothing edge-sized.
+    # Non-broadcast: partition by the JOIN key ``u`` so the per-round
+    # SMJ never re-exchanges the edge frame. localCheckpoint preserves
+    # the physical partitioning either way.
+    sym_key = "v" if broadcast_labels else "u"
     sym = (
         e_raw.where(F.col("u") != F.col("v"))
         .select("u", "v")
@@ -323,9 +344,10 @@ def label_propagation(
                 F.col("v").alias("u"), F.col("u").alias("v")
             )
         )
+        .repartition(sym_key)
         .distinct()
     )
-    sym = iter_checkpoint(sym, checkpoint_dir)
+    sym = iter_checkpoint(sym, checkpoint_dir, keep_partitioning=True)
 
     labels = nodes.select(node_col, F.col(node_col).alias("__lbl__"))
     for _ in range(iterations):

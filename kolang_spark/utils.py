@@ -134,7 +134,50 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     return df.repartition(target)
 
 
-def iter_checkpoint(df, checkpoint_dir=None):
+def _eager_checkpoint_keep_partitioning(df, reliable: bool):
+    """Eager (local or reliable) checkpoint whose ``LogicalRDD``
+    RETAINS the child plan's hash partitioning under AQE.
+
+    ``Dataset.checkpoint`` copies ``executedPlan.outputPartitioning``
+    into the resulting ``LogicalRDD`` — but with AQE enabled the
+    executed plan is an ``AdaptiveSparkPlanExec`` whose partitioning
+    reads as unknown at capture time, so a deliberately laid-out frame
+    (e.g. an edge table repartitioned by its per-round join/agg key)
+    forgets its layout and every downstream round pays the exchange
+    again (measured: groupBy-after-checkpoint keeps its Exchange with
+    AQE on, drops it with AQE off). Fix: flip
+    ``spark.sql.adaptive.enabled`` off for this ONE checkpoint (plan +
+    eager materialization — eager because observe-fused metrics must
+    fire in the same tracked execution), then restore. The checkpoint
+    job itself merely loses AQE partition coalescing; its exchange
+    count comes from ``spark.sql.shuffle.partitions``, which this
+    project keeps scale-adaptive (conf/env). NOTE the session conf is
+    thread-shared: a concurrent driver thread planning a query inside
+    this window also plans it without AQE — a performance nit, bounded
+    by the checkpoint job's duration (same single-driver-thread caveat
+    the release tracking already documents)."""
+    spark = df.sparkSession
+    try:
+        aqe_on = (
+            str(spark.conf.get("spark.sql.adaptive.enabled", "true")).lower()
+            == "true"
+        )
+    except Exception:  # pragma: no cover - conf access failed
+        aqe_on = False
+    if not aqe_on:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(
+            eager=True
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def iter_checkpoint(df, checkpoint_dir=None, keep_partitioning=False):
     """Per-iteration lineage pin for iterative operators (PageRank,
     label propagation): eager ``localCheckpoint`` by default — the
     fastest truncation, blocks in executor-local storage — or a
@@ -163,8 +206,15 @@ def iter_checkpoint(df, checkpoint_dir=None):
     share one dir (the same one-driver-thread caveat as
     :func:`tracked_local_checkpoint`'s release tracking). The set is
     skipped when the session already points under ``checkpoint_dir``,
-    so an N-round loop issues one mkdir, not N."""
+    so an N-round loop issues one mkdir, not N.
+
+    ``keep_partitioning=True`` (r13): checkpoint via
+    :func:`_eager_checkpoint_keep_partitioning` so a deliberately
+    laid-out frame keeps its hash partitioning under AQE — use for
+    big frames pinned once and re-read every iteration."""
     if checkpoint_dir is None:
+        if keep_partitioning:
+            return _eager_checkpoint_keep_partitioning(df, reliable=False)
         return df.localCheckpoint(eager=True)
     sc = df.sparkSession.sparkContext
     try:
@@ -181,6 +231,8 @@ def iter_checkpoint(df, checkpoint_dir=None):
     # silently landing reliable checkpoints in the other directory.
     if cur is None or _qualify_dir(df.sparkSession, cur.rstrip("/").rsplit("/", 1)[0]) != _qualify_dir(df.sparkSession, checkpoint_dir):
         sc.setCheckpointDir(checkpoint_dir)
+    if keep_partitioning:
+        return _eager_checkpoint_keep_partitioning(df, reliable=True)
     return df.checkpoint(eager=True)
 
 
@@ -201,7 +253,7 @@ def _qualify_dir(spark, path: str) -> str:
     return fs.makeQualified(jpath).toString().rstrip("/")
 
 
-def tracked_local_checkpoint(df, checkpoint_dir=None):
+def tracked_local_checkpoint(df, checkpoint_dir=None, keep_partitioning=False):
     """``localCheckpoint(eager=True)`` that also reports which RDD ids
     the checkpoint registered, so iterative operators can *release*
     superseded checkpoints deterministically (see
@@ -234,14 +286,22 @@ def tracked_local_checkpoint(df, checkpoint_dir=None):
     serialize calls or skip release.
     """
     if checkpoint_dir is not None:
-        return iter_checkpoint(df, checkpoint_dir), frozenset()
+        return (
+            iter_checkpoint(
+                df, checkpoint_dir, keep_partitioning=keep_partitioning
+            ),
+            frozenset(),
+        )
     try:
         jctx = df.sparkSession._jsparkSession.sparkContext()
         before = _persistent_rdd_ids(jctx)
     except Exception:
         jctx = None
         before = frozenset()
-    out = df.localCheckpoint(eager=True)
+    if keep_partitioning:
+        out = _eager_checkpoint_keep_partitioning(df, reliable=False)
+    else:
+        out = df.localCheckpoint(eager=True)
     if jctx is None:
         return out, frozenset()
     try:

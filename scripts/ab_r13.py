@@ -1,20 +1,15 @@
 #!/usr/bin/env python
-"""Round-13 interleaved A/B (r12 verdict item 1): r11 code vs current
-code on the three sidecar-wired streaming sinks that regressed in the
-r12 record WITHOUT adjudication — `cms_sink_stream_batch` 1.84→2.97 s
-(1.61×), `embedding_sink_stream_batch` 4.00→5.50 s (1.38×),
-`lines_sink_stream_batch` 3.04→3.86 s (1.27×) normalized vs r11.
-All three took the same +140-line sidecar probe/pin wiring in
-`streaming/sinks.py` that the adjudicated minhash sink took, so the
-same methodology applies: equal-canary, alternating fresh-JVM
-subprocesses, min-of-3 reps × 3 cycles, code-UNTOUCHED-since-r11
-controls. Verdict threshold: any sink >1.15× at equal controls
-escalates to hoisting the per-micro-batch sidecar probe/pin into
-one-time sink setup.
+"""Round-13 interleaved A/B: BEFORE (a pinned worktree) vs AFTER (this
+repo) on named queries, with code-untouched controls riding along —
+the committed ab_r12.py methodology (equal-canary, alternating
+fresh-JVM subprocesses, min-of-REPS × CYCLES cycles). Host stalls on
+this box inflate any single window by multi-seconds, so a target is
+only accepted as a real code delta when it moves while the controls
+hold ~1.0x.
 
 Usage:
-  python scripts/ab_r13.py worker <repo_path>   # one side, one cycle
-  python scripts/ab_r13.py                      # orchestrate A/B cycles
+  python scripts/ab_r13.py worker <repo_path> q1 q2 ...  # one side
+  AB_BEFORE_PATH=/tmp/wt_head python scripts/ab_r13.py q1 q2 ...
 """
 
 import json
@@ -23,19 +18,19 @@ import subprocess
 import sys
 import time
 
-TARGETS = [
-    "cms_sink_stream_batch",        # code changed r12 (sidecar wiring)
-    "embedding_sink_stream_batch",  # code changed r12 (sidecar wiring)
-    "lines_sink_stream_batch",      # code changed r12 (sidecar wiring)
-    "pca_embeddings",               # control: llm/pca.py untouched since r9
-    "profile_orders",               # control: untouched since r9
-]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CYCLES = int(os.environ.get("AB_CYCLES", "3"))
-REPS = 3
+REPS = int(os.environ.get("AB_REPS", "3"))
+CONTROLS = [
+    c
+    for c in os.environ.get("AB_CONTROLS", "profile_orders,pca_embeddings").split(",")
+    if c
+]
+BEFORE_PATH = os.environ.get("AB_BEFORE_PATH", "/tmp/wt_head")
+OUT = os.environ.get("AB_OUT", "/tmp/ab_r13_result.json")
 
 
-def worker(repo: str) -> None:
+def worker(repo: str, targets) -> None:
     sys.path.insert(0, repo)
     os.chdir(repo)
     from pyspark.sql import SparkSession
@@ -45,6 +40,7 @@ def worker(repo: str) -> None:
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -79,7 +75,7 @@ def worker(repo: str) -> None:
     ).save()
     canary()  # untimed compile
     out = {"canary_pre": round(canary(), 3), "timings": {}}
-    for name in TARGETS:
+    for name in targets:
         best = None
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -92,33 +88,29 @@ def worker(repo: str) -> None:
     print("ABRESULT " + json.dumps(out))
 
 
-R11_COMMIT = os.environ.get("AB_R11_COMMIT", "2ab1400")
-R11_PATH = os.environ.get("AB_R11_PATH", "/tmp/ab_r11_side")
-
-
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
-        worker(sys.argv[2])
+        worker(sys.argv[2], sys.argv[3:])
         return
+    targets = sys.argv[1:]
+    if not targets:
+        sys.exit("usage: ab_r13.py q1 q2 ...")
+    allq = targets + [c for c in CONTROLS if c not in targets]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if not os.path.isdir(R11_PATH):
-        # reproducible from the repo alone: materialize the r11 side as
-        # a worktree at the round-11 artifact commit
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "add", R11_PATH, R11_COMMIT],
-            check=True,
-        )
-    sides = {"r11": R11_PATH, "r13": repo}
+    sides = {"before": BEFORE_PATH, "after": repo}
     results = {s: [] for s in sides}
     for cycle in range(CYCLES):
         for side, path in sides.items():
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "worker", path],
+                [sys.executable, os.path.abspath(__file__), "worker", path]
+                + allq,
                 capture_output=True,
                 text=True,
-                timeout=1200,
+                timeout=2400,
             )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("ABRESULT ")]
+            line = [
+                ln for ln in p.stdout.splitlines() if ln.startswith("ABRESULT ")
+            ]
             if not line:
                 print(
                     f"cycle {cycle} side {side} FAILED:\n"
@@ -129,19 +121,22 @@ def main() -> None:
             results[side].append(rec)
             print(
                 f"cycle {cycle} {side}: canary {rec['canary_pre']}"
-                f"/{rec['canary_post']} {rec['timings']}"
+                f"/{rec['canary_post']} {rec['timings']}",
+                flush=True,
             )
     summary = {}
-    for name in TARGETS:
+    for name in allq:
         summary[name] = {
             s: min(r["timings"][name] for r in results[s]) for s in sides
         }
-        a, b = summary[name]["r11"], summary[name]["r13"]
-        summary[name]["ratio_r13_over_r11"] = round(b / a, 3) if a else None
+        a, b = summary[name]["before"], summary[name]["after"]
+        summary[name]["ratio_after_over_before"] = (
+            round(b / a, 3) if a else None
+        )
     record = {"summary": summary, "cycles": results}
-    with open("/tmp/ab_r13_result.json", "w") as f:
-        json.dump(record, f, indent=1)
-    print(json.dumps(record, indent=1))
+    with open(OUT, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1, sort_keys=True))
 
 
 if __name__ == "__main__":

@@ -644,9 +644,10 @@ def test_connected_components_merges_chains(spark):
 
 def test_connected_components_uses_fused_observation_count(spark, monkeypatch):
     """The convergence count must ride the checkpoint job via Observation
-    on classic Spark (round-4 verdict item 5): the ONLY DataFrame.count()
-    call per invocation is the up-front n_verts count — a per-round
-    fallback count job means the fused path silently degraded."""
+    on classic Spark (round-4 verdict item 5), and since r13 the up-front
+    n_verts count rides the GRAPH checkpoint's action the same way — so a
+    full invocation runs ZERO DataFrame.count() jobs; any count call means
+    a fused path silently degraded to its fallback."""
     # pyspark>=4: pyspark.sql.DataFrame is a facade; instances are the
     # classic subclass, so patch the class the instances actually use
     try:
@@ -669,9 +670,9 @@ def test_connected_components_uses_fused_observation_count(spark, monkeypatch):
     )
     comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    assert len(calls) == 1, (
-        f"expected exactly the n_verts count; saw {len(calls)} count jobs "
-        "(Observation fast path not taken)"
+    assert len(calls) == 0, (
+        f"expected no count jobs at all; saw {len(calls)} "
+        "(an Observation fast path fell back to a count)"
     )
 
 
