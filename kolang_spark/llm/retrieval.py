@@ -156,16 +156,22 @@ def mmr_rerank(
     by raw cosine hands the model five paraphrases of one passage;
     MMR hands it five *different* relevant passages.
 
-    Greedy selection is inherently sequential in ``k``, so the shape
-    is ``k`` bounded DataFrame steps (the Lloyd-iteration idiom — the
-    rank frame is ``localCheckpoint``-ed per step to keep the plan
-    O(1) deep): each step anti-joins the already-selected set, takes
-    per-candidate ``max sim`` to the selected set via one equi-join on
-    the query id, and picks the per-query argmax with a bounded
-    window. All frames are (n_queries × pool)-sized — never
-    corpus-sized; the corpus appears only in the one up-front vector
-    join. Candidate pools should be first-stage top-N (N ≲ 100), so
-    the within-query sims table is N² per query, built once.
+    Greedy selection is inherently sequential in ``k`` — but only
+    WITHIN a query; queries are independent. The heavy math (the N²
+    within-pool cosine table) stays Column-native; the selection loop
+    runs per query in one ``cogroup(...).applyInPandas`` pass
+    (r13, guide §4.2's sanctioned vectorized boundary): candidates and
+    sims are each shuffled ONCE by query id and the greedy argmax — a
+    k·N integer loop over a ≤N-row pool — happens in-process, exactly
+    replicating the step-loop's fixed-point arithmetic. The r12 shape
+    was ``k`` sequential DataFrame steps (anti-join + equi-join +
+    window + eager checkpoint each): ~33 scheduler-visible jobs per
+    call and k cluster-wide barriers; this shape is 2 exchanges and
+    zero barriers beyond them. All shuffled frames are
+    (n_queries × pool)-sized — never corpus-sized; the corpus appears
+    only in the one up-front vector join. Candidate pools should be
+    first-stage top-N (N ≲ 100), so the within-query sims table is N²
+    per query, built once.
 
     Determinism: λ is the integer ratio ``lam_num/lam_den`` and
     relevances/similarities are floored to integer micro-units of
@@ -220,58 +226,96 @@ def mmr_rerank(
             F.col("b.d_id").alias("id_b"),
             F.floor(sim * scale).cast("long").alias("sim_fp"),
         )
-        .localCheckpoint(eager=False)
+        # no checkpoint (r13): the cogroup consumes this frame exactly
+        # once; the step-loop needed the pin because it re-read sims
+        # every selection round
     )
 
     penalty = lam_den - lam_num
-    selected = None
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("mmr_fp").desc(), F.col("d_id").asc()
-    )
-    for t in range(1, k + 1):
-        if selected is None:
-            scored = cand.select(
-                "q_id", "d_id", (F.lit(lam_num) * F.col("rel_fp")).alias("mmr_fp")
-            )
-        else:
-            # anti-join the already-selected docs of the same query
-            remaining = cand.join(
-                selected.select("q_id", "d_id"), ["q_id", "d_id"], "left_anti"
-            )
-            msim = (
-                sims.join(
-                    selected.select(
-                        "q_id", F.col("d_id").alias("id_b")
-                    ),
-                    ["q_id", "id_b"],
-                )
-                .groupBy("q_id", F.col("id_a").alias("d_id"))
-                .agg(F.max("sim_fp").alias("__mx"))
-            )
-            scored = remaining.join(msim, ["q_id", "d_id"], "left").select(
-                "q_id",
-                "d_id",
-                (
-                    F.lit(lam_num) * F.col("rel_fp")
-                    - F.lit(penalty) * F.coalesce("__mx", F.lit(0))
-                ).alias("mmr_fp"),
-            )
-        pick = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("q_id", "d_id", F.lit(t).alias("rank"), "mmr_fp")
-        )
-        selected = (
-            pick
-            if selected is None
-            else selected.unionByName(pick)
-        ).localCheckpoint(eager=True)
 
-    return selected.select(
-        F.col("q_id").alias(query_id_col),
-        F.col("d_id").alias(id_col),
-        "rank",
-        "mmr_fp",
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    q_type = cand.schema["q_id"].dataType
+    d_type = cand.schema["d_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("q_id", q_type),
+            StructField("d_id", d_type),
+            StructField("rank", IntegerType()),
+            StructField("mmr_fp", LongType()),
+        ]
+    )
+
+    def _is_missing(v) -> bool:
+        return v is None or (isinstance(v, float) and v != v)
+
+    def _greedy(left, right):
+        """Exact in-process replay of the step-loop semantics: per
+        step, mmr = lam_num·rel_fp − penalty·max(sim_fp to selected,
+        default 0 — NULL sims ignored like F.max); pick max mmr, tie →
+        min d_id, NULL mmr last; remove every row of the picked doc.
+        All arithmetic on Python ints (the fixed-point values are ≤
+        scale·lam_den, exact in the float64 pandas uses for nullable
+        longs)."""
+        import pandas as pd
+
+        if not len(left):
+            return pd.DataFrame(
+                {"q_id": [], "d_id": [], "rank": [], "mmr_fp": []}
+            )
+        qv = left["q_id"].iloc[0]
+        remaining = list(zip(left["d_id"].tolist(), left["rel_fp"].tolist()))
+        simd: dict = {}
+        for a_, b_, s_ in zip(
+            right["id_a"].tolist(),
+            right["id_b"].tolist(),
+            right["sim_fp"].tolist(),
+        ):
+            if _is_missing(s_):
+                continue
+            simd.setdefault(a_, {})[b_] = int(s_)
+        selected: list = []
+        out = []
+        for t in range(1, k + 1):
+            if not remaining:
+                break
+            best_key = None
+            best = None
+            for d_, rel_ in remaining:
+                if _is_missing(rel_):
+                    mmr_ = None
+                else:
+                    sd = simd.get(d_)
+                    vals = (
+                        [sd[s] for s in selected if s in sd] if sd else []
+                    )
+                    mx = max(vals) if vals else 0
+                    mmr_ = lam_num * int(rel_) - penalty * mx
+                key = (mmr_ is None, -(mmr_ or 0), d_)
+                if best_key is None or key < best_key:
+                    best_key, best = key, (d_, mmr_)
+            d_, mmr_ = best
+            out.append((qv, d_, t, mmr_))
+            selected.append(d_)
+            remaining = [r for r in remaining if r[0] != d_]
+        return pd.DataFrame(out, columns=["q_id", "d_id", "rank", "mmr_fp"])
+
+    return (
+        cand.select("q_id", "d_id", "rel_fp")
+        .groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(_greedy, out_schema)
+        .select(
+            F.col("q_id").alias(query_id_col),
+            F.col("d_id").alias(id_col),
+            "rank",
+            "mmr_fp",
+        )
     )
 
 

@@ -35,10 +35,13 @@ SUFFIX = os.environ.get("PROFILE_SUFFIX", "before")
 
 
 def job_count(spark) -> int:
-    # cumulative known-job count via the status tracker (jobs for the
-    # default/null group include everything this session ran)
+    # high-water job id via the status tracker. len(ids) is WRONG for
+    # long sessions: the tracker drops evicted jobs (spark.ui.retainedJobs)
+    # so a cumulative length can shrink mid-run (negative deltas seen in
+    # the first r13 profile). Job ids are monotonic, so max+1 is a stable
+    # cumulative count.
     ids = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
-    return len(ids)
+    return (max(ids) + 1) if ids else 0
 
 
 def main() -> None:

@@ -42,6 +42,13 @@ PANDAS_ALLOWED = {
     # decode + nearest-neighbor resample: same sanctioned media
     # boundary as the decoders
     "multimodal_resize",
+    # greedy MMR selection (r13): the N² within-pool cosine table is
+    # Column-native; the inherently-sequential per-query argmax loop
+    # has no Catalyst expression that avoids k sequential distributed
+    # steps, so it runs as ONE cogroup-applyInPandas pass over
+    # pool-sized (never corpus-sized) frames — k barriers and ~33
+    # scheduler jobs collapsed to 2 exchanges (llm/retrieval.py)
+    "mmr_rerank_embeddings",
     # WARC record walk: byte-offset parsing has no Catalyst
     # expression — same sanctioned container-decode boundary
     "warc_parse_documents",
@@ -105,7 +112,7 @@ def test_no_python_row_eval_and_no_cartesian(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in PANDAS_ALLOWED:
         assert not re.search(
-            r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", plan
+            r"MapInPandas|ArrowEvalPython|FlatMap(Co)?GroupsInPandas", plan
         ), f"{name}: unexpected Python boundary"
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
 
