@@ -618,11 +618,21 @@ def semantic_dedup(
     )
     # assignment is referenced three times below (both self-join sides
     # + the final left join); pin it once so the broadcast argmin runs
-    # one time, not three
-    assigned = (
+    # one time, not three. r13: the argmin is now a zero-shuffle map
+    # (see _kmeans_assign), so the checkpoint would inherit the raw
+    # scan partitioning — lay the frame out by the pair join's key
+    # FIRST and keep that layout through the checkpoint: the in-cluster
+    # self-join (the operator's heavy stage) then needs NO exchange on
+    # either side, one deliberate corpus shuffle instead of two
+    # per-action ones (guide §2.4). The salted path re-exchanges by
+    # (cent_id, slice) as before — its fanout frame differs per side.
+    from kolang_spark.utils import iter_checkpoint
+
+    assigned = iter_checkpoint(
         _kmeans_assign(pts, cents, dims)
         .withColumn("nrm", _norm("p_v", dims))
-        .localCheckpoint(eager=False)
+        .repartition("cent_id"),
+        keep_partitioning=True,
     )
     if pair_salts > 1:
         s_lit = F.lit(int(pair_salts))
@@ -2515,12 +2525,17 @@ def _incremental_banded_flagged(
                 F.col("batch_id").isNull()
                 | (F.col("batch_id") != F.lit(int(exclude_batch)))
             )
-        # distinct: a crashed replay may have appended the same keys
-        # twice; duplicates are flag-harmless (the groupBy/max absorbs
-        # them) but double-join rows for nothing
-        state = raw.select(
-            "band_id", F.col("band_key").alias("__sk__")
-        ).distinct()
+        # no distinct (r13): state keys are unique by construction —
+        # accepted docs' keys are absent from the state at append time
+        # and at most one same-batch doc ever emits a given key (the
+        # first-wins window flags the rest), so the only possible
+        # duplicates are a crashed replay's double-append, which the
+        # flag algebra absorbs anyway (__seen__ is a max, __first__ a
+        # min). The distinct re-proved that invariant at the price of a
+        # full state-table exchange + aggregate EVERY batch — at scale,
+        # state >> batch, so it was the single most expensive node of
+        # the probe (guide §2.4: a distinct on already-unique data).
+        state = raw.select("band_id", F.col("band_key").alias("__sk__"))
     else:
         state = spark.createDataFrame([], "band_id int, __sk__ string")
 

@@ -57,20 +57,6 @@ def _feature_buckets(
     )
 
 
-def _bucket_counts(
-    df: DataFrame, text_col: str, hash_buckets: int, use_bigrams: bool, lowercase: bool
-) -> DataFrame:
-    return (
-        df.select(
-            F.explode(
-                _feature_buckets(text_col, hash_buckets, use_bigrams, lowercase)
-            ).alias("bucket")
-        )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-
-
 def dsir_logratios(
     df: DataFrame,
     target: DataFrame,
@@ -94,13 +80,31 @@ def dsir_logratios(
     """
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
-    ct = _bucket_counts(target, text_col, hash_buckets, use_bigrams, lowercase)
-    cr = _bucket_counts(df, text_col, hash_buckets, use_bigrams, lowercase)
-    # totals ride a 1-row broadcast — the whole plan stays lazy (no
-    # build-time driver jobs; the counts materialize once per action)
-    tot = (
-        ct.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__tt__"))
-        .crossJoin(cr.agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("__tr__")))
+    # ONE tagged union pass over target+raw builds BOTH language models,
+    # and the ≤hash_buckets-row result is pinned eagerly so the totals
+    # and the broadcast probe read the pin instead of re-deriving their
+    # own subtrees (r13, guide §2.3/§2.4): the lazy 4-subtree form
+    # hashed the raw corpus 3× and the target 2× per action — feature
+    # md5 hashing is this operator's dominant per-row cost, and at
+    # 100 TB each redundant subtree is a full corpus pass. The pin is
+    # one bounded job (≤hash_buckets rows of three longs).
+    feats = F.explode(
+        _feature_buckets(text_col, hash_buckets, use_bigrams, lowercase)
+    )
+    tagged = target.select(
+        F.lit(1).alias("__t__"), feats.alias("bucket")
+    ).unionByName(df.select(F.lit(0).alias("__t__"), feats.alias("bucket")))
+    counts = (
+        tagged.groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("__t__") == 1, 1)).cast("long").alias("__ct__"),
+            F.count(F.when(F.col("__t__") == 0, 1)).cast("long").alias("__cr__"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("__ct__"), F.lit(0)).alias("__tt__"),
+        F.coalesce(F.sum("__cr__"), F.lit(0)).alias("__tr__"),
     )
 
     a = F.lit(float(alpha))
@@ -120,8 +124,7 @@ def dsir_logratios(
         ).alias("bucket"),
     ).where(F.col("bucket").isNotNull())
     scored = (
-        ex.join(F.broadcast(ct.withColumnRenamed("cnt", "__ct__")), "bucket", "left")
-        .join(F.broadcast(cr.withColumnRenamed("cnt", "__cr__")), "bucket", "left")
+        ex.join(F.broadcast(counts), "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(id_col, contrib.alias("__c__"))
         .groupBy(id_col)

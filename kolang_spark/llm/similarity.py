@@ -377,31 +377,34 @@ def _kmeans_assign(pts: DataFrame, cent_df: DataFrame, dims: int) -> DataFrame:
     """One Lloyd's assignment step: each ``(p_id, p_v)`` point gets the
     ``cent_id`` of its nearest centroid in ``cent_df``.
 
-    The squared distance is a left-to-right O(dims) expression over
-    the *joined* ``g_v`` column (:func:`_d2_arrays` — unrolled at
-    narrow widths, HOF fold past :data:`UNROLL_DIMS_LIMIT`) — plan size is
-    independent of k (the regression this guards against inlined the
-    k×dims centroid components as literals and stopped planning at
-    production centroid counts; tests explain() this frame and assert
-    flatness in k). ``min(struct(d2, cent_id))`` is the per-point
-    argmin with a deterministic cent_id tie-break; the k candidate
-    rows of a point are produced consecutively by the broadcast
-    nested-loop join, so the hash aggregate completes the min map-side
-    and the shuffle carries one reduced row per point.
+    r13 zero-shuffle form (guide §2.4): the centroid table is collapsed
+    to a one-row broadcast ARRAY and the argmin is a per-row
+    ``array_min(transform(...))`` expression — the points are never
+    fanned out ×k and never re-collapsed through a groupBy, so the
+    assignment is a pure map with NO exchange at all (the old form
+    shuffled one (p_id, cent_id, p_v) row per point every iteration —
+    a full shuffle of the Lloyd sample per round at scale). The
+    squared distance is the same left-to-right O(dims) expression
+    (:func:`_d2_cols` — unrolled at narrow widths, HOF fold past
+    :data:`UNROLL_DIMS_LIMIT`); plan size stays independent of k (the
+    centroids ride as DATA in the broadcast row, not literals; tests
+    explain() this frame and assert flatness in k).
+    ``array_min`` over ``struct(d2, cent_id)`` uses the same struct
+    ordering as the old ``min(struct(...))`` aggregate — argmin with
+    the identical deterministic cent_id tie-break.
     """
-    d2 = _d2_arrays("p_v", "g_v", dims)
-    return (
-        pts.crossJoin(F.broadcast(cent_df))
-        .select(
-            "p_id",
-            "p_v",
-            F.struct(d2.alias("d2"), F.col("cent_id").alias("cent_id")).alias("cand"),
+    cents1 = _cents_one_row(cent_df.select("cent_id", "g_v"))
+    best = F.array_min(
+        F.transform(
+            F.col("__cents__"),
+            lambda c: F.struct(
+                _d2_cols(F.col("p_v"), c["g_v"], dims).alias("d2"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
-        .groupBy("p_id")
-        .agg(
-            F.min("cand").getField("cent_id").alias("cent_id"),
-            F.first("p_v").alias("p_v"),
-        )
+    )
+    return pts.crossJoin(F.broadcast(cents1)).select(
+        "p_id", best["cent_id"].alias("cent_id"), "p_v"
     )
 
 
@@ -568,6 +571,161 @@ def _sub_slice(vec: str, j: int, dsub: int) -> Column:
     return F.slice(F.col(vec), j * dsub + 1, dsub)
 
 
+# ---------------------------------------------------------------------------
+# Column-API twins of the string-named expression builders above, for use
+# inside higher-order-function lambdas (where one operand is a lambda
+# variable, not a named column). Each mirrors its twin's accumulation
+# order EXACTLY — left-to-right from 0.0, same slice/no-slice contract —
+# so values are bit-identical and the DuckDB oracles replay unchanged.
+# They power the r13 zero-shuffle argmin forms: scoring a row against a
+# BROADCAST ARRAY of candidates per row (guide §2.4) instead of
+# fanning out candidate rows and re-collapsing them through a window or
+# groupBy exchange.
+# ---------------------------------------------------------------------------
+
+
+def _dot_cols(a: Column, b: Column, dims: int) -> Column:
+    """Bit-exact Column twin of :func:`_dot` (dims-prefix contract)."""
+    if dims <= UNROLL_DIMS_LIMIT:
+        out = F.lit(0.0)
+        for i in range(dims):
+            out = out + a[i] * b[i]
+        return out
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, 1, dims), F.slice(b, 1, dims), lambda x, y: x * y
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _d2_cols(a: Column, b: Column, dsub: int) -> Column:
+    """Bit-exact Column twin of :func:`_d2_arrays` (whole-array fold —
+    operands are exactly ``dsub`` long by construction)."""
+    if dsub <= UNROLL_DIMS_LIMIT:
+        out = F.lit(0.0)
+        for i in range(dsub):
+            out = out + (a[i] - b[i]) * (a[i] - b[i])
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_arrays_cols(a: Column, b: Column, dsub: int) -> Column:
+    """Bit-exact Column twin of :func:`_dot_arrays`."""
+    if dsub <= UNROLL_DIMS_LIMIT:
+        out = F.lit(0.0)
+        for i in range(dsub):
+            out = out + a[i] * b[i]
+        return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cents_one_row(cent_df: DataFrame) -> DataFrame:
+    """Collapse a small ``(cent_id, ...)`` table into ONE row holding a
+    cent_id-sorted struct ARRAY — the broadcast payload of the per-row
+    argmin/top-n forms. The centroids stay DATA (a one-row broadcast
+    relation), never literals, so plan size remains O(dims) and
+    independent of k — the same property the old join form guarded."""
+    return cent_df.select(F.struct(*cent_df.columns).alias("c")).agg(
+        F.array_sort(F.collect_list("c")).alias("__cents__")
+    )
+
+
+def _nearest_cells(
+    side: DataFrame, cents: DataFrame, vec: str, nrm: str, n: int, dims: int
+) -> DataFrame:
+    """Top-``n`` centroids per row by (cosine desc NULLS LAST, cent_id
+    asc) — the IVF cell-assignment shared by :func:`ivf_topk` and
+    :func:`ivf_pq_topk`, as a PER-ROW expression against a broadcast
+    one-row centroid array (r13, guide §2.4). The old form cross-joined
+    the C-row centroid table and re-collapsed the ×C fanout through a
+    ``row_number`` window: one Exchange + Sort of the full input per
+    call — for the CORPUS side that is a full shuffle of every vector,
+    the single biggest avoidable data movement of the IVF index build
+    at 100 TB. This form scores the same C candidates inside one
+    projection: zero Exchange, zero fanout; ordering (including NULL
+    cosine ranking last and Spark's NaN-greatest double semantics) is
+    identical to the window's ``cent_cos DESC, cent_id`` — locked by
+    the untouched oracle replays of every IVF query.
+
+    ``cents`` must carry ``(cent_id, g_v, g_n)``; output appends
+    ``cell`` to ``side``'s columns (n rows per input row, rows with no
+    rankable centroid — empty table — drop, exactly as the old join
+    produced nothing for them)."""
+    cents1 = _cents_one_row(cents.select("cent_id", "g_v", "g_n"))
+    scored = F.transform(
+        F.col("__cents__"),
+        lambda c: F.struct(
+            _safe_div_cos(
+                _dot_cols(F.col(vec), c["g_v"], dims), F.col(nrm), c["g_n"]
+            ).alias("cos"),
+            c["cent_id"].alias("cell"),
+        ),
+    )
+    joined = side.crossJoin(F.broadcast(cents1))
+    if n == 1:
+        # single pass argmax: initial acc is a NULL sentinel struct;
+        # a candidate beats the acc iff the acc is the sentinel, its
+        # cosine is strictly greater (NaN > everything per Spark's
+        # double ordering), or it is the first non-NULL cosine. Ties
+        # keep the acc — iteration is cent_id-ascending, so the
+        # smallest cent_id wins, exactly the window's tie-break.
+        cell_t = cents.schema["cent_id"].dataType.simpleString()
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(None).cast("double").alias("cos"),
+                F.lit(None).cast(cell_t).alias("cell"),
+            ),
+            lambda acc, c: F.when(
+                acc["cell"].isNull()
+                | (c["cos"] > acc["cos"])
+                | (acc["cos"].isNull() & c["cos"].isNotNull()),
+                c,
+            ).otherwise(acc),
+        )
+        return (
+            joined.withColumn("__best__", best)
+            .where(F.col("__best__")["cell"].isNotNull())
+            .withColumn("cell", F.col("__best__")["cell"])
+            .drop("__cents__", "__best__")
+        )
+
+    def _cmp(a: Column, b: Column) -> Column:
+        prim = (
+            F.when(a["cos"].isNull() & b["cos"].isNull(), F.lit(0))
+            .when(a["cos"].isNull(), F.lit(1))   # NULLS LAST under desc
+            .when(b["cos"].isNull(), F.lit(-1))
+            .when(a["cos"] > b["cos"], F.lit(-1))
+            .when(b["cos"] > a["cos"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        sec = (
+            F.when(a["cell"] < b["cell"], F.lit(-1))
+            .when(a["cell"] > b["cell"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return F.when(prim != 0, prim).otherwise(sec)
+
+    return (
+        joined.withColumn(
+            "__probe__",
+            F.explode(F.slice(F.array_sort(scored, _cmp), 1, n)),
+        )
+        .withColumn("cell", F.col("__probe__")["cell"])
+        .drop("__cents__", "__probe__")
+    )
+
+
 def _d2_arrays(a: str, b: str, dsub: int) -> Column:
     """Squared L2 distance between two length-``dsub`` array columns —
     left-to-right from 0.0 (bit-replayable in DuckDB); unrolled up to
@@ -703,52 +861,64 @@ def pq_encode(
     (``|x̂|`` — exact for the concatenated chosen sub-centroids, the
     denominator of asymmetric cosine).
 
-    Shape: explode to (row, subspace) — m·N rows — join the broadcast
-    codebook on subspace (ksub candidates each), one map-side-
-    completable argmin per (row, subspace) (the candidates of a pair
-    are consecutive, same as ``_kmeans_assign``), one per-row gather.
-    The corpus is never shuffled except for the two bounded
-    aggregations; no UDF.
+    Shape (r13 zero-shuffle form, guide §2.4): the codebooks ride as
+    ONE broadcast row holding an ``array[m]`` of code-sorted codebook
+    arrays; each corpus row picks its m codes with m per-row
+    ``array_min(transform(...))`` argmins — the same struct-ordering
+    semantics (and bit-identical d2 folds) as the old explode + join +
+    double-groupBy form, which shuffled m·N subvector rows through TWO
+    exchanges. The corpus is now never shuffled at all; no UDF.
     """
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     dsub = dims // m
-    subs = df.select(
-        F.col(id_col).alias("p_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        _as_double(_sub_slice(vec_col, j, dsub)).alias("sub_v"),
-                    )
-                    for j in range(m)
-                ]
+    books1 = _pq_books_one_row(codebooks)
+    rows = df.select(
+        F.col(id_col).alias("p_id"), _as_double(F.col(vec_col)).alias("__v__")
+    ).crossJoin(F.broadcast(books1))
+
+    # factory, NOT a default-arg lambda: F.transform dispatches on the
+    # lambda's arity, so a 2-parameter lambda would receive the element
+    # INDEX as its second argument and silently clobber the capture
+    def _argmin_j(j: int) -> Column:
+        sub = F.slice(F.col("__v__"), j * dsub + 1, dsub)
+        return F.array_min(
+            F.transform(
+                F.col("__books__")[j],
+                lambda e: F.struct(
+                    _d2_cols(sub, e["s_v"], dsub).alias("d2"),
+                    e["code"].alias("code"),
+                    e["s_v"].alias("s_v"),
+                ),
             )
-        ).alias("s"),
-    ).select("p_id", "s.subspace", "s.sub_v")
-    cand = subs.join(F.broadcast(codebooks), "subspace").select(
-        "p_id",
-        "subspace",
-        F.struct(
-            _d2_arrays("sub_v", "s_v", dsub).alias("d2"),
-            F.col("code").alias("code"),
-            F.col("s_v").alias("s_v"),
-        ).alias("c"),
-    )
-    chosen = cand.groupBy("p_id", "subspace").agg(F.min("c").alias("c"))
-    gathered = chosen.groupBy("p_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("subspace", F.col("c.code").alias("code"), F.col("c.s_v").alias("s_v")))
-        ).alias("g")
-    )
-    vhat = F.flatten(F.transform(F.col("g"), lambda x: x["s_v"]))
-    return gathered.select(
+        )
+
+    best = [_argmin_j(j) for j in range(m)]
+    g = F.array(*best)  # subspace order 0..m-1, same as the old sort
+    vhat = F.flatten(F.transform(g, lambda x: x["s_v"]))
+    return rows.select(
         F.col("p_id").alias(id_col),
-        F.transform(F.col("g"), lambda x: x["code"].cast("smallint")).alias("codes"),
+        F.transform(g, lambda x: x["code"].cast("smallint")).alias("codes"),
         F.sqrt(
             F.aggregate(vhat, F.lit(0.0), lambda acc, x: acc + x * x)
         ).alias("recon_n"),
+    )
+
+
+def _pq_books_one_row(codebooks: DataFrame) -> DataFrame:
+    """Collapse a ``(subspace, code, s_v)`` codebook table into ONE row
+    ``__books__: array[m] of array<struct<code, s_v>>`` — outer indexed
+    by subspace, inner sorted by code — the broadcast payload of
+    :func:`pq_encode`'s and :func:`ivf_pq_topk`'s per-row forms."""
+    return (
+        codebooks.groupBy("subspace")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "s_v"))).alias("bk"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "bk"))),
+                lambda x: x["bk"],
+            ).alias("__books__")
+        )
     )
 
 
@@ -863,27 +1033,14 @@ def ivf_pq_topk(
         )
     ksub = next(iter(stats.values()))[0]
 
-    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
-        scored = side.join(F.broadcast(cents), how="cross").withColumn(
-            "cent_cos",
-            _safe_div_cos(_dot(vec, "g_v", dims), F.col(nrm), F.col("g_n")),
-        )
-        w = Window.partitionBy(side.columns[0]).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("cent_rank", F.row_number().over(w))
-            .where(F.col("cent_rank") <= n)
-            .drop("g_v", "g_n", "cent_cos", "cent_rank")
-            .withColumnRenamed("cent_id", "cell")
-        )
-
     corpus = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v"))
         .withColumn("c_n", _norm("c_v", dims))
     )
-    cells = _nearest_cells(corpus, "c_v", "c_n", 1).select("c_id", "cell")
+    cells = _nearest_cells(corpus, cents, "c_v", "c_n", 1, dims).select(
+        "c_id", "cell"
+    )
     # the searchable index: cell + m smallint codes + one double — the
     # raw vector column is DROPPED here; everything downstream scores
     # from codes only
@@ -896,38 +1053,30 @@ def ivf_pq_topk(
         F.col(query_id_col).alias("query_id"),
         _as_double(F.col(query_vec_col)).alias("q_v"),
     ).withColumn("q_n", _norm("q_v", dims))
-    probes = _nearest_cells(qs, "q_v", "q_n", nprobe)
+    # per-query ADC array ordered j·ksub + code, computed PER ROW from
+    # the one-row broadcast codebook array (r13 — the old form exploded
+    # Q·m subvector rows, joined the codebooks and re-collapsed the
+    # Q·m·ksub fanout through a groupBy exchange; values and ordering
+    # are identical: the outer loop is subspace-ascending and the inner
+    # arrays code-sorted, exactly the old lexicographic sort)
+    books1 = _pq_books_one_row(codebooks)
 
-    # per-query ADC table over (subspace, code), gathered into one
-    # array ordered j·ksub + code
-    qsubs = qs.select(
-        "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("subspace"),
-                        F.slice("q_v", j * dsub + 1, dsub).alias("q_sub"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", "s.subspace", "s.q_sub")
-    adc = (
-        qsubs.join(F.broadcast(codebooks), "subspace")
-        .select(
-            "query_id",
-            F.struct("subspace", "code", _dot_arrays("q_sub", "s_v", dsub).alias("pdot")).alias("e"),
+    # factory, NOT a default-arg lambda (F.transform would pass the
+    # element index as a second lambda argument — see pq_encode)
+    def _adc_j(j: int) -> Column:
+        q_sub = F.slice(F.col("q_v"), j * dsub + 1, dsub)
+        return F.transform(
+            F.col("__books__")[j],
+            lambda e: _dot_arrays_cols(q_sub, e["s_v"], dsub),
         )
-        .groupBy("query_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list("e")), lambda x: x["pdot"]
-            ).alias("adc")
-        )
+
+    adc = F.flatten(F.array(*[_adc_j(j) for j in range(m)]))
+    qs = (
+        qs.crossJoin(F.broadcast(books1))
+        .withColumn("adc", adc)
+        .drop("__books__")
     )
-    probes = probes.join(adc, "query_id")
+    probes = _nearest_cells(qs, cents, "q_v", "q_n", nprobe, dims)
 
     gather = " + ".join(f"adc[codes[{j}] + {j * ksub}]" for j in range(m))
     scored = indexed.join(F.broadcast(probes), "cell").select(
@@ -1028,29 +1177,12 @@ def ivf_topk(
             kmeans_sample_mod=kmeans_sample_mod,
         )
 
-    def _nearest_cells(side: DataFrame, vec: str, nrm: str, n: int) -> DataFrame:
-        """Rank centroids by cosine against ``vec``; keep the top ``n``
-        as ``cell``. Tie-break on centroid id for cross-engine parity."""
-        scored = side.join(F.broadcast(cents), how="cross").withColumn(
-            "cent_cos",
-            _safe_div_cos(_dot(vec, "g_v", dims), F.col(nrm), F.col("g_n")),
-        )
-        w = Window.partitionBy(side.columns[0]).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("cent_rank", F.row_number().over(w))
-            .where(F.col("cent_rank") <= n)
-            .drop("g_v", "g_n", "cent_cos", "cent_rank")
-            .withColumnRenamed("cent_id", "cell")
-        )
-
     corpus = (
         ensure_min_parallelism(df)
         .select(F.col(id_col).alias("c_id"), _as_double(F.col(vec_col)).alias("c_v"))
         .withColumn("c_n", _norm("c_v", dims))
     )
-    indexed = _nearest_cells(corpus, "c_v", "c_n", 1)
+    indexed = _nearest_cells(corpus, cents, "c_v", "c_n", 1, dims)
 
     qs = (
         queries.select(
@@ -1059,7 +1191,7 @@ def ivf_topk(
         )
         .withColumn("q_n", _norm("q_v", dims))
     )
-    probes = _nearest_cells(qs, "q_v", "q_n", nprobe)
+    probes = _nearest_cells(qs, cents, "q_v", "q_n", nprobe, dims)
 
     scored = indexed.join(F.broadcast(probes), "cell").select(
         "query_id",
