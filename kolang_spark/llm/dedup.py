@@ -2501,14 +2501,6 @@ def _incremental_banded_flagged(
     duplicates (replay idempotence for every crash window)."""
     from kolang_spark.sources.io import path_exists
 
-    # materialize the banded frame ONCE: it is referenced by both the
-    # flags plan and the novel-state plan, and each of the operator's
-    # two actions (state append + the caller's flag materialization)
-    # would otherwise re-run the banding expression — the dominant
-    # per-row cost — up to 4x. The frame is small (a few short keys
-    # per doc, the payload columns dropped), so the eager checkpoint
-    # is one cheap job that halves the query's wall-clock.
-    banded = banded.localCheckpoint(eager=True)
     if path_exists(spark, state_path):
         # EXPLICIT read schema (advisor r12): batch-operator and sink
         # appends produce mixed schemas (batch rows carry no batch_id,
@@ -2539,8 +2531,19 @@ def _incremental_banded_flagged(
     else:
         state = spark.createDataFrame([], "band_id int, __sk__ string")
 
+    # ONE eager pin per batch (r13; was two): the band-level frame
+    # enriched with the state hit + within-batch first-wins columns is
+    # materialized once — banding (the dominant per-row cost), the
+    # state probe join and the band window all run exactly once per
+    # batch, and the flags stay pinned against the caller's state
+    # appends (they derive deterministically from this checkpoint, no
+    # lazy state re-read). The per-doc flag groupBy is re-derived by
+    # each downstream action, but over the pinned ≤bands-rows-per-doc
+    # frame that costs microseconds — where the second eager pin cost
+    # a whole extra job/barrier per micro-batch (trigger latency at
+    # second-scale intervals; one more cluster-wide sync at 100 TB).
     w = Window.partitionBy("band_id", "band_key").orderBy("id")
-    flags = (
+    enriched = (
         banded.join(
             state.withColumn("__seen__", F.lit(True)),
             (banded["band_id"] == state["band_id"])
@@ -2550,19 +2553,15 @@ def _incremental_banded_flagged(
         .drop(state["band_id"])
         .drop("__sk__")
         .withColumn("__first__", F.min("id").over(w))
-        .groupBy("id")
-        .agg(
-            (
-                F.max(F.coalesce(F.col("__seen__"), F.lit(False)).cast("int"))
-                + F.max((F.col("__first__") < F.col("id")).cast("int"))
-                > 0
-            ).alias(flag_col)
-        )
+        .localCheckpoint(eager=True)
     )
-    # one row per doc, one boolean — also referenced by both return
-    # frames, so pin it too: the state join + band window then run
-    # exactly once per batch instead of once per downstream action
-    flags = flags.localCheckpoint(eager=True)
+    flags = enriched.groupBy("id").agg(
+        (
+            F.max(F.coalesce(F.col("__seen__"), F.lit(False)).cast("int"))
+            + F.max((F.col("__first__") < F.col("id")).cast("int"))
+            > 0
+        ).alias(flag_col)
+    )
     # sentinel join-key name: a bare drop("id") would also remove the
     # caller's column when id_col == "id"
     keyed = flags.withColumnRenamed("id", "__ks_mid__")
@@ -2577,7 +2576,11 @@ def _incremental_banded_flagged(
     # window's first-wins rule flags every one but the min id, so at
     # most one accepted doc ever emits a given key. A distinct here
     # re-proved that at the price of one more exchange per batch.
-    novel = banded.join(
+    # Deriving novel from `enriched` is fanout-safe: an unflagged doc's
+    # rows matched NO state key (exactly one row each), and any row a
+    # duplicate state key could fan out belongs to a flagged doc the
+    # anti-join drops.
+    novel = enriched.join(
         flags.where(F.col(flag_col)).select("id"), "id", "left_anti"
     ).select("band_id", "band_key")
     return marked, novel

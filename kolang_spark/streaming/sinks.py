@@ -170,11 +170,11 @@ def minhash_dedup_sink(
         from kolang_spark.llm.dedup import _incremental_minhash_flagged
 
         spark = batch_df.sparkSession
-        # (1) the helper eagerly checkpoints the banded frame and the
-        # per-doc flags before returning, so the flags are already
-        # pinned against the state appends below — re-checkpointing
-        # `marked` here would only re-materialize the whole batch
-        # (text column included) for nothing. exclude_batch makes a
+        # (1) the helper eagerly checkpoints the state-probed band
+        # frame before returning, so the flags derive from a pin taken
+        # against the pre-append state — re-checkpointing `marked` here
+        # would only re-materialize the whole batch (text column
+        # included) for nothing. exclude_batch makes a
         # replayed batch ignore its OWN prior state append (batch_id is
         # stable across restart replays), so flags are identical in
         # EVERY crash window — including a crash after the state append
@@ -327,7 +327,7 @@ def embedding_dedup_sink(
     URIs. Returns the started ``StreamingQuery``.
 
     Same crash-safety write order as the sibling sinks — (1) flags
-    pinned pre-state (the banded-core helper eagerly checkpoints
+    pinned pre-state (the banded-core helper eagerly pins
     them), (2) output appends, (3) state appends stamped with the
     foreachBatch ``batch_id`` — and the flag computation ignores the
     replaying batch's OWN state rows, so a replay recomputes identical
