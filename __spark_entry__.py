@@ -5298,23 +5298,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     de-phase and the 25-round simulation absorbs five reds per round
     (see scripts/next_window.py CADENCE_YOUNG comment).
 
-    Round-13 rotation — COMPUTED by ``scripts/next_window.py 13`` (not
+    Round-14 rotation — COMPUTED by ``scripts/next_window.py 14`` (not
     hand-picked; the r6 mistake), from the per-query external-green
-    history in CORRECTNESS_r*.json INCLUDING the real r12 record
-    (50/50 green — the second consecutive fully-green window):
+    history in CORRECTNESS_r*.json INCLUDING the real r13 record
+    (50/50 green — the third consecutive fully-green window):
 
-    IN: the lone r12 debut ``minhash_pinned_state_roundtrip`` leads
-    as the only never-externally-green entry; then the r8-cohort
-    remainder at its cadence-6 hard bound (salted_join_revenue,
-    simhash_documents, multimodal_blob_metadata, add_trend_line,
-    duplicate_spans_documents, strip_spans_documents,
-    weighted_sample_documents); then hll_users_monthly and the r9
-    cohort oldest-first fill the remaining slots, draining that
-    cohort one round before ITS cadence-5 bound hits at r14.
+    IN: the r9-cohort remainder at its cadence-5 hard bound leads
+    (cms_sink_stream_batch, ngram_novelty_documents,
+    edit_distance_pairs_documents, mmr_rerank_embeddings,
+    retrieval_metrics_embeddings, cdc_chunks_documents,
+    pmi_collocations_documents); then the lone never-externally-green
+    r13 debut ``cosine_topk_wide``; then the r10 cohort oldest-first
+    fills the remaining slots — that cohort's own cadence-5 bound
+    lands exactly this round, so the hard bound and the oldest-first
+    fill coincide.
 
-    OUT: everything green in r10-r12 (fresh within cadence). Any new
-    r13 queries debut at the registry TAIL and enter the r14 window
-    as never-green leaders per the priority tiers below.
+    OUT: everything green in r11-r13 (fresh within cadence). Any new
+    r14 queries would debut at the registry TAIL and enter the r15
+    window as never-green leaders per the priority tiers below.
 
     Window recipe (every round): run ``scripts/next_window.py`` once
     the round's CORRECTNESS file lands and paste the 50 names.
@@ -5351,16 +5352,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped OLS, attribution) — the simulation proves the whole
     backlog absorbs within three windows."""
     return {
-        # --- positions 1-50: the external round-13 window, all
-        #     oracle-backed, COMPUTED by scripts/next_window.py 13
-        #     from the REAL r12 history (50/50 green): the lone r12
-        #     debut minhash_pinned_state_roundtrip leads as the only
-        #     never-externally-green entry, then the r8 cohort
-        #     remainder at its cadence-6 hard bound
-        #     (salted_join_revenue ... weighted_sample_documents),
-        #     then hll_users_monthly and the r9 cohort oldest-first —
-        #     draining that cohort one round before ITS cadence-5
-        #     bound hits at r14. ---
+        # --- positions 1-50: the external round-14 window, all
+        #     oracle-backed, COMPUTED by scripts/next_window.py 14
+        #     from the REAL r13 history (50/50 green): the r9
+        #     cohort remainder at its cadence-5 hard bound leads
+        #     (cms_sink_stream_batch ... pmi_collocations_documents),
+        #     then the lone never-green r13 debut cosine_topk_wide,
+        #     then the r10 cohort oldest-first — draining it at its
+        #     cadence-5 bound. ---
+        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
+        "ngram_novelty_documents": _q_ngram_novelty_documents,
+        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
+        "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
+        "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
+        "cdc_chunks_documents": _q_cdc_chunks_documents,
+        "pmi_collocations_documents": _q_pmi_collocations_documents,
+        "cosine_topk_wide": _q_cosine_topk_wide,
+        "jl_project_embeddings": _q_jl_project_embeddings,
+        "blocked_terms_documents": _q_blocked_terms_documents,
+        "corpus_report_documents": _q_corpus_report_documents,
+        "oov_stats_documents": _q_oov_stats_documents,
+        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
+        "incremental_cdc_batches": _q_incremental_cdc_batches,
+        "web_graph_pagerank": _q_web_graph_pagerank,
+        "langid_train_classify": _q_langid_train_classify,
+        "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
+        "multimodal_decode_gif": _q_multimodal_decode_gif,
+        "hard_negatives_planted": _q_hard_negatives_planted,
+        "gopher_rules_documents": _q_gopher_rules_documents,
+        "contrastive_rows_planted": _q_contrastive_rows_planted,
+        "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
+        "langid_corpus_report": _q_langid_corpus_report,
+        "duplication_mass_documents": _q_duplication_mass_documents,
+        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
+        "retention_weekly_events": _q_retention_weekly_events,
+        "snapshot_diff_customer": _q_snapshot_diff_customer,
+        "scd2_customer_history": _q_scd2_customer_history,
+        "k_anonymity_events": _q_k_anonymity_events,
+        "seasonal_anomaly_events": _q_seasonal_anomaly_events,
+        "label_propagation_purchases": _q_label_propagation_purchases,
+        "join_key_profile_orders": _q_join_key_profile_orders,
+        "psi_drift_events": _q_psi_drift_events,
+        "cusum_daily_errors": _q_cusum_daily_errors,
+        "contracts_orders": _q_contracts_orders,
+        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
+        "event_transitions_users": _q_event_transitions_users,
+        "ab_test_events": _q_ab_test_events,
+        "entity_resolution_customers": _q_entity_resolution_customers,
+        "correlation_lineitem": _q_correlation_lineitem,
+        "grouped_ols_orders": _q_grouped_ols_orders,
+        "attribution_purchases": _q_attribution_purchases,
+        "session_stats_events": _q_session_stats_events,
+        "funnel_counts_events": _q_funnel_counts_events,
+        "pii_columns_documents": _q_pii_columns_documents,
+        "dp_counts_events": _q_dp_counts_events,
+        "funnel_stream_batch": _q_funnel_stream_batch,
+        "bloom_anti_join_orders": _q_bloom_anti_join_orders,
+        "k_anonymize_events": _q_k_anonymize_events,
+        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
+        # --- tail: the cadence rotation pool — everything below
+        #     stays hash-checked every run by
+        #     tests/test_oracle_parity.py and re-enters the window
+        #     on its per-query cadence ---
         "minhash_pinned_state_roundtrip": _q_minhash_pinned_state_roundtrip,
         "salted_join_revenue": _q_salted_join_revenue,
         "simhash_documents": _q_simhash_documents,
@@ -5411,10 +5464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_sink_stream_batch": _q_lines_sink_stream_batch,
         "embedding_sink_stream_batch": _q_embedding_sink_stream_batch,
         "containment_pairs_documents": _q_containment_pairs_documents,
-        # --- tail: the cadence rotation pool — everything below
-        #     stays hash-checked every run by
-        #     tests/test_oracle_parity.py and re-enters the window
-        #     on its per-query cadence ---
         "repetition_documents": _q_repetition_documents,
         "scale_percent_by_nation": _q_scale_percent_by_nation,
         "session_count_by_user": _q_session_count_by_user,
@@ -5520,58 +5569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_frames": _q_multimodal_audio_frames,
         "pandas_bridge_region": _q_pandas_bridge_region,
         "bloom_users_events": _q_bloom_users_events,
-        "jl_project_embeddings": _q_jl_project_embeddings,
-        "blocked_terms_documents": _q_blocked_terms_documents,
-        "corpus_report_documents": _q_corpus_report_documents,
-        "oov_stats_documents": _q_oov_stats_documents,
-        "mix_tokens_by_lang": _q_mix_tokens_by_lang,
-        "incremental_cdc_batches": _q_incremental_cdc_batches,
-        "web_graph_pagerank": _q_web_graph_pagerank,
-        "langid_train_classify": _q_langid_train_classify,
-        "ann_ivf_pq_recall_planted": _q_ann_ivf_pq_recall_planted,
-        "multimodal_decode_gif": _q_multimodal_decode_gif,
-        "hard_negatives_planted": _q_hard_negatives_planted,
-        "gopher_rules_documents": _q_gopher_rules_documents,
-        "contrastive_rows_planted": _q_contrastive_rows_planted,
-        "multimodal_gif_frame_ahash": _q_multimodal_gif_frame_ahash,
-        "langid_corpus_report": _q_langid_corpus_report,
-        "duplication_mass_documents": _q_duplication_mass_documents,
-        "funnel_view_click_purchase": _q_funnel_view_click_purchase,
-        "retention_weekly_events": _q_retention_weekly_events,
-        "snapshot_diff_customer": _q_snapshot_diff_customer,
-        "scd2_customer_history": _q_scd2_customer_history,
-        "k_anonymity_events": _q_k_anonymity_events,
-        "seasonal_anomaly_events": _q_seasonal_anomaly_events,
-        "label_propagation_purchases": _q_label_propagation_purchases,
-        "join_key_profile_orders": _q_join_key_profile_orders,
-        "psi_drift_events": _q_psi_drift_events,
-        "cusum_daily_errors": _q_cusum_daily_errors,
-        "contracts_orders": _q_contracts_orders,
-        "bloom_semi_join_orders": _q_bloom_semi_join_orders,
-        "event_transitions_users": _q_event_transitions_users,
-        "ab_test_events": _q_ab_test_events,
-        "entity_resolution_customers": _q_entity_resolution_customers,
-        "correlation_lineitem": _q_correlation_lineitem,
-        "grouped_ols_orders": _q_grouped_ols_orders,
-        "attribution_purchases": _q_attribution_purchases,
-        "session_stats_events": _q_session_stats_events,
-        "funnel_counts_events": _q_funnel_counts_events,
-        "pii_columns_documents": _q_pii_columns_documents,
-        "dp_counts_events": _q_dp_counts_events,
-        "funnel_stream_batch": _q_funnel_stream_batch,
-        "bloom_anti_join_orders": _q_bloom_anti_join_orders,
-        "k_anonymize_events": _q_k_anonymize_events,
-        "ann_ivf_kmeans_topk": _q_ann_ivf_kmeans_topk,
         "bpe_encode_loaded": _q_bpe_encode_loaded,
-        "cms_sink_stream_batch": _q_cms_sink_stream_batch,
-        "ngram_novelty_documents": _q_ngram_novelty_documents,
-        "edit_distance_pairs_documents": _q_edit_distance_pairs_documents,
-        "mmr_rerank_embeddings": _q_mmr_rerank_embeddings,
-        "retrieval_metrics_embeddings": _q_retrieval_metrics_embeddings,
-        "cdc_chunks_documents": _q_cdc_chunks_documents,
-        "pmi_collocations_documents": _q_pmi_collocations_documents,
-        # r13 debut (registry tail -> r14 window as never-green):
-        "cosine_topk_wide": _q_cosine_topk_wide,
     }
 
 
