@@ -1552,7 +1552,8 @@ def _q_jl_project_embeddings(spark, sf_dir):
     ``(vec_id, dim, value)`` rows: the driver's pandas canonicalizer
     cannot sort array cells (r9's one external red), and the registry
     contract is atomic-only top-level schemas
-    (tests/test_oracle_parity.py::test_registry_schemas_atomic)."""
+    (tests/test_oracle_parity.py::_assert_schema_atomic, enforced on
+    every parametrized oracle-parity entry)."""
     from kolang_spark.llm import jl_project
 
     em = _t(spark, sf_dir, "embeddings")

@@ -149,11 +149,12 @@ def test_avi_roundtrip_property_fuzz():
     _parse_avi → _parse_jpeg with every pixel intact (even values are
     exact through the flat quant-16 JPEG)."""
     from hypothesis import given, settings
+    from tests.conftest import examples
     from hypothesis import strategies as st
 
     from kolang_spark.llm.multimodal import _parse_jpeg
 
-    @settings(max_examples=25, deadline=None)
+    @settings(max_examples=examples(25), deadline=None)
     @given(
         nf=st.integers(min_value=1, max_value=5),
         bw=st.integers(min_value=1, max_value=3),

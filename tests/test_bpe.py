@@ -8,6 +8,8 @@ whitespace adversarial classes the real-data oracle never exercises).
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+from tests.conftest import examples
 from pyspark.sql import Row
 
 from kolang_spark.llm.bpe import (
@@ -130,7 +132,7 @@ def test_apply_merge_fixpoint_runs():
     num_merges=st.integers(min_value=0, max_value=6),
 )
 @settings(
-    max_examples=20,
+    max_examples=examples(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -3,6 +3,8 @@ equivalence against a pure-Python replica of the documented chained-min
 spec, tie/horizon edge cases, and Hypothesis sweeps."""
 
 from hypothesis import given, settings, strategies as st
+
+from tests.conftest import examples
 from pyspark.sql import functions as F
 
 from kolang_spark.operators.funnel import (
@@ -111,7 +113,7 @@ def test_funnel_counts_summary(spark):
     assert rows[3]["n_users"] == 1 and rows[3]["conv_bp"] == 3333
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=examples(25), deadline=None)
 @given(
     st.lists(
         st.tuples(

@@ -4,6 +4,8 @@ plus structural invariants (mass conservation, dangling handling)."""
 
 import pytest
 from hypothesis import given, settings, strategies as st
+
+from tests.conftest import examples
 from pyspark.sql import functions as F
 
 from kolang_spark.operators.graph import pagerank
@@ -164,7 +166,7 @@ def test_custom_columns_and_scale(spark):
     assert rows == rep
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=examples(15), deadline=None)
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 7), st.integers(0, 7)).map(

@@ -148,7 +148,11 @@ def test_label_propagation_matches_replica_random_graphs(spark):
     import random
 
     rng = random.Random(7)
-    for trial in range(3):
+    # r14 suite tiering: 1 seeded trial by default, the authored 3
+    # under SPARK_GRAFT_EXHAUSTIVE=1 (VERDICT r13 item 1)
+    from tests.conftest import EXHAUSTIVE
+
+    for trial in range(3 if EXHAUSTIVE else 1):
         nodes = [f"n{i}" for i in range(12)]
         edges = [
             (rng.choice(nodes), rng.choice(nodes)) for _ in range(20)

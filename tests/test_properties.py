@@ -5,12 +5,14 @@ edge grammar, and union-by-name schema reconciliation."""
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import examples
+
 import pyspark.sql.functions as F
 
 import kolang_spark as ks
 
 _SETTINGS = dict(
-    max_examples=15,
+    max_examples=examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -297,7 +299,7 @@ def test_pack_examples_matches_sequential_reference(spark, toks, cap):
         min_size=1, max_size=6,
     ),
 )
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=examples(8), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_upsert_partitioned_matches_dict_merge(spark, tmp_path_factory, base, ups):
     """For any base table and update set, the partition-pruned upsert
@@ -1026,7 +1028,7 @@ def test_trailing_window_agg_matches_bruteforce(spark, rows, w):
     ),
     split=st.integers(0, 2**32 - 1),
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=examples(10), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_incremental_minhash_matches_python_model(
     spark, tmp_path_factory, docs, split
@@ -1117,7 +1119,7 @@ def test_incremental_minhash_matches_python_model(
     width=st.integers(2, 16),
     salt=st.sampled_from(["", "s1"]),
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=examples(10), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_cms_matches_python_model(spark, vals, weights, depth, width, salt):
     """Random-corpus model of the ENTIRE CMS contract (r12 verdict item
@@ -1193,7 +1195,7 @@ _VEC_POOL = [
     picks=st.lists(st.integers(0, len(_VEC_POOL) - 1), min_size=1, max_size=12),
     split=st.integers(0, 2**12 - 1),
 )
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=examples(10), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_incremental_embedding_matches_python_model(
     spark, tmp_path_factory, picks, split

@@ -3,6 +3,8 @@ detection/repair."""
 
 import pytest
 from hypothesis import given, settings, strategies as st
+
+from tests.conftest import examples
 from pyspark.sql import functions as F
 
 from kolang_spark.llm.dedup import dedup_keep_best
@@ -160,7 +162,7 @@ def test_null_passthrough(spark):
     assert r["f"] is None and r["n"] is None
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=examples(12), deadline=None)
 @given(
     s=st.text(
         alphabet=st.characters(
@@ -256,7 +258,7 @@ def test_line_dedup_custom_literal_delim(spark):
     assert got == {1: "a|b", 2: "c"}
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=examples(12), deadline=None)
 @given(
     texts=st.lists(
         st.lists(
@@ -452,7 +454,7 @@ def test_pow_half_equals_sqrt_assumption():
         assert n ** 0.5 == math.sqrt(n), n
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=examples(15), deadline=None)
 @given(
     n=st.integers(20, 120),
     n_domains=st.integers(2, 4),
@@ -542,7 +544,7 @@ def test_fold_confusables_null(spark):
     assert df.select(fold_confusables("t").alias("f")).collect()[0]["f"] is None
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=examples(12), deadline=None)
 @given(
     s=st.text(
         alphabet=st.sampled_from(

@@ -7,6 +7,8 @@ import re
 import pytest
 from hypothesis import given, settings, strategies as st
 
+from tests.conftest import examples
+
 from kolang_spark.sources.robots import parse_robots, robots_allowed
 
 ROBOTS = """# example file
@@ -129,7 +131,7 @@ def _match_model(rules, path, agent="*"):
     return (True, None) if best is None else (best[1], best[2])
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=examples(10), deadline=None)
 @given(
     pats=st.lists(
         st.tuples(

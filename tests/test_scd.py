@@ -92,7 +92,11 @@ def test_scd2_random_sequences_current_view(spark):
     from pyspark.sql import functions as F
 
     rng = random.Random(11)
-    for trial in range(3):
+    # r14 suite tiering: 1 seeded trial by default, the authored 3
+    # under SPARK_GRAFT_EXHAUSTIVE=1 (VERDICT r13 item 1)
+    from tests.conftest import EXHAUSTIVE
+
+    for trial in range(3 if EXHAUSTIVE else 1):
         ids = list(range(1, 9))
         snaps = []
         for _ in range(4):

@@ -98,6 +98,8 @@ def test_parse_warc_spark_stage(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import examples
+
 
 @given(
     bodies=st.lists(
@@ -108,7 +110,7 @@ from hypothesis import strategies as st
     plant=st.booleans(),
 )
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -207,7 +209,7 @@ def test_parse_warc_bytes_gzip_truncated_member_keeps_prefix():
     cut=st.integers(min_value=0, max_value=30),
 )
 @settings(
-    max_examples=25,
+    max_examples=examples(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
