@@ -693,8 +693,23 @@ def _nearest_cells(
                 c,
             ).otherwise(acc),
         )
+        # r14: materialize the fold through ONE explode_outer Generate
+        # before filtering. The previous `withColumn + where(isNotNull)`
+        # let Catalyst push the null-filter through the projection and
+        # inline the ENTIRE C-dot interpreted fold into the broadcast
+        # join's CONDITION (evaluated per row, outside codegen) and
+        # AGAIN into the output projection — every corpus vector paid
+        # the full argmin twice (plans/r13/ann_ivf_topk_after.txt
+        # nodes 42-43; the measured 1.18-1.22x locals of VERDICT r13
+        # item 2). explode_outer evaluates the fold exactly once per
+        # row and blocks InferFiltersFromGenerate from re-deriving a
+        # duplicated pre-filter (the llm/dedup.py explode_outer
+        # pattern); the null-cell drop then filters the GENERATED
+        # attribute — a cheap field test that cannot sink below the
+        # Generate. Row semantics identical: at most one struct per
+        # row, null-cell rows (empty/unrankable centroid table) drop.
         return (
-            joined.withColumn("__best__", best)
+            joined.withColumn("__best__", F.explode_outer(F.array(best)))
             .where(F.col("__best__")["cell"].isNotNull())
             .withColumn("cell", F.col("__best__")["cell"])
             .drop("__cents__", "__best__")
@@ -895,13 +910,27 @@ def pq_encode(
 
     best = [_argmin_j(j) for j in range(m)]
     g = F.array(*best)  # subspace order 0..m-1, same as the old sort
-    vhat = F.flatten(F.transform(g, lambda x: x["s_v"]))
-    return rows.select(
-        F.col("p_id").alias(id_col),
-        F.transform(g, lambda x: x["code"].cast("smallint")).alias("codes"),
-        F.sqrt(
-            F.aggregate(vhat, F.lit(0.0), lambda acc, x: acc + x * x)
-        ).alias("recon_n"),
+    # r14: materialize the m interpreted argmins ONCE through an
+    # explode_outer Generate (always exactly one row — F.array is
+    # non-null, 1 element). `codes` and `recon_n` both reference g,
+    # and CodegenFallback expressions get no common-subexpression
+    # elimination, so the projection form re-ran every m×ksub d2
+    # argmin per output column. The two outputs now read the
+    # generated attribute — cheap array walks over the materialized
+    # structs. Values unchanged (same argmins, same fold order).
+    gb = F.col("__g__")
+    vhat = F.flatten(F.transform(gb, lambda x: x["s_v"]))
+    return (
+        rows.withColumn("__g__", F.explode_outer(F.array(g)))
+        .select(
+            F.col("p_id").alias(id_col),
+            F.transform(gb, lambda x: x["code"].cast("smallint")).alias(
+                "codes"
+            ),
+            F.sqrt(
+                F.aggregate(vhat, F.lit(0.0), lambda acc, x: acc + x * x)
+            ).alias("recon_n"),
+        )
     )
 
 

@@ -194,6 +194,20 @@ EXPR_DUP_BOUNDS = {
     "contamination_documents": ("array_distinct", 2),
     "tfidf_top_documents": ("split(trim", 2),
     "boilerplate_lines_documents": ("array_distinct", 1),
+    # r14 lock for the interpreted IVF argmin (VERDICT r13 item 2):
+    # the cell-assignment fold — `aggregate(transform(__cents__...))`,
+    # a C-dot interpreted expression — must appear EXACTLY once per
+    # plan. Before the explode_outer materialization the pushed
+    # null-filter inlined it into the broadcast join CONDITION and
+    # again into the projection (2x per corpus vector, both outside
+    # codegen). Same lock for pq_encode's m per-subspace
+    # `array_min(transform(...))` argmins: CodegenFallback gets no
+    # common-subexpression elimination, so the pre-r14 double
+    # reference re-ran all m x ksub d2 folds per output column.
+    "ann_ivf_topk": ("aggregate(transform(", 1),
+    "ann_ivf_recall_planted": ("aggregate(transform(", 1),
+    "ann_ivf_kmeans_topk": ("aggregate(transform(", 1),
+    "ann_ivf_pq_recall_planted": ("array_min(transform(", 4),
 }
 
 
