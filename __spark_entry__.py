@@ -1863,7 +1863,13 @@ def _q_bpe_encode_ids(spark, sf_dir):
     dc = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges = bpe_train(dc, num_merges=_BPE_M, max_words=_BPE_W)
     vocab = bpe_vocab_ids(dc, merges)
-    out = bpe_encode_ids(ensure_min_parallelism(dc), merges, vocab)
+    # validate_vocab=False (r14): the duplicate-token guard is one
+    # extra bounded Spark job, and this vocab comes straight from
+    # bpe_vocab_ids (distinct tokens, unique by construction) — the
+    # documented skip case in bpe_encode_ids' docstring
+    out = bpe_encode_ids(
+        ensure_min_parallelism(dc), merges, vocab, validate_vocab=False
+    )
     return out.select(
         "doc_id",
         F.size("token_ids").cast("long").alias("n_tokens"),

@@ -36,8 +36,9 @@ first, so adversarial documents cannot forge token boundaries.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -173,17 +174,29 @@ def save_tokenizer(merges: List[Tuple[str, str]], path: str, spark=None) -> None
     ``path``: ``(rank int, left string, right string, merged string)``
     — the real pipeline shape (train once on the big corpus, encode
     everywhere from the artifact). The table is vocabulary-sized
-    (thousands of rows), written as a single file via ``coalesce(1)``
-    so the artifact is one object on S3/HDFS; the induced vocab is
-    derivable (:func:`bpe_vocab`), so merges are the only state worth
-    shipping. Overwrites ``path``. ``spark`` defaults to the active
-    session."""
+    (thousands of rows), written as a single file via
+    ``repartition(1)`` so the artifact is one object on S3/HDFS; the
+    induced vocab is derivable (:func:`bpe_vocab`), so merges are the
+    only state worth shipping. Overwrites ``path``. ``spark`` defaults
+    to the active session.
+
+    ``repartition(1)``, deliberately NOT ``coalesce(1)`` (r14,
+    measured): ``createDataFrame`` parallelizes the local merge list
+    into ``defaultParallelism`` pickled partitions, and a
+    shuffle-free ``coalesce(1)`` funnels ALL of them through ONE task
+    that pays each partition's Python->JVM conversion round trip
+    SEQUENTIALLY — ~150 ms × cores (measured 5.3 s on local[32] for
+    an 18-row table; 0.5 s via repartition, whose conversion tasks
+    run in parallel before the 1-partition shuffle of the tiny
+    table)."""
     from pyspark.sql import SparkSession
 
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise ValueError("no active SparkSession; pass spark=")
-    bpe_merges_df(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+    bpe_merges_df(spark, merges).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def load_tokenizer(spark, path: str) -> List[Tuple[str, str]]:
@@ -401,15 +414,22 @@ def bpe_encode(
 
     mlist = list(merges)
 
-    def _enc_series(s):
-        # word-local + memoized: merges never cross the BOUND word
+    def _enc_batches(it: "Iterator[pd.Series]") -> "Iterator[pd.Series]":
+        # Iterator-form pandas UDF (guide §4.5): construction — the
+        # compiled regexes and the memo cache — happens ONCE PER TASK,
+        # amortized over every Arrow batch in the partition. (The
+        # earlier Series→Series form rebuilt the lru_cache per BATCH:
+        # a scalar pandas UDF's function is invoked once per Arrow
+        # batch, so the Zipf-head cache was thrown away every ~10k
+        # rows.)
+        #
+        # Word-local + memoized: merges never cross the BOUND word
         # separator, so per-word encoding concatenated equals the
         # whole-document encode_text — but a naive per-document pass
         # is O(num_merges · doc_len) str.replace scans (a 32k-merge
         # vocab would scan a 4 KB doc ~100k times). Encoding per
         # DISTINCT word makes scans proportional to word length and
-        # the Zipf head hits the cache (kept across Arrow batches —
-        # the closure lives for the Python worker's lifetime).
+        # the Zipf head hits the cache.
         import functools
         import re
 
@@ -433,11 +453,15 @@ def bpe_encode(
                     out.extend(enc_word(w))
             return out
 
-        return s.map(one)
+        for s in it:
+            yield s.map(one)
 
-    # no type hints on purpose: `from __future__ import annotations`
-    # makes locally-scoped pandas names unresolvable at decoration time
-    udf = F.pandas_udf(_enc_series, "array<string>")
+    # the Iterator[Series] -> Iterator[Series] hints select the
+    # iterator eval type; under `from __future__ import annotations`
+    # they are strings resolved against MODULE globals, so the names
+    # are imported at module scope below (a locally-scoped `import
+    # pandas` would not resolve at decoration time)
+    udf = F.pandas_udf(_enc_batches, "array<string>")
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 
