@@ -321,6 +321,31 @@ def edit_distance_pairs(
     )
 
     a, b = idx.alias("a"), probe.alias("b")
+    # r14 (guide §2.3 — shuffle fewer bytes): VERIFY BEFORE THE
+    # DISTINCT. The old shape deduplicated (id_a, id_b, t_a, t_b) —
+    # both full strings through the candidate exchange — and ran the
+    # banded levenshtein only after. Computing the distance in the
+    # join's output projection flips the order: Catalyst pushes the
+    # dist >= 0 filter through the distinct (dist is a grouping key)
+    # into the join's post-condition, so NON-MATCHING candidates die
+    # before the exchange, and the dedup aggregate keys collapse to
+    # (id, id, int) — the strings never shuffle and the map-side
+    # partial aggregate compacts the chunk-key fanout pre-wire (plan:
+    # HashAggregate keys [id_a, id_b, t_a, t_b] -> [id_a, id_b,
+    # dist]). The accepted cost is levenshtein on RAW candidates (a
+    # bounded ≤(d+1)(2d+1) duplicate factor) plus a second evaluation
+    # in the projection for survivors — a threshold-banded O(d·len)
+    # scan per eval; bytes moved beat CPU re-done at scale. dist is a
+    # pure function of (id_a, id_b), so the pair set is identical.
+    dist = F.levenshtein(
+        F.when(F.col("a.id") < F.col("b.id"), F.col("a.t")).otherwise(
+            F.col("b.t")
+        ),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("b.t")).otherwise(
+            F.col("a.t")
+        ),
+        d,
+    )
     cand = (
         a.join(
             b,
@@ -332,21 +357,11 @@ def edit_distance_pairs(
         .select(
             F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
             F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("a.t"))
-            .otherwise(F.col("b.t"))
-            .alias("t_a"),
-            F.when(F.col("a.id") < F.col("b.id"), F.col("b.t"))
-            .otherwise(F.col("a.t"))
-            .alias("t_b"),
+            dist.alias("dist"),
         )
         .distinct()
     )
-    # banded verify: levenshtein(threshold=d) early-exits the DP and
-    # returns -1 past the band
-    dist = F.levenshtein("t_a", "t_b", d)
-    return cand.select("id_a", "id_b", dist.alias("dist")).where(
-        F.col("dist") >= 0
-    )
+    return cand.where(F.col("dist") >= 0)
 
 
 def _minhash_signature(

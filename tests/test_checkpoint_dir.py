@@ -149,3 +149,49 @@ def test_reliable_checkpoint_survives_block_loss(spark, tmp_path):
     drop_all_blocks()
     with pytest.raises(Exception, match="[Cc]heckpoint|[Bb]lock"):
         local.collect()
+
+
+def test_keep_partitioning_checkpoint_clone_session(spark):
+    """r14 (VERDICT r13 item 7): the keep-partitioning checkpoint
+    plans its one AQE-off execution in a CLONED session, so the main
+    session's AQE conf is never toggled (the r13 form flipped the
+    session-global conf, and a concurrent driver thread planning
+    inside that window planned without AQE). Three properties, all
+    load-bearing:
+
+    - the checkpointed frame RETAINS its hash partitioning (a
+      downstream groupBy on the layout key plans NO Exchange);
+    - an Observation attached to the checkpointed frame still fires
+      during the clone-side eager materialization (connected
+      components / pagerank fuse their convergence counts into
+      exactly this job — a silent metrics loss would become a 60 s
+      bounded wait per round);
+    - the MAIN session's adaptive.enabled reads true throughout.
+    """
+    from pyspark.sql import Observation
+
+    from kolang_spark.utils import (
+        _eager_checkpoint_keep_partitioning,
+        observation_value,
+    )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = (
+        spark.range(1000)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+        .repartition("k")
+    )
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    ck = _eager_checkpoint_keep_partitioning(df, reliable=False)
+    assert observation_value(obs, "n", timeout=30.0) == 1000
+    plan = (
+        ck.groupBy("k")
+        .agg(F.sum("v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert ck.count() == 1000
